@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Central table registry for the driver's testdata star schema
+  * (TESTDATA.md / FIXTURES.md §B) and the reference's five-table schema
+  * (reference main.py:103-192 DDL, re-declared as Spark StructTypes).
+  *
+  * Design note (scale): loaders take a directory and read parquet with
+  * Spark's vectorized reader; explicit schemas below are used for CSV
+  * ingestion parity paths (reference main.py:377-400 infers; we declare).
+  */
+object Tables {
+
+  val testdataTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet loader — schema comes from parquet footers (self-describing);
+    * column pruning + predicate pushdown apply downstream automatically.
+    *
+    * TIMESTAMP(NANOS) columns (pandas/arrow default; `events.ts`) are not
+    * representable in Spark's microsecond TimestampType, so sessions must
+    * set `spark.sql.legacy.parquet.nanosAsLong=true`; we then rebuild the
+    * microsecond timestamp here (lossless when sub-µs bits are zero, as
+    * in the driver's testdata). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000L).cast(LongType)))
+    else df
+  }
+
+  /** Register every testdata table as a temp view so `spark.sql` works
+    * (reference keeps tables in SQLite and queries by name; main.py:648). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    testdataTables.foreach(t => load(spark, dir, t).createOrReplaceTempView(t))
+
+  // ---- Reference-schema StructTypes (main.py:103-192) for CSV parity ----
+
+  val customersSchema: StructType = StructType(Seq(
+    StructField("customer_id", LongType, nullable = false),
+    StructField("first_name", StringType),
+    StructField("last_name", StringType),
+    StructField("email", StringType),
+    StructField("phone", StringType),
+    StructField("registration_date", StringType), // parsed to DateType in transform (main.py:450)
+    StructField("country", StringType),
+    StructField("city", StringType),
+    StructField("customer_segment", StringType)))
+
+  val productsSchema: StructType = StructType(Seq(
+    StructField("product_id", LongType, nullable = false),
+    StructField("product_name", StringType),
+    StructField("category", StringType),
+    StructField("subcategory", StringType),
+    StructField("brand", StringType),
+    StructField("unit_price", DoubleType),
+    StructField("cost_price", DoubleType),
+    StructField("stock_quantity", LongType),
+    StructField("weight_kg", DoubleType),
+    StructField("supplier_id", LongType)))
+
+  val ordersSchema: StructType = StructType(Seq(
+    StructField("order_id", LongType, nullable = false),
+    StructField("customer_id", LongType),
+    StructField("order_date", StringType), // parsed to DateType (main.py:475)
+    StructField("order_status", StringType),
+    StructField("shipping_method", StringType),
+    StructField("payment_method", StringType),
+    StructField("subtotal", DoubleType),
+    StructField("tax_amount", DoubleType),
+    StructField("shipping_cost", DoubleType),
+    StructField("discount_amount", DoubleType),
+    StructField("total_amount", DoubleType),
+    StructField("shipping_address", StringType),
+    StructField("order_priority", StringType)))
+
+  val orderItemsSchema: StructType = StructType(Seq(
+    StructField("item_id", LongType, nullable = false),
+    StructField("order_id", LongType),
+    StructField("product_id", LongType),
+    StructField("quantity", LongType),
+    StructField("unit_price", DoubleType),
+    StructField("discount_percent", DoubleType),
+    StructField("line_total", DoubleType)))
+
+  val etlMetadataSchema: StructType = StructType(Seq(
+    StructField("table_name", StringType),
+    StructField("source_file", StringType),
+    StructField("records_processed", LongType),
+    StructField("records_inserted", LongType),
+    StructField("records_updated", LongType),
+    StructField("processing_time_seconds", DoubleType),
+    StructField("data_quality_score", DoubleType),
+    StructField("etl_timestamp", TimestampType),
+    StructField("checksum", StringType)))
+
+  val referenceSchemas: Map[String, StructType] = Map(
+    "customers" -> customersSchema,
+    "products" -> productsSchema,
+    "orders" -> ordersSchema,
+    "order_items" -> orderItemsSchema,
+    "etl_metadata" -> etlMetadataSchema)
+}

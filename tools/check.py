@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Dev-only local mirror of the driver's correctness gate (NOT part of the
+engine; the shipped library is pure Scala/Spark). Runs each oracle SQL in
+DuckDB over the same parquet tables and compares against the Verify dump:
+column names (sorted), row count, and cell values on row-sorted frames.
+
+Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_r1
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = p.split("/")[-1].replace(".parquet", "")
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.sql(sql).df()
+        got = pd.read_parquet(f"{outdir}/{name}")
+    except Exception as e:
+        print(f"FAIL {name}: {type(e).__name__}: {e}")
+        fail += 1
+        continue
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    got = got.reindex(sorted(got.columns), axis=1)
+    if list(exp.columns) != list(got.columns):
+        print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+        fail += 1
+        continue
+    if len(exp) != len(got):
+        print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+        fail += 1
+        continue
+    exp = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+    got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    bad = []
+    for c in exp.columns:
+        for i in range(len(exp)):
+            a, b = exp[c].iloc[i], got[c].iloc[i]
+            if isinstance(a, float) or isinstance(b, float):
+                an, bn = (a != a), (b != b)  # NaN checks
+                if an != bn or (not an and a != b):
+                    bad.append((c, i, a, b))
+            elif a != b:
+                bad.append((c, i, a, b))
+    if bad:
+        print(f"FAIL {name}: {len(bad)} cell diffs, first: {bad[:3]}")
+        # dtype hint
+        print(f"     dtypes exp={dict(exp.dtypes.astype(str))}")
+        print(f"     dtypes got={dict(got.dtypes.astype(str))}")
+        fail += 1
+    else:
+        dt_exp = dict(exp.dtypes.astype(str))
+        dt_got = dict(got.dtypes.astype(str))
+        note = "" if dt_exp == dt_got else f"  [dtype drift exp={dt_exp} got={dt_got}]"
+        print(f"PASS {name} ({len(exp)} rows){note}")
+
+rows_only = [d.split("/")[-1] for d in glob.glob(f"{outdir}/*")
+             if not d.endswith(".json") and d.split("/")[-1] not in oracle]
+for name in sorted(rows_only):
+    try:
+        n = len(pd.read_parquet(f"{outdir}/{name}"))
+        print(f"{'PASS' if n > 0 else 'FAIL'} {name} (rows-only: {n} rows)")
+        fail += 0 if n > 0 else 1
+    except Exception as e:
+        print(f"FAIL {name} (rows-only): {e}")
+        fail += 1
+print(f"\n{'ALL GREEN' if fail == 0 else f'{fail} FAILURES'}")
+sys.exit(1 if fail else 0)
