@@ -14,10 +14,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    analytics.Analytics.queries
+    analytics.Analytics.queries ++
+      analytics.EventAnalytics.queries ++
+      ext.Dedup.queries ++
+      ext.Similarity.queries ++
+      ext.TextAnalysis.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
-    analytics.Analytics.oracles
+    analytics.Analytics.oracles ++
+      analytics.EventAnalytics.oracles ++
+      ext.Dedup.oracles ++
+      ext.Similarity.oracles ++
+      ext.TextAnalysis.oracles
 }

@@ -1,0 +1,120 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.load
+
+/** Event-stream analytics over the `events` table — the batch twins of
+  * the Structured Streaming operators in graft.streaming (same logical
+  * transforms applied to a bounded frame). The reference's only time
+  * constructs are a month bucket and a trailing-24h filter (SURVEY
+  * §2.7); these extend them to proper tumbling/sliding/session windows.
+  *
+  * Scale notes: tumbling/sliding windows aggregate on (bucket, type)
+  * keys — one shuffle, partial aggregation map-side. Sessionization is
+  * a per-user sort (window function) — shuffles once on user_id; at
+  * 100 TB you'd range-partition by user and day first, same plan shape.
+  */
+object EventAnalytics {
+
+  /** Tumbling 1-hour windows per event type (window().start exported as
+    * a second-precision string for engine-portable hashing). */
+  def tumblingCounts(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+              col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Sliding windows: 1-hour length, 30-minute slide — each event lands
+    * in exactly two windows. */
+  def slidingCounts(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+              col("n_events"), col("total_value"))
+      .orderBy("window_start")
+
+  /** Gap-based sessionization (30-minute inactivity gap): classic
+    * lag → gap flag → running sum over a per-user ordered window.
+    * Output: one row per session. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    load(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+           count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Event funnel: per user, did view precede purchase? Global
+    * conversion stats — min-timestamp comparison per user. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+           min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      count(col("first_view")).as("n_viewers"),
+      count(col("first_purchase")).as("n_purchasers"),
+      count(when(col("first_view") < col("first_purchase"), lit(1))).as("n_converted"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x15_events_tumbling" -> tumblingCounts,
+    "x16_events_sliding" -> slidingCounts,
+    "x17_events_sessionize" -> sessionize,
+    "x18_events_funnel" -> funnel)
+
+  val oracles: Map[String, String] = Map(
+    "x15_events_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x16_events_sliding" ->
+      """WITH assigned AS (
+           SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS w, value FROM events
+           UNION ALL
+           SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)) AS w, value FROM events)
+         SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+         FROM assigned GROUP BY 1 ORDER BY 1""",
+    "x17_events_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessions AS (
+           SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
+         FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x18_events_funnel" ->
+      """WITH per_user AS (
+           SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+           FROM events GROUP BY 1)
+         SELECT COUNT(*) AS n_users,
+           COUNT(first_view) AS n_viewers,
+           COUNT(first_purchase) AS n_purchasers,
+           COUNT(CASE WHEN first_view < first_purchase THEN 1 END) AS n_converted
+         FROM per_user""")
+}

@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.load
+import graft.functions.Sketches._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors).
+  *
+  * Two paths:
+  *  - brute-force top-k: broadcast the (small) query set against the
+  *    candidate corpus — exact, O(|Q|·n), the correctness baseline.
+  *    This is the right plan even at 100 TB when |Q| is small: the
+  *    corpus streams once, queries ride along broadcast.
+  *  - LSH top-k: random-hyperplane bucketing prunes the corpus to
+  *    hash-adjacent candidates before exact re-ranking — the scale path
+  *    when |Q| is large (bucket join instead of cross product).
+  */
+object Similarity {
+
+  private val K = 5
+  private val NQueries = 10
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+
+  /** Exact cosine top-k: queries (vec_id < NQueries) broadcast against
+    * all candidates; per-query rank over cosine. Self-matches excluded.
+    * Ties broken by candidate id for determinism. */
+  def topKBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    val queries = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = all.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+              round(col("cos"), 6).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val Planes = hyperplanes(nBits = 64, dim = 64, seed = 11L)
+  private val Bands = 16
+  private val BitsPerBand = 4
+
+  /** LSH-bucketed ANN: both sides hash to 16×4-bit hyperplane bands;
+    * candidates = bucket collisions (generous banding → high recall),
+    * then exact cosine re-rank to top-k per query. The cross product
+    * never materializes — candidate generation is a shuffle on band
+    * keys, |candidates| ≪ |Q|·n. */
+  def topKLsh(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir).withColumn("bits", hyperplaneBits(col("v"), Planes))
+    val banded = all.select(col("vec_id"), col("v"),
+        explode(bitBandKeys(col("bits"), Bands, BitsPerBand)).as("bk"))
+      .select(col("vec_id"), col("v"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val queries = banded.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("band"), col("key"))
+
+    val candidates = banded.join(queries,
+        Seq("band", "key")).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cos", cosine(col("qv"), col("v")))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("vec_id"))
+    candidates.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+              round(col("cos"), 6).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Per-label centroid similarity matrix — a grouped vector aggregate
+    * (element-wise mean via posexplode + re-assemble), then pairwise
+    * cosine between the 10 label centroids. Exercises vector groupBy. */
+  def labelCentroidSims(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val centroids = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg("x").as("x"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
+      .select(col("label"), transform(col("px"), p => p.getField("x")).as("c"))
+    val a = centroids.select(col("label").as("label1"), col("c").as("c1"))
+    val b = centroids.select(col("label").as("label2"), col("c").as("c2"))
+    a.join(b, col("label1") < col("label2"))
+      .select(col("label1"), col("label2"), round(cosine(col("c1"), col("c2")), 6).as("cos_sim"))
+      .orderBy("label1", "label2")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x07_sim_topk_brute" -> topKBruteForce,
+    "x08_sim_topk_lsh" -> topKLsh,
+    "x09_sim_label_centroids" -> labelCentroidSims)
+
+  /** DuckDB twin for the brute-force path, with the dot/norm fold
+    * written out explicitly so both engines do identical double
+    * arithmetic in identical order. */
+  val oracles: Map[String, String] = Map(
+    "x07_sim_topk_brute" -> s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+          list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2])) /
+          (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+           sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cos
+        FROM e, q WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank, cos
+        FROM scored)
+      SELECT query_id, rank, vec_id AS neighbor_id, ROUND(cos, 6) AS cos_sim
+      FROM ranked WHERE rank <= $K ORDER BY query_id, rank""")
+}

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Sketch primitives for scalable near-duplicate detection and ANN:
+  * MinHash signatures + LSH banding (Broder '97 / MMDS ch.3) and
+  * random-hyperplane signatures for cosine LSH (Charikar '02).
+  *
+  * All sketches are built with native Column expressions (nested
+  * higher-order functions) — per-row maps that run inside whole-stage
+  * codegen, so sketching 100 TB is a pure scan; the only shuffle in a
+  * dedup job is the groupBy on band keys, whose width we control.
+  */
+object Sketches {
+
+  /** Mersenne prime 2^31-1 for the affine MinHash family. 31-bit
+    * arithmetic keeps every intermediate below 2^62, so the expressions
+    * are safe under Spark 4's default ANSI overflow checking. */
+  private val P = 2147483647L
+
+  /** Deterministic affine coefficients (seeded — results must be stable
+    * across runs and engines). */
+  private def coeffs(k: Int, seed: Long): (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val as = Seq.fill(k)(math.abs(rnd.nextLong()) % (P - 1) + 1)
+    val bs = Seq.fill(k)(math.abs(rnd.nextLong()) % P)
+    (as, bs)
+  }
+
+  /** k-element MinHash signature of a set of 64-bit element hashes.
+    * Elements are first folded to 31 bits (pmod P), then each slot is
+    * min over elements of ((a_i * h + b_i) mod P) — the classic
+    * universal hash family; a_i*h+b_i < 2^62 never overflows. */
+  def minhashSignature(elementHashes: Column, k: Int, seed: Long = 42L): Column = {
+    val (as, bs) = coeffs(k, seed)
+    val aLit = typedLit(as)
+    val bLit = typedLit(bs)
+    val folded = transform(elementHashes, h => pmod(h, lit(P)))
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      aggregate(folded, lit(Long.MaxValue),
+        (acc, h) => least(acc, pmod(h * element_at(aLit, i + 1) + element_at(bLit, i + 1), lit(P)))))
+  }
+
+  /** LSH band keys of a MinHash signature: `bands` hashes, each over
+    * `rowsPerBand` consecutive signature slots. Two sets with Jaccard s
+    * share ≥1 band with prob 1-(1-s^r)^b — the s-curve that turns an
+    * O(n²) similarity search into a groupBy. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+             xxhash64(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))).as("key")))
+
+  /** Exact Jaccard similarity of two pre-distinct element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      greatest(size(array_union(a, b)), lit(1)).cast("double")
+
+  // ---- cosine / hyperplane LSH ---------------------------------------
+
+  /** Dot product of two numeric arrays (native fold — codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Cast a float array column to double for stable arithmetic. */
+  def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Deterministic pseudo-random hyperplanes: `nBits` vectors of `dim`
+    * N(0,1) components. */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature of an embedding under the given hyperplanes:
+    * bit_i = 1 iff <v, r_i> > 0. P[bit match] = 1 - angle/π, so close
+    * vectors collide on whole bands. */
+  def hyperplaneBits(vec: Column, planes: Seq[Seq[Double]]): Column =
+    array(planes.map(p => (dot(vec, typedLit(p)) > 0).cast("int")): _*)
+
+  /** Band keys over a bit signature (for bucketed cosine LSH). */
+  def bitBandKeys(bits: Column, bands: Int, bitsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+             xxhash64(slice(bits, b * bitsPerBand + 1, lit(bitsPerBand))).as("key")))
+
+  /** 64-bit SimHash of a token array: per-bit majority vote of token
+    * hashes. Implemented as a JVM closure (still one row-local map; a
+    * custom codegen Expression is the next optimization step). */
+  val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((tokens: Seq[String]) => {
+      val counts = new Array[Int](64)
+      if (tokens != null) tokens.foreach { t =>
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
+        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        var i = 0
+        while (i < 64) { counts(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+      out
+    })
+
+  /** Hamming distance between two 64-bit SimHashes (native bit_count). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** 16-bit band keys of a 64-bit SimHash (pigeonhole: hamming ≤ 3 ⇒
+    * at least one of the 4 bands is identical). */
+  def simhashBandKeys(sim: Column): Column =
+    array((0 until 4).map(b =>
+      struct(lit(b).as("band"),
+             shiftrightunsigned(sim, b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)
+}

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines
+  * (language ID, quality scoring, token counting, fingerprinting — the
+  * driver's north-star extensions; no analog in the reference, which has
+  * only `email.str.contains('@')`-class string ops, main.py:440).
+  *
+  * Everything here is a native Column expression (whole-stage codegen;
+  * no UDF serialization boundary), so it runs at full scan speed over
+  * 100 TB of documents: each function is a per-row map — no shuffle.
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens. `trim` first so leading/trailing
+    * whitespace can't produce empty boundary tokens. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token count: letter runs, digit runs, and single
+    * punctuation marks each count as one token (the pre-tokenization
+    * split most BPE vocabularies assume). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(trim(text)), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Distinct word n-gram "shingles" of a document, as text. The shingle
+    * set is the unit of Jaccard similarity for near-dup detection. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** 64-bit hashes of the distinct shingle set (xxhash64 — same codegen
+    * hash Spark uses for shuffle partitioning). Downstream MinHash works
+    * on these longs, never re-touching the strings. */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(wordShingles(text, n), s => xxhash64(s))
+
+  // ---- language ID ----------------------------------------------------
+
+  /** Tiny public stopword lists; enough signal for a deterministic
+    * n-gram/stopword heuristic language ID. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for", "on", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den", "von", "sich"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no", "por", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "que", "pour", "dans", "ce", "les", "des", "est"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这", "中", "大"))
+
+  /** Fraction of tokens that are stopwords of `lang`. */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val sw = array(stopwords(lang).map(lit): _*)
+    size(filter(tokens(text), t => array_contains(sw, t)))
+      .cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+  }
+
+  /** Heuristic language ID: argmax of per-language stopword ratios.
+    * Deterministic tie-break: lexicographically larger language code wins
+    * (struct ordering of (score, lang)). Returns the 2-letter code. */
+  def langId(text: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map(l =>
+      struct(stopwordRatio(text, l).as("score"), lit(l).as("lang")))
+    greatest(scored: _*).getField("lang")
+  }
+
+  // ---- quality scoring ------------------------------------------------
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()-]", ""))
+      .cast("double") / greatest(length(text), lit(1)).cast("double")
+
+  /** Mean token length (characters, whitespace excluded). */
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(trim(text), "\\s", ""))
+      .cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Composite document quality score in [0, 100]: rewards prose-like
+    * length, sane punctuation density, a natural stopword ratio and
+    * word lengths. A deterministic heuristic (the classic Gopher-style
+    * rule-based filter family), NOT a learned model. */
+  def qualityScore(text: Column): Column = {
+    val lengthScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * lit(5.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text, "en") * lit(4.0), lit(1.0))
+    val wordLen = avgTokenLen(text)
+    val wordLenScore = when(wordLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+    (lengthScore * lit(25.0) + punctScore * lit(25.0) +
+      stopScore * lit(25.0) + wordLenScore * lit(25.0))
+  }
+
+  // ---- fingerprinting -------------------------------------------------
+
+  /** Rolling-hash document fingerprint: the k smallest 64-bit hashes of
+    * the document's word 8-gram shingles (a winnowing-style sketch).
+    * Two documents sharing any fingerprint element share an 8-gram run. */
+  def fingerprintSketch(text: Column, k: Int): Column =
+    slice(array_sort(shingleHashes(text, 8)), 1, k)
+
+  /** Single 64-bit content fingerprint of the whole document. */
+  def contentHash(text: Column): Column = xxhash64(text)
+}
