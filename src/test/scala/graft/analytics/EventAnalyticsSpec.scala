@@ -1,0 +1,60 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventAnalyticsSpec extends SparkSpec {
+
+  test("tumbling window counts sum to total events") {
+    val ev = graft.Tables.load(spark, sfDir, "events").count()
+    val agg = EventAnalytics.tumblingCounts(spark, sfDir)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(agg == ev)
+  }
+
+  test("sliding 1h/30m windows: every event lands in exactly 2 windows") {
+    val ev = graft.Tables.load(spark, sfDir, "events").count()
+    val agg = EventAnalytics.slidingCounts(spark, sfDir)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(agg == 2 * ev)
+  }
+
+  test("sessionize: session counts sum to total events; gaps respected") {
+    import spark.implicits._
+    val out = EventAnalytics.sessionize(spark, sfDir).cache()
+    val ev = graft.Tables.load(spark, sfDir, "events").count()
+    assert(out.agg(sum("n_events")).collect()(0).getLong(0) == ev)
+    // session ids are dense 1..n per user
+    val bad = out.groupBy("user_id")
+      .agg(max("session_id").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n")).count()
+    assert(bad == 0)
+    out.unpersist()
+  }
+
+  test("sessionize splits on gap > 30 min (synthetic frame)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1L),
+      (1L, "2024-01-01 10:10:00", 2L),  // same session (10 min)
+      (1L, "2024-01-01 11:00:00", 3L),  // new session (50 min gap)
+      (2L, "2024-01-01 10:00:00", 4L))
+      .toDF("user_id", "ts_s", "event_id")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
+    df.select("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val sess = EventAnalytics.sessionize(spark, dir).collect()
+    assert(sess.count(_.getAs[Long]("user_id") == 1L) == 2)
+    assert(sess.count(_.getAs[Long]("user_id") == 2L) == 1)
+  }
+
+  test("funnel: converted <= purchasers <= users") {
+    val r = EventAnalytics.funnel(spark, sfDir).collect()(0)
+    val (users, viewers, purchasers, converted) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(converted <= purchasers && purchasers <= users && viewers <= users)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("exactDedup keeps min doc_id per text; survivors = distinct texts") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val out = Dedup.exactDedup(spark, sfDir)
+    assert(out.count() == docs.select("text").distinct().count())
+    // survivor ids are minimal for their text group
+    val joined = out.alias("s").join(docs.alias("d"), Seq("text"))
+      .filter(col("d.doc_id") < col("s.doc_id"))
+    assert(joined.count() == 0)
+  }
+
+  test("minhashNearDups: one summary row per doc; verified <= candidates") {
+    val out = Dedup.minhashNearDups(spark, sfDir).cache()
+    val nDocs = graft.Tables.load(spark, sfDir, "documents").count()
+    assert(out.count() == nDocs)
+    assert(out.filter(col("n_near_dups") > col("n_candidates")).count() == 0)
+    out.unpersist()
+  }
+
+  test("minhash LSH finds exact duplicates as near-dups (jaccard 1.0 pairs)") {
+    // exact text dups must be flagged by every near-dup method
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val dupIds = docs.groupBy("text").agg(count(lit(1)).as("n"), min("doc_id").as("id"))
+      .filter(col("n") > 1)
+    val nDupGroups = dupIds.count()
+    if (nDupGroups > 0) {
+      val out = Dedup.minhashNearDups(spark, sfDir)
+      val flagged = out.join(dupIds.select(col("id").as("doc_id")), "doc_id")
+        .filter(col("n_near_dups") >= 1).count()
+      assert(flagged == nDupGroups,
+        s"only $flagged of $nDupGroups exact-dup group leaders flagged")
+    }
+  }
+
+  test("simhashNearDups: exact dups have hamming 0 and are verified") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val hasDups = docs.count() > docs.select("text").distinct().count()
+    val out = Dedup.simhashNearDups(spark, sfDir)
+    assert(out.count() == docs.count())
+    if (hasDups) assert(out.agg(sum("n_near_dups")).collect()(0).getLong(0) > 0)
+  }
+
+  test("embeddingNearDups summary covers all vectors") {
+    val out = Dedup.embeddingNearDups(spark, sfDir)
+    assert(out.count() == graft.Tables.load(spark, sfDir, "embeddings").count())
+  }
+}

@@ -1,0 +1,45 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force top-k: k rows per query, ranks 1..k, cos non-increasing") {
+    val out = Similarity.topKBruteForce(spark, sfDir).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rows) =>
+      assert(rows.length == 5)
+      assert(rows.map(_.getAs[Long]("rank")).sorted.sameElements(1L to 5L))
+      val cs = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("no self-matches in top-k") {
+    val out = Similarity.topKBruteForce(spark, sfDir)
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+  }
+
+  test("LSH top-k recall vs brute force is high") {
+    val exact = Similarity.topKBruteForce(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.topKLsh(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall $recall below 0.6")
+  }
+
+  test("label centroid sims: 45 unordered label pairs, cos in [-1, 1]") {
+    val rows = Similarity.labelCentroidSims(spark, sfDir).collect()
+    assert(rows.length == 45) // C(10, 2)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(r.getAs[Int]("label1") < r.getAs[Int]("label2"))
+    }
+  }
+}
