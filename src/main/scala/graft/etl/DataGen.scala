@@ -1,0 +1,141 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seeded sample-data generator (reference L1, main.py:237-375).
+  * The reference seeds numpy (main.py:241) and draws sequentially; exact
+  * values need not match — distributions and invariants must (SURVEY
+  * §2.8). We derive every "random" value from a 64-bit hash of
+  * (row id, field salt), which is deterministic under ANY partitioning
+  * — `rand(seed)` is only deterministic per-partition, so hash-derived
+  * randomness is the scale-correct choice (spark.range(n) distributes;
+  * no driver-side generation).
+  */
+object DataGen {
+
+  /** Uniform double in [0, 1) from (id, salt) — full 52-bit mantissa. */
+  private def u(id: Column, salt: Int): Column =
+    (pmod(xxhash64(id, lit(salt)), lit(1L << 52)).cast("double") / lit((1L << 52).toDouble))
+
+  private def uniformLong(id: Column, salt: Int, lo: Long, hi: Long): Column =
+    (pmod(xxhash64(id, lit(salt)), lit(hi - lo + 1)) + lo)
+
+  private def uniformMoney(id: Column, salt: Int, lo: Double, hi: Double): Column =
+    round(u(id, salt) * (hi - lo) + lo, 2)
+
+  private def pick(id: Column, salt: Int, xs: Seq[String]): Column =
+    element_at(typedLit(xs), (pmod(xxhash64(id, lit(salt)), lit(xs.size)) + 1).cast("int"))
+
+  /** Weighted categorical via threshold buckets on u() (reference uses
+    * np.random.choice(p=...), main.py:326). */
+  private def weighted(id: Column, salt: Int, xs: Seq[(String, Double)]): Column = {
+    val cum = xs.scanLeft(0.0)(_ + _._2).tail
+    val r = u(id, salt)
+    xs.zip(cum).init.foldRight(lit(xs.last._1): Column) { case (((v, _), c), acc) =>
+      when(r < c, v).otherwise(acc)
+    }
+  }
+
+  private val countries = Seq("US", "United States", "UK", "Britain", "Germany", "France", "Japan", "Canada")
+  private val cities = Seq("New York", "London", "Berlin", "Paris", "Tokyo", "Toronto")
+  private val segments = Seq(("Regular", 0.6), ("Premium", 0.3), ("VIP", 0.1))
+  private val categories = Seq("Electronics", "Clothing", "Beauty", "Home", "Sports")
+  private val brands = Seq("BrandA", "BrandB", "BrandC", "BrandD", "BrandE")
+  private val statuses = Seq( // main.py:326: p=[0.7, 0.1, 0.1, 0.05, 0.05]
+    ("Completed", 0.7), ("Pending", 0.1), ("Shipped", 0.1),
+    ("Cancelled", 0.05), ("Returned", 0.05))
+  private val shipping = Seq("Standard", "Express", "Overnight")
+  private val payments = Seq("Credit Card", "PayPal", "Debit Card", "Bank Transfer")
+  private val priorities = Seq(("Low", 0.3), ("Medium", 0.5), ("High", 0.2))
+
+  /** main.py:266-286: n customers; ~2% bad emails (no '@') and a few
+    * unmapped-country rows so the transform filters have work to do. */
+  def customers(spark: SparkSession, n: Long): DataFrame =
+    spark.range(1, n + 1).toDF("customer_id")
+      .withColumn("first_name", concat(lit("Customer"), col("customer_id")))
+      .withColumn("last_name", concat(lit("Lastname"), col("customer_id")))
+      .withColumn("email",
+        when(u(col("customer_id"), 1) < 0.02,
+             concat(lit("customer"), col("customer_id"), lit("email.com")))
+          .otherwise(concat(lit("customer"), col("customer_id"), lit("@email.com"))))
+      .withColumn("phone", concat(lit("+1-"),
+        uniformLong(col("customer_id"), 2, 200, 999), lit("-"),
+        uniformLong(col("customer_id"), 3, 100, 999), lit("-"),
+        uniformLong(col("customer_id"), 4, 1000, 9999)))
+      .withColumn("registration_date", date_format(
+        date_add(lit("2023-01-01").cast("date"),
+          uniformLong(col("customer_id"), 5, 0, 900).cast("int")), "yyyy-MM-dd"))
+      .withColumn("country", pick(col("customer_id"), 6, countries))
+      .withColumn("city", pick(col("customer_id"), 7, cities))
+      .withColumn("customer_segment", weighted(col("customer_id"), 8, segments))
+
+  /** main.py:288-311: products with cost×margin pricing (unit price is
+    * cost marked up 1.2-3.0×, so margins are always positive). */
+  def products(spark: SparkSession, n: Long): DataFrame =
+    spark.range(1, n + 1).toDF("product_id")
+      .withColumn("category", pick(col("product_id"), 1, categories))
+      .withColumn("product_name", concat(col("category"), lit(" Product "), col("product_id")))
+      .withColumn("subcategory", concat(col("category"), lit(" Sub"),
+        uniformLong(col("product_id"), 2, 1, 3)))
+      .withColumn("brand", pick(col("product_id"), 3, brands))
+      .withColumn("cost_price", uniformMoney(col("product_id"), 4, 10.0, 250.0))
+      .withColumn("unit_price", round(col("cost_price") * (u(col("product_id"), 5) * 1.8 + 1.2), 2))
+      .withColumn("stock_quantity", uniformLong(col("product_id"), 6, 0, 1000))
+      .withColumn("weight_kg", uniformMoney(col("product_id"), 7, 0.1, 20.0))
+      .withColumn("supplier_id", uniformLong(col("product_id"), 8, 1, 20))
+      .select("product_id", "product_name", "category", "subcategory", "brand",
+              "unit_price", "cost_price", "stock_quantity", "weight_kg", "supplier_id")
+
+  /** main.py:313-347: orders over nCustomers with weighted status and
+    * arithmetically consistent totals (subtotal + tax + shipping −
+    * discount, the invariant transformOrders re-checks). */
+  def orders(spark: SparkSession, n: Long, nCustomers: Long): DataFrame =
+    spark.range(1, n + 1).toDF("order_id")
+      .withColumn("customer_id", uniformLong(col("order_id"), 1, 1, nCustomers))
+      .withColumn("order_date", date_format(
+        date_add(lit("2024-01-01").cast("date"),
+          uniformLong(col("order_id"), 2, 0, 600).cast("int")), "yyyy-MM-dd"))
+      .withColumn("order_status", weighted(col("order_id"), 3, statuses))
+      .withColumn("shipping_method", pick(col("order_id"), 4, shipping))
+      .withColumn("payment_method", pick(col("order_id"), 5, payments))
+      .withColumn("subtotal", uniformMoney(col("order_id"), 6, 20.0, 800.0))
+      .withColumn("tax_amount", round(col("subtotal") * 0.08, 2))
+      .withColumn("shipping_cost", uniformMoney(col("order_id"), 7, 5.0, 25.0))
+      .withColumn("discount_amount", uniformMoney(col("order_id"), 8, 0.0, 5.0))
+      .withColumn("total_amount", round(
+        col("subtotal") + col("tax_amount") + col("shipping_cost") - col("discount_amount"), 2))
+      .withColumn("shipping_address",
+        concat(lit("Address "), col("order_id"), lit(", City, Country")))
+      .withColumn("order_priority", weighted(col("order_id"), 9, priorities))
+
+  /** main.py:349-375: 1-5 items per order with consistent line totals.
+    * sequence+explode keeps generation distributed (no driver loop). */
+  def orderItems(spark: SparkSession, nOrders: Long, nProducts: Long): DataFrame =
+    spark.range(1, nOrders + 1).toDF("order_id")
+      .withColumn("k", explode(sequence(lit(1),
+        uniformLong(col("order_id"), 1, 1, 5).cast("int"))))
+      .withColumn("item_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("order_id", "k")).cast("long"))
+      .withColumn("product_id", uniformLong(xxhash64(col("order_id"), col("k")), 2, 1, nProducts))
+      .withColumn("quantity", uniformLong(xxhash64(col("order_id"), col("k")), 3, 1, 5))
+      .withColumn("unit_price", uniformMoney(xxhash64(col("order_id"), col("k")), 4, 5.0, 400.0))
+      .withColumn("discount_percent", uniformMoney(xxhash64(col("order_id"), col("k")), 5, 0.0, 15.0))
+      .withColumn("line_total", round(
+        col("quantity") * col("unit_price") * (lit(1.0) - col("discount_percent") / 100.0), 2))
+      .select("item_id", "order_id", "product_id", "quantity", "unit_price",
+              "discount_percent", "line_total")
+
+  /** Generate all four CSVs (reference generate_sample_data,
+    * main.py:237-264; S3 sinks). Scale note: item_id's global
+    * row_number is a single-partition window — fine for sample-data
+    * generation; real ingestion uses source-provided keys. */
+  def writeSampleData(spark: SparkSession, dir: String,
+                      nCustomers: Long = 2000, nProducts: Long = 500,
+                      nOrders: Long = 1500): Unit = {
+    Sources.writeCsv(customers(spark, nCustomers), s"$dir/sample_customers")
+    Sources.writeCsv(products(spark, nProducts), s"$dir/sample_products")
+    Sources.writeCsv(orders(spark, nOrders, nCustomers), s"$dir/sample_orders")
+    Sources.writeCsv(orderItems(spark, nOrders, nProducts), s"$dir/sample_order_items")
+  }
+}

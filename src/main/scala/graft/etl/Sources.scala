@@ -1,0 +1,79 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink surface (reference §2.1):
+  *  - S1 CSV scan with explicit schema (the reference infers,
+  *    main.py:383; production paths declare — SURVEY §1)
+  *  - S3 CSV sink, S4 table append sink (parquet; partitioned writes
+  *    subsume the reference's 1000-row insert batching, main.py:518-530)
+  *  - S5 one-row metadata append
+  */
+object Sources {
+
+  /** S1 (main.py:377-400): header CSV with declared schema; empty-file
+    * guard mirrors the reference's EmptyDataError path. */
+  def readCsv(spark: SparkSession, path: String, table: String): DataFrame = {
+    val reader = spark.read.option("header", "true")
+    val df = graft.Tables.referenceSchemas.get(table) match {
+      case Some(schema) => reader.schema(schema).csv(path)
+      case None         => reader.option("inferSchema", "true").csv(path)
+    }
+    if (df.isEmpty) throw new IllegalArgumentException(s"No data found in file: $path")
+    df
+  }
+
+  /** S3 (main.py:246-261). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** S4 (main.py:516-530): append to a parquet table directory. */
+  def appendTable(df: DataFrame, dir: String, table: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(s"$dir/$table.parquet")
+
+  /** Overwrite variant used by the post-load customer-totals refresh
+    * (the reference UPDATEs in place, main.py:618-628; we snapshot). */
+  def overwriteTable(df: DataFrame, dir: String, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$table.parquet")
+
+  def readTable(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  /** P11 (main.py:507): deterministic whole-frame content fingerprint.
+    * Partition/order-independent: per-row 64-bit hash of the canonical
+    * JSON encoding, combined with commutative sum + xor, hex-encoded.
+    * (The reference hashes pandas' rendered string; semantic equivalent
+    * = stable content checksum, SURVEY §2.2 P11.) */
+  def checksum(df: DataFrame): String = {
+    val h = xxhash64(to_json(struct(df.columns.map(col).toSeq: _*)))
+    val row = df.agg(
+      // decimal sum: exact and overflow-free under ANSI mode at any row count
+      sum(h.cast("decimal(38,0)")).as("s"),
+      expr(s"bit_xor(xxhash64(to_json(struct(${df.columns.mkString(",")}))))").as("x"),
+      count(lit(1)).as("n")).collect()(0)
+    if (row.getAs[Long]("n") == 0L) "empty"
+    else {
+      val s = row.getAs[java.math.BigDecimal]("s").toBigInteger.toString(16)
+      f"$s-${row.getAs[Long]("x")}%016x"
+    }
+  }
+
+  /** S5 (main.py:532-551): one-row load-audit append. */
+  case class LoadMeta(
+      table_name: String,
+      source_file: String,
+      records_processed: Long,
+      records_inserted: Long,
+      records_updated: Long,
+      processing_time_seconds: Double,
+      data_quality_score: Double,
+      checksum: String)
+
+  def appendMetadata(spark: SparkSession, dir: String, meta: LoadMeta): Unit = {
+    import spark.implicits._
+    Seq(meta).toDF()
+      .withColumn("etl_timestamp", current_timestamp())
+      .write.mode(SaveMode.Append).parquet(s"$dir/etl_metadata.parquet")
+  }
+}

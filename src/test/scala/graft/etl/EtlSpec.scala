@@ -1,0 +1,194 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EtlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // -- Quality ---------------------------------------------------------
+
+  test("quality profile: clean frame scores 100") {
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    val p = Quality.profile(df)
+    assert(p.totalRows == 3 && p.duplicateRows == 0)
+    assert(p.nullCounts.values.sum == 0)
+    assert(p.score == 100.0)
+  }
+
+  test("quality profile: nulls and duplicates lower the score per formula") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), Some("a")), // dup pair → 1 dup row
+      (None, Some("c")), (Some(4), None))          // 2 nulls
+      .toDF("id", "v")
+    val p = Quality.profile(df)
+    assert(p.totalRows == 4 && p.totalColumns == 2)
+    assert(p.duplicateRows == 1)
+    assert(p.nullCounts.values.sum == 2)
+    // (8 cells − 2 missing − 1×2) / 8 × 100 = 50.0  (main.py:68-74)
+    assert(p.score == 50.0)
+  }
+
+  test("quality profile: empty frame scores 0 (reference would div/0)") {
+    val df = Seq.empty[(Int, String)].toDF("id", "v")
+    assert(Quality.profile(df).score == 0.0)
+  }
+
+  // -- Transforms ------------------------------------------------------
+
+  test("cleanBasic trims strings and drops all-null rows") {
+    val df = Seq((Some(1), Some("  a  ")), (None, None), (Some(2), Some("b")))
+      .toDF("id", "v")
+    val out = Transforms.cleanBasic(df).orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(1) == "a")
+  }
+
+  test("transformCustomers: bad emails dropped, countries standardized, totals zeroed") {
+    val df = Seq(
+      (1L, "A", "B", "a@x.com", "p", "2024-01-02", "US", "NY", "Regular"),
+      (2L, "C", "D", "no-at-sign", "p", "2024-01-03", "UK", "LA", "VIP"),
+      (3L, "E", "F", "e@y.com", "p", "2024-01-04", "Germany", "B", "Regular"))
+      .toDF("customer_id", "first_name", "last_name", "email", "phone",
+            "registration_date", "country", "city", "customer_segment")
+    val out = Transforms.transformCustomers(df).orderBy("customer_id").collect()
+    assert(out.length == 2)                       // F2 dropped the bad email
+    assert(out(0).getAs[String]("country") == "USA")      // P2 mapped
+    assert(out(1).getAs[String]("country") == "Germany")  // P2 pass-through
+    assert(out(0).getAs[java.sql.Date]("registration_date").toString == "2024-01-02") // P3
+    assert(out(0).getAs[Long]("total_orders") == 0L)      // P4
+  }
+
+  test("transformProducts: non-positive prices dropped, margin derived, stock clamped") {
+    val df = Seq(
+      (1L, "P1", 100.0, 60.0, -5L),
+      (2L, "P2", 0.0, 10.0, 3L),
+      (3L, "P3", 50.0, 25.0, 7L))
+      .toDF("product_id", "product_name", "unit_price", "cost_price", "stock_quantity")
+    val out = Transforms.transformProducts(df).orderBy("product_id").collect()
+    assert(out.length == 2)                       // F3 dropped unit_price=0
+    assert(out(0).getAs[Double]("profit_margin") == 40.0) // P5
+    assert(out(0).getAs[Long]("stock_quantity") == 0L)    // P6 clamp
+    assert(out(1).getAs[Long]("stock_quantity") == 7L)
+  }
+
+  test("transformOrders: inconsistent totals and negative money dropped") {
+    val base = ("2024-05-05", "Completed")
+    val df = Seq(
+      (1L, base._1, base._2, 100.0, 8.0, 5.0, 3.0, 110.0),   // consistent
+      (2L, base._1, base._2, 100.0, 8.0, 5.0, 3.0, 200.0),   // F5 mismatch
+      (3L, base._1, base._2, -1.0, 8.0, 5.0, 3.0, 9.0))      // F4 negative
+      .toDF("order_id", "order_date", "order_status", "subtotal",
+            "tax_amount", "shipping_cost", "discount_amount", "total_amount")
+    val out = Transforms.transformOrders(df).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("transformOrderItems: line-total consistency within 0.01") {
+    val df = Seq(
+      (1L, 2L, 10.0, 10.0, 18.0),   // 2*10*0.9 = 18 ✓
+      (2L, 2L, 10.0, 10.0, 19.0),   // F7 mismatch
+      (3L, 0L, 10.0, 0.0, 0.0))     // F6 quantity 0
+      .toDF("item_id", "quantity", "unit_price", "discount_percent", "line_total")
+    val out = Transforms.transformOrderItems(df).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  // -- Rules -----------------------------------------------------------
+
+  test("rules: violation counts per table in one scan") {
+    val orders = Seq(
+      (1L, "2024-01-01", 100.0, 8.0, 5.0, 3.0, 110.0),  // fine
+      (2L, "2024-01-01", 100.0, 8.0, 5.0, 3.0, 999.0),  // total mismatch
+      (3L, "2099-01-01", 100.0, 8.0, 5.0, 3.0, 110.0))  // future date
+      .toDF("order_id", "order_date", "subtotal", "tax_amount",
+            "shipping_cost", "discount_amount", "total_amount")
+      .withColumn("order_date", to_date(col("order_date")))
+    val v = Rules.validate("orders", orders).map(r => r.rule -> r.violations).toMap
+    assert(v("order_total_consistency") == 1)
+    assert(v("no_future_order_dates") == 1)
+
+    val customers = Seq((1L, "a@b.com"), (2L, "nope"), (3L, null))
+      .toDF("customer_id", "email")
+    val cv = Rules.validate("customers", customers)
+    assert(cv.head.violations == 2) // bad format + NULL both violate (na=False)
+  }
+
+  // -- Checksum --------------------------------------------------------
+
+  test("checksum is content-deterministic and order/partition independent") {
+    val df1 = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    val df2 = Seq((3, "c"), (1, "a"), (2, "b")).toDF("id", "v").repartition(3)
+    assert(Sources.checksum(df1) == Sources.checksum(df2))
+    val df3 = Seq((1, "a"), (2, "b"), (3, "X")).toDF("id", "v")
+    assert(Sources.checksum(df1) != Sources.checksum(df3))
+  }
+
+  // -- DataGen invariants ---------------------------------------------
+
+  test("datagen: deterministic, right sizes, invariants hold") {
+    val c1 = DataGen.customers(spark, 200)
+    val c2 = DataGen.customers(spark, 200).repartition(7)
+    assert(c1.count() == 200)
+    assert(Sources.checksum(c1) == Sources.checksum(c2)) // partition-independent
+
+    val p = DataGen.products(spark, 100)
+    assert(p.filter(col("unit_price") <= col("cost_price")).count() == 0)
+
+    val o = DataGen.orders(spark, 300, 200)
+    // totals arithmetically consistent → transformOrders keeps all rows
+    assert(Transforms.transformOrders(o).count() == 300)
+    val statusShare = o.filter(col("order_status") === "Completed").count().toDouble / 300
+    assert(statusShare > 0.55 && statusShare < 0.85) // ~0.7 weight
+
+    val oi = DataGen.orderItems(spark, 300, 100)
+    assert(Transforms.transformOrderItems(oi).count() == oi.count())
+    val perOrder = oi.groupBy("order_id").count()
+    assert(perOrder.filter(col("count") < 1 || col("count") > 5).count() == 0)
+  }
+
+  // -- End-to-end on the reference's own CSVs -------------------------
+
+  test("e2e pipeline on /root/reference sample CSVs") {
+    val refDir = "/root/reference"
+    val out = java.nio.file.Files.createTempDirectory("graft-etl").toString
+    val inputs = Seq(
+      (s"$refDir/sample_customers.csv", "customers"),
+      (s"$refDir/sample_products.csv", "products"),
+      (s"$refDir/sample_orders.csv", "orders"),
+      (s"$refDir/sample_order_items.csv", "order_items"))
+    val m = Pipeline.run(spark, inputs, out)
+    assert(m.tablesFailed == 0, s"failed tables: ${m.tablesFailed}")
+    assert(m.tablesProcessed == 4)
+    assert(m.qualityScores.values.forall(s => s > 0 && s <= 100))
+
+    // post-load refresh: spot-check one customer's totals against a
+    // direct aggregate over the loaded orders
+    val cust = Sources.readTable(spark, out, "customers")
+    val orders = Sources.readTable(spark, out, "orders")
+      .filter(col("order_status") === "Completed")
+    val expect = orders.groupBy("customer_id")
+      .agg(count(lit(1)).as("n"), round(sum("total_amount"), 2).as("amt"))
+    val joined = cust.join(expect, Seq("customer_id"))
+      .filter(col("total_orders") =!= col("n") ||
+              abs(col("total_spent") - col("amt")) > 0.01)
+    assert(joined.count() == 0, "customer totals disagree with orders aggregate")
+    // customers without completed orders carry (0, 0.0)
+    val zero = cust.join(expect, Seq("customer_id"), "left_anti")
+    assert(zero.filter(col("total_orders") =!= 0 || col("total_spent") =!= 0.0).count() == 0)
+
+    // analytics + monitoring surfaces run and return sane shapes
+    val rep = Pipeline.analyticsReport(spark, out)
+    assert(rep("monthly_sales").count() > 0)
+    assert(rep("customer_segments").count() > 0)
+    assert(rep("top_products").count() == 10)
+    val status = Pipeline.pipelineStatus(spark, out)
+    assert(status("stats_24h").collect()(0).getAs[Long]("total_runs") == 4)
+
+    // metadata audit has one row per table with positive quality score
+    val meta = Sources.readTable(spark, out, "etl_metadata")
+    assert(meta.count() == 4)
+    assert(meta.filter(col("data_quality_score") <= 0).count() == 0)
+  }
+}
