@@ -18,7 +18,8 @@ object SparkEntry {
       analytics.EventAnalytics.queries ++
       ext.Dedup.queries ++
       ext.Similarity.queries ++
-      ext.TextAnalysis.queries
+      ext.TextAnalysis.queries ++
+      streaming.EventStreams.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -27,5 +28,6 @@ object SparkEntry {
       analytics.EventAnalytics.oracles ++
       ext.Dedup.oracles ++
       ext.Similarity.oracles ++
-      ext.TextAnalysis.oracles
+      ext.TextAnalysis.oracles ++
+      streaming.EventStreams.oracles
 }

@@ -1,0 +1,159 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of graft.analytics.EventAnalytics — the
+  * same logical transforms applied to an unbounded `events` stream
+  * (reference has no streaming surface, SURVEY §2.7; this is the
+  * driver's north-star extension).
+  *
+  * All operators take the streaming DataFrame as input so they compose
+  * with any source (file stream over the parquet layout, Kafka, rate,
+  * or MemoryStream in tests). Watermarks bound state: at 100 TB/day the
+  * state store holds only open windows/sessions inside the lateness
+  * horizon, and each trigger shuffles only the new micro-batch.
+  */
+object EventStreams {
+
+  /** File-stream source over the testdata `events` parquet layout
+    * (schema must be declared for streaming reads). */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the testdata layout stores each table as one parquet FILE; file
+    // streams need a directory, so stream the parent with a glob filter
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // same TIMESTAMP(NANOS) rebuild as Tables.load (nanosAsLong sessions)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else raw
+  }
+
+  /** Tumbling 1-hour counts per event type with a 2-hour watermark —
+    * streaming twin of EventAnalytics.tumblingCounts. Append-mode safe:
+    * a window emits once its end passes the watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n_events"), col("total_value"))
+
+  /** Sliding 1-hour/30-minute windows — twin of slidingCounts. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("total_value"))
+
+  /** Native session windows (30-minute gap) per user — Spark's built-in
+    * session_window operator; state = one open session per active user. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+              col("w.end").as("session_end"), col("n_events"), col("session_value"))
+
+  // ---- custom stateful sessionization --------------------------------
+
+  case class Event(event_id: Long, user_id: Long, event_type: String,
+                   ts: java.sql.Timestamp, value: Double)
+
+  case class SessionState(start: Long, lastTs: Long, nEvents: Long, totalValue: Double)
+
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long,
+                     session_value: Double)
+
+  private val GapMs = 30 * 60 * 1000L
+
+  /** flatMapGroupsWithState gap sessionization — the custom-state path
+    * for semantics session_window can't express (e.g. per-session derived
+    * metrics, caps, or emit-on-update). Emits a session when the gap
+    * elapses (event-time timeout) or a new event opens the next session.
+    *
+    * State per user is O(1) (one open session), keyed shuffle is on
+    * user_id only — the same partitioning a 1000-executor cluster needs.
+    */
+  def sessionizeStateful(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+
+          if (state.hasTimedOut) {
+            state.getOption.foreach { s => out += close(userId, s) }
+            state.remove()
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= GapMs =>
+                  cur = Some(s.copy(lastTs = math.max(s.lastTs, t),
+                                    nEvents = s.nEvents + 1,
+                                    totalValue = s.totalValue + e.value))
+                case Some(s) => // gap exceeded: close previous, open new
+                  out += close(userId, s)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout fires once the event-time watermark passes last+gap
+              state.setTimeoutTimestamp(s.lastTs + GapMs)
+            }
+          }
+          out.iterator
+      }
+  }
+
+  private def close(userId: Long, s: SessionState): Session =
+    Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.lastTs),
+            s.nEvents, math.rint(s.totalValue * 100) / 100)
+
+  /** Run any of the above to an in-memory sink and return the collected
+    * result — the execution harness tests (and callers doing bounded
+    * replays) share. processAllAvailable makes it deterministic for
+    * bounded sources. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+
+  /** Driver-checked query: bounded replay of the events file stream
+    * through the streaming tumbling-window operator (complete mode emits
+    * every window). Produces the exact rows of the batch twin
+    * EventAnalytics.tumblingCounts — one oracle serves both engines. */
+  def tumblingReplay(s: SparkSession, dir: String): DataFrame =
+    runToMemory(tumblingCounts(fromParquetDir(s, dir)),
+        s"stream_tumbling_${java.util.UUID.randomUUID.toString.replace("-", "")}",
+        OutputMode.Complete())
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+              col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x19_stream_tumbling" -> tumblingReplay)
+
+  val oracles: Map[String, String] = Map(
+    "x19_stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def mkStream(events: Seq[EventStreams.Event]) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[EventStreams.Event]
+    ms.addData(events)
+    ms
+  }
+
+  private val base = Seq(
+    EventStreams.Event(1L, 1L, "view", ts("2024-01-01 10:00:00"), 1.0),
+    EventStreams.Event(2L, 1L, "view", ts("2024-01-01 10:10:00"), 2.0),
+    EventStreams.Event(3L, 1L, "purchase", ts("2024-01-01 11:05:00"), 3.0), // 55-min gap → new session
+    EventStreams.Event(4L, 2L, "view", ts("2024-01-01 10:30:00"), 4.0),
+    // sentinel far in the future: advances the watermark past all
+    // windows/sessions above so append-mode emits them
+    EventStreams.Event(99L, 9L, "view", ts("2024-01-02 00:00:00"), 0.0))
+
+  test("streaming tumbling counts match the batch semantics") {
+    val out = EventStreams.runToMemory(
+      EventStreams.tumblingCounts(mkStream(base).toDF()), "t_tumble")
+      .filter(col("window_start") < ts("2024-01-01 23:00:00"))
+      .orderBy("window_start", "event_type").collect()
+    // 10:00 window: 3 views (e1, e2 user1 + e4 user2); 11:00: 1 purchase
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_events") == 3 && out(0).getAs[String]("event_type") == "view")
+    assert(out(0).getAs[Double]("total_value") == 7.0)
+    assert(out(1).getAs[Long]("n_events") == 1 && out(1).getAs[String]("event_type") == "purchase")
+  }
+
+  test("streaming sliding windows double-count each event") {
+    val out = EventStreams.runToMemory(
+      EventStreams.slidingCounts(mkStream(base).toDF()), "t_slide")
+      .filter(col("window_start") < ts("2024-01-01 23:00:00"))
+    val total = out.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == 2 * 4) // 4 real events × 2 windows each
+  }
+
+  test("native session windows split on 30-minute gap") {
+    val out = EventStreams.runToMemory(
+      EventStreams.sessionWindows(mkStream(base).toDF()), "t_sess")
+      .filter(col("user_id") < 9).orderBy("user_id", "session_start").collect()
+    assert(out.length == 3) // user1: two sessions; user2: one
+    assert(out(0).getAs[Long]("n_events") == 2) // user1 10:00+10:10
+    assert(out(1).getAs[Long]("n_events") == 1) // user1 11:05
+    assert(out(2).getAs[Long]("n_events") == 1) // user2
+  }
+
+  test("stateful flatMapGroupsWithState sessionization agrees with session_window") {
+    val out = EventStreams.runToMemory(
+      EventStreams.sessionizeStateful(mkStream(base).toDS()).toDF(), "t_state")
+      .filter(col("user_id") < 9).orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2 && out(0).getAs[Double]("session_value") == 3.0)
+    assert(out(1).getAs[Long]("n_events") == 1 && out(1).getAs[Double]("session_value") == 3.0)
+    assert(out(2).getAs[Long]("n_events") == 1 && out(2).getAs[Double]("session_value") == 4.0)
+  }
+
+  test("late event beyond watermark is dropped from tumbling counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[EventStreams.Event]
+    val q = EventStreams.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("t_late").outputMode(OutputMode.Append()).start()
+    // batch 1: events + watermark-advancing sentinel (wm → 22:00)
+    ms.addData(base)
+    q.processAllAvailable()
+    // batch 2: an event at 10:20 — far behind the 22:00 watermark
+    ms.addData(Seq(EventStreams.Event(100L, 1L, "view", ts("2024-01-01 10:20:00"), 9.0)))
+    q.processAllAvailable()
+    q.stop()
+    val tenOclock = spark.table("t_late")
+      .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(tenOclock == 3, "late event must not re-open the closed 10:00 window")
+  }
+
+  test("file-stream source over testdata events matches batch row count") {
+    val stream = EventStreams.fromParquetDir(spark, sfDir)
+    assert(stream.isStreaming)
+    val out = EventStreams.runToMemory(
+      stream.groupBy("event_type").agg(count(lit(1)).as("n")),
+      "t_file", OutputMode.Complete())
+    val streamTotal = out.agg(sum("n")).collect()(0).getLong(0)
+    val batchTotal = graft.Tables.load(spark, sfDir, "events").count()
+    assert(streamTotal == batchTotal)
+  }
+}
