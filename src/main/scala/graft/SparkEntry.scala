@@ -19,7 +19,8 @@ object SparkEntry {
       ext.Dedup.queries ++
       ext.Similarity.queries ++
       ext.TextAnalysis.queries ++
-      streaming.EventStreams.queries
+      streaming.EventStreams.queries ++
+      multimodal.Multimodal.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -29,5 +30,6 @@ object SparkEntry {
       ext.Dedup.oracles ++
       ext.Similarity.oracles ++
       ext.TextAnalysis.oracles ++
-      streaming.EventStreams.oracles
+      streaming.EventStreams.oracles ++
+      multimodal.Multimodal.oracles
 }

@@ -1,0 +1,212 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video
+  * payloads ride as opaque BINARY columns with a typed metadata struct;
+  * decode / feature-extract / resize / frame-sample run as partition-local
+  * batch transforms over `Dataset[T]` (`mapPartitions` — Scala's analog
+  * of a vectorized batch UDF: one JVM call per batch, no per-row
+  * serialization boundary).
+  *
+  * The actual codec is STUBBED (no image/audio libraries in this
+  * environment): `StubCodec.decode` derives a deterministic fake pixel
+  * buffer from the payload bytes. Everything AROUND the stub — schema,
+  * Dataset encoders, batch shape, partitioning, downstream feature
+  * arithmetic — is real and tested; swapping in a real codec changes
+  * one function.
+  *
+  * Scale notes: payloads never shuffle through any operator here — all
+  * transforms are narrow (scan → mapPartitions → project); only the
+  * small per-media feature/stat rows reach aggregations. Partition
+  * sizing for 100 TB of media = `spark.sql.files.maxPartitionBytes`
+  * against payload size, not row count.
+  */
+object Multimodal {
+
+  /** One media row: payload + typed metadata (SURVEY north-star; the
+    * metadata struct is what a real ingest would parse from headers). */
+  case class Media(
+      media_id: Long,
+      kind: String,            // image | audio | video
+      payload: Array[Byte],
+      width: Int, height: Int, // images/video
+      sample_rate: Int,        // audio
+      n_frames: Int,           // video
+      mime: String)
+
+  case class Decoded(media_id: Long, kind: String, width: Int, height: Int,
+                     pixels: Array[Byte])
+
+  case class Features(media_id: Long, kind: String, mean: Double, std: Double,
+                      histogram: Array[Long])
+
+  case class Frame(media_id: Long, frame_idx: Int, width: Int, height: Int,
+                   pixels: Array[Byte])
+
+  // ---- STUB CODEC -----------------------------------------------------
+
+  /** ??? REAL CODEC GOES HERE ???
+    * Deterministic stand-in for image/audio decoding: expands payload
+    * bytes into a width×height buffer via a splitmix64 stream seeded by
+    * the payload hash. Same payload → same "pixels", so every test and
+    * oracle downstream is reproducible. */
+  object StubCodec {
+    private def splitmix(seed0: Long): Iterator[Byte] = new Iterator[Byte] {
+      private var seed = seed0
+      def hasNext = true
+      def next(): Byte = {
+        seed += 0x9e3779b97f4a7c15L
+        var z = seed
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        (z ^ (z >>> 31)).toByte
+      }
+    }
+
+    private def payloadSeed(payload: Array[Byte]): Long =
+      payload.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+
+    def decode(m: Media): Decoded =
+      Decoded(m.media_id, m.kind, m.width, m.height,
+        splitmix(payloadSeed(m.payload)).take(m.width * m.height).toArray)
+
+    def decodeFrame(m: Media, frameIdx: Int): Frame =
+      Frame(m.media_id, frameIdx, m.width, m.height,
+        splitmix(payloadSeed(m.payload) ^ frameIdx.toLong)
+          .take(m.width * m.height).toArray)
+  }
+
+  /** Batch size for partition-local decode loops — models the batch
+    * shape a vectorized codec (or Arrow batch) would use. */
+  val DecodeBatch = 64
+
+  // ---- operators ------------------------------------------------------
+
+  /** Decode every media row, batch-at-a-time within each partition. */
+  def decode(media: Dataset[Media]): Dataset[Decoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(DecodeBatch).flatMap(_.map(StubCodec.decode)))
+  }
+
+  /** Nearest-neighbor resize of decoded buffers — REAL arithmetic over
+    * the (stub) pixels; unchanged for a real codec. */
+  def resize(decoded: Dataset[Decoded], outW: Int, outH: Int): Dataset[Decoded] = {
+    import decoded.sparkSession.implicits._
+    decoded.map { d =>
+      val out = new Array[Byte](outW * outH)
+      var y = 0
+      while (y < outH) {
+        val sy = y * d.height / outH
+        var x = 0
+        while (x < outW) {
+          out(y * outW + x) = d.pixels(sy * d.width + (x * d.width / outW))
+          x += 1
+        }
+        y += 1
+      }
+      d.copy(width = outW, height = outH, pixels = out)
+    }
+  }
+
+  /** Per-media features: mean/std + 16-bin byte histogram — real
+    * arithmetic, the shape an embedding-model feature step would have. */
+  def extractFeatures(decoded: Dataset[Decoded]): Dataset[Features] = {
+    import decoded.sparkSession.implicits._
+    decoded.map { d =>
+      val n = d.pixels.length.max(1)
+      var sum = 0.0; var sumSq = 0.0
+      val hist = new Array[Long](16)
+      d.pixels.foreach { b =>
+        val v = b & 0xff
+        sum += v; sumSq += v.toDouble * v
+        hist(v >> 4) += 1
+      }
+      val mean = sum / n
+      Features(d.media_id, d.kind, mean,
+        math.sqrt(math.max(0.0, sumSq / n - mean * mean)), hist)
+    }
+  }
+
+  /** Sample every `stride`-th frame of each video — the fan-out is a
+    * partition-local flatMap (narrow; no shuffle, no driver loop). */
+  def frameSample(media: Dataset[Media], stride: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
+      (0 until m.n_frames by stride).iterator.map(i => StubCodec.decodeFrame(m, i))
+    })
+  }
+
+  // ---- synthetic media over testdata ---------------------------------
+
+  /** Deterministic media table derived from `documents`: payload =
+    * UTF-8 text bytes (a real opaque binary column), kind/dimensions
+    * derived from doc_id. This is the ingest-side contract a real
+    * pipeline would get from (path, bytes, parsed-header) triples. */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    graft.Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (pmod(col("doc_id"), lit(7)) * 8 + 16).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(5)) * 8 + 16).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (pmod(col("doc_id"), lit(11)) * 4 + 4).cast("int").as("n_frames"),
+        lit("application/octet-stream").as("mime"))
+      .as[Media]
+  }
+
+  // ---- driver-checked queries ----------------------------------------
+
+  /** Ingest-level stats: payload byte sizes per kind — pure metadata
+    * SQL both engines can run (oracle-checked). */
+  def mediaStats(s: SparkSession, dir: String): DataFrame =
+    mediaFromDocuments(s, dir).toDF()
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_media"),
+           sum(length(col("payload"))).cast("long").as("total_bytes"),
+           max(col("width") * col("height")).cast("long").as("max_pixels"))
+      .orderBy("kind")
+
+  /** Full decode → resize → featurize pass; per-kind feature rollup.
+    * Deterministic via the stub codec (rows-only driver check). */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = extractFeatures(resize(decode(mediaFromDocuments(s, dir)), 16, 16))
+    feats.toDF()
+      .select(col("media_id"), col("kind"), round(col("mean"), 4).as("mean_px"),
+              round(col("std"), 4).as("std_px"),
+              element_at(col("histogram"), 1).as("hist_bin0"))
+      .orderBy("media_id")
+  }
+
+  /** Frame sampling rollup: frames kept per video at stride 2 —
+    * metadata-derivable (oracle-checked: ceil(n_frames/2)). */
+  def frameSampleStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    frameSample(mediaFromDocuments(s, dir), 2).toDF()
+      .groupBy("media_id").agg(count(lit(1)).as("n_sampled_frames"))
+      .orderBy("media_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x20_media_stats" -> mediaStats,
+    "x21_media_features" -> mediaFeatures,
+    "x22_media_frame_sample" -> frameSampleStats)
+
+  val oracles: Map[String, String] = Map(
+    "x20_media_stats" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         COUNT(*) AS n_media,
+         CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+         CAST(MAX(((doc_id % 7) * 8 + 16) * ((doc_id % 5) * 8 + 16)) AS BIGINT) AS max_pixels
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "x22_media_frame_sample" ->
+      """SELECT doc_id AS media_id,
+         CAST(ceil(((doc_id % 11) * 4 + 4) / 2.0) AS BIGINT) AS n_sampled_frames
+         FROM documents WHERE doc_id % 3 = 2 ORDER BY 1""")
+}

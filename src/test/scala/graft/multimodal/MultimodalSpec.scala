@@ -1,0 +1,71 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private def media(n: Int) = {
+    import spark.implicits._
+    (1 to n).map { i =>
+      Multimodal.Media(i.toLong, Seq("image", "audio", "video")(i % 3),
+        s"payload-$i".getBytes("UTF-8"), 8, 4, 16000, 10, "application/octet-stream")
+    }.toDS()
+  }
+
+  test("decode produces width*height pixel buffers, deterministically") {
+    val d1 = Multimodal.decode(media(10)).collect().sortBy(_.media_id)
+    val d2 = Multimodal.decode(media(10).repartition(3)).collect().sortBy(_.media_id)
+    assert(d1.length == 10)
+    d1.foreach(d => assert(d.pixels.length == d.width * d.height))
+    d1.zip(d2).foreach { case (a, b) => assert(a.pixels.sameElements(b.pixels)) }
+  }
+
+  test("resize maps corner pixels and keeps determinism") {
+    val decoded = Multimodal.decode(media(4))
+    val resized = Multimodal.resize(decoded, 4, 2).collect().sortBy(_.media_id)
+    val orig = decoded.collect().sortBy(_.media_id)
+    resized.zip(orig).foreach { case (r, o) =>
+      assert(r.pixels.length == 8)
+      assert(r.pixels(0) == o.pixels(0)) // (0,0) is always source (0,0)
+    }
+  }
+
+  test("features: histogram sums to pixel count; std non-negative") {
+    val f = Multimodal.extractFeatures(Multimodal.decode(media(10))).collect()
+    f.foreach { x =>
+      assert(x.histogram.sum == 8 * 4)
+      assert(x.std >= 0 && x.mean >= 0 && x.mean <= 255)
+    }
+  }
+
+  test("frameSample keeps every stride-th frame of videos only") {
+    val frames = Multimodal.frameSample(media(9), 3).collect()
+    val byMedia = frames.groupBy(_.media_id)
+    assert(byMedia.nonEmpty)
+    byMedia.values.foreach { fs =>
+      assert(fs.map(_.frame_idx).sorted.sameElements(Seq(0, 3, 6, 9))) // n_frames=10, stride 3
+    }
+    // only kind == video (i % 3 == 2 in the fixture)
+    assert(byMedia.keySet.forall(_ % 3 == 2))
+  }
+
+  test("mediaFromDocuments: payload round-trips the document text") {
+    import spark.implicits._
+    val m = Multimodal.mediaFromDocuments(spark, sfDir)
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    assert(m.count() == docs.count())
+    val joined = m.toDF().select(col("media_id").as("doc_id"),
+        decode(col("payload"), "UTF-8").as("rt"))
+      .join(docs, "doc_id")
+      .filter(col("rt") =!= col("text"))
+    assert(joined.count() == 0)
+  }
+
+  test("mediaFeatures query is deterministic across runs") {
+    val a = Multimodal.mediaFeatures(spark, sfDir).collect()
+    val b = Multimodal.mediaFeatures(spark, sfDir).collect()
+    assert(a.sameElements(b))
+    assert(a.length > 0)
+  }
+}
