@@ -51,14 +51,20 @@ object Dedup {
     * Output: one row per document with its candidate and verified
     * near-dup counts — bounded regardless of cluster sizes. */
   def minhashNearDups(s: SparkSession, dir: String): DataFrame = {
+    // cache the sketched docs: the self-join + two verify joins below
+    // would otherwise recompute the (expensive) shingle+minhash lineage
+    // up to 4×. At cluster scale this is persist(MEMORY_AND_DISK) on a
+    // frame of (id, hashes) — tiny next to the raw text.
     val docs = load(s, dir, "documents")
       .select(col("doc_id"), shingleHashes(col("text"), 3).as("shingles"))
+      .cache()
     val sigs = docs.select(col("doc_id"), col("shingles"),
       minhashSignature(col("shingles"), MinhashK).as("sig"))
 
     val banded = sigs.select(col("doc_id"),
         explode(lshBandKeys(col("sig"), Bands, RowsPerBand)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .cache()
 
     // candidate pairs: same (band, key) bucket, ordered ids, de-duped
     val a = banded.alias("a")
@@ -85,6 +91,7 @@ object Dedup {
   def simhashNearDups(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .select(col("doc_id"), simhash64(tokens(col("text"))).as("sim"))
+      .cache()
     val bandedS = docs.select(col("doc_id"), col("sim"),
         explode(simhashBandKeys(col("sim"))).as("bk"))
       .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -112,6 +119,7 @@ object Dedup {
     val docs = load(s, dir, "documents")
       .select(col("doc_id"), shingleHashes(col("text"), 2).as("grams"))
       .withColumn("block", xxhash64(slice(array_sort(col("grams")), 1, 4)))
+      .cache()
 
     val a = docs.alias("a")
     val b = docs.alias("b")
@@ -135,6 +143,7 @@ object Dedup {
     val embs = load(s, dir, "embeddings")
       .select(col("vec_id").as("doc_id"), toDouble(col("embedding")).as("v"))
       .withColumn("bits", hyperplaneBits(col("v"), Planes))
+      .cache()
     val banded = embs.select(col("doc_id"),
         explode(bitBandKeys(col("bits"), EmbBands, BitsPerBand)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))

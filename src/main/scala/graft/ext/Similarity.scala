@@ -56,9 +56,12 @@ object Similarity {
     * keys, |candidates| ≪ |Q|·n. */
   def topKLsh(s: SparkSession, dir: String): DataFrame = {
     val all = embs(s, dir).withColumn("bits", hyperplaneBits(col("v"), Planes))
+    // cached: the query side below re-reads this frame — without the
+    // cache the 64 hyperplane projections per vector run twice
     val banded = all.select(col("vec_id"), col("v"),
         explode(bitBandKeys(col("bits"), Bands, BitsPerBand)).as("bk"))
       .select(col("vec_id"), col("v"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .cache()
     val queries = banded.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("band"), col("key"))
 

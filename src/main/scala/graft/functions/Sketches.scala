@@ -34,12 +34,9 @@ object Sketches {
     * universal hash family; a_i*h+b_i < 2^62 never overflows. */
   def minhashSignature(elementHashes: Column, k: Int, seed: Long = 42L): Column = {
     val (as, bs) = coeffs(k, seed)
-    val aLit = typedLit(as)
-    val bLit = typedLit(bs)
-    val folded = transform(elementHashes, h => pmod(h, lit(P)))
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      aggregate(folded, lit(Long.MaxValue),
-        (acc, h) => least(acc, pmod(h * element_at(aLit, i + 1) + element_at(bLit, i + 1), lit(P)))))
+    // codegen expression: O(k·|set|) compiled loop (the equivalent
+    // transform/aggregate HOF chain evaluates its lambdas interpreted)
+    VectorExpressions.minhashSignature(elementHashes, as, bs)
   }
 
   /** LSH band keys of a MinHash signature: `bands` hashes, each over
@@ -58,9 +55,10 @@ object Sketches {
 
   // ---- cosine / hyperplane LSH ---------------------------------------
 
-  /** Dot product of two numeric arrays (native fold — codegen'd). */
+  /** Dot product of two double arrays (custom codegen expression —
+    * a single fused multiply-add loop in whole-stage codegen). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    VectorExpressions.dotProduct(a, b)
 
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
@@ -83,7 +81,7 @@ object Sketches {
     * bit_i = 1 iff <v, r_i> > 0. P[bit match] = 1 - angle/π, so close
     * vectors collide on whole bands. */
   def hyperplaneBits(vec: Column, planes: Seq[Seq[Double]]): Column =
-    array(planes.map(p => (dot(vec, typedLit(p)) > 0).cast("int")): _*)
+    VectorExpressions.hyperplaneSignBits(vec, planes)
 
   /** Band keys over a bit signature (for bucketed cosine LSH). */
   def bitBandKeys(bits: Column, bands: Int, bitsPerBand: Int): Column =

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass compiled expressions for the text hot paths. The Column
+  * HOF formulations in [[TextFunctions]] re-tokenize per derived value
+  * (langId alone splits the text 10×); these tokenize ONCE per row in
+  * compiled JVM code (CodegenFallback — the loop itself is compiled,
+  * only the expression boundary is interpreted).
+  */
+object TextExpressions {
+
+  /** xxhash64 of each distinct word n-gram, bit-identical to
+    * `transform(array_distinct(shingles), xxhash64)` in
+    * [[TextFunctions.shingleHashes]]: same tokenization
+    * (split(lower(trim(text)), "\\s+")), same seed-42 XXH64 over UTF-8
+    * bytes, same ≤1-shingle behavior for short docs. */
+  case class WordShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[UTF8String].toString
+        .trim.toLowerCase.split("\\s+", -1)
+      val count = math.max(toks.length - n, 0) + 1
+      val seen = new java.util.LinkedHashSet[String](count * 2)
+      var i = 0
+      while (i < count) {
+        val end = math.min(i + n, toks.length)
+        seen.add(String.join(" ", java.util.Arrays.asList(toks.slice(i, end): _*)))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) {
+        val s = UTF8String.fromString(it.next())
+        out(j) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Heuristic language ID in one tokenization pass: per-language
+    * stopword hit counts, argmax with the same tie-break as
+    * `greatest(struct(score, lang))` in [[TextFunctions.langId]] —
+    * equal scores → lexicographically larger language code wins. */
+  case class LangId(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StringType
+
+    // langs sorted ascending; token → bitmask of matching langs
+    private val langs: Array[String] = TextFunctions.stopwords.keys.toArray.sorted
+    private val mask: java.util.HashMap[String, Int] = {
+      val m = new java.util.HashMap[String, Int]()
+      langs.zipWithIndex.foreach { case (l, i) =>
+        TextFunctions.stopwords(l).foreach { w =>
+          m.merge(w, 1 << i, (a, b) => a | b)
+        }
+      }
+      m
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[UTF8String].toString
+        .trim.toLowerCase.split("\\s+", -1)
+      val counts = new Array[Int](langs.length)
+      var i = 0
+      while (i < toks.length) {
+        val m = mask.getOrDefault(toks(i), 0)
+        if (m != 0) {
+          var l = 0
+          while (l < langs.length) {
+            if ((m & (1 << l)) != 0) counts(l) += 1
+            l += 1
+          }
+        }
+        i += 1
+      }
+      // argmax; ties → larger lang code (scan ascending, >= keeps later)
+      var best = 0
+      var l = 1
+      while (l < langs.length) {
+        if (counts(l) >= counts(best)) best = l
+        l += 1
+      }
+      UTF8String.fromString(langs(best))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  import org.apache.spark.sql.graftshim.{toColumn => column, toExpression => expression}
+
+  def wordShingleHashes(text: Column, n: Int): Column =
+    column(WordShingleHashes(expression(text), n))
+
+  def langId(text: Column): Column = column(LangId(expression(text)))
+}

@@ -38,9 +38,11 @@ object TextFunctions {
 
   /** 64-bit hashes of the distinct shingle set (xxhash64 — same codegen
     * hash Spark uses for shuffle partitioning). Downstream MinHash works
-    * on these longs, never re-touching the strings. */
+    * on these longs, never re-touching the strings.
+    * Compiled single-pass expression; bit-identical to
+    * `transform(wordShingles(text, n), xxhash64)`. */
   def shingleHashes(text: Column, n: Int): Column =
-    transform(wordShingles(text, n), s => xxhash64(s))
+    TextExpressions.wordShingleHashes(text, n)
 
   // ---- language ID ----------------------------------------------------
 
@@ -61,13 +63,11 @@ object TextFunctions {
   }
 
   /** Heuristic language ID: argmax of per-language stopword ratios.
-    * Deterministic tie-break: lexicographically larger language code wins
-    * (struct ordering of (score, lang)). Returns the 2-letter code. */
-  def langId(text: Column): Column = {
-    val scored = stopwords.keys.toSeq.sorted.map(l =>
-      struct(stopwordRatio(text, l).as("score"), lit(l).as("lang")))
-    greatest(scored: _*).getField("lang")
-  }
+    * Deterministic tie-break: lexicographically larger language code wins.
+    * Single-pass compiled expression (the equivalent
+    * `greatest(struct(stopwordRatio(l), l))` HOF chain re-tokenizes the
+    * text once per language). Returns the 2-letter code. */
+  def langId(text: Column): Column = TextExpressions.langId(text)
 
   // ---- quality scoring ------------------------------------------------
 

@@ -1,0 +1,88 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The custom codegen expressions must be bit-identical to the
+  * higher-order-function formulations they replaced. */
+class VectorExpressionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  test("DotProduct matches the HOF fold exactly") {
+    val df = (1 to 50).map { i =>
+      (Seq.tabulate(64)(j => (i * 31 + j) * 0.137 - 4.0),
+       Seq.tabulate(64)(j => (i * 17 + j) * 0.211 - 7.0))
+    }.toDF("a", "b")
+    val diff = df.select(
+        (VectorExpressions.dotProduct(col("a"), col("b")) -
+         hofDot(col("a"), col("b"))).as("d"))
+      .agg(max(abs(col("d")))).collect()(0).getDouble(0)
+    assert(diff == 0.0)
+  }
+
+  test("HyperplaneSignBits matches per-plane sign computation") {
+    val planes = Sketches.hyperplanes(nBits = 32, dim = 8, seed = 5L)
+    val df = (1 to 30).map(i => Seq.tabulate(8)(j => (i * 13 + j) * 0.7 - 20.0)).toDF("v")
+    val hof = array(planes.map(p => (hofDot(col("v"), typedLit(p)) > 0).cast("int")): _*)
+    val bad = df.select(VectorExpressions.hyperplaneSignBits(col("v"), planes).as("x"),
+                        hof.as("y"))
+      .filter(col("x") =!= col("y")).count()
+    assert(bad == 0)
+  }
+
+  test("MinHashSignature matches the transform/aggregate formulation") {
+    val P = 2147483647L
+    val k = 16
+    val rnd = new scala.util.Random(42L)
+    val as = Seq.fill(k)(math.abs(rnd.nextLong()) % (P - 1) + 1)
+    val bs = Seq.fill(k)(math.abs(rnd.nextLong()) % P)
+    val aLit = typedLit(as)
+    val bLit = typedLit(bs)
+    val df = (1 to 40).map(i => Seq.tabulate(20)(j => i * 1000003L * (j + 1) - 500000L)).toDF("h")
+    val folded = transform(col("h"), h => pmod(h, lit(P)))
+    val hof = transform(sequence(lit(0), lit(k - 1)), i =>
+      aggregate(folded, lit(Long.MaxValue),
+        (acc, h) => least(acc, pmod(h * element_at(aLit, i + 1) + element_at(bLit, i + 1), lit(P)))))
+    val bad = df.select(VectorExpressions.minhashSignature(col("h"), as, bs).as("x"), hof.as("y"))
+      .filter(col("x") =!= col("y")).count()
+    assert(bad == 0)
+    // empty set → MaxValue slots (both formulations)
+    val e = Seq(Seq.empty[Long]).toDF("h")
+      .select(VectorExpressions.minhashSignature(col("h"), as, bs).as("x")).collect()(0)
+    assert(e.getAs[scala.collection.Seq[Long]]("x").forall(_ == Long.MaxValue))
+  }
+
+  test("WordShingleHashes matches transform(wordShingles, xxhash64) exactly") {
+    val texts = Seq(
+      "The quick brown fox jumps over the lazy dog",
+      "  padded   with   runs\tof\nwhitespace  ",
+      "one", "one two", "a b c a b c a b c",
+      "Ünïcode tökens and CAPS and 123 numbers")
+    val df = texts.toDF("text")
+    val hof = transform(TextFunctions.wordShingles(col("text"), 3), s => xxhash64(s))
+    val bad = df.select(TextExpressions.wordShingleHashes(col("text"), 3).as("x"), hof.as("y"))
+      .filter(col("x") =!= col("y")).count()
+    assert(bad == 0)
+  }
+
+  test("LangId expression matches the greatest(struct) formulation") {
+    val texts = Seq(
+      "the cat is on the mat and it is happy",
+      "der hund ist nicht mit der katze",
+      "el perro es un animal que no es gato",
+      "le chien est dans le jardin pour la nuit",
+      "xyzzy plugh qwerty",        // no stopwords at all → tie on 0
+      "the der el le")             // every lang scores once → 4-way tie
+    val df = texts.toDF("text")
+    val hofScored = TextFunctions.stopwords.keys.toSeq.sorted.map(l =>
+      struct(TextFunctions.stopwordRatio(col("text"), l).as("score"), lit(l).as("lang")))
+    val hof = greatest(hofScored: _*).getField("lang")
+    val rows = df.select(TextExpressions.langId(col("text")).as("x"), hof.as("y"))
+      .filter(col("x") =!= col("y")).count()
+    assert(rows == 0)
+  }
+}
