@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,9 +21,19 @@ object TextExpressions {
     * (split(lower(trim(text)), "\\s+")), same seed-42 XXH64 over UTF-8
     * bytes, same ≤1-shingle behavior for short docs. */
   case class WordShingleHashes(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    /** Generated code calls back into the compiled `nullSafeEval` via a
+      * reference object — one virtual call per row, but the hosting
+      * Project STAYS inside whole-stage codegen (a CodegenFallback
+      * expression would evict the whole operator). */
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shingleExpr", this, classOf[WordShingleHashes].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($v);")
+    }
 
     override def nullSafeEval(v: Any): Any = {
       val toks = v.asInstanceOf[UTF8String].toString
@@ -57,9 +67,15 @@ object TextExpressions {
     * `greatest(struct(score, lang))` in [[TextFunctions.langId]] —
     * equal scores → lexicographically larger language code wins. */
   case class LangId(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = StringType
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("langIdExpr", this, classOf[LangId].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.nullSafeEval($v);")
+    }
 
     // langs sorted ascending; token → bitmask of matching langs
     private val langs: Array[String] = TextFunctions.stopwords.keys.toArray.sorted

@@ -1,0 +1,70 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits: the properties that make these queries survive
+  * a 100× scale-up are asserted here so a refactor that silently loses
+  * pushdown/broadcast/top-k fails the build, not the cluster. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("monthlySales pushes the status filter into the parquet scan") {
+    val p = plan(Analytics.monthlySales(spark, sfDir))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderstatus,F)"),
+      s"status filter not pushed:\n$p")
+  }
+
+  test("pricingSummary pushes the shipdate bound and aggregates partially") {
+    val p = plan(Analytics.pricingSummary(spark, sfDir))
+    assert(p.contains("LessThanOrEqual(l_shipdate"), "shipdate not pushed")
+    assert(p.contains("HashAggregate"), "no hash aggregation")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+  }
+
+  test("lineTotals prunes the lineitem scan to the 5 referenced columns") {
+    val p = plan(Analytics.lineTotals(spark, sfDir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_comment"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("topProducts broadcasts the part dim and plans a top-k, not a global sort") {
+    val df = Analytics.topProducts(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), "part dim not broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "ORDER BY+LIMIT not planned as top-k")
+  }
+
+  test("regionRevenue broadcasts every dim (only the fact shuffles)") {
+    val p = plan(Analytics.regionRevenue(spark, sfDir))
+    // formatted mode lists each operator in the tree AND the detail
+    // section — 3 joins ⇒ 6 mentions
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"expected 3 broadcast joins, got $broadcasts")
+    assert(!p.contains("SortMergeJoin"), "dim join degenerated to sort-merge")
+  }
+
+  test("customerTotals is one shuffle: agg on o_custkey then join") {
+    val p = plan(Analytics.customerTotals(spark, sfDir))
+    assert(p.contains("HashAggregate"))
+    // completed-orders filter reaches the orders scan
+    assert(p.contains("EqualTo(o_orderstatus,F)"), "status filter not pushed")
+  }
+
+  test("sketch expressions run inside WholeStageCodegen") {
+    val df = graft.Tables.load(spark, sfDir, "documents")
+      .select(graft.functions.TextFunctions.shingleHashes(
+        org.apache.spark.sql.functions.col("text"), 3).as("sh"))
+    val p = plan(df)
+    // formatted mode tags codegen'd operators "(n) Project [codegen id : N]"
+    // in the detail section
+    val projLine = p.linesIterator
+      .find(l => l.contains("Project") && l.contains("codegen id")).getOrElse("")
+    assert(projLine.nonEmpty, s"sketch projection fell out of codegen:\n$p")
+  }
+}
