@@ -120,5 +120,17 @@ object Similarity {
           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank, cos
         FROM scored)
       SELECT query_id, rank, vec_id AS neighbor_id, ROUND(cos, 6) AS cos_sim
-      FROM ranked WHERE rank <= $K ORDER BY query_id, rank""")
+      FROM ranked WHERE rank <= $K ORDER BY query_id, rank""",
+    "x09_sim_label_centroids" -> """
+      WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      ex AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e),
+      cent AS (SELECT label, pos, AVG(x) AS x FROM ex GROUP BY 1, 2),
+      cl AS (SELECT label, list(x ORDER BY pos) AS c FROM cent GROUP BY 1)
+      SELECT a.label AS label1, b.label AS label2,
+        ROUND(
+          list_sum(list_transform(list_zip(a.c, b.c), p -> p[1] * p[2])) /
+          (sqrt(list_sum(list_transform(a.c, x -> x * x))) *
+           sqrt(list_sum(list_transform(b.c, x -> x * x)))), 6) AS cos_sim
+      FROM cl a JOIN cl b ON a.label < b.label
+      ORDER BY label1, label2""")
 }

@@ -79,5 +79,42 @@ object TextAnalysis {
          CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
          CAST(length(regexp_replace(trim(text), '\s', '', 'g')) AS DOUBLE) /
            greatest(len(string_split_regex(trim(text), '\s+')), 1) AS avg_token_len
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    "x11_text_langid" -> """
+      WITH sw(lang, words) AS (VALUES
+        ('de', ['der','die','das','und','ist','nicht','mit','ein','zu','den','von','sich']),
+        ('en', ['the','a','and','of','to','in','is','that','it','for','on','with']),
+        ('es', ['el','la','de','que','y','en','un','es','se','no','por','los']),
+        ('fr', ['le','la','de','et','un','que','pour','dans','ce','les','des','est']),
+        ('zh', ['的','是','不','了','在','人','有','我','他','这','中','大'])),
+      toks AS (SELECT doc_id, lang AS labeled_lang,
+                 string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      scores AS (
+        SELECT toks.doc_id, toks.labeled_lang, sw.lang,
+          CAST(len(list_filter(toks.t, x -> list_contains(sw.words, x))) AS DOUBLE)
+            / greatest(len(toks.t), 1) AS score
+        FROM toks CROSS JOIN sw)
+      SELECT doc_id, labeled_lang, lang AS predicted_lang,
+        CAST(labeled_lang = lang AS INT) AS agrees
+      FROM scores
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) = 1
+      ORDER BY doc_id""",
+    "x12_text_quality" -> """
+      WITH base AS (
+        SELECT doc_id,
+          CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) AS punct_ratio,
+          CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> list_contains(['the','a','and','of','to','in','is','that','it','for','on','with'], x))) AS DOUBLE)
+            / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS stopword_ratio,
+          CAST(length(regexp_replace(trim(text), '\s', '', 'g')) AS DOUBLE)
+            / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS avg_token_len,
+          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS length_score
+        FROM documents)
+      SELECT doc_id, punct_ratio, stopword_ratio,
+        length_score * 25.0 +
+        (1.0 - least(punct_ratio * 5.0, 1.0)) * 25.0 +
+        least(stopword_ratio * 4.0, 1.0) * 25.0 +
+        (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 25.0 AS quality
+      FROM base ORDER BY doc_id""")
 }
