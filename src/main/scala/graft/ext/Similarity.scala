@@ -81,15 +81,13 @@ object Similarity {
   }
 
   /** Per-label centroid similarity matrix — a grouped vector aggregate
-    * (element-wise mean via posexplode + re-assemble), then pairwise
-    * cosine between the 10 label centroids. Exercises vector groupBy. */
+    * (element-wise mean as ONE custom typed aggregation, map-side
+    * partials like any built-in agg), then pairwise cosine between the
+    * 10 label centroids. */
   def labelCentroidSims(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val centroids = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(avg("x").as("x"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
-      .select(col("label"), transform(col("px"), p => p.getField("x")).as("c"))
+    val centroids = e.groupBy("label")
+      .agg(graft.functions.VectorAgg.vectorAvg(col("v")).as("c"))
     val a = centroids.select(col("label").as("label1"), col("c").as("c1"))
     val b = centroids.select(col("label").as("label2"), col("c").as("c2"))
     a.join(b, col("label1") < col("label2"))

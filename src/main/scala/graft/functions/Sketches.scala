@@ -90,23 +90,8 @@ object Sketches {
              xxhash64(slice(bits, b * bitsPerBand + 1, lit(bitsPerBand))).as("key")))
 
   /** 64-bit SimHash of a token array: per-bit majority vote of token
-    * hashes. Implemented as a JVM closure (still one row-local map; a
-    * custom codegen Expression is the next optimization step). */
-  val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((tokens: Seq[String]) => {
-      val counts = new Array[Int](64)
-      if (tokens != null) tokens.foreach { t =>
-        val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
-        val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
-        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-        var i = 0
-        while (i < 64) { counts(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
-      }
-      var out = 0L
-      var i = 0
-      while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
-      out
-    })
+    * hashes (native expression — see TextExpressions.SimHash64). */
+  def simhash64(tokens: Column): Column = TextExpressions.simHash64(tokens)
 
   /** Hamming distance between two 64-bit SimHashes (native bit_count). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

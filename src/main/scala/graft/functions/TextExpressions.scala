@@ -119,10 +119,51 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** 64-bit SimHash of a token array: per-bit majority vote over each
+    * token's 128-bit (2×Murmur3) hash. Bit-identical to the previous
+    * UDF formulation (same MurmurHash3 seeds), but a native expression:
+    * no UDF serialization boundary, stays inside whole-stage codegen. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val counts = new Array[Int](64)
+      val n = arr.numElements()
+      var t = 0
+      while (t < n) {
+        val tok = arr.getUTF8String(t).toString
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(tok, 0x9747b28c)
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(tok, 0x85ebca6b)
+        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        var i = 0
+        while (i < 64) { counts(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+        t += 1
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simhashExpr", this, classOf[SimHash64].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = ((java.lang.Long) $ref.nullSafeEval($v)).longValue();")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftshim.{toColumn => column, toExpression => expression}
 
   def wordShingleHashes(text: Column, n: Int): Column =
     column(WordShingleHashes(expression(text), n))
 
   def langId(text: Column): Column = column(LangId(expression(text)))
+
+  def simHash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
 }

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators for the shapes AQE's runtime skew-join
+  * split does NOT cover (aggregations, and joins that must pre-commit a
+  * partitioning). Both are pure plan rewrites — semantics identical to
+  * the unsalted form, verified by SkewSpec.
+  *
+  * At 100 TB a handful of hot keys (the empty document, a default
+  * user_id, a null-ish country) can put one shuffle partition hours
+  * behind the rest; salting spreads each hot key over `salt` partitions
+  * for the expensive stage and folds the partials afterwards.
+  */
+object Skew {
+
+  /** Inner equi-join of a skewed `large` side against a `small` side:
+    * each large row gets a deterministic salt in [0, salt); the small
+    * side is replicated `salt` ways; the join key becomes (key, salt),
+    * so one hot key spreads over `salt` shuffle partitions.
+    *
+    * Salt is derived by hashing ALL large-side columns (deterministic
+    * under retries, unlike rand(); uniform even when the key itself is
+    * constant). */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
+    require(salt > 0)
+    val saltCol = pmod(xxhash64(large.columns.map(col).toSeq: _*), lit(salt))
+    val l = large.withColumn("__salt", saltCol)
+    val s = small
+      .withColumn("__salt", explode(sequence(lit(0L), lit(salt - 1L))))
+    l.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase aggregation for skewed group keys: phase 1 aggregates on
+    * (key, salt) — hot keys split across partitions — phase 2 folds the
+    * per-salt partials. Caller supplies both phases; for algebraic
+    * aggregates they're the same function (sum/sum, count/sum, ...).
+    *
+    * Spark's map-side partial aggregation already does this per input
+    * partition; explicit salting matters when the partial-agg reduction
+    * ratio is poor (high-cardinality secondary grouping, collect-style
+    * aggregates) and one reducer would still own the whole hot key. */
+  def twoPhaseAgg(df: DataFrame, key: String, salt: Int)(
+      phase1: Seq[Column], phase2: Seq[Column]): DataFrame = {
+    require(salt > 0)
+    val saltCol = pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salt))
+    df.withColumn("__salt", saltCol)
+      .groupBy(col(key), col("__salt"))
+      .agg(phase1.head, phase1.tail: _*)
+      .groupBy(col(key))
+      .agg(phase2.head, phase2.tail: _*)
+  }
+}

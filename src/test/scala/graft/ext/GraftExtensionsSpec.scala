@@ -1,24 +1,11 @@
 package graft.ext
 
-import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.SparkSession
+import graft.SparkSpec
 
-/** The SQL function surface needs its own session (extensions bind at
-  * build time), so this spec does not share the SparkSpec singleton. */
-class GraftExtensionsSpec extends AnyFunSuite {
-
-  private lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.ext.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+/** SQL function surface (GraftExtensions is bound in the shared test
+  * session via spark.sql.extensions — extensions are a static conf, so
+  * they must ride the session that owns the SparkContext). */
+class GraftExtensionsSpec extends SparkSpec {
 
   test("graft_dot and graft_cosine are callable from SQL") {
     val r = spark.sql(
