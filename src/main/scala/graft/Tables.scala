@@ -28,8 +28,10 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
+      // integer `div`, not `/`: float division of int64 nanos rounds in
+      // the 53-bit mantissa and lands ±1µs off the true microsecond
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast(LongType)))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
   }
 

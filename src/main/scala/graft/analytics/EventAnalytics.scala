@@ -72,13 +72,48 @@ object EventAnalytics {
       count(when(col("first_view") < col("first_purchase"), lit(1))).as("n_converted"))
   }
 
+  /** As-of attribution: each purchase matched to the user's most recent
+    * view at-or-before purchase time (graft.ops.AsOfJoin — one shuffle
+    * on user_id, no range cross-join). Views deduped to one per
+    * (user, ts) for determinism. */
+  def asofAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("view_ts"))
+      .agg(min(col("event_id")).as("view_event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.ops.AsOfJoin.asofBackward(purchases, views, "user_id", "ts", "view_ts")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("asof_view_event_id").as("view_event_id"),
+        date_format(col("asof_view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_view_ts"))).as("lag_micros"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x23_events_asof_attribution" -> asofAttribution,
     "x15_events_tumbling" -> tumblingCounts,
     "x16_events_sliding" -> slidingCounts,
     "x17_events_sessionize" -> sessionize,
     "x18_events_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "x23_events_asof_attribution" ->
+      """WITH views AS (
+           SELECT user_id, ts AS view_ts, MIN(event_id) AS view_event_id
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         purch AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           v.view_event_id,
+           strftime(v.view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           epoch_us(p.ts) - epoch_us(v.view_ts) AS lag_micros
+         FROM purch p ASOF LEFT JOIN views v
+           ON p.user_id = v.user_id AND p.ts >= v.view_ts
+         ORDER BY p.event_id""",
     "x15_events_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value

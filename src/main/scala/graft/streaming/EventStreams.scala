@@ -27,7 +27,7 @@ object EventStreams {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     // same TIMESTAMP(NANOS) rebuild as Tables.load (nanosAsLong sessions)
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 

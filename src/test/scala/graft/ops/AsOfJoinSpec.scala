@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val quotes = Seq( // (sym, qts, px)
+    ("A", ts("2024-01-01 10:00:00"), 100.0),
+    ("A", ts("2024-01-01 10:05:00"), 101.0),
+    ("A", ts("2024-01-01 10:10:00"), 102.0),
+    ("B", ts("2024-01-01 10:02:00"), 50.0))
+    .toDF("sym", "qts", "px")
+
+  private val trades = Seq( // (sym, tts, qty)
+    ("A", ts("2024-01-01 10:03:00"), 5L),   // → 10:00 quote
+    ("A", ts("2024-01-01 10:05:00"), 6L),   // equal ts → 10:05 (<= semantics)
+    ("A", ts("2024-01-01 11:00:00"), 7L),   // → latest (10:10)
+    ("B", ts("2024-01-01 10:00:00"), 8L),   // before any quote → null
+    ("C", ts("2024-01-01 10:00:00"), 9L))   // no quotes at all → null
+    .toDF("sym", "tts", "qty")
+
+  test("asofBackward picks latest quote at-or-before each trade") {
+    val out = AsOfJoin.asofBackward(trades, quotes, "sym", "tts", "qts")
+      .orderBy("qty").collect()
+    val px = out.map(r => Option(r.getAs[java.lang.Double]("asof_px")).map(_.toDouble))
+    assert(px.toSeq == Seq(Some(100.0), Some(101.0), Some(102.0), None, None))
+    // every left row survives exactly once (left-join semantics)
+    assert(out.length == 5)
+  }
+
+  test("asofForward picks earliest quote at-or-after each trade") {
+    val out = AsOfJoin.asofForward(trades, quotes, "sym", "tts", "qts")
+      .orderBy("qty").collect()
+    val px = out.map(r => Option(r.getAs[java.lang.Double]("asof_px")).map(_.toDouble))
+    // 10:03→10:05; 10:05→10:05; 11:00→none; B 10:00→10:02; C→none
+    assert(px.toSeq == Seq(Some(101.0), Some(101.0), None, Some(50.0), None))
+    // forward flips time twice — timestamps must round-trip intact
+    val t = out.map(_.getAs[java.sql.Timestamp]("tts"))
+    assert(t(0) == ts("2024-01-01 10:03:00"))
+  }
+
+  test("asofBackward plan shuffles once on the key (no cross join)") {
+    val plan = AsOfJoin.asofBackward(trades, quotes, "sym", "tts", "qts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of degenerated to a product join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"more shuffles than the union+window plan needs:\n$plan")
+  }
+}
