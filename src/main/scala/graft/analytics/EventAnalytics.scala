@@ -92,7 +92,32 @@ object EventAnalytics {
       .orderBy("event_id")
   }
 
+  /** Distribution stats per event type: exact interpolated percentiles
+    * (p50/p95/p99) — Spark `percentile` and DuckDB `quantile_cont`
+    * share the linear-interpolation definition, so this is fully
+    * oracle-checked. At 100 TB you'd switch to approx_percentile
+    * (t-digest) and trade the oracle for an error-bound spec. */
+  def valuePercentiles(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+           round(expr("percentile(value, 0.95)"), 6).as("p95"),
+           round(expr("percentile(value, 0.99)"), 6).as("p99"),
+           count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Hierarchical rollup (date × type) via grouping sets — subtotal
+    * rows carry NULL group keys exactly as ANSI ROLLUP defines; one
+    * shuffle computes all three granularities. */
+  def dailyTypeRollup(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .rollup(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(asc_nulls_first("day"), asc_nulls_first("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x24_events_percentiles" -> valuePercentiles,
+    "x25_events_rollup" -> dailyTypeRollup,
     "x23_events_asof_attribution" -> asofAttribution,
     "x15_events_tumbling" -> tumblingCounts,
     "x16_events_sliding" -> slidingCounts,
@@ -100,6 +125,18 @@ object EventAnalytics {
     "x18_events_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "x24_events_percentiles" ->
+      """SELECT event_type,
+         ROUND(quantile_cont(value, 0.5), 6) AS p50,
+         ROUND(quantile_cont(value, 0.95), 6) AS p95,
+         ROUND(quantile_cont(value, 0.99), 6) AS p99,
+         COUNT(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "x25_events_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+         COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+         FROM events GROUP BY ROLLUP(1, 2)
+         ORDER BY day NULLS FIRST, event_type NULLS FIRST""",
     "x23_events_asof_attribution" ->
       """WITH views AS (
            SELECT user_id, ts AS view_ts, MIN(event_id) AS view_event_id

@@ -42,6 +42,19 @@ object Dedup {
              count_distinct(col("text")).as("n_distinct_texts"))
   }
 
+  /** HyperLogLog++ variant of the dedup survey: per-source approximate
+    * distinct texts at 1% target error. At 100 TB this replaces the
+    * exact count-distinct's full shuffle of text hashes with fixed-size
+    * mergeable sketches — the right first pass before an exact dedup.
+    * (No DuckDB oracle: HLL implementations differ; DedupSpec bounds
+    * the error against the exact count instead.) */
+  def approxDedupStats(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           approx_count_distinct(col("text"), rsd = 0.01).as("approx_distinct_texts"))
+      .orderBy("source")
+
   private val MinhashK = 64
   private val Bands = 16
   private val RowsPerBand = 4 // s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
@@ -184,6 +197,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> exactDedup,
     "x02_dedup_stats" -> exactDedupStats,
+    "x26_dedup_approx_stats" -> approxDedupStats,
     "x03_dedup_minhash" -> minhashNearDups,
     "x04_dedup_simhash" -> simhashNearDups,
     "x05_dedup_ngram_jaccard" -> ngramJaccardNearDups,
