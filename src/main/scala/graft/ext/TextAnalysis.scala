@@ -61,7 +61,28 @@ object TextAnalysis {
       .withColumn("sketch_size", size(col("sketch")).cast("long"))
       .orderBy("doc_id")
 
+  /** End-to-end curation pipeline — the composed shape of a
+    * training-data pass: predicted-English only, quality ≥ 50, exact
+    * dedup (min doc_id survives), per-source survivor stats. One scan,
+    * one dedup shuffle, one rollup shuffle — every stage is a filter or
+    * hash-agg that scales linearly. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .filter(langId(col("text")) === "en")
+      .filter(qualityScore(col("text")) >= 50.0)
+    val surviving = docs
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"),
+           min_by(col("source"), col("doc_id")).as("source"),
+           min_by(col("n_chars"), col("doc_id")).as("n_chars"))
+    surviving.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col("n_chars")).cast("long").as("kept_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x27_text_curation" -> curationPipeline,
     "x10_text_token_stats" -> tokenStats,
     "x11_text_langid" -> languageId,
     "x12_text_quality" -> qualityScores,
@@ -72,6 +93,42 @@ object TextAnalysis {
     * engines split trimmed text on \s+; ratios are raw double divisions
     * (no rounding → no decimal-tie divergence). */
   val oracles: Map[String, String] = Map(
+    "x27_text_curation" -> """
+      WITH sw(lang, words) AS (VALUES
+        ('de', ['der','die','das','und','ist','nicht','mit','ein','zu','den','von','sich']),
+        ('en', ['the','a','and','of','to','in','is','that','it','for','on','with']),
+        ('es', ['el','la','de','que','y','en','un','es','se','no','por','los']),
+        ('fr', ['le','la','de','et','un','que','pour','dans','ce','les','des','est']),
+        ('zh', ['的','是','不','了','在','人','有','我','他','这','中','大'])),
+      toks AS (SELECT doc_id, source, n_chars, text,
+                 string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      lang_pred AS (
+        SELECT doc_id, lang AS predicted,
+          row_number() OVER (PARTITION BY doc_id ORDER BY
+            CAST(len(list_filter(t, x -> list_contains(sw.words, x))) AS DOUBLE)
+              / greatest(len(t), 1) DESC, lang DESC) AS rn
+        FROM toks CROSS JOIN sw),
+      quality AS (
+        SELECT doc_id,
+          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 25.0 +
+          (1.0 - least(CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) * 5.0, 1.0)) * 25.0 +
+          least(CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','in','is','that','it','for','on','with'], x))) AS DOUBLE)
+             / greatest(len(t), 1) * 4.0, 1.0) * 25.0 +
+          (CASE WHEN CAST(length(regexp_replace(trim(text), '\s', '', 'g')) AS DOUBLE)
+             / greatest(len(t), 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 25.0 AS q
+        FROM toks),
+      kept AS (
+        SELECT d.doc_id, d.source, d.n_chars, d.text
+        FROM documents d
+        JOIN lang_pred lp ON d.doc_id = lp.doc_id AND lp.rn = 1 AND lp.predicted = 'en'
+        JOIN quality qu ON d.doc_id = qu.doc_id AND qu.q >= 50.0),
+      surviving AS (
+        SELECT MIN(doc_id) AS doc_id, arg_min(source, doc_id) AS source,
+               arg_min(n_chars, doc_id) AS n_chars
+        FROM kept GROUP BY text)
+      SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+      FROM surviving GROUP BY 1 ORDER BY 1""",
     "x10_text_token_stats" ->
       """SELECT doc_id,
          CAST(length(text) AS BIGINT) AS n_chars_obs,
