@@ -59,6 +59,35 @@ object Sources {
     }
   }
 
+  /** Upsert/merge into a parquet snapshot: incoming rows replace
+    * existing rows with the same key; ties on `versionCol` favor the
+    * incoming side. (The reference's ETLOptimizer *suggests* "UPSERT
+    * logic" and incremental loads but never implements them,
+    * main.py:936-948 — here it is, as a deterministic keyed merge:
+    * union → one hash-shuffle on the key → max_by.) */
+  def upsertTable(spark: SparkSession, dir: String, table: String,
+                  updates: DataFrame, key: String, versionCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val path = new java.io.File(s"$dir/$table.parquet")
+    val merged =
+      if (!path.exists()) updates
+      else {
+        val existing = readTable(spark, dir, table)
+        val cols = existing.columns.toSeq
+        val tagged = existing.withColumn("__src", lit(0))
+          .unionByName(updates.selectExpr(cols: _*).withColumn("__src", lit(1)))
+        val pick = struct(col(versionCol), col("__src"),
+          struct(cols.map(col): _*).as("row"))
+        tagged.groupBy(col(key)).agg(max(pick).as("__w"))
+          .select(cols.map(c => col(s"__w.row.$c").as(c)): _*)
+      }
+    // snapshot-overwrite over the path we just read: materialize first
+    val staged = merged.cache()
+    staged.count()
+    overwriteTable(staged, dir, table)
+    staged.unpersist()
+  }
+
   /** S5 (main.py:532-551): one-row load-audit append. */
   case class LoadMeta(
       table_name: String,

@@ -136,6 +136,22 @@ object EventStreams {
     df.sparkSession.table(name)
   }
 
+  /** Stream-static enrichment: the unbounded event stream joined to a
+    * static user-dimension frame. Catalyst broadcasts the static side
+    * into every micro-batch — no stream-side state, the steady-state
+    * pattern for dimension lookups at any scale. */
+  def enrichWithStatic(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+
+  /** At-least-once → effectively-once: drop event_id duplicates whose
+    * duplicate arrives within the watermark horizon. State = one
+    * (event_id, ts) entry per id inside the horizon, GC'd by the
+    * watermark — bounded regardless of stream length. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Driver-checked query: bounded replay of the events file stream
     * through the streaming tumbling-window operator (complete mode emits
     * every window). Produces the exact rows of the batch twin

@@ -148,6 +148,21 @@ class EtlSpec extends SparkSpec {
     assert(perOrder.filter(col("count") < 1 || col("count") > 5).count() == 0)
   }
 
+  test("upsertTable merges by key, newest version wins, ties favor updates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val v1 = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("id", "v", "ver")
+    Sources.overwriteTable(v1, dir, "t")
+    val updates = Seq(
+      (2L, "b2", 2L),  // newer version → replaces
+      (3L, "c2", 1L),  // same version → update side wins
+      (4L, "d", 1L))   // new key → inserted
+      .toDF("id", "v", "ver")
+    Sources.upsertTable(spark, dir, "t", updates, "id", "ver")
+    val out = Sources.readTable(spark, dir, "t").orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b2"), (3L, "c2"), (4L, "d")))
+  }
+
   // -- End-to-end on the reference's own CSVs -------------------------
 
   test("e2e pipeline on /root/reference sample CSVs") {

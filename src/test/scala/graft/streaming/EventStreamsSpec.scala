@@ -85,6 +85,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(tenOclock == 3, "late event must not re-open the closed 10:00 window")
   }
 
+  test("stream-static join enriches events without stream-side state") {
+    import spark.implicits._
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "user_name")
+    val out = EventStreams.runToMemory(
+      EventStreams.enrichWithStatic(mkStream(base).toDF(), dim), "t_enrich")
+    val rows = out.filter(col("user_id") < 9).collect()
+    assert(rows.length == 4)
+    assert(rows.filter(_.getAs[Long]("user_id") == 1L)
+      .forall(_.getAs[String]("user_name") == "alice"))
+    // left join: user 9 (no dim row) survives with null name
+    assert(out.filter(col("user_id") === 9L).collect()(0).getAs[String]("user_name") == null)
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses replayed event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[EventStreams.Event]
+    val q = EventStreams.dedupWithinWatermark(ms.toDF())
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(base)                     // includes event_id 1
+    q.processAllAvailable()
+    ms.addData(Seq(base.head))           // exact replay of event_id 1
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.table("t_dedup").filter(col("event_id") === 1L).count()
+    assert(n == 1, s"duplicate event_id surfaced $n times")
+  }
+
   test("file-stream source over testdata events matches batch row count") {
     val stream = EventStreams.fromParquetDir(spark, sfDir)
     assert(stream.isStreaming)
