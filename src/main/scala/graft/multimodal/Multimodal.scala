@@ -53,29 +53,39 @@ object Multimodal {
     * the payload hash. Same payload → same "pixels", so every test and
     * oracle downstream is reproducible. */
   object StubCodec {
-    private def splitmix(seed0: Long): Iterator[Byte] = new Iterator[Byte] {
-      private var seed = seed0
-      def hasNext = true
-      def next(): Byte = {
+    /** Fill `n` bytes from a splitmix64 stream — 8 bytes per step, no
+      * per-byte boxing (this loop stands in for the codec's inner loop,
+      * so it should at least run at memcpy-ish speed). */
+    private def fill(seed0: Long, n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var seed = seed0
+      var i = 0
+      while (i < n) {
         seed += 0x9e3779b97f4a7c15L
         var z = seed
         z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
         z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        (z ^ (z >>> 31)).toByte
+        z ^= (z >>> 31)
+        var k = 0
+        while (k < 8 && i < n) { out(i) = (z >>> (k * 8)).toByte; i += 1; k += 1 }
       }
+      out
     }
 
-    private def payloadSeed(payload: Array[Byte]): Long =
-      payload.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+    private def payloadSeed(payload: Array[Byte]): Long = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+      h
+    }
 
     def decode(m: Media): Decoded =
       Decoded(m.media_id, m.kind, m.width, m.height,
-        splitmix(payloadSeed(m.payload)).take(m.width * m.height).toArray)
+        fill(payloadSeed(m.payload), m.width * m.height))
 
     def decodeFrame(m: Media, frameIdx: Int): Frame =
       Frame(m.media_id, frameIdx, m.width, m.height,
-        splitmix(payloadSeed(m.payload) ^ frameIdx.toLong)
-          .take(m.width * m.height).toArray)
+        fill(payloadSeed(m.payload) ^ frameIdx.toLong, m.width * m.height))
   }
 
   /** Batch size for partition-local decode loops — models the batch
