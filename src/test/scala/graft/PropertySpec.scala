@@ -1,0 +1,129 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+/** ScalaCheck property tests (SURVEY §5 strategy item 3): invariants
+  * that must hold for ARBITRARY inputs, not just fixtures. Spark jobs
+  * are expensive per-case, so generators produce whole small frames and
+  * minSuccessful is kept low — breadth over depth. */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Deterministic mini-forAll: ScalaCheck generators, fixed seeds
+    * (the scalatest-scalacheck bridge isn't on the offline classpath;
+    * Spark jobs are expensive per case anyway, so 5 seeded cases per
+    * property — breadth over depth). */
+  private def forAll[A](gen: Gen[A])(f: A => Unit): Unit =
+    (0 until 5).foreach { i =>
+      gen.apply(Gen.Parameters.default.withSize(40), Seed(42L + i))
+        .foreach(a => f(a))
+    }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))({ case (a, b) => f(a, b) })
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.oneOf("the", "a", "of", "und", "der", "el", "le", "word", "data", "x1"),
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.oneOf(".", ",", "!", "?", "  "))).map(_.mkString(" "))
+
+  test("quality score is always within [0, 100]") {
+    forAll(Gen.nonEmptyListOf(textGen)) { texts =>
+      val out = texts.toDF("text")
+        .select(graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+        .collect().map(_.getDouble(0))
+      assert(out.forall(q => q >= 0.0 && q <= 100.0))
+    }
+  }
+
+  test("transform filters are idempotent (applying twice = applying once)") {
+    val rowGen = for {
+      id <- Gen.posNum[Long]
+      sub <- Gen.chooseNum(-10.0, 1000.0)
+      tax <- Gen.chooseNum(-1.0, 100.0)
+      ship <- Gen.chooseNum(-1.0, 30.0)
+      disc <- Gen.chooseNum(0.0, 10.0)
+      totalNoise <- Gen.oneOf(0.0, 0.005, 1.0, -0.5)
+    } yield (id, "2024-03-01", sub, tax, ship, disc, sub + tax + ship - disc + totalNoise)
+    forAll(Gen.nonEmptyListOf(rowGen)) { rows =>
+      val df = rows.toDF("order_id", "order_date", "subtotal", "tax_amount",
+        "shipping_cost", "discount_amount", "total_amount")
+      val once = graft.etl.Transforms.transformOrders(df)
+      val twice = graft.etl.Transforms.transformOrders(once)
+      assert(once.count() == twice.count())
+    }
+  }
+
+  test("duplicate count = rows - distinct rows, for any frame") {
+    forAll(Gen.listOf(Gen.chooseNum(0, 5))) { xs =>
+      whenever(xs.nonEmpty) {
+        val df = xs.map(x => (x, s"v$x")).toDF("a", "b")
+        val p = graft.etl.Quality.profile(df)
+        assert(p.duplicateRows == xs.size - xs.distinct.size)
+        assert(p.score >= 0.0 && p.score <= 100.0)
+      }
+    }
+  }
+
+  test("jaccard is symmetric, bounded, and 1 on self") {
+    val setGen = Gen.nonEmptyListOf(Gen.chooseNum(1L, 30L)).map(_.distinct)
+    forAll(setGen, setGen) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val Seq(ab, ba, aa) = df.select(
+        graft.functions.Sketches.jaccard(col("a"), col("b")).as("ab"),
+        graft.functions.Sketches.jaccard(col("b"), col("a")).as("ba"),
+        graft.functions.Sketches.jaccard(col("a"), col("a")).as("aa"))
+        .collect()(0).toSeq.map(_.asInstanceOf[Double]).toSeq
+      assert(ab == ba)
+      assert(ab >= 0.0 && ab <= 1.0)
+      assert(aa == 1.0)
+    }
+  }
+
+  test("country mapping is identity off the mapped domain") {
+    val mapped = Map("US" -> "USA", "United States" -> "USA",
+      "UK" -> "United Kingdom", "Britain" -> "United Kingdom")
+    forAll(Gen.nonEmptyListOf(Gen.oneOf(
+      "US", "UK", "Britain", "United States", "Germany", "France", "", "usa"))) { cs =>
+      val df = cs.zipWithIndex.map { case (c, i) =>
+        (i.toLong, "F", "L", s"e$i@x.com", "p", "2024-01-01", c, "c", "Regular")
+      }.toDF("customer_id", "first_name", "last_name", "email", "phone",
+             "registration_date", "country", "city", "customer_segment")
+      val out = graft.etl.Transforms.transformCustomers(df)
+        .select("country").collect().map(_.getString(0)).toList
+      val expected: List[String] = cs.map(c => mapped.getOrElse(c, c))
+      assert(out.sorted == expected.sorted)
+    }
+  }
+
+  test("minhash slot agreement tracks jaccard within banding tolerance") {
+    val wordGen = Gen.oneOf((1 to 12).map(i => s"w$i"))
+    forAll(Gen.listOfN(20, wordGen), Gen.listOfN(20, wordGen)) { (wa, wb) =>
+      whenever(wa.distinct.size > 2 && wb.distinct.size > 2) {
+        val ta = wa.mkString(" ")
+        val tb = wb.mkString(" ")
+        val df = Seq((ta, tb)).toDF("a", "b")
+        val row = df.select(
+          graft.functions.Sketches.jaccard(
+            graft.functions.TextFunctions.shingleHashes(col("a"), 1),
+            graft.functions.TextFunctions.shingleHashes(col("b"), 1)).as("j"),
+          graft.functions.Sketches.minhashSignature(
+            graft.functions.TextFunctions.shingleHashes(col("a"), 1), 64).as("sa"),
+          graft.functions.Sketches.minhashSignature(
+            graft.functions.TextFunctions.shingleHashes(col("b"), 1), 64).as("sb"))
+          .collect()(0)
+        val j = row.getAs[Double]("j")
+        val sa = row.getAs[scala.collection.Seq[Long]]("sa")
+        val sb = row.getAs[scala.collection.Seq[Long]]("sb")
+        val agree = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 64
+        // E[agree] = jaccard; 64 slots → loose 3.5σ bound (σ ≈ 0.0625)
+        assert(math.abs(agree - j) < 0.25, s"jaccard $j vs agreement $agree")
+      }
+    }
+  }
+}
