@@ -95,10 +95,72 @@ object Similarity {
       .orderBy("label1", "label2")
   }
 
+  private val IvfClusters = 16
+  private val IvfProbes = 4
+  private val LloydIters = 2
+
+  /** IVF ANN — the other scale path next to LSH: a coarse k-means
+    * quantizer (hash-seeded init + 2 Lloyd iterations, all DataFrame
+    * ops: broadcast-join assignment + vectorAvg update), inverted lists
+    * keyed by cluster, then probe the `IvfProbes` nearest clusters per
+    * query and exact-re-rank only those lists. At 100 TB the inverted
+    * lists are a partitioned table and a query touches nprobe/nlist of
+    * the corpus. Deterministic end-to-end (seeded init, total-order
+    * tie-breaks). */
+  def topKIvf(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir).select(col("vec_id"), col("v")).cache()
+
+    // hash-seeded init: the IvfClusters vectors with smallest xxhash64(id)
+    var centroids = all
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(IvfClusters)
+      .withColumn("cluster", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("h")).cast("long"))
+      .select(col("cluster"), col("v").as("c"))
+
+    def assign(vectors: DataFrame, cents: DataFrame): DataFrame =
+      vectors.join(broadcast(cents))
+        .withColumn("cos", cosine(col("v"), col("c")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cluster"), struct(col("cos"), col("cluster"))).as("cluster"),
+             first(col("v"), ignoreNulls = true).as("v"))
+
+    // Lloyd: assign → recompute centroid as the element-wise mean
+    (1 to LloydIters).foreach { _ =>
+      val assigned = assign(all, centroids)
+      centroids = assigned.groupBy(col("cluster"))
+        .agg(graft.functions.VectorAgg.vectorAvg(col("v")).as("c"))
+    }
+    val index = assign(all, centroids).select(col("vec_id"), col("cluster"), col("v"))
+
+    // probe: nearest IvfProbes clusters per query, union their lists
+    val queries = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("qcos"), col("cluster"))
+    val probed = queries.join(broadcast(centroids))
+      .withColumn("qcos", cosine(col("qv"), col("c")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= IvfProbes)
+      .select(col("query_id"), col("qv"), col("cluster"))
+
+    val candidates = probed.join(index, "cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("cos"), col("vec_id"))
+    candidates.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+              round(col("cos"), 6).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x07_sim_topk_brute" -> topKBruteForce,
     "x08_sim_topk_lsh" -> topKLsh,
-    "x09_sim_label_centroids" -> labelCentroidSims)
+    "x09_sim_label_centroids" -> labelCentroidSims,
+    "x28_sim_topk_ivf" -> topKIvf)
 
   /** DuckDB twin for the brute-force path, with the dot/norm fold
     * written out explicitly so both engines do identical double

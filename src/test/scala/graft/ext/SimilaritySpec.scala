@@ -33,6 +33,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall $recall below 0.6")
   }
 
+  test("IVF top-k recall vs brute force is reasonable; output is deterministic") {
+    val exact = Similarity.topKBruteForce(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf1 = Similarity.topKIvf(spark, sfDir).collect()
+    val ivf2 = Similarity.topKIvf(spark, sfDir).collect()
+    assert(ivf1.sameElements(ivf2), "IVF result not deterministic")
+    val approx = ivf1.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall below 0.5")
+  }
+
   test("label centroid sims: 45 unordered label pairs, cos in [-1, 1]") {
     val rows = Similarity.labelCentroidSims(spark, sfDir).collect()
     assert(rows.length == 45) // C(10, 2)
