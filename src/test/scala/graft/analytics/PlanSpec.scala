@@ -56,6 +56,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(o_orderstatus,F)"), "status filter not pushed")
   }
 
+  test("minhash near-dup candidate generation is a hash join on band keys, never a product") {
+    val p = graft.ext.Dedup.minhashNearDups(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "minhash pipeline degenerated to a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "minhash pipeline uses a nested-loop join")
+  }
+
+  test("LSH ANN candidate generation never plans a product join") {
+    val p = graft.ext.Similarity.topKLsh(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "LSH ANN degenerated to a product join")
+  }
+
   test("sketch expressions run inside WholeStageCodegen") {
     val df = graft.Tables.load(spark, sfDir, "documents")
       .select(graft.functions.TextFunctions.shingleHashes(
