@@ -50,6 +50,31 @@ object AsOfJoin {
     matched.select(leftCols ++ rightCols: _*)
   }
 
+  /** Native-operator variant of [[asofBackward]] via the custom
+    * AsOfJoinPlan → AsOfJoinExec (graft.plans): each side shuffles once
+    * on its own key and the partitions sort-merge with O(1) state —
+    * no widened union stream. Requires the session to carry
+    * GraftExtensions (the planner strategy) and LONG key/time columns
+    * (callers convert timestamps with unix_micros). Right columns come
+    * back NULL for unmatched left rows, prefixed like asofBackward. */
+  def asofNative(left: DataFrame, right: DataFrame, key: String,
+                 leftTime: String, rightTime: String,
+                 payloadPrefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.graftshim
+    val spark = left.sparkSession
+    // disambiguate output names up front (left names win their spot)
+    val r2 = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"$payloadPrefix$c"))
+    val lPlan = graftshim.analyzed(left)
+    val rPlan = graftshim.analyzed(r2)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    val plan = graft.plans.AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, key), attr(rPlan, s"$payloadPrefix$key"),
+      attr(lPlan, leftTime), attr(rPlan, s"$payloadPrefix$rightTime"))
+    graftshim.ofRows(spark, plan).drop(s"$payloadPrefix$key")
+  }
+
   /** Forward variant: earliest right row with rightTime >= leftTime. */
   def asofForward(left: DataFrame, right: DataFrame, key: String,
                   leftTime: String, rightTime: String,

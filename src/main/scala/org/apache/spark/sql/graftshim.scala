@@ -11,4 +11,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object graftshim {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame from a logical plan (classic.Dataset.ofRows is
+    * private[sql]) — needed to hand custom LogicalPlan nodes to the
+    * session (graft.plans.AsOfJoinPlan). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }

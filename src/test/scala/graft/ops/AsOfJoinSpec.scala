@@ -44,6 +44,48 @@ class AsOfJoinSpec extends SparkSpec {
     assert(t(0) == ts("2024-01-01 10:03:00"))
   }
 
+  test("native AsOfJoinExec agrees with the union+window composition") {
+    // long-typed key/time fixtures for the native operator
+    val q = quotes.withColumn("qts_us", unix_micros(col("qts"))).drop("qts")
+    val t = trades.withColumn("tts_us", unix_micros(col("tts"))).drop("tts")
+      .withColumn("symk", xxhash64(col("sym"))).drop("sym")
+    val qk = q.withColumn("symk", xxhash64(col("sym"))).drop("sym")
+
+    val composed = AsOfJoin.asofBackward(t, qk, "symk", "tts_us", "qts_us")
+      .select(col("qty"), col("asof_px")).orderBy("qty").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[java.lang.Double]("asof_px"))))
+
+    val native = AsOfJoin.asofNative(t, qk, "symk", "tts_us", "qts_us")
+      .select(col("qty"), col("asof_px")).orderBy("qty").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[java.lang.Double]("asof_px"))))
+
+    assert(native.sameElements(composed),
+      s"\nnative  =${native.mkString(", ")}\ncomposed=${composed.mkString(", ")}")
+
+    // and the physical plan really is the custom operator
+    val plan = AsOfJoin.asofNative(t, qk, "symk", "tts_us", "qts_us")
+      .queryExecution.executedPlan.toString
+    // the exec node prints its nodeName ("AsOfJoin"), not the class name
+    assert(plan.contains("AsOfJoin "), s"custom strategy not used:\n$plan")
+  }
+
+  test("native as-of matches composition on the full events attribution (sf0.001)") {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts")).agg(min("event_id").as("view_event_id"))
+      .select(col("user_id"), unix_micros(col("ts")).as("vts"), col("view_event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pts"))
+    val a = AsOfJoin.asofBackward(purchases, views, "user_id", "pts", "vts")
+      .select("event_id", "asof_view_event_id").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[java.lang.Long]("asof_view_event_id"))))
+    val b = AsOfJoin.asofNative(purchases, views, "user_id", "pts", "vts")
+      .select("event_id", "asof_view_event_id").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[java.lang.Long]("asof_view_event_id"))))
+    assert(a.sameElements(b))
+    assert(a.nonEmpty)
+  }
+
   test("asofBackward plan shuffles once on the key (no cross join)") {
     val plan = AsOfJoin.asofBackward(trades, quotes, "sym", "tts", "qts")
       .queryExecution.executedPlan.toString
