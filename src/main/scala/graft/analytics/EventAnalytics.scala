@@ -115,7 +115,27 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
       .orderBy(asc_nulls_first("day"), asc_nulls_first("event_type"))
 
+  /** x23 again, but through the NATIVE as-of operator (plans.AsOfJoinExec)
+    * — puts the custom LogicalPlan→SparkPlan path under the same DuckDB
+    * ASOF JOIN oracle as the composition. */
+  def asofAttributionNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts")).agg(min(col("event_id")).as("view_event_id"))
+      .select(col("user_id"), unix_micros(col("ts")).as("view_us"), col("view_event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("purchase_us"))
+    graft.ops.AsOfJoin.asofNative(purchases, views, "user_id", "purchase_us", "view_us")
+      .select(col("event_id"), col("user_id"),
+        date_format(timestamp_micros(col("purchase_us")), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("asof_view_event_id").as("view_event_id"),
+        date_format(timestamp_micros(col("asof_view_us")), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        (col("purchase_us") - col("asof_view_us")).as("lag_micros"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x29_events_asof_native" -> asofAttributionNative,
     "x24_events_percentiles" -> valuePercentiles,
     "x25_events_rollup" -> dailyTypeRollup,
     "x23_events_asof_attribution" -> asofAttribution,
@@ -125,6 +145,20 @@ object EventAnalytics {
     "x18_events_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "x29_events_asof_native" ->
+      """WITH views AS (
+           SELECT user_id, ts AS view_ts, MIN(event_id) AS view_event_id
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         purch AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           v.view_event_id,
+           strftime(v.view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           epoch_us(p.ts) - epoch_us(v.view_ts) AS lag_micros
+         FROM purch p ASOF LEFT JOIN views v
+           ON p.user_id = v.user_id AND p.ts >= v.view_ts
+         ORDER BY p.event_id""",
     "x24_events_percentiles" ->
       """SELECT event_type,
          ROUND(quantile_cont(value, 0.5), 6) AS p50,

@@ -81,7 +81,24 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Top-5 tokens per source by frequency, via the algebraic TopKAgg
+    * aggregator (map-side partial top-k — the shuffle after the count
+    * carries ≤5 rows per (source, partition), not the whole vocab). */
+  def topTermsPerSource(s: SparkSession, dir: String): DataFrame = {
+    val counts = load(s, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.functions.TopKAgg.topKPerKey(counts, Seq("source"), col("cnt"), col("token"), 5)
+      .select(col("source"), col("rank"),
+        get_json_object(col("entry_json"), "$.token").as("token"),
+        get_json_object(col("entry_json"), "$.cnt").cast("long").as("cnt"))
+      .orderBy("source", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x30_text_top_terms" -> topTermsPerSource,
     "x27_text_curation" -> curationPipeline,
     "x10_text_token_stats" -> tokenStats,
     "x11_text_langid" -> languageId,
@@ -93,6 +110,18 @@ object TextAnalysis {
     * engines split trimmed text on \s+; ratios are raw double divisions
     * (no rounding → no decimal-tie divergence). */
   val oracles: Map[String, String] = Map(
+    "x30_text_top_terms" -> """
+      WITH toks AS (
+        SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents),
+      counts AS (
+        SELECT source, token, COUNT(*) AS cnt FROM toks
+        WHERE length(token) > 0 GROUP BY 1, 2)
+      SELECT source, rank, token, cnt FROM (
+        SELECT source, token, cnt,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, token) AS rank
+        FROM counts)
+      WHERE rank <= 5 ORDER BY source, rank""",
     "x27_text_curation" -> """
       WITH sw(lang, words) AS (VALUES
         ('de', ['der','die','das','und','ist','nicht','mit','ein','zu','den','von','sich']),

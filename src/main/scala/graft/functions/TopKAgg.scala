@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object TopKAgg {
 
-  /** (sortKey desc, tiebreak asc, opaque payload) */
-  case class Entry(sortKey: Double, tiebreak: Long, payload: String)
+  /** (sortKey desc, tiebreak asc, opaque payload). Tiebreak is a
+    * string for generality (tokens, names); numeric callers pass a
+    * zero-padded rendering (format_string("%019d", id)) to keep
+    * lexicographic == numeric order. */
+  case class Entry(sortKey: Double, tiebreak: String, payload: String)
 
   private def better(a: Entry, b: Entry): Boolean =
     a.sortKey > b.sortKey || (a.sortKey == b.sortKey && a.tiebreak < b.tiebreak)
@@ -58,7 +61,7 @@ object TopKAgg {
                  tiebreak: Column, k: Int): DataFrame = {
     val payload = to_json(struct(df.columns.map(col).toSeq: _*))
     val agg = udaf(new TopK(k))
-      .apply(sortKey.cast("double"), tiebreak.cast("long"), payload)
+      .apply(sortKey.cast("double"), tiebreak.cast("string"), payload)
       .as("__top")
     df.groupBy(keyCols.map(col): _*)
       .agg(agg)

@@ -20,7 +20,8 @@ class TopKSpec extends SparkSpec {
       .orderBy("g", "rank").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
 
-    val viaAgg = TopKAgg.topKPerKey(df, Seq("g"), col("score"), col("id"), 3)
+    val viaAgg = TopKAgg.topKPerKey(df, Seq("g"), col("score"),
+        format_string("%019d", col("id")), 3)
       .withColumn("id", get_json_object(col("entry_json"), "$.id").cast("long"))
       .select(col("g"), col("rank"), col("id"))
       .orderBy("g", "rank").collect()
@@ -31,14 +32,16 @@ class TopKSpec extends SparkSpec {
 
   test("ties break deterministically by the ascending tiebreak") {
     val tied = Seq(("a", 1L, 5.0), ("a", 3L, 5.0), ("a", 2L, 5.0)).toDF("g", "id", "score")
-    val out = TopKAgg.topKPerKey(tied, Seq("g"), col("score"), col("id"), 2)
+    val out = TopKAgg.topKPerKey(tied, Seq("g"), col("score"),
+        format_string("%019d", col("id")), 2)
       .withColumn("id", get_json_object(col("entry_json"), "$.id").cast("long"))
       .orderBy("rank").collect().map(_.getAs[Long]("id"))
     assert(out.toSeq == Seq(1L, 2L))
   }
 
   test("aggregation is partial (map-side) — the shuffle carries <= k per key per partition") {
-    val plan = TopKAgg.topKPerKey(df, Seq("g"), col("score"), col("id"), 3)
+    val plan = TopKAgg.topKPerKey(df, Seq("g"), col("score"),
+        format_string("%019d", col("id")), 3)
       .queryExecution.executedPlan.toString
     // two aggregate stages around the exchange = partial + final
     val aggStages = "Aggregate".r.findAllIn(plan).size
