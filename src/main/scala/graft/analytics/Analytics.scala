@@ -227,7 +227,27 @@ object Analytics {
            count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Supplier-side rollup (completes testdata table coverage): per
+    * nation, supplier count and account-balance stats; nation dim
+    * broadcasts. Left join keeps supplier-less nations with zeros,
+    * mirroring J2's empty-group semantics. */
+  def supplierBalances(s: SparkSession, dir: String): DataFrame = {
+    val nation = load(s, dir, "nation")
+    val sup = load(s, dir, "supplier")
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+           r2(sum(col("s_acctbal"))).as("total_balance"),
+           r2(avg(col("s_acctbal"))).as("avg_balance"))
+    nation.join(sup, nation("n_nationkey") === sup("s_nationkey"), "left")
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        r2(coalesce(col("total_balance"), lit(0.0))).as("total_balance"),
+        coalesce(col("avg_balance"), lit(0.0)).as("avg_balance"))
+      .orderBy("n_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_supplier_balances" -> supplierBalances,
     "q01_monthly_sales" -> monthlySales,
     "q02_segment_rollup" -> segmentRollup,
     "q03_top_products" -> topProducts,
@@ -247,6 +267,17 @@ object Analytics {
   /** DuckDB twins of every query above — same parquet, same column
     * names, same rounding, same ordering. */
   val oracles: Map[String, String] = Map(
+    "q16_supplier_balances" ->
+      """SELECT n.n_nationkey, n.n_name,
+         COALESCE(s.n_suppliers, 0) AS n_suppliers,
+         ROUND(COALESCE(s.total_balance, 0), 2) AS total_balance,
+         COALESCE(s.avg_balance, 0) AS avg_balance
+         FROM nation n LEFT JOIN (
+           SELECT s_nationkey, COUNT(*) AS n_suppliers,
+             ROUND(SUM(s_acctbal), 2) AS total_balance,
+             ROUND(AVG(s_acctbal), 2) AS avg_balance
+           FROM supplier GROUP BY 1) s
+         ON n.n_nationkey = s.s_nationkey ORDER BY n.n_nationkey""",
     "q01_monthly_sales" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
          COUNT(*) AS total_orders, ROUND(SUM(o_totalprice), 2) AS total_revenue
