@@ -59,6 +59,21 @@ object Sources {
     }
   }
 
+  /** Date-partitioned parquet layout — the at-rest organization a
+    * 100 TB fact table needs: writes land in `p_date=YYYY-MM-DD/`
+    * directories, and any read filtered on `p_date` prunes whole
+    * partitions BEFORE listing files (PartitionFilters in the scan,
+    * verified by EtlSpec). The reference's closest analog is its
+    * order_date secondary index (main.py:202). */
+  def writePartitionedByDate(df: DataFrame, dir: String, table: String,
+                             tsCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("p_date", to_date(col(tsCol)))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("p_date")
+      .parquet(s"$dir/$table.parquet")
+  }
+
   /** Upsert/merge into a parquet snapshot: incoming rows replace
     * existing rows with the same key; ties on `versionCol` favor the
     * incoming side. (The reference's ETLOptimizer *suggests* "UPSERT

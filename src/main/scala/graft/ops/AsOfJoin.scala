@@ -21,9 +21,14 @@ import org.apache.spark.sql.types.StructType
   */
 object AsOfJoin {
 
+  /** `tolerance`: maximum staleness of the match — a right row older
+    * than leftTime − tolerance yields NULLs instead. Units follow
+    * `.cast("long")` of the time columns (seconds for timestamps,
+    * native for numerics). None = unbounded. */
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
                    leftTime: String, rightTime: String,
-                   payloadPrefix: String = "asof_"): DataFrame = {
+                   payloadPrefix: String = "asof_",
+                   tolerance: Option[Long] = None): DataFrame = {
     val leftStruct = struct(left.columns.map(col).toSeq: _*)
     val rightStruct = struct(right.columns.map(col).toSeq: _*)
     val rightType = StructType(right.schema.fields)
@@ -44,6 +49,12 @@ object AsOfJoin {
     val matched = l.unionByName(r)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+      .withColumn("__m", tolerance match {
+        case None => col("__m")
+        case Some(tol) => when(
+          col("__t").cast("long") - col(s"__m.$rightTime").cast("long") <= tol,
+          col("__m")) // else NULL: match too stale
+      })
 
     val leftCols = left.columns.map(c => col(s"__l.$c").as(c)).toSeq
     val rightCols = right.columns.map(c => col(s"__m.$c").as(s"$payloadPrefix$c")).toSeq
@@ -59,7 +70,8 @@ object AsOfJoin {
     * back NULL for unmatched left rows, prefixed like asofBackward. */
   def asofNative(left: DataFrame, right: DataFrame, key: String,
                  leftTime: String, rightTime: String,
-                 payloadPrefix: String = "asof_"): DataFrame = {
+                 payloadPrefix: String = "asof_",
+                 tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.graftshim
     val spark = left.sparkSession
     // disambiguate output names up front (left names win their spot)
@@ -71,7 +83,7 @@ object AsOfJoin {
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
     val plan = graft.plans.AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, s"$payloadPrefix$key"),
-      attr(lPlan, leftTime), attr(rPlan, s"$payloadPrefix$rightTime"))
+      attr(lPlan, leftTime), attr(rPlan, s"$payloadPrefix$rightTime"), tolerance)
     graftshim.ofRows(spark, plan).drop(s"$payloadPrefix$key")
   }
 

@@ -24,7 +24,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
-                        leftTime: Expression, rightTime: Expression)
+                        leftTime: Expression, rightTime: Expression,
+                        tolerance: Option[Long] = None)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -35,7 +36,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
-                        leftTime: Expression, rightTime: Expression)
+                        leftTime: Expression, rightTime: Expression,
+                        tolerance: Option[Long])
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -77,7 +79,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val joined = new JoinedRow
 
       val rBuf = rIter.buffered
+      val tol = tolerance.getOrElse(Long.MaxValue)
       var heldKey: Long = 0L
+      var heldTime: Long = 0L
       var held: InternalRow = null // last right row with key == heldKey, time <= current left time
 
       new Iterator[InternalRow] {
@@ -96,10 +100,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             val rk = rKeyProj(r).getLong(0)
             if (rk < k) { rBuf.next(); advancing = true }
             else if (rk == k && rTimeProj(r).getLong(0) <= t) {
+              heldTime = rTimeProj(r).getLong(0)
               held = rBuf.next().copy(); heldKey = k
             } else advancing = false
           }
-          outProj(joined(l, if (held != null) held else nullRight))
+          val matched = held != null && t - heldTime <= tol
+          outProj(joined(l, if (matched) held else nullRight))
         }
       }
     }
@@ -114,8 +120,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   * GraftExtensions.injectPlannerStrategy). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }

@@ -143,6 +143,24 @@ object EventStreams {
   def enrichWithStatic(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
+  /** Stream-stream join: views joined to the same user's purchases
+    * within the following hour. Both sides are watermarked so the
+    * state store holds only rows inside the join horizon — the
+    * interval condition gives Spark the bound it needs to GC state;
+    * without it, stream-stream state grows forever. */
+  def viewToPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+              col("ts").as("purchase_ts"), col("value"))
+    v.join(p, expr(
+      """user_id = p_user_id AND
+         purchase_ts >= view_ts AND
+         purchase_ts <= view_ts + INTERVAL 1 HOUR"""))
+      .drop("p_user_id")
+  }
+
   /** At-least-once → effectively-once: drop event_id duplicates whose
     * duplicate arrives within the watermark horizon. State = one
     * (event_id, ts) entry per id inside the horizon, GC'd by the

@@ -148,6 +148,28 @@ class EtlSpec extends SparkSpec {
     assert(perOrder.filter(col("count") < 1 || col("count") > 5).count() == 0)
   }
 
+  test("date-partitioned writes prune partitions on filtered reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    Sources.writePartitionedByDate(ev, dir, "events_part", "ts")
+
+    // physical layout: one directory per day
+    val dirs = new java.io.File(s"$dir/events_part.parquet")
+      .listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("p_date=")))
+
+    val someDay = dirs.head.stripPrefix("p_date=")
+    val read = Sources.readTable(spark, dir, "events_part")
+      .filter(col("p_date") === someDay)
+    // the filter must show up as a partition filter, not a data filter
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("p_date"),
+      s"partition filter not applied:\n$plan")
+    // and row counts agree with an unpartitioned filter
+    val expected = ev.filter(to_date(col("ts")) === lit(someDay).cast("date")).count()
+    assert(read.count() == expected)
+  }
+
   test("upsertTable merges by key, newest version wins, ties favor updates") {
     val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
     val v1 = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("id", "v", "ver")

@@ -86,6 +86,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("tolerance nulls out stale matches in both composition and native paths") {
+    // timestamps cast to long = epoch seconds in the composition path
+    val composed = AsOfJoin.asofBackward(trades, quotes, "sym", "tts", "qts",
+        tolerance = Some(600L)) // 10 minutes
+      .orderBy("qty").collect()
+      .map(r => Option(r.getAs[java.lang.Double]("asof_px")).map(_.toDouble))
+    // trade 11:00 is 50 min after the 10:10 quote → now unmatched
+    assert(composed.toSeq == Seq(Some(100.0), Some(101.0), None, None, None))
+
+    val q = quotes.withColumn("qts_us", unix_micros(col("qts"))).drop("qts")
+      .withColumn("symk", xxhash64(col("sym"))).drop("sym")
+    val t = trades.withColumn("tts_us", unix_micros(col("tts"))).drop("tts")
+      .withColumn("symk", xxhash64(col("sym"))).drop("sym")
+    val native = AsOfJoin.asofNative(t, q, "symk", "tts_us", "qts_us",
+        tolerance = Some(600L * 1000000)) // native times are micros
+      .orderBy("qty").collect()
+      .map(r => Option(r.getAs[java.lang.Double]("asof_px")).map(_.toDouble))
+    assert(native.toSeq == composed.toSeq)
+  }
+
   test("asofBackward plan shuffles once on the key (no cross join)") {
     val plan = AsOfJoin.asofBackward(trades, quotes, "sym", "tts", "qts")
       .queryExecution.executedPlan.toString

@@ -114,6 +114,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(n == 1, s"duplicate event_id surfaced $n times")
   }
 
+  test("stream-stream interval join matches views to in-window purchases") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vs = MemoryStream[EventStreams.Event]
+    val ps = MemoryStream[EventStreams.Event]
+    val joined = EventStreams.viewToPurchaseJoin(vs.toDF(), ps.toDF())
+    val q = joined.writeStream.format("memory").queryName("t_ssj")
+      .outputMode(OutputMode.Append()).start()
+    vs.addData(Seq(
+      EventStreams.Event(1L, 1L, "view", ts("2024-01-01 10:00:00"), 0.0),
+      EventStreams.Event(2L, 2L, "view", ts("2024-01-01 10:00:00"), 0.0)))
+    ps.addData(Seq(
+      EventStreams.Event(10L, 1L, "purchase", ts("2024-01-01 10:30:00"), 5.0), // in window
+      EventStreams.Event(11L, 2L, "purchase", ts("2024-01-01 12:00:00"), 7.0), // too late
+      EventStreams.Event(12L, 1L, "purchase", ts("2024-01-01 09:30:00"), 9.0))) // before view
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_ssj").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("view_id") == 1L && rows(0).getAs[Long]("purchase_id") == 10L)
+  }
+
   test("file-stream source over testdata events matches batch row count") {
     val stream = EventStreams.fromParquetDir(spark, sfDir)
     assert(stream.isStreaming)
