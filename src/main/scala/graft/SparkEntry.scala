@@ -19,6 +19,8 @@ object SparkEntry {
       ext.Dedup.queries ++
       ext.Similarity.queries ++
       ext.TextAnalysis.queries ++
+      ext.Sampling.queries ++
+      ext.Contamination.queries ++
       streaming.EventStreams.queries ++
       multimodal.Multimodal.queries
 
@@ -30,6 +32,8 @@ object SparkEntry {
       ext.Dedup.oracles ++
       ext.Similarity.oracles ++
       ext.TextAnalysis.oracles ++
+      ext.Sampling.oracles ++
+      ext.Contamination.oracles ++
       streaming.EventStreams.oracles ++
       multimodal.Multimodal.oracles
 }

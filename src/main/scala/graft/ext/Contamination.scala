@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+import graft.functions.TextFunctions._
+
+/** Benchmark decontamination and blocklist filtering — the two removal
+  * passes every pretraining pipeline runs before the mix is final. No
+  * reference analog (the reference's only exclusion op is the email
+  * filter, main.py:440); semantics follow the published n-gram-overlap
+  * decontamination recipe used by public LLM data pipelines.
+  *
+  * Scale notes: contamination is (per-row shingle → semi-join on the
+  * benchmark gram set → per-doc count). The benchmark side of the join is
+  * eval-set sized (millions of grams, not billions) so it broadcasts; the
+  * corpus side never shuffles its text, only (doc_id, gram) pairs — and
+  * at 100 TB you join on xxhash64(gram) (8-byte keys) instead of the gram
+  * strings, which changes nothing semantically modulo 2^-64 collisions.
+  * The string-keyed form is kept here so DuckDB can verify row-for-row.
+  */
+object Contamination {
+
+  /** Marker for the stand-in "held-out benchmark" rows inside the
+    * documents table (a real pipeline reads the eval sets from their own
+    * source): every 13th document. */
+  private val benchmarkDoc = col("doc_id") % 13 === 0
+
+  /** Word-8-gram overlap between each training document and the
+    * benchmark set: a training doc sharing ANY 8-gram with a benchmark
+    * doc is contaminated (8-grams are long enough that chance collisions
+    * vanish; overlap means copied text). Output: one row per training
+    * doc with its distinct-hit count and flag. */
+  def benchmarkContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    // wordShingles emits the distinct gram set per doc, so the semi-join
+    // hit count below is a distinct-gram count with no extra dedup pass
+    val grams = docs.select(col("doc_id"), explode(wordShingles(col("text"), 8)).as("gram"))
+    val bench = grams.filter(benchmarkDoc).select("gram").distinct()
+    val hits = grams.filter(!benchmarkDoc)
+      .join(bench, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    docs.filter(!benchmarkDoc).select("doc_id", "source")
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("contaminated", (col("n_hit") > 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Blocklist rows: every 17th document's text stands in for a
+    * takedown/opt-out blocklist. */
+  private val blockedDoc = col("doc_id") % 17 === 0
+
+  /** Blocklist filtering with a Bloom-filter prefilter: drop every
+    * document whose text appears on the blocklist. The Bloom filter
+    * (built over the blocklist, broadcast to every task) definitely
+    * clears the ~99% of rows it reports absent — those never enter a
+    * join; only the tiny might-contain fraction anti-joins against the
+    * real blocklist to kill false positives, so the result is EXACT.
+    * This is the pattern for blocklists too big to broadcast as a hash
+    * table but whose Bloom bits fit anywhere (1.2 MB per million entries
+    * at 1% fpp); Spark's own AQE runtime filters inject the same shape
+    * natively. The Bloom probe is a deliberately non-codegen UDF — it
+    * runs once per row against broadcast bits, not in the agg hot path. */
+  def blocklistFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val block = docs.filter(blockedDoc).select("text")
+    val bloom = block.stat.bloomFilter("text", 1 << 20, 0.01)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((t: String) => t != null && bloomB.value.mightContain(t))
+
+    val clean = docs.filter(!mightContain(col("text")))
+    val cleared = docs.filter(mightContain(col("text")))
+      .join(block, Seq("text"), "left_anti")
+    clean.select("doc_id", "source")
+      .unionByName(cleared.select("doc_id", "source"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x34_contamination" -> benchmarkContamination,
+    "x35_blocklist" -> blocklistFilter)
+
+  val oracles: Map[String, String] = Map(
+    "x34_contamination" -> """
+      WITH toks AS (SELECT doc_id, source,
+          string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      idx AS (SELECT doc_id, source, t,
+          unnest(range(1, greatest(len(t)-7, 1)+1)) AS i FROM toks),
+      grams AS (SELECT DISTINCT doc_id, source,
+          array_to_string(t[i:i+7], ' ') AS gram FROM idx),
+      bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 13 = 0),
+      hits AS (SELECT g.doc_id, COUNT(*) AS n_hit
+        FROM grams g JOIN bench b USING (gram)
+        WHERE g.doc_id % 13 <> 0 GROUP BY 1)
+      SELECT d.doc_id, d.source, COALESCE(h.n_hit, 0) AS n_hit,
+        CAST(COALESCE(h.n_hit, 0) > 0 AS INT) AS contaminated
+      FROM documents d LEFT JOIN hits h USING (doc_id)
+      WHERE d.doc_id % 13 <> 0 ORDER BY d.doc_id""",
+    "x35_blocklist" -> """
+      SELECT doc_id, source FROM documents
+      WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 17 = 0)
+      ORDER BY doc_id""")
+}

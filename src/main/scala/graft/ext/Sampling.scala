@@ -1,0 +1,147 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+import graft.functions.TextFunctions._
+
+/** Sampling and sequence-assembly operators for training-data curation —
+  * the "decide what goes into the next pretraining mix" surface. No
+  * analog in the reference (its generator samples with numpy on the
+  * driver, main.py:266-375); these are distributed, deterministic, and
+  * re-runnable: selection is a pure function of the row key, never of
+  * `rand()`, partition layout, or row order, so a resumed or re-run job
+  * selects the identical subset.
+  *
+  * Scale notes: stratified sampling is a stateless per-row filter (scan
+  * speed, no shuffle). Mixture sampling needs per-stratum quotas — exact
+  * quotas use one tiny count aggregate plus a per-stratum rank; at
+  * 100 TB with few strata the rank window would hot-spot one executor
+  * per stratum, so the scale path replaces `row_number < quota` with the
+  * equivalent hash-threshold filter `u32 < quota/count * 2^32` (same
+  * statistical guarantee, no window; exact-quota form kept here because
+  * the oracle can verify it row-for-row).
+  */
+object Sampling {
+
+  /** Portable deterministic uniform: Knuth multiplicative hash of the row
+    * key into [0, 2^32). An odd multiplier makes it a bijection mod 2^32
+    * (no duplicate ranks), and the arithmetic (`*` then `%`) reproduces
+    * bit-for-bit in any engine with 64-bit integers — which is what lets
+    * DuckDB verify the exact selected subset. xxhash64 would mix better
+    * but is not portable across engines. Safe under ANSI overflow checks
+    * for keys < ~3.4e9 (2^63 / 2654435761). */
+  def u32(key: Column): Column = (key * lit(2654435761L)) % lit(4294967296L)
+
+  /** Per-stratum Bernoulli sampling at deterministic rates — here:
+    * downsample over-represented languages (en to 40%, es to 80%, rest
+    * kept) — the classic "rebalance the language mix" curation step.
+    * Thresholds are exact integers on the u32 scale so engines never
+    * compare floats. Stateless per-row filter: no shuffle, pushes down
+    * to the scan. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val threshold = when(col("lang") === "en", lit(1717986918L))  // 0.4 * 2^32
+      .when(col("lang") === "es", lit(3435973836L))               // 0.8 * 2^32
+      .otherwise(lit(4294967296L))                                // keep all
+    load(s, dir, "documents")
+      .filter(u32(col("doc_id")) < threshold)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** Mixture weights in per-mille (integer, so quota arithmetic is exact
+    * in every engine — double division of e.g. 73/0.2 rounds differently
+    * across engines at floor boundaries). */
+  val mixtureWeightsPm: Seq[(String, Long)] =
+    Seq(("en", 350L), ("de", 150L), ("es", 200L), ("fr", 150L), ("zh", 150L))
+
+  /** Deterministic mixture sampling: select the largest corpus with the
+    * target language proportions. N = min_s floor(count_s·1000/w_s) is
+    * the largest total the scarcest stratum supports; each stratum
+    * contributes its floor(N·w_s/1000) lowest-hash rows. Integer `div`
+    * throughout; selection = rank-by-u32 within stratum. */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val w = s.createDataFrame(mixtureWeightsPm).toDF("lang", "wt_pm")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val n = counts.join(w, "lang")
+      .agg(min(expr("cnt * 1000 div wt_pm")).as("n"))
+    val quotas = w.crossJoin(n)
+      .select(col("lang"), expr("n * wt_pm div 1000").as("quota"))
+    val ranked = docs
+      .withColumn("h", u32(col("doc_id")))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("lang").orderBy("h", "doc_id")))
+    ranked.join(broadcast(quotas), "lang")
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** Tokens per training sequence for [[packSequences]]. */
+  val PackBudget = 256
+
+  /** Sequence packing: assign documents to fixed-budget training
+    * sequences by the concatenate-then-chunk rule — a document belongs to
+    * the pack where its first token lands (`pack = start_offset div
+    * budget`), offsets from a running token total in stable doc_id order.
+    * Packing is per source: each shard packs independently (the window
+    * partitions by source), which is exactly how a 100 TB corpus packs —
+    * per input shard, in parallel, no global order. Output is the pack
+    * manifest (doc count, token count, doc_id span per pack). */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+    val running = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum", sum("n_tokens").over(running))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $PackBudget"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tokens").as("pack_tokens"),
+           min("doc_id").as("first_doc"),
+           max("doc_id").as("last_doc"))
+      .orderBy("source", "pack_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x31_sample_stratified" -> stratifiedSample,
+    "x32_sample_mixture" -> mixtureSample,
+    "x33_pack_sequences" -> packSequences)
+
+  val oracles: Map[String, String] = Map(
+    "x31_sample_stratified" -> """
+      SELECT doc_id, lang, source FROM documents
+      WHERE (doc_id*2654435761)%4294967296 <
+        CASE WHEN lang='en' THEN 1717986918
+             WHEN lang='es' THEN 3435973836
+             ELSE 4294967296 END
+      ORDER BY doc_id""",
+    "x32_sample_mixture" -> """
+      WITH w(lang, wt_pm) AS (VALUES ('en',350),('de',150),('es',200),('fr',150),('zh',150)),
+      counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+      n AS (SELECT MIN(cnt * 1000 // wt_pm) AS n FROM counts JOIN w USING (lang)),
+      quota AS (SELECT w.lang, (n.n * w.wt_pm) // 1000 AS q FROM w, n),
+      ranked AS (SELECT doc_id, lang, source,
+        ROW_NUMBER() OVER (PARTITION BY lang
+          ORDER BY (doc_id*2654435761)%4294967296, doc_id) AS rn
+        FROM documents)
+      SELECT r.doc_id, r.lang, r.source FROM ranked r
+      JOIN quota ON r.lang = quota.lang
+      WHERE rn <= q ORDER BY doc_id""",
+    "x33_pack_sequences" -> """
+      WITH t AS (SELECT doc_id, source,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t)
+      SELECT source, CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM c GROUP BY 1,2 ORDER BY 1,2""")
+}

@@ -1,0 +1,45 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ContaminationSpec extends SparkSpec {
+
+  test("benchmarkContamination flags exact copies of benchmark docs") {
+    val docs = graft.Tables.load(spark, sfDir, "documents").cache()
+    val out = Contamination.benchmarkContamination(spark, sfDir).cache()
+
+    // one row per training (non-benchmark) doc
+    val nTrain = docs.filter(col("doc_id") % 13 =!= 0).count()
+    assert(out.count() == nTrain)
+    assert(out.filter(col("doc_id") % 13 === 0).count() == 0,
+      "benchmark docs must not appear in the report")
+
+    // any training doc whose text equals a benchmark doc's text (and is
+    // long enough to have an 8-gram) must be flagged
+    val benchTexts = docs.filter(col("doc_id") % 13 === 0).select("text").distinct()
+    val copies = docs.filter(col("doc_id") % 13 =!= 0)
+      .join(benchTexts, Seq("text"), "left_semi")
+      .filter(size(split(trim(col("text")), "\\s+")) >= 8)
+      .select("doc_id")
+    val flaggedCopies = copies.join(out.filter(col("contaminated") === 1), "doc_id").count()
+    assert(flaggedCopies == copies.count(),
+      s"only $flaggedCopies of ${copies.count()} exact benchmark copies flagged")
+    out.unpersist(); docs.unpersist()
+  }
+
+  test("blocklistFilter equals the plain anti-join (bloom adds no error)") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val block = docs.filter(col("doc_id") % 17 === 0).select("text")
+    val expected = docs.join(block, Seq("text"), "left_anti")
+      .select("doc_id", "source").orderBy("doc_id").collect()
+    val got = Contamination.blocklistFilter(spark, sfDir).collect()
+    assert(got.length == expected.length)
+    assert(got.map(_.getLong(0)).sameElements(expected.map(_.getLong(0))))
+  }
+
+  test("blocklistFilter drops the blocklisted docs themselves") {
+    val out = Contamination.blocklistFilter(spark, sfDir)
+    assert(out.filter(col("doc_id") % 17 === 0).count() == 0)
+  }
+}

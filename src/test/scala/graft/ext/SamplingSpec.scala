@@ -1,0 +1,64 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  test("stratifiedSample is deterministic and respects per-lang thresholds") {
+    val a = Sampling.stratifiedSample(spark, sfDir).collect()
+    val b = Sampling.stratifiedSample(spark, sfDir).collect()
+    assert(a.sameElements(b), "selection must be identical across runs")
+
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val total = docs.filter(col("lang") === "en").count()
+    val kept = a.count(_.getString(1) == "en")
+    // u32 is equidistributed: en rate 0.4 ± slack on small strata
+    assert(kept < total, "en must actually be downsampled")
+    assert(math.abs(kept.toDouble / total - 0.4) < 0.15,
+      s"en keep rate ${kept.toDouble / total} far from 0.4")
+    // non-sampled langs keep every row
+    val deTotal = docs.filter(col("lang") === "de").count()
+    assert(a.count(_.getString(1) == "de") == deTotal)
+  }
+
+  test("mixtureSample hits exact integer quotas and never exceeds supply") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = Sampling.mixtureWeightsPm.toMap
+    val n = w.map { case (l, pm) => counts(l) * 1000L / pm }.min
+    val quotas = w.map { case (l, pm) => l -> n * pm / 1000L }
+
+    val out = Sampling.mixtureSample(spark, sfDir).collect()
+    val got = out.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    quotas.foreach { case (l, q) =>
+      assert(got.getOrElse(l, 0L) == q, s"lang $l: got ${got.getOrElse(l, 0L)}, quota $q")
+      assert(q <= counts(l), s"quota for $l exceeds supply")
+    }
+  }
+
+  test("packSequences: pack manifest partitions each source's docs exactly once") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val out = Sampling.packSequences(spark, sfDir).cache()
+    // every doc lands in exactly one pack
+    assert(out.agg(sum("n_docs")).collect()(0).getLong(0) == docs.count())
+    // pack token totals sum to the corpus token total
+    val totalTokens = docs
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long")))
+      .collect()(0).getLong(0)
+    assert(out.agg(sum("pack_tokens")).collect()(0).getLong(0) == totalTokens)
+    // pack ids are dense from 0 within each source
+    val bad = out.groupBy("source")
+      .agg(min("pack_id").as("mn"), max("pack_id").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 0 || col("n") =!= col("mx") + 1)
+    assert(bad.count() == 0, "pack ids must be dense per source")
+    // a pack never starts beyond the running total: first pack >= budget-1 docs
+    // spot-check monotonicity: doc spans of consecutive packs don't overlap
+    val overlap = out.alias("a").join(out.alias("b"),
+      col("a.source") === col("b.source") && (col("a.pack_id") + 1 === col("b.pack_id")) &&
+        col("a.last_doc") > col("b.first_doc"))
+    assert(overlap.count() == 0, "doc_id spans of consecutive packs must not overlap")
+    out.unpersist()
+  }
+}
