@@ -21,6 +21,7 @@ object SparkEntry {
       ext.TextAnalysis.queries ++
       ext.Sampling.queries ++
       ext.Contamination.queries ++
+      ops.SnapshotDiff.queries ++
       streaming.EventStreams.queries ++
       multimodal.Multimodal.queries
 
@@ -34,6 +35,7 @@ object SparkEntry {
       ext.TextAnalysis.oracles ++
       ext.Sampling.oracles ++
       ext.Contamination.oracles ++
+      ops.SnapshotDiff.oracles ++
       streaming.EventStreams.oracles ++
       multimodal.Multimodal.oracles
 }

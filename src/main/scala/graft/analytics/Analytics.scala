@@ -246,7 +246,23 @@ object Analytics {
       .orderBy("n_nationkey")
   }
 
+  /** Set operations (no reference analog — SURVEY §2.7 records none):
+    * customers with finished orders, minus those with open orders,
+    * restricted to positive-balance customers. EXCEPT/INTERSECT carry
+    * SQL's distinct semantics; Catalyst plans them as distinct +
+    * left-anti / left-semi hash joins — each input shuffles once on the
+    * 8-byte key, the right shape at any scale. */
+  def orderSetOps(s: SparkSession, dir: String): DataFrame = {
+    val orders = load(s, dir, "orders")
+    val finished = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val open = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val positive = load(s, dir, "customer")
+      .filter(col("c_acctbal") > 0).select(col("c_custkey").as("o_custkey"))
+    finished.except(open).intersect(positive).orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_order_set_ops" -> orderSetOps,
     "q16_supplier_balances" -> supplierBalances,
     "q01_monthly_sales" -> monthlySales,
     "q02_segment_rollup" -> segmentRollup,
@@ -267,6 +283,14 @@ object Analytics {
   /** DuckDB twins of every query above — same parquet, same column
     * names, same rounding, same ordering. */
   val oracles: Map[String, String] = Map(
+    "q17_order_set_ops" -> """
+      SELECT * FROM (
+        (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        INTERSECT
+        SELECT c_custkey AS o_custkey FROM customer WHERE c_acctbal > 0)
+      ORDER BY o_custkey""",
     "q16_supplier_balances" ->
       """SELECT n.n_nationkey, n.n_name,
          COALESCE(s.n_suppliers, 0) AS n_suppliers,
