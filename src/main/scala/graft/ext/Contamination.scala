@@ -3,7 +3,6 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.load
-import graft.functions.TextFunctions._
 
 /** Benchmark decontamination and blocklist filtering — the two removal
   * passes every pretraining pipeline runs before the mix is final. No
@@ -33,9 +32,11 @@ object Contamination {
     * doc with its distinct-hit count and flag. */
   def benchmarkContamination(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
-    // wordShingles emits the distinct gram set per doc, so the semi-join
-    // hit count below is a distinct-gram count with no extra dedup pass
-    val grams = docs.select(col("doc_id"), explode(wordShingles(col("text"), 8)).as("gram"))
+    // the compiled shingle expression emits the distinct gram set per doc
+    // in one pass, so the semi-join hit count below is a distinct-gram
+    // count with no extra dedup pass
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.TextExpressions.wordShingleStrings(col("text"), 8)).as("gram"))
     val bench = grams.filter(benchmarkDoc).select("gram").distinct()
     val hits = grams.filter(!benchmarkDoc)
       .join(bench, Seq("gram"), "left_semi")

@@ -98,52 +98,106 @@ object Dedup {
     perDocSummary(load(s, dir, "documents"), pairs, verified.select("id1", "id2"))
   }
 
+  /** Pair-generation buckets larger than this are dropped: a 16-bit
+    * band value shared by hundreds of documents is not discriminative
+    * evidence of similarity, just signature clustering — and its m²/2
+    * pairs are what turns band join cost quadratic on self-similar
+    * corpora (measured: 424k candidate pairs from 5k word-soup docs
+    * uncapped, hot buckets of 400+). */
+  private val SimhashBucketCap = 64
+
   /** SimHash near-duplicate detection: 64-bit sketch, 4×16-bit
-    * pigeonhole bands (catches all pairs with Hamming ≤ 3), Hamming
-    * verify. The cheapest sketch: 8 bytes per document. */
+    * pigeonhole bands (a pair with Hamming ≤ 3 matches at least one
+    * band exactly), Hamming verify. The cheapest sketch: 8 bytes/doc.
+    *
+    * Skew defense, in two layers (the difference between this running
+    * at 100 TB and dying on the first self-similar crawl slice):
+    * identical signatures — the degenerate clusters where every pair is
+    * a near-dup — are counted arithmetically per group (each member has
+    * g−1 partners; O(n), no pairs materialized); and the band self-join
+    * only runs inside buckets ≤ [[SimhashBucketCap]]. Recall caveat:
+    * a Hamming 1-3 pair whose every matching band falls in a hot bucket
+    * is missed — the price of bounded work; identical-signature dups
+    * are always counted. */
   def simhashNearDups(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .select(col("doc_id"), simhash64(tokens(col("text"))).as("sim"))
       .cache()
+
+    // degenerate identical-signature groups, counted without pairs
+    val sameSim = docs.groupBy("sim").agg(count(lit(1)).as("g"))
+    val sameCounts = docs.join(sameSim, "sim")
+      .select(col("doc_id"), (col("g") - 1).cast("long").as("n_same"))
+
     val bandedS = docs.select(col("doc_id"), col("sim"),
         explode(simhashBandKeys(col("sim"))).as("bk"))
       .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val coldBuckets = bandedS.groupBy("band", "key")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= SimhashBucketCap)
+    val cold = bandedS.join(coldBuckets.select("band", "key"), Seq("band", "key"))
 
-    val a = bandedS.alias("a")
-    val b = bandedS.alias("b")
+    val a = cold.alias("a")
+    val b = cold.alias("b")
     val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") && col("a.sim") =!= col("b.sim"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
               col("a.sim").as("sim1"), col("b.sim").as("sim2"))
       .distinct()
       .withColumn("hamming", hamming64(col("sim1"), col("sim2")))
-
     val verified = pairs.filter(col("hamming") <= 3)
-    perDocSummary(load(s, dir, "documents"),
+
+    val base = perDocSummary(load(s, dir, "documents"),
       pairs.select("id1", "id2"), verified.select("id1", "id2"))
+    base.join(sameCounts, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("n_candidates") + col("n_same")).as("n_candidates"),
+        (col("n_near_dups") + col("n_same")).as("n_near_dups"))
+      .orderBy("doc_id")
   }
 
   /** n-gram Jaccard near-dup with prefix blocking: block key = hash of
     * the 4 smallest token-hashes (documents sharing a block share rare
     * tokens), exact Jaccard ≥ 0.6 on distinct token 2-gram sets within
-    * blocks. Prefix filtering keeps candidate generation a bucket join. */
+    * blocks. Prefix filtering keeps candidate generation a bucket join.
+    *
+    * Same skew defense as [[simhashNearDups]]: identical gram SETS
+    * (Jaccard exactly 1.0 — the degenerate clusters) are counted per
+    * group in O(n); the block self-join only runs inside blocks ≤
+    * [[SimhashBucketCap]], so one over-shared prefix can't go
+    * quadratic. */
   def ngramJaccardNearDups(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .select(col("doc_id"), shingleHashes(col("text"), 2).as("grams"))
+      .withColumn("setkey", xxhash64(array_sort(col("grams"))))
       .withColumn("block", xxhash64(slice(array_sort(col("grams")), 1, 4)))
       .cache()
 
-    val a = docs.alias("a")
-    val b = docs.alias("b")
+    val sameSet = docs.groupBy("setkey").agg(count(lit(1)).as("g"))
+    val sameCounts = docs.join(sameSet, "setkey")
+      .select(col("doc_id"), (col("g") - 1).cast("long").as("n_same"))
+
+    val coldBlocks = docs.groupBy("block").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= SimhashBucketCap)
+    val cold = docs.join(coldBlocks.select("block"), Seq("block"))
+
+    val a = cold.alias("a")
+    val b = cold.alias("b")
     val pairs = a.join(b,
-        col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+        col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.setkey") =!= col("b.setkey"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
               jaccard(col("a.grams"), col("b.grams")).as("jaccard"))
 
     val verified = pairs.filter(col("jaccard") >= 0.6)
-    perDocSummary(load(s, dir, "documents"),
+    val base = perDocSummary(load(s, dir, "documents"),
       pairs.select("id1", "id2"), verified.select("id1", "id2"))
+    base.join(sameCounts, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("n_candidates") + col("n_same")).as("n_candidates"),
+        (col("n_near_dups") + col("n_same")).as("n_near_dups"))
+      .orderBy("doc_id")
   }
 
   private val Planes = hyperplanes(nBits = 64, dim = 64)
@@ -151,21 +205,42 @@ object Dedup {
   private val BitsPerBand = 8
 
   /** Embedding-cosine near-dup: random-hyperplane signatures, 8×8-bit
-    * bands, exact cosine ≥ 0.95 verify within buckets. */
+    * bands, exact cosine ≥ 0.95 verify within buckets.
+    *
+    * Skew defense: identical VECTORS (cosine exactly 1 — repeated
+    * default/zero-ish embeddings are common in real corpora) are
+    * counted per group in O(n) via a content key, and pair generation
+    * skips band buckets larger than [[SimhashBucketCap]]. Unlike
+    * simhash, an identical band key does NOT prove similarity, so only
+    * byte-identical vectors get the arithmetic shortcut; everything
+    * else still passes the exact-cosine verify. Scaling rule for the
+    * band width: 8-bit bands give 256 buckets — the n²/buckets join
+    * term wants bitsPerBand to grow with log2(n) (or switch to the IVF
+    * path, topKIvf, whose list count scales the same way). */
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
     val embs = load(s, dir, "embeddings")
       .select(col("vec_id").as("doc_id"), toDouble(col("embedding")).as("v"))
       .withColumn("bits", hyperplaneBits(col("v"), Planes))
+      .withColumn("veckey", xxhash64(col("v")))
       .cache()
-    val banded = embs.select(col("doc_id"),
-        explode(bitBandKeys(col("bits"), EmbBands, BitsPerBand)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
-    val a = banded.alias("a")
-    val b = banded.alias("b")
+    val sameVec = embs.groupBy("veckey").agg(count(lit(1)).as("g"))
+    val sameCounts = embs.join(sameVec, "veckey")
+      .select(col("doc_id"), (col("g") - 1).cast("long").as("n_same"))
+
+    val banded = embs.select(col("doc_id"), col("veckey"),
+        explode(bitBandKeys(col("bits"), EmbBands, BitsPerBand)).as("bk"))
+      .select(col("doc_id"), col("veckey"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val coldBuckets = banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= SimhashBucketCap)
+    val cold = banded.join(coldBuckets.select("band", "key"), Seq("band", "key"))
+
+    val a = cold.alias("a")
+    val b = cold.alias("b")
     val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") && col("a.veckey") =!= col("b.veckey"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
 
@@ -175,9 +250,14 @@ object Dedup {
       .withColumn("cos", cosine(col("v1"), col("v2")))
     val verified = withVecs.filter(col("cos") >= 0.95)
 
-    perDocSummary(
+    val base = perDocSummary(
       load(s, dir, "embeddings").select(col("vec_id").as("doc_id")),
       pairs, verified.select("id1", "id2"))
+    base.join(sameCounts, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("n_candidates") + col("n_same")).as("n_candidates"),
+        (col("n_near_dups") + col("n_same")).as("n_near_dups"))
+      .orderBy("doc_id")
   }
 
   /** One row per source document: candidate-pair count and verified

@@ -81,6 +81,49 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Email-ish and phone-ish character patterns (the two PII shapes the
+    * synthetic corpus can contain; a production pass has a longer list —
+    * the operator shape is identical). */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+?[0-9][0-9()\\s.-]{7,}[0-9]"
+
+  /** PII redaction pass: replace email/phone-shaped spans with fixed
+    * sentinels, report per-document match counts and the size delta.
+    * Pure per-row regex maps — scan speed, no shuffle; the redacted
+    * text column is what a real pipeline would write back out.
+    * The synthetic corpus contains no PII, so every 7th document gets a
+    * deterministic email+phone suffix first (identically rebuilt by the
+    * oracle) — the counts then prove the regexes fire, not just parse. */
+  def piiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val contact = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1 (555) 010-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val t = when(col("doc_id") % 7 === 0, contact).otherwise(col("text"))
+    val redacted = regexp_replace(
+      regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        length(t).cast("long").as("len_raw"),
+        length(redacted).cast("long").as("len_redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition signals (the rule-based repetition filters of published
+    * quality pipelines): fraction of tokens that are repeats of an
+    * earlier token, and the frequency share of the single most common
+    * token. High values mean boilerplate/spam; thresholding these is a
+    * standard pre-training filter. Per-row array ops — no shuffle. */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        dupTokenRatio(col("text")).as("dup_token_ratio"),
+        topTokenRatio(col("text")).as("top_token_ratio"))
+      .orderBy("doc_id")
+
   /** Top-5 tokens per source by frequency, via the algebraic TopKAgg
     * aggregator (map-side partial top-k — the shuffle after the count
     * carries ≤5 rows per (source, partition), not the whole vocab). */
@@ -98,6 +141,8 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x37_text_redaction" -> piiRedaction,
+    "x38_text_repetition" -> repetitionStats,
     "x30_text_top_terms" -> topTermsPerSource,
     "x27_text_curation" -> curationPipeline,
     "x10_text_token_stats" -> tokenStats,
@@ -110,6 +155,30 @@ object TextAnalysis {
     * engines split trimmed text on \s+; ratios are raw double divisions
     * (no rounding → no decimal-tie divergence). */
   val oracles: Map[String, String] = Map(
+    "x37_text_redaction" -> """
+      WITH aug AS (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+            CAST(doc_id AS VARCHAR) || '@example.com or +1 (555) 010-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE text END AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t, '\+?[0-9][0-9()\s.-]{7,}[0-9]')) AS BIGINT) AS n_phones,
+        CAST(length(t) AS BIGINT) AS len_raw,
+        CAST(length(regexp_replace(regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\+?[0-9][0-9()\s.-]{7,}[0-9]', '<PHONE>', 'g')) AS BIGINT) AS len_redacted
+      FROM aug ORDER BY doc_id""",
+    "x38_text_repetition" -> """
+      WITH tk AS (SELECT doc_id,
+          string_split_regex(lower(trim(text)), '\s+') AS t FROM documents)
+      SELECT doc_id,
+        CAST(len(t) AS BIGINT) AS n_tokens,
+        1.0 - len(list_distinct(t)) / len(t) AS dup_token_ratio,
+        list_max(list_transform(list_distinct(t),
+          x -> len(list_filter(t, y -> y = x)))) / len(t) AS top_token_ratio
+      FROM tk ORDER BY doc_id""",
     "x30_text_top_terms" -> """
       WITH toks AS (
         SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token

@@ -62,6 +62,81 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** The distinct word n-grams themselves (strings), bit-identical to
+    * [[TextFunctions.wordShingles]] but one compiled pass: tokenize once,
+    * build each gram once, no interpreted HOF lambda per element. Used
+    * where the gram must survive as a join key an external engine can
+    * reproduce (e.g. decontamination); prefer [[WordShingleHashes]] when
+    * only identity matters. */
+  case class WordShingleStrings(child: Expression, n: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shingleStrExpr", this, classOf[WordShingleStrings].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($v);")
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[UTF8String].toString
+        .trim.toLowerCase.split("\\s+", -1)
+      val count = math.max(toks.length - n, 0) + 1
+      val seen = new java.util.LinkedHashSet[String](count * 2)
+      var i = 0
+      while (i < count) {
+        val end = math.min(i + n, toks.length)
+        seen.add(String.join(" ", java.util.Arrays.asList(toks.slice(i, end): _*)))
+        i += 1
+      }
+      val out = new Array[AnyRef](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) {
+        out(j) = UTF8String.fromString(it.next())
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Frequency share of the most common token: tokenize once, count in
+    * a hash map, return max/n. The Column-HOF formulation (fold over the
+    * sorted array with element_at) evaluates its lambda interpreted per
+    * element — measured 60 s for 5k docs at sf0.1 vs sub-second here. */
+  case class TopTokenShare(child: Expression)
+      extends UnaryExpression {
+
+    override def dataType: DataType = DoubleType
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("topTokenExpr", this, classOf[TopTokenShare].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = ((java.lang.Double) $ref.nullSafeEval($v)).doubleValue();")
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[UTF8String].toString
+        .trim.toLowerCase.split("\\s+", -1)
+      val counts = new java.util.HashMap[String, Int](toks.length * 2)
+      var max = 0
+      var i = 0
+      while (i < toks.length) {
+        val c = counts.merge(toks(i), 1, (a, b) => a + b)
+        if (c > max) max = c
+        i += 1
+      }
+      max.toDouble / math.max(toks.length, 1)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Heuristic language ID in one tokenization pass: per-language
     * stopword hit counts, argmax with the same tie-break as
     * `greatest(struct(score, lang))` in [[TextFunctions.langId]] —
@@ -162,6 +237,11 @@ object TextExpressions {
 
   def wordShingleHashes(text: Column, n: Int): Column =
     column(WordShingleHashes(expression(text), n))
+
+  def wordShingleStrings(text: Column, n: Int): Column =
+    column(WordShingleStrings(expression(text), n))
+
+  def topTokenShare(text: Column): Column = column(TopTokenShare(expression(text)))
 
   def langId(text: Column): Column = column(LangId(expression(text)))
 

@@ -95,6 +95,21 @@ object TextFunctions {
       stopScore * lit(25.0) + wordLenScore * lit(25.0))
   }
 
+  // ---- repetition signals ---------------------------------------------
+
+  /** Fraction of tokens that repeat an earlier token (0 = all distinct). */
+  def dupTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    lit(1.0) - size(array_distinct(toks)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Frequency share of the single most common token — a compiled
+    * single-pass expression (per-row hash-map count, no shuffle; the
+    * explode+groupBy formulation would shuffle every token in the
+    * corpus, and an interpreted HOF fold measured 60× slower). */
+  def topTokenRatio(text: Column): Column = TextExpressions.topTokenShare(text)
+
   // ---- fingerprinting -------------------------------------------------
 
   /** Rolling-hash document fingerprint: the k smallest 64-bit hashes of

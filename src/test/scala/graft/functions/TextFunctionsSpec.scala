@@ -64,4 +64,35 @@ class TextFunctionsSpec extends SparkSpec {
     val b = one[scala.collection.Seq[Long]](fingerprintSketch(col("text"), 3), text)
     assert(a == b && a.size == 3 && a == a.sorted)
   }
+
+  test("piiRedaction counts and shrinks only the augmented docs") {
+    val out = graft.ext.TextAnalysis.piiRedaction(spark, sfDir).cache()
+    val aug = out.filter(col("doc_id") % 7 === 0)
+    assert(aug.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1).count() == 0,
+      "every augmented doc has exactly one email and one phone")
+    assert(aug.filter(col("len_redacted") >= col("len_raw")).count() == 0,
+      "redaction must shrink augmented docs (sentinels are shorter)")
+    val plain = out.filter(col("doc_id") % 7 =!= 0)
+    assert(plain.filter(col("n_emails") =!= 0 || col("n_phones") =!= 0
+      || col("len_redacted") =!= col("len_raw")).count() == 0,
+      "unaugmented word-soup docs contain no PII shapes")
+    out.unpersist()
+  }
+
+  test("repetition ratios: hand-checked values and corpus invariants") {
+    // "a b a a" → 4 tokens, 2 distinct → dup 0.5; top token 'a' ×3 → 0.75
+    assert(math.abs(one[Double](dupTokenRatio(col("text")), "a b a a") - 0.5) < 1e-12)
+    assert(math.abs(one[Double](topTokenRatio(col("text")), "a b a a") - 0.75) < 1e-12)
+    assert(one[Double](dupTokenRatio(col("text")), "x y z") == 0.0)
+    assert(math.abs(one[Double](topTokenRatio(col("text")), "x y z") - 1.0 / 3) < 1e-12)
+    assert(one[Double](topTokenRatio(col("text")), "solo") == 1.0)
+
+    val out = graft.ext.TextAnalysis.repetitionStats(spark, sfDir).cache()
+    assert(out.filter(col("dup_token_ratio") < 0 || col("dup_token_ratio") >= 1).count() == 0)
+    assert(out.filter(col("top_token_ratio") <= 0 || col("top_token_ratio") > 1).count() == 0)
+    // some token repeats iff the top token repeats
+    assert(out.filter((col("dup_token_ratio") > 0) =!=
+      (col("top_token_ratio") > lit(1.0) / col("n_tokens"))).count() == 0)
+    out.unpersist()
+  }
 }

@@ -69,6 +69,23 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("WordShingleStrings matches the wordShingles HOF exactly") {
+    val texts = Seq(
+      "The quick brown fox jumps over the lazy dog",
+      "  padded   with   runs\tof\nwhitespace  ",
+      "one", "one two three four five six seven eight nine",
+      "a b c a b c a b c",
+      "Ünïcode tökens and CAPS and 123 numbers")
+    val df = texts.toDF("text")
+    for (n <- Seq(2, 8)) {
+      val bad = df.select(
+          TextExpressions.wordShingleStrings(col("text"), n).as("x"),
+          TextFunctions.wordShingles(col("text"), n).as("y"))
+        .filter(col("x") =!= col("y")).count()
+      assert(bad == 0, s"n=$n diverged")
+    }
+  }
+
   test("LangId expression matches the greatest(struct) formulation") {
     val texts = Seq(
       "the cat is on the mat and it is happy",
