@@ -61,6 +61,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => TextExpressions.LangId(args(0))))
 
     ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[TextExpressions.WordShingleStrings].getName, "graft_shingles"),
+      (args: Seq[Expression]) =>
+        TextExpressions.WordShingleStrings(args(0), intArg(args(1), "shingle width"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_top_token_share"),
+      new ExpressionInfo(classOf[TextExpressions.TopTokenShare].getName, "graft_top_token_share"),
+      (args: Seq[Expression]) => TextExpressions.TopTokenShare(args(0))))
+
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[VectorExpressions.MinHashSignature].getName, "graft_minhash"),
       (args: Seq[Expression]) => {

@@ -70,6 +70,55 @@ class PlanSpec extends SparkSpec {
       "LSH ANN degenerated to a product join")
   }
 
+  test("stratified sampling is a stateless scan-level filter (no shuffle, no window)") {
+    val p = plan(graft.ext.Sampling.stratifiedSample(spark, sfDir))
+    assert(!p.contains("Window"), "per-row sampling must not need a window")
+    // only the output orderBy may exchange; candidate selection itself is a filter
+    assert(p.contains("Filter"), "no filter stage found")
+  }
+
+  test("mixture sampling broadcasts the quota side (strata table is tiny)") {
+    val p = plan(graft.ext.Sampling.mixtureSample(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"quota join not broadcast:\n$p")
+  }
+
+  test("contamination pipeline is hash joins only, never a product") {
+    val p = graft.ext.Contamination.benchmarkContamination(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "contamination degenerated to a product join")
+  }
+
+  test("capped dedup self-joins stay hash joins (simhash, jaccard, embedding)") {
+    for (q <- Seq(
+        graft.ext.Dedup.simhashNearDups(spark, sfDir),
+        graft.ext.Dedup.ngramJaccardNearDups(spark, sfDir),
+        graft.ext.Dedup.embeddingNearDups(spark, sfDir))) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "capped dedup pipeline degenerated to a product join")
+    }
+  }
+
+  test("snapshot diff is a single full-outer join on the key") {
+    val p = plan(graft.ops.SnapshotDiff.snapshotDiffQuery(spark, sfDir))
+    assert(p.contains("FullOuter"), s"expected one full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("redaction and repetition stats run inside WholeStageCodegen") {
+    // the projection alone (the queries add an orderBy whose AQE wrapper
+    // hides codegen ids until execution)
+    import org.apache.spark.sql.functions.col
+    val df = graft.Tables.load(spark, sfDir, "documents")
+      .select(graft.functions.TextFunctions.dupTokenRatio(col("text")).as("d"),
+              graft.functions.TextFunctions.topTokenRatio(col("text")).as("t"))
+    val p = plan(df)
+    val projLine = p.linesIterator
+      .find(l => l.contains("Project") && l.contains("codegen id")).getOrElse("")
+    assert(projLine.nonEmpty, s"text stats fell out of codegen:\n$p")
+  }
+
   test("sketch expressions run inside WholeStageCodegen") {
     val df = graft.Tables.load(spark, sfDir, "documents")
       .select(graft.functions.TextFunctions.shingleHashes(

@@ -25,4 +25,12 @@ class GraftExtensionsSpec extends SparkSpec {
     val r = spark.sql("SELECT graft_lang_id('the cat is on the mat') AS l").collect()(0)
     assert(r.getString(0) == "en")
   }
+
+  test("graft_shingles and graft_top_token_share from SQL") {
+    val r = spark.sql(
+      "SELECT graft_shingles('a b c d', 2) AS s, " +
+      "graft_top_token_share('a b a a') AS t").collect()(0)
+    assert(r.getSeq[String](0) == Seq("a b", "b c", "c d"))
+    assert(math.abs(r.getDouble(1) - 0.75) < 1e-12)
+  }
 }
