@@ -203,10 +203,25 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Exact binary-payload dedup — the image/audio dedup pass of a
+    * multimodal corpus: one surviving media_id per distinct payload plus
+    * its copy count. Groups directly on the binary column here; at
+    * 100 TB group on xxhash64(payload) first (8-byte shuffle keys, the
+    * payload itself never leaves its scan partition) and disambiguate
+    * the vanishing collision rate within groups — same shape as the
+    * text exact-dedup (x01). */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame =
+    mediaFromDocuments(s, dir).toDF()
+      .groupBy(col("payload"))
+      .agg(min("media_id").as("media_id"), count(lit(1)).as("n_copies"))
+      .select(col("media_id"), col("n_copies"))
+      .orderBy("media_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x20_media_stats" -> mediaStats,
     "x21_media_features" -> mediaFeatures,
-    "x22_media_frame_sample" -> frameSampleStats)
+    "x22_media_frame_sample" -> frameSampleStats,
+    "x39_media_dedup" -> mediaDedup)
 
   val oracles: Map[String, String] = Map(
     "x20_media_stats" ->
@@ -218,5 +233,9 @@ object Multimodal {
     "x22_media_frame_sample" ->
       """SELECT doc_id AS media_id,
          CAST(ceil(((doc_id % 11) * 4 + 4) / 2.0) AS BIGINT) AS n_sampled_frames
-         FROM documents WHERE doc_id % 3 = 2 ORDER BY 1""")
+         FROM documents WHERE doc_id % 3 = 2 ORDER BY 1""",
+    // payload = UTF-8 bytes of text (bijective), so text groups ≡ payload groups
+    "x39_media_dedup" ->
+      """SELECT MIN(doc_id) AS media_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY media_id""")
 }

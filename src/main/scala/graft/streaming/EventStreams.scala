@@ -161,6 +161,15 @@ object EventStreams {
       .drop("p_user_id")
   }
 
+  /** Streaming blocklist filter: drop every event from a blocked user —
+    * the curation removal pass applied at ingest time instead of in a
+    * batch sweep. Stream-static left-anti join: the static blocklist
+    * broadcasts into every micro-batch, no stream-side state at all, so
+    * it runs at ingest throughput forever (re-broadcast picks up
+    * blocklist updates on restart). */
+  def filterBlocklistStream(events: DataFrame, blockedUsers: DataFrame): DataFrame =
+    events.join(broadcast(blockedUsers.select("user_id")), Seq("user_id"), "left_anti")
+
   /** At-least-once → effectively-once: drop event_id duplicates whose
     * duplicate arrives within the watermark horizon. State = one
     * (event_id, ts) entry per id inside the horizon, GC'd by the

@@ -68,4 +68,17 @@ class MultimodalSpec extends SparkSpec {
     assert(a.sameElements(b))
     assert(a.length > 0)
   }
+
+  test("mediaDedup: survivors = distinct payloads, ids minimal, copies sum to total") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir).toDF().cache()
+    val out = Multimodal.mediaDedup(spark, sfDir).cache()
+    assert(out.count() == media.select("payload").distinct().count())
+    assert(out.agg(sum("n_copies")).collect()(0).getLong(0) == media.count())
+    // survivor id is the minimum of its payload group
+    val smaller = out.join(media, Seq("media_id"))
+      .join(media.select(col("payload"), col("media_id").as("other_id")), Seq("payload"))
+      .filter(col("other_id") < col("media_id"))
+    assert(smaller.count() == 0)
+    out.unpersist(); media.unpersist()
+  }
 }

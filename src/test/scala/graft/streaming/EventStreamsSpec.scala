@@ -98,6 +98,17 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.filter(col("user_id") === 9L).collect()(0).getAs[String]("user_name") == null)
   }
 
+  test("streaming blocklist filter drops blocked users with no stream state") {
+    import spark.implicits._
+    val blocked = Seq(1L).toDF("user_id")
+    val out = EventStreams.runToMemory(
+      EventStreams.filterBlocklistStream(mkStream(base).toDF(), blocked), "t_block")
+    val users = out.select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!users.contains(1L), "blocked user's events must be dropped")
+    assert(users.contains(2L), "unblocked users must pass through")
+    assert(out.count() == base.count(_.user_id != 1L))
+  }
+
   test("dropDuplicatesWithinWatermark suppresses replayed event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
