@@ -125,4 +125,22 @@ object Pipeline {
       count(lit(1)).as("total_runs"))
     Map("recent_runs" -> latest, "stats_24h" -> stats)
   }
+
+  /** Optimizer surface (reference ETLOptimizer, main.py:911-948: ANALYZE
+    * + per-table size report + static suggestions). Spark's analog:
+    * `ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS` feeds
+    * Catalyst's cost-based optimizer (join reorder, broadcast decisions
+    * from real row counts instead of file-size guesses). Works on
+    * catalog tables, so callers `saveAsTable` first; returns the
+    * per-table statistics the reference prints. */
+  def analyzeTables(spark: SparkSession, tables: Seq[String]): Map[String, (Long, Long)] = {
+    tables.map { t =>
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+      val stats = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
+        .stats
+      t -> (stats.flatMap(_.rowCount).map(_.toLong).getOrElse(-1L),
+            stats.map(_.sizeInBytes.toLong).getOrElse(-1L))
+    }.toMap
+  }
 }

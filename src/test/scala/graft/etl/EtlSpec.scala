@@ -228,4 +228,16 @@ class EtlSpec extends SparkSpec {
     assert(meta.count() == 4)
     assert(meta.filter(col("data_quality_score") <= 0).count() == 0)
   }
+
+  test("analyzeTables feeds exact row counts to the cost-based optimizer") {
+    val n = 123L
+    spark.range(n).selectExpr("id", "id % 7 AS k")
+      .write.mode("overwrite").saveAsTable("graft_stats_probe")
+    try {
+      val stats = Pipeline.analyzeTables(spark, Seq("graft_stats_probe"))
+      val (rows, bytes) = stats("graft_stats_probe")
+      assert(rows == n, s"CBO row count $rows != $n")
+      assert(bytes > 0)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_stats_probe")
+  }
 }
