@@ -141,7 +141,25 @@ object EventAnalytics {
       .orderBy("event_id")
   }
 
+  /** Semi-structured extraction: parse the JSON props column with a
+    * declared schema (`from_json` — typed once per row, vectorizable,
+    * vs `get_json_object` which re-parses the string per probed path)
+    * and aggregate the extracted field. The shape of every "pull a
+    * field out of the raw event blob" query at scale: schema-on-read
+    * with the parse pushed into the scan projection, no UDF. */
+  def propsJsonRollup(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).cast("long").as("sum_k"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x40_events_json" -> propsJsonRollup,
     "x29_events_asof_native" -> asofAttributionNative,
     "x24_events_percentiles" -> valuePercentiles,
     "x25_events_rollup" -> dailyTypeRollup,
@@ -152,6 +170,12 @@ object EventAnalytics {
     "x18_events_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "x40_events_json" -> """
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+        MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+      FROM events GROUP BY 1 ORDER BY 1""",
     "x29_events_asof_native" ->
       """WITH views AS (
            SELECT user_id, ts AS view_ts, MIN(event_id) AS view_event_id

@@ -74,6 +74,20 @@ object Sources {
       .parquet(s"$dir/$table.parquet")
   }
 
+  /** Range-sorted parquet layout: repartitionByRange + sortWithinPartitions
+    * on the key before writing, so each output file covers a disjoint,
+    * narrow key range and its parquet min/max footer stats let point and
+    * range reads skip every other file (and, within a file, every other
+    * row group). This is the data-layout lever for key-filtered access
+    * on a table too big to index: the poor man's Z-order for a single
+    * key. Clustering is physical only — read-side semantics unchanged. */
+  def writeSortedByKey(df: DataFrame, dir: String, table: String,
+                       key: String, numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(key))
+      .sortWithinPartitions(key)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/$table.parquet")
+
   /** Upsert/merge into a parquet snapshot: incoming rows replace
     * existing rows with the same key; ties on `versionCol` favor the
     * incoming side. (The reference's ETLOptimizer *suggests* "UPSERT

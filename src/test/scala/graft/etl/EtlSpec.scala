@@ -229,6 +229,28 @@ class EtlSpec extends SparkSpec {
     assert(meta.filter(col("data_quality_score") <= 0).count() == 0)
   }
 
+  test("writeSortedByKey produces disjoint per-file key ranges (file-skipping layout)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sorted").toString
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    Sources.writeSortedByKey(docs, out, "docs_sorted", "doc_id", 4)
+
+    val files = new java.io.File(s"$out/docs_sorted.parquet")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length >= 2, "expected multiple output files")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("doc_id"), max("doc_id")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi < lo, s"file key ranges overlap: $hi >= $lo")
+      case _ =>
+    }
+    // layout is physical only: content round-trips
+    assert(spark.read.parquet(s"$out/docs_sorted.parquet").count() == docs.count())
+  }
+
   test("analyzeTables feeds exact row counts to the cost-based optimizer") {
     val n = 123L
     spark.range(n).selectExpr("id", "id % 7 AS k")
