@@ -126,4 +126,47 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("u32 sampling hash is a bijection on any id set (no rank ties)") {
+    forAll(Gen.listOf(Gen.chooseNum(0L, 3_000_000_000L))) { ids =>
+      val distinct = ids.distinct
+      val hashes = distinct.toDF("id")
+        .select(graft.ext.Sampling.u32(col("id")).as("h"))
+        .collect().map(_.getLong(0))
+      assert(hashes.length == hashes.distinct.length,
+        "distinct keys must get distinct u32 ranks")
+      assert(hashes.forall(h => h >= 0 && h < 4294967296L))
+    }
+  }
+
+  test("snapshot diff of a frame with itself is empty; against empty is all added/deleted") {
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.posNum[Long], Gen.alphaNumStr.map(_.take(6))))) { rows =>
+      val df = rows.distinctBy(_._1).toDF("id", "v")
+      val n = df.count()
+      assert(graft.ops.SnapshotDiff.diff(df, df, "id", Seq("v")).count() == 0)
+      val empty = df.filter(lit(false))
+      val allAdded = graft.ops.SnapshotDiff.diff(empty, df, "id", Seq("v"))
+      assert(allAdded.count() == n)
+      assert(allAdded.filter(col("change") =!= "added").count() == 0)
+      val allDeleted = graft.ops.SnapshotDiff.diff(df, empty, "id", Seq("v"))
+      assert(allDeleted.count() == n)
+      assert(allDeleted.filter(col("change") =!= "deleted").count() == 0)
+    }
+  }
+
+  test("repetition ratios bounded; top-token share >= uniform share for any text") {
+    forAll(Gen.nonEmptyListOf(textGen)) { texts =>
+      val out = texts.filter(_.trim.nonEmpty).toDF("text")
+        .select(graft.functions.TextFunctions.dupTokenRatio(col("text")).as("d"),
+                graft.functions.TextFunctions.topTokenRatio(col("text")).as("t"),
+                graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+        .collect()
+      out.foreach { r =>
+        val (d, t, n) = (r.getDouble(0), r.getDouble(1), r.getInt(2))
+        assert(d >= 0.0 && d < 1.0)
+        assert(t > 0.0 && t <= 1.0)
+        assert(t >= 1.0 / math.max(n, 1) - 1e-12, "top share below uniform floor")
+      }
+    }
+  }
 }
