@@ -107,10 +107,30 @@ object Sampling {
       .orderBy("source", "pack_id")
   }
 
+  /** Deterministic train/val/test split assignment: u32 hash ranges
+    * 90/5/5. The property that matters operationally: membership is a
+    * pure function of the key — adding documents later never moves an
+    * existing document between splits (no reshuffling leakage between
+    * training runs), and every engine recomputes the same assignment.
+    * Output: per (lang, split) counts — the split-balance audit. */
+  def splitAssignment(s: SparkSession, dir: String): DataFrame = {
+    val h = u32(col("doc_id"))
+    val split = when(h < lit(3865470566L), "train")   // 0.90 * 2^32
+      .when(h < lit(4080218931L), "val")              // 0.95 * 2^32
+      .otherwise("test")
+    load(s, dir, "documents")
+      .withColumn("split", split)
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).cast("long").as("n_chars"))
+      .orderBy("lang", "split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x31_sample_stratified" -> stratifiedSample,
     "x32_sample_mixture" -> mixtureSample,
-    "x33_pack_sequences" -> packSequences)
+    "x33_pack_sequences" -> packSequences,
+    "x41_split_assignment" -> splitAssignment)
 
   val oracles: Map[String, String] = Map(
     "x31_sample_stratified" -> """
@@ -132,6 +152,15 @@ object Sampling {
       SELECT r.doc_id, r.lang, r.source FROM ranked r
       JOIN quota ON r.lang = quota.lang
       WHERE rn <= q ORDER BY doc_id""",
+    "x41_split_assignment" -> """
+      WITH a AS (SELECT lang, n_chars,
+          CASE WHEN (doc_id*2654435761)%4294967296 < 3865470566 THEN 'train'
+               WHEN (doc_id*2654435761)%4294967296 < 4080218931 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents)
+      SELECT lang, split, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
     "x33_pack_sequences" -> """
       WITH t AS (SELECT doc_id, source,
           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens

@@ -38,6 +38,25 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("splitAssignment is stable under corpus growth (no document moves splits)") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val out = Sampling.splitAssignment(spark, sfDir).collect()
+    // partitions the corpus exactly
+    assert(out.map(_.getLong(2)).sum == docs.count())
+    val bySplit = out.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // stability: assignment of a doc computed on a SUBSET is identical —
+    // membership depends only on the key, never on the rest of the corpus
+    import org.apache.spark.sql.functions._
+    val h = Sampling.u32(col("doc_id"))
+    val split = when(h < lit(3865470566L), "train")
+      .when(h < lit(4080218931L), "val").otherwise("test")
+    val subset = docs.filter(col("doc_id") % 3 === 0).withColumn("s1", split)
+    val full = docs.withColumn("s2", split).select(col("doc_id"), col("s2"))
+    assert(subset.join(full, "doc_id").filter(col("s1") =!= col("s2")).count() == 0)
+  }
+
   test("packSequences: pack manifest partitions each source's docs exactly once") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val out = Sampling.packSequences(spark, sfDir).cache()
