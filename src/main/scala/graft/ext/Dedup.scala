@@ -132,10 +132,16 @@ object Dedup {
     val bandedS = docs.select(col("doc_id"), col("sim"),
         explode(simhashBandKeys(col("sim"))).as("bk"))
       .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // bucket sizes as a separate aggregate, joined back: the 16-bit band
+    // key domain is tiny (≤ 4·65536), so the size table broadcasts and
+    // banded itself never shuffles before the pair join. (A window count
+    // would force an exchange of banded — measured consistently slower
+    // here; the window form wins only for high-cardinality 64-bit block
+    // keys, see ngramJaccardNearDups.)
     val coldBuckets = bandedS.groupBy("band", "key")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= SimhashBucketCap)
-    val cold = bandedS.join(coldBuckets.select("band", "key"), Seq("band", "key"))
+    val cold = bandedS.join(broadcast(coldBuckets.select("band", "key")), Seq("band", "key"))
 
     val a = cold.alias("a")
     val b = cold.alias("b")
@@ -178,9 +184,10 @@ object Dedup {
     val sameCounts = docs.join(sameSet, "setkey")
       .select(col("doc_id"), (col("g") - 1).cast("long").as("n_same"))
 
-    val coldBlocks = docs.groupBy("block").agg(count(lit(1)).as("bsz"))
+    val cold = docs
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("block")))
       .filter(col("bsz") <= SimhashBucketCap)
-    val cold = docs.join(coldBlocks.select("block"), Seq("block"))
 
     val a = cold.alias("a")
     val b = cold.alias("b")
@@ -231,10 +238,10 @@ object Dedup {
     val banded = embs.select(col("doc_id"), col("veckey"),
         explode(bitBandKeys(col("bits"), EmbBands, BitsPerBand)).as("bk"))
       .select(col("doc_id"), col("veckey"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val coldBuckets = banded.groupBy("band", "key")
-      .agg(count(lit(1)).as("bsz"))
+    val cold = banded
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
       .filter(col("bsz") <= SimhashBucketCap)
-    val cold = banded.join(coldBuckets.select("band", "key"), Seq("band", "key"))
 
     val a = cold.alias("a")
     val b = cold.alias("b")
