@@ -78,9 +78,43 @@ object Contamination {
       .orderBy("doc_id")
   }
 
+  /** An 8-gram appearing in more than this many distinct documents is
+    * boilerplate (headers, banners, licence blocks), not content. */
+  private val BoilerplateDocThreshold = 2
+
+  /** Corpus-level boilerplate detection: count each distinct 8-gram's
+    * document frequency, call grams above the threshold boilerplate, and
+    * report each document's boilerplate-gram ratio — the C4-style "strip
+    * the navigation chrome" signal computed corpus-wide rather than
+    * per-document. Two shuffles: gram doc-frequency (map-side combine on
+    * 8-byte-hashable keys) and the semi-join back; at 100 TB both run on
+    * xxhash64(gram) keys and the doc-frequency table for grams above
+    * threshold is small enough to broadcast. */
+  def boilerplateReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.TextExpressions.wordShingleStrings(col("text"), 8)).as("gram"))
+    // wordShingleStrings emits distinct grams per doc → count(*) is doc frequency
+    val boiler = grams.groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > BoilerplateDocThreshold)
+    val perDoc = grams
+      .join(boiler.select("gram"), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    docs.select(col("doc_id"),
+        size(graft.functions.TextExpressions.wordShingleStrings(col("text"), 8))
+          .cast("long").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_boiler"))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast("double") / greatest(col("n_grams"), lit(1L)).cast("double"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x34_contamination" -> benchmarkContamination,
-    "x35_blocklist" -> blocklistFilter)
+    "x35_blocklist" -> blocklistFilter,
+    "x42_boilerplate" -> boilerplateReport)
 
   val oracles: Map[String, String] = Map(
     "x34_contamination" -> """
@@ -101,5 +135,18 @@ object Contamination {
     "x35_blocklist" -> """
       SELECT doc_id, source FROM documents
       WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 17 = 0)
-      ORDER BY doc_id""")
+      ORDER BY doc_id""",
+    "x42_boilerplate" -> """
+      WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-7, 1)+1)) AS i FROM toks),
+      grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM idx),
+      boiler AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 2),
+      per_doc AS (SELECT g.doc_id, COUNT(*) AS n_boiler
+        FROM grams g JOIN boiler b USING (gram) GROUP BY 1),
+      totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1)
+      SELECT t.doc_id, t.n_grams, COALESCE(p.n_boiler, 0) AS n_boiler,
+        COALESCE(p.n_boiler, 0) / CAST(greatest(t.n_grams, 1) AS DOUBLE) AS boiler_ratio
+      FROM totals t LEFT JOIN per_doc p USING (doc_id)
+      ORDER BY t.doc_id""")
 }

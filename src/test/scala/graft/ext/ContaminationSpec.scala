@@ -42,4 +42,20 @@ class ContaminationSpec extends SparkSpec {
     val out = Contamination.blocklistFilter(spark, sfDir)
     assert(out.filter(col("doc_id") % 17 === 0).count() == 0)
   }
+
+  test("boilerplateReport: exact-duplicate clusters above threshold score ratio 1.0") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val out = Contamination.boilerplateReport(spark, sfDir).cache()
+    assert(out.count() == docs.count())
+    assert(out.filter(col("n_boiler") > col("n_grams")).count() == 0)
+    // every member of a text cluster with > 2 copies shares all its grams
+    // with > 2 docs → ratio exactly 1.0
+    val bigClusters = docs.groupBy("text").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 2)
+    val members = docs.join(bigClusters.select("text"), Seq("text"), "left_semi")
+      .select("doc_id")
+    val wrong = members.join(out, "doc_id").filter(col("boiler_ratio") =!= 1.0)
+    assert(wrong.count() == 0, "duplicate-cluster members must be pure boilerplate")
+    out.unpersist()
+  }
 }
