@@ -22,6 +22,7 @@ object SparkEntry {
       ext.Sampling.queries ++
       ext.Contamination.queries ++
       ops.SnapshotDiff.queries ++
+      ops.ConnectedComponents.queries ++
       streaming.EventStreams.queries ++
       multimodal.Multimodal.queries
 
@@ -36,6 +37,7 @@ object SparkEntry {
       ext.Sampling.oracles ++
       ext.Contamination.oracles ++
       ops.SnapshotDiff.oracles ++
+      ops.ConnectedComponents.oracles ++
       streaming.EventStreams.oracles ++
       multimodal.Multimodal.oracles
 }
