@@ -14,8 +14,10 @@ import graft.Tables.load
   *
   * Scale notes: each round is one join (edges ⋈ labels on src) + one
   * min-aggregate, both hash-shuffles on 8-byte ids. Labels persist per
-  * round and unpersist after the next materializes, so lineage stays
-  * O(1) deep regardless of rounds. The driver loop is control flow
+  * round (unpersisted once the next round materializes) and the plan is
+  * checkpointed every few rounds — caching alone does NOT truncate
+  * lineage, so without the checkpoint a lost partition in round k
+  * recomputes through all k rounds. The driver loop is control flow
   * only — per-round work is fully distributed; the `changed` count that
   * gates convergence rides the same aggregate.
   */
@@ -35,9 +37,11 @@ object ConnectedComponents {
     while (changed > 0 && iter < maxIter) {
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), col("label"))
-      val next = labels.select("id", "label").union(prop)
+      var next = labels.select("id", "label").union(prop)
         .groupBy("id").agg(min("label").as("label"))
-        .persist()
+      // truncate lineage periodically: cache does not — a lost partition
+      // would otherwise recompute through every previous round
+      next = if ((iter + 1) % 5 == 0) next.localCheckpoint() else next.persist()
       changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") < col("prev")).count()
       labels.unpersist()
