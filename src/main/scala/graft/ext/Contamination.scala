@@ -133,9 +133,13 @@ object Contamination {
       FROM documents d LEFT JOIN hits h USING (doc_id)
       WHERE d.doc_id % 13 <> 0 ORDER BY d.doc_id""",
     "x35_blocklist" -> """
-      SELECT doc_id, source FROM documents
-      WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 17 = 0)
-      ORDER BY doc_id""",
+      -- anti-join form, NOT `text NOT IN (subquery)`: with any NULL text
+      -- on the blocklist NOT IN returns zero rows, while Spark's
+      -- left_anti (like NOT EXISTS) keeps null-text documents
+      SELECT d.doc_id, d.source FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM documents b
+        WHERE b.doc_id % 17 = 0 AND b.text = d.text)
+      ORDER BY d.doc_id""",
     "x42_boilerplate" -> """
       WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
         FROM documents),

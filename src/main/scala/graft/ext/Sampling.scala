@@ -26,13 +26,21 @@ import graft.functions.TextFunctions._
 object Sampling {
 
   /** Portable deterministic uniform: Knuth multiplicative hash of the row
-    * key into [0, 2^32). An odd multiplier makes it a bijection mod 2^32
-    * (no duplicate ranks), and the arithmetic (`*` then `%`) reproduces
-    * bit-for-bit in any engine with 64-bit integers — which is what lets
-    * DuckDB verify the exact selected subset. xxhash64 would mix better
-    * but is not portable across engines. Safe under ANSI overflow checks
-    * for keys < ~3.4e9 (2^63 / 2654435761). */
-  def u32(key: Column): Column = (key * lit(2654435761L)) % lit(4294967296L)
+    * key into [0, 2^32). The key is masked to 31 bits FIRST, so the
+    * multiplication peaks at (2^31−1)·2654435761 < 2^63 — no silent
+    * wrap in non-ANSI Spark, no overflow error in ANSI engines, for ANY
+    * 64-bit key (unmasked, keys ≥ ~3.49e9 overflowed: non-ANSI Spark
+    * wrapped them negative and kept every such row while the oracle
+    * errored — exactly the >3.5B-id corpora a 100 TB run has). The odd
+    * multiplier is injective mod 2^32, so no duplicate ranks for keys
+    * within one 31-bit range; keys differing only above bit 30 share a
+    * hash, which is harmless for sampling (selection stays uniform and
+    * deterministic). The arithmetic (`&`, `*`, `%`) reproduces
+    * bit-for-bit in any engine with 64-bit integers — which is what
+    * lets DuckDB verify the exact selected subset; xxhash64 would mix
+    * better but is not portable across engines. */
+  def u32(key: Column): Column =
+    (key.bitwiseAND(lit(2147483647L)) * lit(2654435761L)) % lit(4294967296L)
 
   /** Per-stratum Bernoulli sampling at deterministic rates — here:
     * downsample over-represented languages (en to 40%, es to 80%, rest
@@ -135,7 +143,7 @@ object Sampling {
   val oracles: Map[String, String] = Map(
     "x31_sample_stratified" -> """
       SELECT doc_id, lang, source FROM documents
-      WHERE (doc_id*2654435761)%4294967296 <
+      WHERE ((doc_id & 2147483647)*2654435761)%4294967296 <
         CASE WHEN lang='en' THEN 1717986918
              WHEN lang='es' THEN 3435973836
              ELSE 4294967296 END
@@ -147,15 +155,15 @@ object Sampling {
       quota AS (SELECT w.lang, (n.n * w.wt_pm) // 1000 AS q FROM w, n),
       ranked AS (SELECT doc_id, lang, source,
         ROW_NUMBER() OVER (PARTITION BY lang
-          ORDER BY (doc_id*2654435761)%4294967296, doc_id) AS rn
+          ORDER BY ((doc_id & 2147483647)*2654435761)%4294967296, doc_id) AS rn
         FROM documents)
       SELECT r.doc_id, r.lang, r.source FROM ranked r
       JOIN quota ON r.lang = quota.lang
       WHERE rn <= q ORDER BY doc_id""",
     "x41_split_assignment" -> """
       WITH a AS (SELECT lang, n_chars,
-          CASE WHEN (doc_id*2654435761)%4294967296 < 3865470566 THEN 'train'
-               WHEN (doc_id*2654435761)%4294967296 < 4080218931 THEN 'val'
+          CASE WHEN ((doc_id & 2147483647)*2654435761)%4294967296 < 3865470566 THEN 'train'
+               WHEN ((doc_id & 2147483647)*2654435761)%4294967296 < 4080218931 THEN 'val'
                ELSE 'test' END AS split
         FROM documents)
       SELECT lang, split, COUNT(*) AS n_docs,

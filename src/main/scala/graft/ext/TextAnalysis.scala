@@ -31,35 +31,49 @@ object TextAnalysis {
       .withColumn("agrees", (col("labeled_lang") === col("predicted_lang")).cast("int"))
       .orderBy("doc_id")
 
-  /** Per-document quality score with its component signals. */
-  def qualityScores(s: SparkSession, dir: String): DataFrame =
+  /** Per-document quality score with its component signals. One compiled
+    * QualitySignals evaluation per row (CSE collapses the three field
+    * extractions); the old per-signal Column forms re-tokenized the text
+    * twice through an interpreted HOF — 7.1 s at sf0.1 vs ~1 s here. */
+  def qualityScores(s: SparkSession, dir: String): DataFrame = {
+    val qs = qualitySignals(col("text"))
     load(s, dir, "documents")
       .select(col("doc_id"),
-              punctRatio(col("text")).as("punct_ratio"),
-              stopwordRatio(col("text"), "en").as("stopword_ratio"),
-              qualityScore(col("text")).as("quality"))
+              qs.getField("punct_ratio").as("punct_ratio"),
+              qs.getField("stopword_ratio").as("stopword_ratio"),
+              qs.getField("quality").as("quality"))
       .orderBy("doc_id")
+  }
 
   /** Corpus rollup by source: volume, mean quality, mean tokens —
-    * the "which crawl sources are worth keeping" query. */
-  def sourceQualityRollup(s: SparkSession, dir: String): DataFrame =
+    * the "which crawl sources are worth keeping" query. Both averaged
+    * signals come from the one-pass QualitySignals struct. */
+  def sourceQualityRollup(s: SparkSession, dir: String): DataFrame = {
+    val qs = qualitySignals(col("text"))
     load(s, dir, "documents")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-           round(avg(qualityScore(col("text"))), 2).as("avg_quality"),
-           round(avg(tokenCount(col("text"))), 2).as("avg_tokens"),
+           round(avg(qs.getField("quality")), 2).as("avg_quality"),
+           round(avg(qs.getField("n_tokens")), 2).as("avg_tokens"),
            sum(col("n_chars")).as("total_chars"))
       .orderBy("source")
+  }
 
-  /** Winnowing-style fingerprints: 64-bit content hash + the 8 smallest
-    * word-8-gram hashes per document (shared element ⇒ shared run). */
+  /** Winnowing-style fingerprints, exploded to one row per sketch slot:
+    * (doc_id, content_hash, rank, gram_hash) where gram_hash is the
+    * rank-th smallest MD5 of the doc's word 8-grams (shared element ⇒
+    * shared 8-gram run). MD5 everywhere so DuckDB rebuilds the identical
+    * sketch; the scalar row shape (vs the previous ArrayType column) is
+    * what the driver's pandas harness can sort and hash. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
       .select(col("doc_id"),
-              contentHash(col("text")).as("content_hash"),
-              fingerprintSketch(col("text"), 8).as("sketch"))
-      .withColumn("sketch_size", size(col("sketch")).cast("long"))
-      .orderBy("doc_id")
+              md5(col("text")).as("content_hash"),
+              posexplode(fingerprintSketch(col("text"), 8)))
+      .select(col("doc_id"), col("content_hash"),
+              (col("pos") + 1).cast("long").as("rank"),
+              col("col").as("gram_hash"))
+      .orderBy("doc_id", "rank")
 
   /** End-to-end curation pipeline — the composed shape of a
     * training-data pass: predicted-English only, quality ≥ 50, exact
@@ -254,6 +268,44 @@ object TextAnalysis {
       FROM scores
       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) = 1
       ORDER BY doc_id""",
+    "x13_text_source_rollup" -> """
+      WITH base AS (
+        SELECT doc_id, source, n_chars,
+          len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+          CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) AS punct_ratio,
+          CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> list_contains(['the','a','and','of','to','in','is','that','it','for','on','with'], x))) AS DOUBLE)
+            / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS stopword_ratio,
+          CAST(length(regexp_replace(trim(text), '\s', '', 'g')) AS DOUBLE)
+            / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS avg_token_len,
+          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS length_score
+        FROM documents),
+      scored AS (
+        SELECT source, n_chars, n_tokens,
+          length_score * 25.0 +
+          (1.0 - least(punct_ratio * 5.0, 1.0)) * 25.0 +
+          least(stopword_ratio * 4.0, 1.0) * 25.0 +
+          (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 25.0 AS quality
+        FROM base)
+      SELECT source, COUNT(*) AS n_docs,
+        round(AVG(quality), 2) AS avg_quality,
+        round(AVG(n_tokens), 2) AS avg_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM scored GROUP BY 1 ORDER BY 1""",
+    "x14_text_fingerprints" -> """
+      WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-7, 1)+1)) AS i FROM toks),
+      grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM idx),
+      ranked AS (SELECT doc_id, md5(gram) AS gram_hash,
+          row_number() OVER (PARTITION BY doc_id ORDER BY md5(gram)) AS rank
+        FROM grams)
+      SELECT d.doc_id, md5(d.text) AS content_hash,
+        CAST(r.rank AS BIGINT) AS rank, r.gram_hash
+      FROM documents d JOIN ranked r USING (doc_id)
+      WHERE r.rank <= 8
+      ORDER BY d.doc_id, r.rank""",
     "x12_text_quality" -> """
       WITH base AS (
         SELECT doc_id,

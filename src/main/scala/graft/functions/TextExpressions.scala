@@ -104,6 +104,166 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** The k lexicographically-smallest MD5 hex digests of the distinct
+    * word n-gram shingles, ascending — a winnowing-style fingerprint
+    * sketch in an engine-portable encoding: MD5-over-UTF-8 produces the
+    * identical lowercase hex string in Spark, DuckDB, and pandas, so an
+    * external oracle can rebuild the selection (xxhash64 seeds are
+    * Spark-internal and cannot). One compiled pass per row: tokenize,
+    * build grams, digest, keep the k smallest — scan speed, no shuffle. */
+  case class FingerprintSketch(child: Expression, n: Int, k: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("fingerprintExpr", this, classOf[FingerprintSketch].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($v);")
+    }
+
+    @transient private lazy val md5 =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
+
+    private def hex(bytes: Array[Byte]): String = {
+      val sb = new java.lang.StringBuilder(bytes.length * 2)
+      var i = 0
+      while (i < bytes.length) {
+        sb.append(Character.forDigit((bytes(i) >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(bytes(i) & 0xf, 16))
+        i += 1
+      }
+      sb.toString
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[UTF8String].toString
+        .trim.toLowerCase.split("\\s+", -1)
+      val count = math.max(toks.length - n, 0) + 1
+      val seen = new java.util.LinkedHashSet[String](count * 2)
+      var i = 0
+      while (i < count) {
+        val end = math.min(i + n, toks.length)
+        seen.add(String.join(" ", java.util.Arrays.asList(toks.slice(i, end): _*)))
+        i += 1
+      }
+      val digest = md5.get()
+      val hashes = new java.util.ArrayList[String](seen.size)
+      val it = seen.iterator()
+      while (it.hasNext) {
+        digest.reset()
+        hashes.add(hex(digest.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      }
+      java.util.Collections.sort(hashes)
+      val m = math.min(k, hashes.size)
+      val out = new Array[AnyRef](m)
+      var j = 0
+      while (j < m) { out(j) = UTF8String.fromString(hashes.get(j)); j += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** All text-quality signals in ONE tokenization pass, bit-identical to
+    * the Column formulations in [[TextFunctions]] (same IEEE op order, so
+    * the DuckDB oracles keep hash-matching):
+    *
+    *   punct_ratio    = punct chars / max(chars, 1)
+    *   stopword_ratio = EN-stopword tokens / max(tokens, 1)
+    *   avg_token_len  = non-whitespace chars of trim(text) / max(tokens, 1)
+    *   n_tokens       = whitespace token count
+    *   quality        = the Gopher-style composite in [0, 100]
+    *
+    * Replaces the interpreted `filter(tokens, ...)` HOF the x12 hot path
+    * used to evaluate twice per row (measured 7.1 s at sf0.1; per-token
+    * interpreted lambdas are the 100× scan-path trap — see
+    * [[TopTokenShare]]'s 60 s → 0.44 s history). */
+  case class QualitySignals(child: Expression)
+      extends UnaryExpression {
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("punct_ratio", DoubleType, nullable = false),
+      StructField("stopword_ratio", DoubleType, nullable = false),
+      StructField("avg_token_len", DoubleType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("quality", DoubleType, nullable = false)))
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("qualityExpr", this, classOf[QualitySignals].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($v);")
+    }
+
+    private val stopSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      TextFunctions.stopwords("en").foreach(s.add)
+      s
+    }
+
+    // the same set the Column form's regex [^.,;:!?'"()-] keeps
+    private def isPunct(cp: Int): Boolean = cp match {
+      case '.' | ',' | ';' | ':' | '!' | '?' | '\'' | '"' | '(' | ')' | '-' => true
+      case _ => false
+    }
+
+    // Java regex \s = [ \t\n\x0B\f\r] (ASCII-only), matching Spark's
+    // regexp_replace(trim(text), "\\s", "")
+    private def isWs(cp: Int): Boolean =
+      cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' || cp == '\r'
+
+    override def nullSafeEval(v: Any): Any = {
+      val u = v.asInstanceOf[UTF8String]
+      val str = u.toString
+      // codepoint counts — Spark's length() counts codepoints, not chars
+      var charLen = 0
+      var punct = 0
+      var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        charLen += 1
+        if (isPunct(cp)) punct += 1
+        i += Character.charCount(cp)
+      }
+      // Spark's trim() strips ASCII space only (UTF8String.trim) — NOT
+      // Java String.trim (which also strips \t, \n, ...)
+      val trimmed = u.trim.toString
+      var nonWs = 0
+      i = 0
+      while (i < trimmed.length) {
+        val cp = trimmed.codePointAt(i)
+        if (!isWs(cp)) nonWs += 1
+        i += Character.charCount(cp)
+      }
+      val toks = trimmed.toLowerCase.split("\\s+", -1)
+      var stops = 0
+      i = 0
+      while (i < toks.length) {
+        if (stopSet.contains(toks(i))) stops += 1
+        i += 1
+      }
+      val nTokens = math.max(toks.length, 1)
+      val punctRatio = punct.toDouble / math.max(charLen, 1).toDouble
+      val stopRatio = stops.toDouble / nTokens.toDouble
+      val avgTokenLen = nonWs.toDouble / nTokens.toDouble
+      val lengthScore = math.min(charLen.toDouble / 500.0, 1.0)
+      val punctScore = 1.0 - math.min(punctRatio * 5.0, 1.0)
+      val stopScore = math.min(stopRatio * 4.0, 1.0)
+      val wordLenScore = if (avgTokenLen >= 3.0 && avgTokenLen <= 10.0) 1.0 else 0.5
+      val quality = lengthScore * 25.0 + punctScore * 25.0 +
+        stopScore * 25.0 + wordLenScore * 25.0
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](punctRatio, stopRatio, avgTokenLen, toks.length.toLong, quality))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Frequency share of the most common token: tokenize once, count in
     * a hash map, return max/n. The Column-HOF formulation (fold over the
     * sorted array with element_at) evaluates its lambda interpreted per
@@ -242,6 +402,11 @@ object TextExpressions {
     column(WordShingleStrings(expression(text), n))
 
   def topTokenShare(text: Column): Column = column(TopTokenShare(expression(text)))
+
+  def fingerprintSketch(text: Column, n: Int, k: Int): Column =
+    column(FingerprintSketch(expression(text), n, k))
+
+  def qualitySignals(text: Column): Column = column(QualitySignals(expression(text)))
 
   def langId(text: Column): Column = column(LangId(expression(text)))
 

@@ -55,12 +55,19 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "de", "et", "un", "que", "pour", "dans", "ce", "les", "des", "est"),
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这", "中", "大"))
 
-  /** Fraction of tokens that are stopwords of `lang`. */
-  def stopwordRatio(text: Column, lang: String): Column = {
-    val sw = array(stopwords(lang).map(lit): _*)
-    size(filter(tokens(text), t => array_contains(sw, t)))
-      .cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
-  }
+  /** Fraction of tokens that are stopwords of `lang`. English rides the
+    * compiled single-pass [[TextExpressions.QualitySignals]] struct (the
+    * interpreted `filter(tokens, ...)` HOF here was the x12 hot path —
+    * 7.1 s at sf0.1 for 5k docs); other languages keep the HOF form
+    * (only used per-language by langId's spec harness, never in a
+    * corpus-scan query). */
+  def stopwordRatio(text: Column, lang: String): Column =
+    if (lang == "en") TextExpressions.qualitySignals(text).getField("stopword_ratio")
+    else {
+      val sw = array(stopwords(lang).map(lit): _*)
+      size(filter(tokens(text), t => array_contains(sw, t)))
+        .cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+    }
 
   /** Heuristic language ID: argmax of per-language stopword ratios.
     * Deterministic tie-break: lexicographically larger language code wins.
@@ -84,16 +91,16 @@ object TextFunctions {
   /** Composite document quality score in [0, 100]: rewards prose-like
     * length, sane punctuation density, a natural stopword ratio and
     * word lengths. A deterministic heuristic (the classic Gopher-style
-    * rule-based filter family), NOT a learned model. */
-  def qualityScore(text: Column): Column = {
-    val lengthScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
-    val punctScore = lit(1.0) - least(punctRatio(text) * lit(5.0), lit(1.0))
-    val stopScore = least(stopwordRatio(text, "en") * lit(4.0), lit(1.0))
-    val wordLen = avgTokenLen(text)
-    val wordLenScore = when(wordLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
-    (lengthScore * lit(25.0) + punctScore * lit(25.0) +
-      stopScore * lit(25.0) + wordLenScore * lit(25.0))
-  }
+    * rule-based filter family), NOT a learned model. One compiled
+    * tokenization pass ([[TextExpressions.QualitySignals]]); the formula
+    * (and its DuckDB twin) is documented on that expression. */
+  def qualityScore(text: Column): Column =
+    TextExpressions.qualitySignals(text).getField("quality")
+
+  /** All quality signals as one struct column — use this when a query
+    * needs several of them (x12): common-subexpression elimination
+    * collapses the field extractions to ONE evaluation per row. */
+  def qualitySignals(text: Column): Column = TextExpressions.qualitySignals(text)
 
   // ---- repetition signals ---------------------------------------------
 
@@ -112,11 +119,13 @@ object TextFunctions {
 
   // ---- fingerprinting -------------------------------------------------
 
-  /** Rolling-hash document fingerprint: the k smallest 64-bit hashes of
-    * the document's word 8-gram shingles (a winnowing-style sketch).
-    * Two documents sharing any fingerprint element share an 8-gram run. */
+  /** Winnowing-style document fingerprint: the k smallest MD5 digests of
+    * the document's word 8-gram shingles, ascending. Two documents
+    * sharing any fingerprint element share an 8-gram run. MD5 (not
+    * xxhash64) so an external engine can rebuild the identical sketch —
+    * DuckDB/pandas md5() over UTF-8 produce the same lowercase hex. */
   def fingerprintSketch(text: Column, k: Int): Column =
-    slice(array_sort(shingleHashes(text, 8)), 1, k)
+    TextExpressions.fingerprintSketch(text, 8, k)
 
   /** Single 64-bit content fingerprint of the whole document. */
   def contentHash(text: Column): Column = xxhash64(text)

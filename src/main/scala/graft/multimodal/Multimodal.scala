@@ -205,14 +205,17 @@ object Multimodal {
 
   /** Exact binary-payload dedup — the image/audio dedup pass of a
     * multimodal corpus: one surviving media_id per distinct payload plus
-    * its copy count. Groups directly on the binary column here; at
-    * 100 TB group on xxhash64(payload) first (8-byte shuffle keys, the
-    * payload itself never leaves its scan partition) and disambiguate
-    * the vanishing collision rate within groups — same shape as the
-    * text exact-dedup (x01). */
+    * its copy count. Hash-first: payload identity is the 192-bit
+    * (xxhash64, md5) pair computed at the scan, so the payload bytes
+    * NEVER enter an exchange — the shuffle carries ~32-byte rows and the
+    * output needs no payload at all. Collisions in both hashes at once
+    * (p ≈ 2^-192 per pair) are the accepted exactness bound — same
+    * contract as the text exact-dedup (x01). */
   def mediaDedup(s: SparkSession, dir: String): DataFrame =
     mediaFromDocuments(s, dir).toDF()
-      .groupBy(col("payload"))
+      .select(xxhash64(col("payload")).as("h1"), md5(col("payload")).as("h2"),
+              col("media_id"))
+      .groupBy("h1", "h2")
       .agg(min("media_id").as("media_id"), count(lit(1)).as("n_copies"))
       .select(col("media_id"), col("n_copies"))
       .orderBy("media_id")

@@ -25,7 +25,9 @@ object ConnectedComponents {
 
   /** @param nodes one column `id`
     * @param edges columns `src`, `dst` (undirected; either orientation)
-    * @return (id, cluster) where cluster = min id reachable */
+    * @return (id, cluster) where cluster = min id reachable
+    * @throws IllegalStateException if maxIter rounds did not converge —
+    *         a silent exit here would hand back SPLIT components */
   def labelPropagation(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -39,8 +41,12 @@ object ConnectedComponents {
         .select(sym("dst").as("id"), col("label"))
       var next = labels.select("id", "label").union(prop)
         .groupBy("id").agg(min("label").as("label"))
-      // truncate lineage periodically: cache does not — a lost partition
-      // would otherwise recompute through every previous round
+      // truncate lineage periodically so round-k plans stay O(1) deep —
+      // a lineage/planning-cost optimization, NOT failure recovery
+      // (localCheckpoint blocks live only on executors; a production
+      // run that needs executor-loss recovery should point
+      // sparkContext.setCheckpointDir at durable storage and use
+      // checkpoint() here instead)
       next = if ((iter + 1) % 5 == 0) next.localCheckpoint() else next.persist()
       changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") < col("prev")).count()
@@ -49,24 +55,52 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"labelPropagation did not converge in $maxIter rounds " +
+          s"($changed labels still shrinking) — components would be split; " +
+          "raise maxIter above the graph diameter")
     labels.withColumnRenamed("label", "cluster")
   }
 
-  /** Driver query: cluster documents that share any word 8-gram (the
-    * same deterministic edge relation DuckDB can rebuild, closed
-    * transitively by a recursive CTE on the oracle side). Output: one
-    * row per document in a non-trivial cluster, with its cluster id
-    * (= min member doc_id) and the cluster size. */
+  /** An 8-gram appearing in more than this many distinct documents is
+    * boilerplate, not evidence of duplication — and its m²/2 all-pairs
+    * edges are what turned edge generation quadratic on self-similar
+    * corpora (same hazard the dedup operators cap, Dedup.SimhashBucketCap). */
+  val GramDfCap = 64
+
+  /** Driver query: cluster documents that share any non-boilerplate word
+    * 8-gram (doc frequency ≤ [[GramDfCap]]; the same deterministic edge
+    * relation DuckDB rebuilds and closes transitively with a recursive
+    * CTE). Output: one row per document in a non-trivial cluster, with
+    * its cluster id (= min member doc_id) and the cluster size.
+    *
+    * Edge generation is STAR-shaped, never all-pairs: each gram
+    * contributes edges (min_doc, doc) to its other members — O(m) edges
+    * per gram instead of m²/2, with identical connected components
+    * (every pair sharing a gram is joined through the gram's root). No
+    * self-join anywhere: one aggregate for per-gram roots, one join
+    * back. */
+  /** Star edges from a (doc_id, gram) membership table: per gram with
+    * document frequency in (1, cap], edges (min member, other member).
+    * O(m) edges per gram; a gram above the cap contributes NO edges.
+    * Expects grams pre-deduped per doc (doc frequency = row count). */
+  def starEdges(grams: DataFrame, cap: Int): DataFrame = {
+    val gramRoots = grams.groupBy("gram")
+      .agg(min(col("doc_id")).as("src"), count(lit(1)).as("df"))
+      .filter(col("df") > 1 && col("df") <= cap)
+    grams.join(gramRoots, Seq("gram"))
+      .filter(col("doc_id") =!= col("src"))
+      .select(col("src"), col("doc_id").as("dst"))
+      .distinct()
+  }
+
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
+    // wordShingleStrings emits distinct grams per doc → count is doc freq
     val grams = docs.select(col("doc_id"),
       explode(graft.functions.TextExpressions.wordShingleStrings(col("text"), 8)).as("gram"))
-    val a = grams.alias("a")
-    val b = grams.alias("b")
-    val edges = a.join(b,
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-      .distinct()
+    val edges = starEdges(grams, GramDfCap)
     val nodes = docs.select(col("doc_id").as("id"))
     val cc = labelPropagation(nodes, edges)
     val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
@@ -85,9 +119,14 @@ object ConnectedComponents {
         FROM documents),
       idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-7, 1)+1)) AS i FROM toks),
       grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM idx),
-      edges AS (
-        SELECT a.doc_id AS src, b.doc_id AS dst
-        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id <> b.doc_id),
+      gram_roots AS (
+        SELECT gram, MIN(doc_id) AS root FROM grams
+        GROUP BY gram HAVING COUNT(*) > 1 AND COUNT(*) <= 64),
+      star AS (
+        SELECT r.root AS src, g.doc_id AS dst
+        FROM gram_roots r JOIN grams g USING (gram)
+        WHERE g.doc_id <> r.root),
+      edges AS (SELECT src, dst FROM star UNION SELECT dst, src FROM star),
       reach(a, b) AS (
         SELECT doc_id, doc_id FROM documents
         UNION

@@ -27,6 +27,15 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftTime: Expression, rightTime: Expression,
                         tolerance: Option[Long] = None)
     extends BinaryNode {
+  // the merge scan reads keys/times with getLong — a non-Long column
+  // would silently read garbage, so reject it at construction
+  for ((e, role) <- Seq(leftKey -> "leftKey", rightKey -> "rightKey",
+                        leftTime -> "leftTime", rightTime -> "rightTime")
+       if e.resolved)
+    require(e.dataType == org.apache.spark.sql.types.LongType,
+      s"AsOfJoinPlan $role must be LongType (convert timestamps with " +
+        s"unix_micros first), got ${e.dataType.simpleString}")
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(

@@ -58,11 +58,50 @@ class TextFunctionsSpec extends SparkSpec {
       }
   }
 
-  test("fingerprintSketch is the k smallest shingle hashes, deterministic") {
+  test("fingerprintSketch is the k smallest gram digests, deterministic") {
     val text = "one two three four five six seven eight nine ten eleven twelve"
-    val a = one[scala.collection.Seq[Long]](fingerprintSketch(col("text"), 3), text)
-    val b = one[scala.collection.Seq[Long]](fingerprintSketch(col("text"), 3), text)
+    val a = one[scala.collection.Seq[String]](fingerprintSketch(col("text"), 3), text)
+    val b = one[scala.collection.Seq[String]](fingerprintSketch(col("text"), 3), text)
     assert(a == b && a.size == 3 && a == a.sorted)
+    assert(a.forall(_.matches("[0-9a-f]{32}")), "MD5 lowercase hex")
+    // element = md5 of an actual 8-gram of the text (portability contract)
+    val grams = one[scala.collection.Seq[String]](wordShingles(col("text"), 8), text)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val gramMd5 = grams.map(g => md.digest(g.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString).sorted
+    assert(a == gramMd5.take(3))
+  }
+
+  test("qualitySignals struct is bit-identical to the Column formulations") {
+    import graft.functions.TextExpressions
+    // the pre-compilation HOF/regex formulation, rebuilt inline
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val sw = array(TextFunctions.stopwords("en").map(lit): _*)
+    val oldStop = size(filter(toks, t => array_contains(sw, t))).cast("double") / nToks
+    val oldPunct = length(regexp_replace(col("text"), "[^.,;:!?'\"()-]", ""))
+      .cast("double") / greatest(length(col("text")), lit(1)).cast("double")
+    val oldAvgLen = length(regexp_replace(trim(col("text")), "\\s", ""))
+      .cast("double") / nToks
+    val oldQuality = {
+      val lengthScore = least(length(col("text")).cast("double") / lit(500.0), lit(1.0))
+      val punctScore = lit(1.0) - least(oldPunct * lit(5.0), lit(1.0))
+      val stopScore = least(oldStop * lit(4.0), lit(1.0))
+      val wordLenScore = when(oldAvgLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+      lengthScore * lit(25.0) + punctScore * lit(25.0) +
+        stopScore * lit(25.0) + wordLenScore * lit(25.0)
+    }
+    val qs = TextExpressions.qualitySignals(col("text"))
+    val mismatches = graft.Tables.load(spark, sfDir, "documents")
+      .select(qs.as("qs"), oldPunct.as("p"), oldStop.as("s"),
+              oldAvgLen.as("a"), size(toks).cast("long").as("n"), oldQuality.as("q"))
+      .filter(col("qs.punct_ratio") =!= col("p") ||
+        col("qs.stopword_ratio") =!= col("s") ||
+        col("qs.avg_token_len") =!= col("a") ||
+        col("qs.n_tokens") =!= col("n") ||
+        col("qs.quality") =!= col("q"))
+    assert(mismatches.count() == 0,
+      "compiled QualitySignals must match the Column forms exactly (oracle contract)")
   }
 
   test("piiRedaction counts and shrinks only the augmented docs") {

@@ -44,6 +44,15 @@ class AsOfJoinSpec extends SparkSpec {
     assert(t(0) == ts("2024-01-01 10:03:00"))
   }
 
+  test("AsOfJoinPlan rejects non-Long key/time columns at construction") {
+    // the merge scan reads getLong — timestamp/double columns must be
+    // rejected before they can be read as garbage
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofNative(trades, quotes, "sym", "tts", "qts")
+    }
+    assert(e.getMessage.contains("must be LongType"), e.getMessage)
+  }
+
   test("native AsOfJoinExec agrees with the union+window composition") {
     // long-typed key/time fixtures for the native operator
     val q = quotes.withColumn("qts_us", unix_micros(col("qts"))).drop("qts")

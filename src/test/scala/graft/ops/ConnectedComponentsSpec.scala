@@ -26,6 +26,41 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc.values.toSet == Set(5L))
   }
 
+  test("starEdges are O(m) per gram and a hot gram is dropped at the cap") {
+    // gram "g" shared by docs 1,5,9 → star (1,5),(1,9): 2 edges, not 3 pairs
+    val grams = Seq((1L, "g"), (5L, "g"), (9L, "g"), (2L, "solo"))
+      .toDF("doc_id", "gram")
+    val edges = ConnectedComponents.starEdges(grams, cap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((1L, 5L), (1L, 9L)))
+    // same components as all-pairs: 1-5-9 connect through root 1
+    val cc = ConnectedComponents.labelPropagation(
+      Seq(1L, 2L, 5L, 9L).toDF("id"),
+      ConnectedComponents.starEdges(grams, cap = 64))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == 1L && cc(5L) == 1L && cc(9L) == 1L && cc(2L) == 2L)
+
+    // a boilerplate gram in > cap documents contributes no edges at all
+    val hot = (1L to 70L).map(i => (i, "boiler")).toDF("doc_id", "gram")
+    assert(ConnectedComponents.starEdges(hot, cap = 64).count() == 0)
+    // ... and below the cap it contributes exactly m-1 star edges
+    assert(ConnectedComponents.starEdges(hot, cap = 128).count() == 69)
+  }
+
+  test("labelPropagation throws instead of returning split components at maxIter") {
+    // path graph 1-2-3-...-8 has diameter 7; maxIter=2 cannot converge
+    val nodes = (1L to 8L).toDF("id")
+    val edges = (1L to 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.labelPropagation(nodes, edges, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with enough rounds the same graph resolves to one component
+    val cc = ConnectedComponents.labelPropagation(nodes, edges, maxIter = 20)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(cc == Set(1L))
+  }
+
   test("dupClusters: cluster id is the min member; exact dup pairs land together") {
     val out = ConnectedComponents.dupClusters(spark, sfDir).cache()
     // cluster id is a member and is minimal
