@@ -191,12 +191,49 @@ object EventStreams {
               col("event_type"), col("n_events"), col("total_value"))
       .orderBy("window_start", "event_type")
 
+  /** Driver-checked query: bounded replay of the events file stream
+    * through the native session_window operator (complete mode emits
+    * every session — bounded-replay only; production streams run append
+    * with the watermark closing sessions incrementally). The DuckDB
+    * oracle is the batch gap-sessionization (x17's SQL) with session_end
+    * = last event + gap: session_window merges events at gap ≤ 30 min
+    * (verified: an exactly-30-minute gap merges), identical membership
+    * to the lag()>1800 batch rule. */
+  def sessionReplay(s: SparkSession, dir: String): DataFrame =
+    runToMemory(sessionWindows(fromParquetDir(s, dir)),
+        s"stream_session_${java.util.UUID.randomUUID.toString.replace("-", "")}",
+        OutputMode.Complete())
+      .select(col("user_id"),
+              date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+              date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+              col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x19_stream_tumbling" -> tumblingReplay)
+    "x19_stream_tumbling" -> tumblingReplay,
+    "x44_stream_sessions" -> sessionReplay)
 
   val oracles: Map[String, String] = Map(
     "x19_stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x44_stream_sessions" -> """
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, ts, value,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id,
+        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        COUNT(*) AS n_events,
+        ROUND(SUM(value), 2) AS session_value
+      FROM sessions GROUP BY user_id, sid
+      ORDER BY user_id, session_start""")
 }
