@@ -158,7 +158,30 @@ object EventAnalytics {
            max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** Daily active / new / cumulative users — the growth audit: DAU is a
+    * per-day exact distinct, new users come from each user's first-seen
+    * day (one user-keyed aggregate), and the running total rides a
+    * window over the per-day frame (a few hundred rows after
+    * aggregation — the single-partition window is on the TINY rollup,
+    * never the raw events; at 100 TB the heavy lifting is the two
+    * hash aggs, both map-side combined). */
+  def dailyActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+    val dau = ev.groupBy("day").agg(count_distinct(col("user_id")).as("dau"))
+    val firstSeen = ev.groupBy("user_id").agg(min("day").as("day"))
+    val newUsers = firstSeen.groupBy("day").agg(count(lit(1)).as("new_users"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    dau.join(newUsers, Seq("day"), "left")
+      .na.fill(0L, Seq("new_users"))
+      .withColumn("cum_users", sum("new_users").over(w))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x49_daily_users" -> dailyActiveUsers,
     "x40_events_json" -> propsJsonRollup,
     "x29_events_asof_native" -> asofAttributionNative,
     "x24_events_percentiles" -> valuePercentiles,
@@ -170,6 +193,15 @@ object EventAnalytics {
     "x18_events_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "x49_daily_users" -> """
+      WITH ev AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+      dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ev GROUP BY 1),
+      fs AS (SELECT user_id, MIN(day) AS day FROM ev GROUP BY 1),
+      nu AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY 1)
+      SELECT d.day, d.dau, COALESCE(n.new_users, 0) AS new_users,
+        CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      FROM dau d LEFT JOIN nu n USING (day) ORDER BY d.day""",
     "x40_events_json" -> """
       SELECT event_type, COUNT(*) AS n,
         CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,

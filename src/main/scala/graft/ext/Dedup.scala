@@ -69,6 +69,38 @@ object Dedup {
            approx_count_distinct(col("text"), rsd = 0.01).as("approx_distinct_texts"))
       .orderBy("source")
 
+  /** Cross-source content-overlap matrix: for every source pair (a < b),
+    * the number of distinct word 8-grams both contain and the gram-set
+    * Jaccard — the "which crawls overlap, and how much" audit that
+    * decides dedup ordering and source pruning. One distinct pass to
+    * per-source gram sets, then a gram-keyed self-join: each gram emits
+    * at most C(S,2) pairs for S sources (S is small — 5 here; with
+    * thousands of sources add a gram df-cap like x43's). At 100 TB both
+    * shuffles key on xxhash64(gram) instead of the strings; the string
+    * form is kept so DuckDB verifies row-for-row. */
+  def crossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val grams = load(s, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.TextExpressions.wordShingleStrings(col("text"), 8)).as("gram"))
+      .distinct()
+      .cache()
+    val counts = grams.groupBy("source").agg(count(lit(1)).as("n"))
+    val a = grams.alias("a")
+    val b = grams.alias("b")
+    val shared = a.join(b,
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(counts.select(col("source").as("source_a"), col("n").as("n_grams_a"))), Seq("source_a"))
+      .join(broadcast(counts.select(col("source").as("source_b"), col("n").as("n_grams_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_grams_a"), col("n_grams_b"),
+        (col("n_shared").cast("double") /
+          (col("n_grams_a") + col("n_grams_b") - col("n_shared")).cast("double")).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   private val MinhashK = 64
   private val Bands = 16
   private val RowsPerBand = 4 // s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
@@ -307,9 +339,27 @@ object Dedup {
     "x03_dedup_minhash" -> minhashNearDups,
     "x04_dedup_simhash" -> simhashNearDups,
     "x05_dedup_ngram_jaccard" -> ngramJaccardNearDups,
-    "x06_dedup_embedding" -> embeddingNearDups)
+    "x06_dedup_embedding" -> embeddingNearDups,
+    "x50_source_overlap" -> crossSourceOverlap)
 
   val oracles: Map[String, String] = Map(
+    "x50_source_overlap" -> """
+      WITH toks AS (SELECT source, doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      idx AS (SELECT source, t, unnest(range(1, greatest(len(t)-7, 1)+1)) AS i FROM toks),
+      grams AS (SELECT DISTINCT source, array_to_string(t[i:i+7], ' ') AS gram FROM idx),
+      counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY 1),
+      shared AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT s.source_a, s.source_b, s.n_shared,
+        ca.n AS n_grams_a, cb.n AS n_grams_b,
+        CAST(s.n_shared AS DOUBLE) / (ca.n + cb.n - s.n_shared) AS jaccard
+      FROM shared s
+      JOIN counts ca ON ca.source = s.source_a
+      JOIN counts cb ON cb.source = s.source_b
+      ORDER BY 1, 2""",
     "x01_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, MIN(n_chars) AS n_chars, text
          FROM documents GROUP BY text ORDER BY doc_id""",

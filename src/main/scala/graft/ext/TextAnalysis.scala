@@ -154,7 +154,106 @@ object TextAnalysis {
       .orderBy("source", "rank")
   }
 
+  /** Tokenizer fertility by language: mean BPE-ish subword tokens per
+    * whitespace word — the "how expensive is this language for the
+    * tokenizer" audit every multilingual mix needs (high fertility =
+    * more compute per word). Per-row ratio is a raw IEEE division
+    * (portable); only the aggregated mean is rounded. Pure scan +
+    * 5-group agg — scan speed at any corpus size. */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("lang"),
+        bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+        tokenCount(col("text")).cast("long").as("n_ws"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_bpe").as("total_bpe_tokens"),
+           sum("n_ws").as("total_ws_tokens"),
+           round(avg(col("n_bpe").cast("double") / greatest(col("n_ws"), lit(1L)).cast("double")), 4)
+             .as("avg_fertility"))
+      .orderBy("lang")
+
+  /** Quality-score distribution per source: exact interpolated quartiles
+    * + p90 (same fused array-percentile shape as x24; at 100 TB switch
+    * to approx_percentile and trade the oracle for an error spec).
+    * The "where do I set the quality threshold per crawl" calibration
+    * query. */
+  def qualityPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val qs = qualitySignals(col("text"))
+    load(s, dir, "documents")
+      .select(col("source"), qs.getField("quality").as("q"))
+      .groupBy("source")
+      .agg(expr("percentile(q, array(0.25D, 0.5D, 0.75D, 0.9D))").as("ps"),
+           count(lit(1)).as("n_docs"))
+      .select(col("source"),
+        round(element_at(col("ps"), 1), 6).as("p25"),
+        round(element_at(col("ps"), 2), 6).as("p50"),
+        round(element_at(col("ps"), 3), 6).as("p75"),
+        round(element_at(col("ps"), 4), 6).as("p90"),
+        col("n_docs"))
+      .orderBy("source")
+  }
+
+  /** Corpus bigram language model: P(w2 | w1) = c(w1 w2) / c(w1 ·) as
+    * exact integer-count division, for the 20 highest-volume context
+    * words and their top-5 continuations (count-desc, word-asc
+    * tie-break — fully deterministic). Bigram extraction is a
+    * shuffle-free per-row zip of the token array against its own tail
+    * (codegen slice/arrays_zip — no interpreted lambda, no window);
+    * the only shuffles are the two count aggregates. The shape of every
+    * "n-gram statistics over the corpus" pass. */
+  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val n = greatest(size(t) - 1, lit(0))
+    val bigrams = load(s, dir, "documents")
+      .select(slice(t, lit(1), n).as("a"), slice(t, lit(2), n).as("b"))
+      .select(explode(arrays_zip(col("a"), col("b"))).as("bi"))
+      .select(col("bi.a").as("w1"), col("bi.b").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val contexts = bigrams.groupBy("w1").agg(sum("c12").as("c1"))
+    val topContexts = contexts
+      .orderBy(col("c1").desc, col("w1")).limit(20)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("w1").orderBy(col("c12").desc, col("w2"))
+    bigrams.join(broadcast(topContexts), Seq("w1"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("w1"), col("rank"), col("w2"), col("c12"), col("c1"),
+        (col("c12").cast("double") / col("c1").cast("double")).as("p"))
+      .orderBy("w1", "rank")
+  }
+
+  /** Term document frequency for [[invertedIndex]] postings: a token
+    * this common is a stopword (not discriminative), this rare is
+    * noise. The band is what bounds the index size at corpus scale. */
+  private val PostingsDfMin = 5
+  private val PostingsDfMax = 50
+
+  /** Inverted-index postings for discriminative terms: one row per
+    * (token, doc_id) with the within-doc term frequency, for tokens
+    * appearing in [[PostingsDfMin]]..[[PostingsDfMax]] distinct
+    * documents. The search-index build pass: tf by (token, doc) with
+    * map-side combine, df as a token-keyed aggregate of the tf table
+    * (already tiny), semi-joined back. Both shuffles ride compact keys;
+    * the df band keeps output proportional to the discriminative
+    * vocabulary, not the corpus. */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val tf = load(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    val banded = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= PostingsDfMin && col("df") <= PostingsDfMax)
+    tf.join(banded, Seq("token"))
+      .select(col("token"), col("df"), col("doc_id"), col("tf"))
+      .orderBy("token", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x45_tokenizer_fertility" -> tokenizerFertility,
+    "x46_quality_percentiles" -> qualityPercentiles,
+    "x47_bigram_lm" -> bigramLm,
+    "x48_inverted_index" -> invertedIndex,
     "x37_text_redaction" -> piiRedaction,
     "x38_text_repetition" -> repetitionStats,
     "x30_text_top_terms" -> topTermsPerSource,
@@ -169,6 +268,67 @@ object TextAnalysis {
     * engines split trimmed text on \s+; ratios are raw double divisions
     * (no rounding → no decimal-tie divergence). */
   val oracles: Map[String, String] = Map(
+    "x45_tokenizer_fertility" -> """
+      WITH t AS (SELECT lang,
+          CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws
+        FROM documents)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+        CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+        round(AVG(CAST(n_bpe AS DOUBLE) / greatest(n_ws, 1)), 4) AS avg_fertility
+      FROM t GROUP BY 1 ORDER BY 1""",
+    "x46_quality_percentiles" -> """
+      WITH base AS (
+        SELECT source,
+          CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) AS punct_ratio,
+          CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> list_contains(['the','a','and','of','to','in','is','that','it','for','on','with'], x))) AS DOUBLE)
+            / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS stopword_ratio,
+          CAST(length(regexp_replace(trim(text), '\s', '', 'g')) AS DOUBLE)
+            / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS avg_token_len,
+          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS length_score
+        FROM documents),
+      scored AS (
+        SELECT source,
+          length_score * 25.0 +
+          (1.0 - least(punct_ratio * 5.0, 1.0)) * 25.0 +
+          least(stopword_ratio * 4.0, 1.0) * 25.0 +
+          (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 25.0 AS q
+        FROM base)
+      SELECT source,
+        ROUND(quantile_cont(q, 0.25), 6) AS p25,
+        ROUND(quantile_cont(q, 0.5), 6) AS p50,
+        ROUND(quantile_cont(q, 0.75), 6) AS p75,
+        ROUND(quantile_cont(q, 0.9), 6) AS p90,
+        COUNT(*) AS n_docs
+      FROM scored GROUP BY 1 ORDER BY 1""",
+    "x47_bigram_lm" -> """
+      WITH toks AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      idx AS (SELECT t, unnest(range(1, greatest(len(t)-1, 0)+1)) AS i FROM toks),
+      bi AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM idx),
+      bigrams AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+      contexts AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bigrams GROUP BY 1),
+      top_ctx AS (SELECT w1, c1 FROM contexts ORDER BY c1 DESC, w1 LIMIT 20),
+      ranked AS (
+        SELECT b.w1, b.w2, b.c12, tc.c1,
+          row_number() OVER (PARTITION BY b.w1 ORDER BY b.c12 DESC, b.w2) AS rank
+        FROM bigrams b JOIN top_ctx tc USING (w1))
+      SELECT w1, CAST(rank AS BIGINT) AS rank, w2, CAST(c12 AS BIGINT) AS c12, c1,
+        CAST(c12 AS DOUBLE) / c1 AS p
+      FROM ranked WHERE rank <= 5 ORDER BY w1, rank""",
+    "x48_inverted_index" -> """
+      WITH tf AS (
+        SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents)
+        WHERE length(token) > 0 GROUP BY 1, 2),
+      banded AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+        GROUP BY 1 HAVING COUNT(*) BETWEEN 5 AND 50)
+      SELECT t.token, b.df, t.doc_id, t.tf
+      FROM tf t JOIN banded b USING (token)
+      ORDER BY t.token, t.doc_id""",
     "x37_text_redaction" -> """
       WITH aug AS (SELECT doc_id,
           CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
