@@ -180,7 +180,46 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** Weekly retention cohorts: users grouped by first-seen day, counted
+    * distinct in each subsequent week offset — the classic retention
+    * triangle. Week offsets are exact integer day-diffs div 7 (no
+    * calendar-week numbering, which differs across engines). Two
+    * user-keyed aggregates + one (cohort, week) rollup; the events
+    * frame joins its own tiny first-seen table on user_id. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    val first = ev.groupBy("user_id").agg(min("d").as("cohort"))
+    ev.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort"),
+        expr("datediff(d, cohort) div 7").cast("long").as("week_offset"))
+      .distinct()
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_day", "week_offset")
+  }
+
+  /** Trailing 7-day event volume per day: a RANGE window over the day
+    * ordinal (not ROWS — a missing calendar day must still bound the
+    * trailing week correctly). The window runs over the per-day rollup
+    * (tiny), never raw events. */
+  def rollingVolume(s: SparkSession, dir: String): DataFrame = {
+    val daily = load(s, dir, "events")
+      .groupBy(unix_date(to_date(col("ts"))).as("day_num"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("day_value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("day_num").rangeBetween(-6, 0)
+    daily
+      .withColumn("events_7d", sum("n_events").over(w))
+      .withColumn("value_7d", round(sum("day_value").over(w), 2))
+      .select(date_format(date_add(lit("1970-01-01").cast("date"), col("day_num")), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("events_7d"), col("value_7d"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x52_retention_cohorts" -> retentionCohorts,
+    "x53_rolling_volume" -> rollingVolume,
     "x49_daily_users" -> dailyActiveUsers,
     "x40_events_json" -> propsJsonRollup,
     "x29_events_asof_native" -> asofAttributionNative,
@@ -193,6 +232,27 @@ object EventAnalytics {
     "x18_events_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "x52_retention_cohorts" -> """
+      WITH ev AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+      first AS (SELECT user_id, MIN(d) AS cohort FROM ev GROUP BY 1),
+      act AS (SELECT DISTINCT e.user_id, f.cohort,
+          CAST(date_diff('day', f.cohort, e.d) // 7 AS BIGINT) AS week_offset
+        FROM ev e JOIN first f USING (user_id))
+      SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, week_offset,
+        COUNT(*) AS n_active
+      FROM act GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x53_rolling_volume" -> """
+      WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+          COUNT(*) AS n_events, ROUND(SUM(value), 2) AS day_value
+        FROM events GROUP BY 1)
+      SELECT strftime(DATE '1970-01-01' + CAST(day_num AS INT), '%Y-%m-%d') AS day,
+        n_events,
+        CAST(SUM(n_events) OVER w AS BIGINT) AS events_7d,
+        ROUND(SUM(day_value) OVER w, 2) AS value_7d
+      FROM daily
+      WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY day""",
     "x49_daily_users" -> """
       WITH ev AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
       dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ev GROUP BY 1),

@@ -101,6 +101,23 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** Normalized ("fuzzy-exact") dedup: dedup after canonicalizing the
+    * text — lowercase, trim, collapse whitespace runs — the standard
+    * first-pass normalization that catches re-encoded/re-wrapped copies
+    * exact dedup misses, at exact-dedup cost. Same hash-first shape as
+    * x01: the normalized form is hashed at the scan and only the
+    * 192-bit key + doc_id ride the shuffle. Output: one surviving
+    * doc_id per normalized equivalence class with its variant count. */
+  def normalizedDedup(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    load(s, dir, "documents")
+      .select(xxhash64(norm).as("h1"), md5(norm).as("h2"), col("doc_id"))
+      .groupBy("h1", "h2")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
+      .select(col("doc_id"), col("n_variants"))
+      .orderBy("doc_id")
+  }
+
   private val MinhashK = 64
   private val Bands = 16
   private val RowsPerBand = 4 // s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
@@ -340,9 +357,16 @@ object Dedup {
     "x04_dedup_simhash" -> simhashNearDups,
     "x05_dedup_ngram_jaccard" -> ngramJaccardNearDups,
     "x06_dedup_embedding" -> embeddingNearDups,
-    "x50_source_overlap" -> crossSourceOverlap)
+    "x50_source_overlap" -> crossSourceOverlap,
+    "x51_dedup_normalized" -> normalizedDedup)
 
   val oracles: Map[String, String] = Map(
+    "x51_dedup_normalized" -> """
+      WITH n AS (SELECT doc_id,
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM documents)
+      SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_variants
+      FROM n GROUP BY norm ORDER BY doc_id""",
     "x50_source_overlap" -> """
       WITH toks AS (SELECT source, doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
         FROM documents),
