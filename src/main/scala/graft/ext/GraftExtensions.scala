@@ -72,6 +72,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => TextExpressions.TopTokenShare(args(0))))
 
     ext.injectFunction((
+      new FunctionIdentifier("graft_quality"),
+      new ExpressionInfo(classOf[TextExpressions.QualitySignals].getName, "graft_quality"),
+      (args: Seq[Expression]) => TextExpressions.QualitySignals(args(0))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[TextExpressions.FingerprintSketch].getName, "graft_fingerprint"),
+      (args: Seq[Expression]) => TextExpressions.FingerprintSketch(args(0),
+        intArg(args(1), "gram width"), intArg(args(2), "sketch size"))))
+
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[VectorExpressions.MinHashSignature].getName, "graft_minhash"),
       (args: Seq[Expression]) => {

@@ -123,7 +123,11 @@ object EventStreams {
 
   private def close(userId: Long, s: SessionState): Session =
     Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.lastTs),
-            s.nEvents, math.rint(s.totalValue * 100) / 100)
+            s.nEvents,
+            // HALF_UP on the decimal expansion — the same rounding Spark's
+            // round() applies, so the batch-twin oracle's ROUND agrees
+            // (math.rint is half-even and diverges on exact .xx5 sums)
+            BigDecimal(s.totalValue).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
   /** Run any of the above to an in-memory sink and return the collected
     * result — the execution harness tests (and callers doing bounded
@@ -209,15 +213,65 @@ object EventStreams {
               col("n_events"), col("session_value"))
       .orderBy("user_id", "session_start")
 
+  /** Driver-checked query: bounded replay through the CUSTOM-STATE
+    * sessionization (flatMapGroupsWithState) — the path for semantics
+    * session_window can't express, under the same batch-twin oracle
+    * family as x44. Append mode only emits sessions the watermark has
+    * timed out, so the replay unions a far-future sentinel event (the
+    * same trick the MemoryStream specs use): it advances the global
+    * watermark past every real session's timeout, flushing all of them;
+    * the sentinel's own open session is filtered back out. Oracle
+    * session_end = last event (fMGWS closes at the last seen event;
+    * session_window's end is last + gap — both verified). */
+  def statefulSessionReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val maxTs = graft.Tables.load(s, dir, "events")
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val sentinel = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    sentinel.addData(Event(-1L, -1L, "sentinel",
+      new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L), 0.0))
+    val file = fromParquetDir(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+    val events = file.unionByName(sentinel.toDF()).as[Event]
+    runToMemory(sessionizeStateful(events).toDF(),
+        s"stream_fmgws_${java.util.UUID.randomUUID.toString.replace("-", "")}")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+              date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+              date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+              col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x19_stream_tumbling" -> tumblingReplay,
-    "x44_stream_sessions" -> sessionReplay)
+    "x44_stream_sessions" -> sessionReplay,
+    "x54_stream_sessions_stateful" -> statefulSessionReplay)
 
   val oracles: Map[String, String] = Map(
     "x19_stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x54_stream_sessions_stateful" -> """
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, ts, value,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id,
+        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        COUNT(*) AS n_events,
+        ROUND(SUM(value), 2) AS session_value
+      FROM sessions GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
     "x44_stream_sessions" -> """
       WITH flagged AS (
         SELECT user_id, ts, value,

@@ -106,6 +106,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("exact dedup shuffles on the content hash, never the text payload") {
+    val p = plan(graft.ext.Dedup.exactDedup(spark, sfDir))
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"no exchange found:\n$p")
+    assert(!exchanges.exists(_.contains("text#")),
+      s"dedup exchange keys on the text payload:\n${exchanges.mkString("\n")}")
+  }
+
+  test("media dedup never shuffles the binary payload") {
+    val p = graft.multimodal.Multimodal.mediaDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("payload#")),
+      s"media dedup exchange carries payload key:\n${exchanges.mkString("\n")}")
+  }
+
+  test("simhash and embedding dedup compute bucket sizes without a window exchange") {
+    for (q <- Seq(graft.ext.Dedup.simhashNearDups(spark, sfDir),
+                  graft.ext.Dedup.embeddingNearDups(spark, sfDir))) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"),
+        "low-cardinality bucket sizes must use the broadcast agg-join, not a window")
+    }
+  }
+
+  test("quality signals run inside WholeStageCodegen with no interpreted HOF") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.Tables.load(spark, sfDir, "documents")
+      .select(graft.functions.TextFunctions.qualitySignals(col("text")).as("qs"))
+    val p = plan(df)
+    val projLine = p.linesIterator
+      .find(l => l.contains("Project") && l.contains("codegen id")).getOrElse("")
+    assert(projLine.nonEmpty, s"quality signals fell out of codegen:\n$p")
+    // the x12 query shape must not re-introduce a lambda-based filter
+    val x12 = graft.ext.TextAnalysis.qualityScores(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!x12.contains("lambdafunction") && !x12.contains("ArrayFilter"),
+      "x12 plan contains an interpreted higher-order function")
+  }
+
   test("redaction and repetition stats run inside WholeStageCodegen") {
     // the projection alone (the queries add an orderBy whose AQE wrapper
     // hides codegen ids until execution)

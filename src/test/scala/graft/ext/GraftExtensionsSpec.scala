@@ -26,6 +26,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getString(0) == "en")
   }
 
+  test("graft_quality struct and graft_fingerprint from SQL") {
+    val r = spark.sql(
+      "SELECT graft_quality('the cat sat on the mat').quality AS q, " +
+      "graft_quality('a b a').n_tokens AS n, " +
+      "graft_fingerprint('one two three four five six seven eight nine', 8, 3) AS fp").collect()(0)
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 100.0)
+    assert(r.getLong(1) == 3L)
+    val fp = r.getSeq[String](2)
+    assert(fp.size == 2 && fp.forall(_.matches("[0-9a-f]{32}")),
+      "9 tokens -> 2 distinct 8-grams, MD5 hex each")
+  }
+
   test("graft_shingles and graft_top_token_share from SQL") {
     val r = spark.sql(
       "SELECT graft_shingles('a b c d', 2) AS s, " +
