@@ -118,6 +118,26 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental ingest dedup — the operational shape at 100 TB: a new
+    * batch dedups against the standing corpus WITHOUT re-reading it as
+    * text, because the standing side is only its content-key set (the
+    * state a daily ingest keeps between runs). Here the corpus split is
+    * a deterministic stand-in (even doc_ids = already ingested, odd =
+    * today's batch). Within-batch dups collapse first (min doc_id
+    * wins), then an anti-join against the snapshot keys drops
+    * everything already seen. All joins ride the 192-bit content key. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val keyed = load(s, dir, "documents")
+      .select(xxhash64(col("text")).as("h1"), md5(col("text")).as("h2"), col("doc_id"))
+    val snapshotKeys = keyed.filter(col("doc_id") % 2 === 0).select("h1", "h2").distinct()
+    val batch = keyed.filter(col("doc_id") % 2 === 1)
+      .groupBy("h1", "h2")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_batch_copies"))
+    batch.join(snapshotKeys, Seq("h1", "h2"), "left_anti")
+      .select(col("doc_id"), col("n_batch_copies"))
+      .orderBy("doc_id")
+  }
+
   private val MinhashK = 64
   private val Bands = 16
   private val RowsPerBand = 4 // s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
@@ -358,9 +378,18 @@ object Dedup {
     "x05_dedup_ngram_jaccard" -> ngramJaccardNearDups,
     "x06_dedup_embedding" -> embeddingNearDups,
     "x50_source_overlap" -> crossSourceOverlap,
-    "x51_dedup_normalized" -> normalizedDedup)
+    "x51_dedup_normalized" -> normalizedDedup,
+    "x55_dedup_incremental" -> incrementalDedup)
 
   val oracles: Map[String, String] = Map(
+    "x55_dedup_incremental" -> """
+      WITH batch AS (
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_batch_copies, text
+        FROM documents WHERE doc_id % 2 = 1 GROUP BY text)
+      SELECT doc_id, n_batch_copies FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM documents s
+        WHERE s.doc_id % 2 = 0 AND s.text = b.text)
+      ORDER BY doc_id""",
     "x51_dedup_normalized" -> """
       WITH n AS (SELECT doc_id,
           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm

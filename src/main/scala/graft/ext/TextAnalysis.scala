@@ -249,7 +249,29 @@ object TextAnalysis {
       .orderBy("token", "doc_id")
   }
 
+  /** Quality deciles: the corpus split into 10 equal-count bins by
+    * quality score — the curriculum/threshold view ("what does the
+    * corpus's 3rd decile actually look like"). Exact ntile over a total
+    * order here (verifiable row-for-row by the oracle); at 100 TB the
+    * global sort is the anti-pattern — compute decile THRESHOLDS with
+    * approx_percentile and bin by threshold instead (same output
+    * schema, no total order). Ties broken by doc_id so both engines
+    * rank identically. */
+  def qualityDeciles(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q"), col("doc_id"))
+    load(s, dir, "documents")
+      .select(col("doc_id"), qualityScore(col("text")).as("q"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+           min("q").as("min_quality"),
+           max("q").as("max_quality"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x56_quality_deciles" -> qualityDeciles,
     "x45_tokenizer_fertility" -> tokenizerFertility,
     "x46_quality_percentiles" -> qualityPercentiles,
     "x47_bigram_lm" -> bigramLm,
@@ -268,6 +290,30 @@ object TextAnalysis {
     * engines split trimmed text on \s+; ratios are raw double divisions
     * (no rounding → no decimal-tie divergence). */
   val oracles: Map[String, String] = Map(
+    "x56_quality_deciles" -> """
+      WITH base AS (
+        SELECT doc_id,
+          CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) AS punct_ratio,
+          CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> list_contains(['the','a','and','of','to','in','is','that','it','for','on','with'], x))) AS DOUBLE)
+            / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS stopword_ratio,
+          CAST(length(regexp_replace(trim(text), '\s', '', 'g')) AS DOUBLE)
+            / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS avg_token_len,
+          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS length_score
+        FROM documents),
+      scored AS (
+        SELECT doc_id,
+          length_score * 25.0 +
+          (1.0 - least(punct_ratio * 5.0, 1.0)) * 25.0 +
+          least(stopword_ratio * 4.0, 1.0) * 25.0 +
+          (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 25.0 AS q
+        FROM base)
+      SELECT decile, COUNT(*) AS n_docs,
+        MIN(q) AS min_quality, MAX(q) AS max_quality
+      FROM (SELECT CAST(ntile(10) OVER (ORDER BY q, doc_id) AS BIGINT) AS decile, q
+            FROM scored)
+      GROUP BY 1 ORDER BY 1""",
     "x45_tokenizer_fertility" -> """
       WITH t AS (SELECT lang,
           CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe,

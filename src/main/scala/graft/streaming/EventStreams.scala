@@ -244,16 +244,49 @@ object EventStreams {
       .orderBy("user_id", "session_start")
   }
 
+  /** Driver-checked query: bounded replay of the stream-stream interval
+    * join (views ⋈ same-user purchases within the following hour).
+    * INNER stream-stream joins emit each match the moment both sides
+    * have arrived — no watermark flush needed for a bounded replay
+    * (only outer joins wait); the watermarks' job is state GC. Oracle =
+    * the plain batch interval join. */
+  def viewPurchaseReplay(s: SparkSession, dir: String): DataFrame = {
+    val ev = fromParquetDir(s, dir)
+    val joined = viewToPurchaseJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"))
+    runToMemory(joined,
+        s"stream_vp_${java.util.UUID.randomUUID.toString.replace("-", "")}")
+      .select(col("view_id"), col("user_id"),
+              date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+              col("purchase_id"),
+              date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+              col("value"))
+      .orderBy("view_id", "purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x19_stream_tumbling" -> tumblingReplay,
     "x44_stream_sessions" -> sessionReplay,
-    "x54_stream_sessions_stateful" -> statefulSessionReplay)
+    "x54_stream_sessions_stateful" -> statefulSessionReplay,
+    "x57_stream_view_purchase" -> viewPurchaseReplay)
 
   val oracles: Map[String, String] = Map(
     "x19_stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x57_stream_view_purchase" -> """
+      SELECT v.event_id AS view_id, v.user_id,
+        strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        p.event_id AS purchase_id,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        p.value
+      FROM events v JOIN events p
+        ON v.user_id = p.user_id
+        AND v.event_type = 'view' AND p.event_type = 'purchase'
+        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      ORDER BY view_id, purchase_id""",
     "x54_stream_sessions_stateful" -> """
       WITH flagged AS (
         SELECT user_id, ts, value,
