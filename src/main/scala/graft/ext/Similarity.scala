@@ -45,6 +45,30 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Range-search threshold. Data-dependent: this synthetic corpus's
+    * query/candidate cosines are near-orthogonal (p99 ≈ 0.29, max 0.49
+    * at sf0.01), so 0.3 retrieves a meaningful tail; a real embedding
+    * space would set τ at the duplicate/related boundary (0.8-0.95). */
+  private val RangeTau = 0.3
+
+  /** Similarity range search: ALL candidates above cosine τ per query —
+    * the retrieval mode for "give me everything related", where top-k's
+    * fixed cutoff under- or over-retrieves. Same broadcast shape as the
+    * brute-force top-k (corpus streams once, queries ride broadcast,
+    * no rank window needed at all — a stateless filter per pair); the
+    * LSH/IVF bucketing above is the scale path when |Q| grows. */
+  def rangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    val queries = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    all.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .filter(col("cos") >= RangeTau)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              round(col("cos"), 6).as("cos_sim"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   private val Planes = hyperplanes(nBits = 64, dim = 64, seed = 11L)
   private val Bands = 16
   private val BitsPerBand = 4
@@ -160,12 +184,24 @@ object Similarity {
     "x07_sim_topk_brute" -> topKBruteForce,
     "x08_sim_topk_lsh" -> topKLsh,
     "x09_sim_label_centroids" -> labelCentroidSims,
-    "x28_sim_topk_ivf" -> topKIvf)
+    "x28_sim_topk_ivf" -> topKIvf,
+    "x58_sim_range_search" -> rangeSearch)
 
   /** DuckDB twin for the brute-force path, with the dot/norm fold
     * written out explicitly so both engines do identical double
     * arithmetic in identical order. */
   val oracles: Map[String, String] = Map(
+    "x58_sim_range_search" -> s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+          list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2])) /
+          (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+           sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cos
+        FROM e, q WHERE e.vec_id <> q.query_id)
+      SELECT query_id, vec_id AS neighbor_id, ROUND(cos, 6) AS cos_sim
+      FROM scored WHERE cos >= $RangeTau ORDER BY query_id, neighbor_id""",
     "x07_sim_topk_brute" -> s"""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries),
