@@ -1,0 +1,117 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the round-2 corpus-audit operators (x45-x58).
+  * Each already hash-matches its DuckDB oracle; these assert the
+  * semantic properties a refactor could silently break while still
+  * producing SOME oracle-matchable output. */
+class CorpusAuditSpec extends SparkSpec {
+
+  test("tokenizer fertility: every word is at least one subword") {
+    val out = TextAnalysis.tokenizerFertility(spark, sfDir)
+    assert(out.filter(col("avg_fertility") < 1.0).count() == 0,
+      "BPE pre-tokenization cannot merge across whitespace")
+    assert(out.filter(col("total_bpe_tokens") < col("total_ws_tokens")).count() == 0)
+  }
+
+  test("quality deciles: equal-count bins with non-overlapping ranges") {
+    val rows = TextAnalysis.qualityDeciles(spark, sfDir)
+      .orderBy("decile").collect()
+    assert(rows.length == 10)
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(counts.max - counts.min <= 1, "ntile bins differ by more than one")
+    // decile ranges are ordered: each min >= previous max is too strict
+    // with duplicate scores at the boundary, but maxes must be monotone
+    val maxes = rows.map(_.getAs[Double]("max_quality"))
+    assert(maxes.sameElements(maxes.sorted), "decile ranges out of order")
+    assert(rows.forall(r => r.getAs[Double]("min_quality") <= r.getAs[Double]("max_quality")))
+  }
+
+  test("bigram LM: probabilities are consistent fractions of the context count") {
+    val out = TextAnalysis.bigramLm(spark, sfDir).cache()
+    assert(out.filter(col("c12") > col("c1")).count() == 0)
+    assert(out.filter(col("p") <= 0.0 || col("p") > 1.0).count() == 0)
+    // top-5 continuations of one context can't exceed the whole mass
+    val overfull = out.groupBy("w1").agg(sum("p").as("mass"))
+      .filter(col("mass") > 1.0 + 1e-9)
+    assert(overfull.count() == 0, "top-5 conditional mass exceeds 1")
+    out.unpersist()
+  }
+
+  test("inverted index: df band respected, tf positive, postings unique") {
+    val out = TextAnalysis.invertedIndex(spark, sfDir).cache()
+    assert(out.filter(col("df") < 5 || col("df") > 50).count() == 0)
+    assert(out.filter(col("tf") < 1).count() == 0)
+    assert(out.groupBy("token", "doc_id").count().filter(col("count") > 1).count() == 0,
+      "duplicate posting")
+    // df really is the posting-list length
+    val badDf = out.groupBy("token").agg(count(lit(1)).as("n"), first("df").as("df"))
+      .filter(col("n") =!= col("df"))
+    assert(badDf.count() == 0, "df disagrees with posting count")
+    out.unpersist()
+  }
+
+  test("normalized dedup partitions the corpus (variant counts sum to doc count)") {
+    val out = Dedup.normalizedDedup(spark, sfDir)
+    val total = out.agg(sum("n_variants")).collect()(0).getLong(0)
+    assert(total == graft.Tables.load(spark, sfDir, "documents").count())
+    // normalization can only merge groups, never split them
+    assert(out.count() <= Dedup.exactDedup(spark, sfDir).count())
+  }
+
+  test("incremental dedup: survivors are odd-id docs absent from the snapshot") {
+    val out = Dedup.incrementalDedup(spark, sfDir).cache()
+    assert(out.filter(col("doc_id") % 2 === 0).count() == 0, "snapshot doc leaked")
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val survivorTexts = out.select("doc_id").join(docs, "doc_id").select("text")
+    val inSnapshot = survivorTexts
+      .join(docs.filter(col("doc_id") % 2 === 0).select("text"), Seq("text"), "left_semi")
+    assert(inSnapshot.count() == 0, "survivor duplicates a snapshot text")
+    out.unpersist()
+  }
+
+  test("cross-source overlap: Jaccard bounded and pair list within C(S,2)") {
+    val out = Dedup.crossSourceOverlap(spark, sfDir).cache()
+    assert(out.filter(col("jaccard") <= 0.0 || col("jaccard") > 1.0).count() == 0)
+    assert(out.filter(col("n_shared") > col("n_grams_a") ||
+      col("n_shared") > col("n_grams_b")).count() == 0)
+    val nSources = graft.Tables.load(spark, sfDir, "documents")
+      .select("source").distinct().count()
+    assert(out.count() <= nSources * (nSources - 1) / 2)
+    out.unpersist()
+  }
+
+  test("retention cohorts: week 0 holds the full cohort") {
+    val out = graft.analytics.EventAnalytics.retentionCohorts(spark, sfDir).cache()
+    assert(out.filter(col("week_offset") < 0).count() == 0)
+    // every user is active in their first-seen week by construction
+    val week0 = out.filter(col("week_offset") === 0)
+      .agg(sum("n_active")).collect()(0).getLong(0)
+    val users = graft.Tables.load(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(week0 == users, s"week-0 total $week0 != distinct users $users")
+    out.unpersist()
+  }
+
+  test("rolling volume: the trailing week covers at least the day itself") {
+    val out = graft.analytics.EventAnalytics.rollingVolume(spark, sfDir).cache()
+    assert(out.filter(col("events_7d") < col("n_events")).count() == 0)
+    val first = out.orderBy("day").limit(1).collect()(0)
+    assert(first.getAs[Long]("events_7d") == first.getAs[Long]("n_events"),
+      "first day has no preceding week")
+    out.unpersist()
+  }
+
+  test("range search agrees with brute-force top-k above the threshold") {
+    val range = Similarity.rangeSearch(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    val topk = Similarity.topKBruteForce(spark, sfDir)
+      .filter(col("cos_sim") >= 0.3)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim").as("cs2"))
+    // every above-threshold top-k hit must appear in the range result
+    val missing = topk.join(range, Seq("query_id", "neighbor_id"), "left_anti")
+    assert(missing.count() == 0, "top-k hit above tau missing from range search")
+  }
+}
