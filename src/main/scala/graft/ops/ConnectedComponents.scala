@@ -34,9 +34,18 @@ object ConnectedComponents {
       .distinct()
       .persist()
     var labels = nodes.select(col("id"), col("id").as("label")).persist()
+    // convergence by label-sum: min-label propagation only ever DECREASES
+    // labels, so the decimal label total is strictly monotone until the
+    // fixpoint — one scalar aggregate per round instead of a
+    // join-the-previous-round count (halves the per-round shuffles).
+    // decimal(38,0) so 2^63-scale ids cannot overflow the total.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    var converged = false
+    while (!converged && iter < maxIter) {
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), col("label"))
       var next = labels.select("id", "label").union(prop)
@@ -48,17 +57,18 @@ object ConnectedComponents {
       // sparkContext.setCheckpointDir at durable storage and use
       // checkpoint() here instead)
       next = if ((iter + 1) % 5 == 0) next.localCheckpoint() else next.persist()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       iter += 1
     }
     sym.unpersist()
-    if (changed > 0)
+    if (!converged)
       throw new IllegalStateException(
         s"labelPropagation did not converge in $maxIter rounds " +
-          s"($changed labels still shrinking) — components would be split; " +
+          "(labels still shrinking) — components would be split; " +
           "raise maxIter above the graph diameter")
     labels.withColumnRenamed("label", "cluster")
   }
