@@ -25,15 +25,24 @@ object Bench {
     // deterministic order + cache isolation: several queries cache
     // sketched frames internally; dropping them between queries keeps
     // each timing independent of what ran before
+    // min of N cold runs per query: this VM swings identical self-join
+    // queries 2-8× run-to-run (PERF.md), and the minimum is the standard
+    // low-noise estimator for a deterministic workload
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: materializes EVERY output column (count() would let
-      // Catalyst prune the projections we're trying to measure)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: materializes EVERY output column (count() would let
+        // Catalyst prune the projections we're trying to measure)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // several queries cache sketched frames internally; dropping them
+        // keeps each rep (and each query) independent of what ran before
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
