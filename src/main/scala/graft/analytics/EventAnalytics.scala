@@ -217,7 +217,26 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** Daily-volume anomaly flags: z-score of each day's event count
+    * against the corpus of days, |z| ≥ 2 flagged — the statistical
+    * extension of the reference's 24h monitoring (main.py:651-668 reads
+    * current volume; this says whether it is NORMAL). Day rollup is one
+    * shuffle; the two-row stats frame broadcasts back over it. */
+  def volumeAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val daily = load(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.agg(avg("n_events").as("mu"), stddev_samp("n_events").as("sd"))
+    val z = (col("n_events") - col("mu")) / col("sd")
+    daily.crossJoin(broadcast(stats))
+      .select(col("day"), col("n_events"),
+        round(z, 6).as("z"),
+        (abs(z) >= 2.0).cast("int").as("is_anomaly"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x59_volume_anomalies" -> volumeAnomalies,
     "x52_retention_cohorts" -> retentionCohorts,
     "x53_rolling_volume" -> rollingVolume,
     "x49_daily_users" -> dailyActiveUsers,
@@ -232,6 +251,14 @@ object EventAnalytics {
     "x18_events_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "x59_volume_anomalies" -> """
+      WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events
+        FROM events GROUP BY 1),
+      stats AS (SELECT AVG(n_events) AS mu, stddev_samp(n_events) AS sd FROM daily)
+      SELECT day, n_events,
+        ROUND((n_events - mu) / sd, 6) AS z,
+        CAST(abs((n_events - mu) / sd) >= 2.0 AS INT) AS is_anomaly
+      FROM daily, stats ORDER BY day""",
     "x52_retention_cohorts" -> """
       WITH ev AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
       first AS (SELECT user_id, MIN(d) AS cohort FROM ev GROUP BY 1),

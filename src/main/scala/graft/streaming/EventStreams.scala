@@ -132,12 +132,27 @@ object EventStreams {
   /** Run any of the above to an in-memory sink and return the collected
     * result — the execution harness tests (and callers doing bounded
     * replays) share. processAllAvailable makes it deterministic for
-    * bounded sources. */
-  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    q.processAllAvailable()
-    q.stop()
-    df.sparkSession.table(name)
+    * bounded sources.
+    *
+    * `statePartitions`: stateful streaming operators instantiate one
+    * state store PER shuffle partition PER operator; a bounded replay
+    * over thousands of keys wants a handful, not the batch session's
+    * CPU-count default (measured: the stream-stream join replay spends
+    * more wall-clock on 32 state stores' bookkeeping than on data).
+    * Sizing state partitions to the keyspace — not the core count — is
+    * the same decision a production job makes; the conf is restored
+    * after the run. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append(),
+                  statePartitions: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
   }
 
   /** Stream-static enrichment: the unbounded event stream joined to a
