@@ -36,8 +36,11 @@ object TextExpressions {
     }
 
     override def nullSafeEval(v: Any): Any = {
-      val toks = v.asInstanceOf[UTF8String].toString
-        .trim.toLowerCase.split("\\s+", -1)
+      // UTF8String.trim strips ASCII space ONLY — matching Spark's
+      // trim() and DuckDB's trim(); Java String.trim would also strip
+      // \t/\n and silently diverge from the Column forms and oracles
+      val toks = v.asInstanceOf[UTF8String].trim.toString
+        .toLowerCase.split("\\s+", -1)
       val count = math.max(toks.length - n, 0) + 1
       val seen = new java.util.LinkedHashSet[String](count * 2)
       var i = 0
@@ -80,8 +83,11 @@ object TextExpressions {
     }
 
     override def nullSafeEval(v: Any): Any = {
-      val toks = v.asInstanceOf[UTF8String].toString
-        .trim.toLowerCase.split("\\s+", -1)
+      // UTF8String.trim strips ASCII space ONLY — matching Spark's
+      // trim() and DuckDB's trim(); Java String.trim would also strip
+      // \t/\n and silently diverge from the Column forms and oracles
+      val toks = v.asInstanceOf[UTF8String].trim.toString
+        .toLowerCase.split("\\s+", -1)
       val count = math.max(toks.length - n, 0) + 1
       val seen = new java.util.LinkedHashSet[String](count * 2)
       var i = 0
@@ -140,8 +146,11 @@ object TextExpressions {
     }
 
     override def nullSafeEval(v: Any): Any = {
-      val toks = v.asInstanceOf[UTF8String].toString
-        .trim.toLowerCase.split("\\s+", -1)
+      // UTF8String.trim strips ASCII space ONLY — matching Spark's
+      // trim() and DuckDB's trim(); Java String.trim would also strip
+      // \t/\n and silently diverge from the Column forms and oracles
+      val toks = v.asInstanceOf[UTF8String].trim.toString
+        .toLowerCase.split("\\s+", -1)
       val count = math.max(toks.length - n, 0) + 1
       val seen = new java.util.LinkedHashSet[String](count * 2)
       var i = 0
@@ -280,8 +289,11 @@ object TextExpressions {
     }
 
     override def nullSafeEval(v: Any): Any = {
-      val toks = v.asInstanceOf[UTF8String].toString
-        .trim.toLowerCase.split("\\s+", -1)
+      // UTF8String.trim strips ASCII space ONLY — matching Spark's
+      // trim() and DuckDB's trim(); Java String.trim would also strip
+      // \t/\n and silently diverge from the Column forms and oracles
+      val toks = v.asInstanceOf[UTF8String].trim.toString
+        .toLowerCase.split("\\s+", -1)
       val counts = new java.util.HashMap[String, Int](toks.length * 2)
       var max = 0
       var i = 0
@@ -325,8 +337,11 @@ object TextExpressions {
     }
 
     override def nullSafeEval(v: Any): Any = {
-      val toks = v.asInstanceOf[UTF8String].toString
-        .trim.toLowerCase.split("\\s+", -1)
+      // UTF8String.trim strips ASCII space ONLY — matching Spark's
+      // trim() and DuckDB's trim(); Java String.trim would also strip
+      // \t/\n and silently diverge from the Column forms and oracles
+      val toks = v.asInstanceOf[UTF8String].trim.toString
+        .toLowerCase.split("\\s+", -1)
       val counts = new Array[Int](langs.length)
       var i = 0
       while (i < toks.length) {

@@ -127,15 +127,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("u32 sampling hash is a bijection on any id set (no rank ties)") {
-    forAll(Gen.listOf(Gen.chooseNum(0L, 3_000_000_000L))) { ids =>
+  test("u32 sampling hash is a bijection within the 31-bit key range") {
+    // documented contract: injective for keys < 2^31; keys differing
+    // only above bit 30 intentionally share a hash (mask-first keeps
+    // the multiply overflow-free for ANY int64 key)
+    forAll(Gen.listOf(Gen.chooseNum(0L, 2147483647L))) { ids =>
       val distinct = ids.distinct
       val hashes = distinct.toDF("id")
         .select(graft.ext.Sampling.u32(col("id")).as("h"))
         .collect().map(_.getLong(0))
       assert(hashes.length == hashes.distinct.length,
-        "distinct keys must get distinct u32 ranks")
+        "distinct 31-bit keys must get distinct u32 ranks")
       assert(hashes.forall(h => h >= 0 && h < 4294967296L))
+    }
+  }
+
+  test("u32 never overflows and folds high keys onto their masked twin") {
+    forAll(Gen.listOf(Gen.chooseNum(0L, Long.MaxValue))) { ids =>
+      whenever(ids.nonEmpty) {
+        val rows = ids.toDF("id").select(col("id"),
+          graft.ext.Sampling.u32(col("id")).as("h"),
+          graft.ext.Sampling.u32(col("id").bitwiseAND(lit(2147483647L))).as("hm"))
+          .collect()
+        rows.foreach { r =>
+          val h = r.getLong(1)
+          assert(h >= 0 && h < 4294967296L, s"u32 out of range for id ${r.getLong(0)}")
+          assert(h == r.getLong(2), "key above 2^31 must hash like its masked twin")
+        }
+      }
     }
   }
 
@@ -151,6 +170,56 @@ class PropertySpec extends SparkSpec {
       val allDeleted = graft.ops.SnapshotDiff.diff(df, empty, "id", Seq("v"))
       assert(allDeleted.count() == n)
       assert(allDeleted.filter(col("change") =!= "deleted").count() == 0)
+    }
+  }
+
+  /** Adversarial text: unicode, odd whitespace, punctuation runs, empty
+    * and single-char cases — the inputs where a compiled re-implementation
+    * of a Column formula silently diverges. */
+  private val nastyTextGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.oneOf("the", "a", "of", "und", "的", "是", "naïve", "café", "ÅBÇ"),
+    Gen.alphaNumStr.map(_.take(6)),
+    Gen.oneOf(".", ",", "!!", "??", "...", "-", "\"'", "()"),
+    Gen.oneOf(" ", "  ", "\t", "\n", " \t "))).map(_.mkString(" "))
+
+  test("compiled QualitySignals matches the Column formulation on adversarial text") {
+    forAll(Gen.nonEmptyListOf(nastyTextGen)) { texts =>
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val nToks = greatest(size(toks), lit(1)).cast("double")
+      val sw = array(graft.functions.TextFunctions.stopwords("en").map(lit): _*)
+      val oldStop = size(filter(toks, t => array_contains(sw, t))).cast("double") / nToks
+      val oldPunct = length(regexp_replace(col("text"), "[^.,;:!?'\"()-]", ""))
+        .cast("double") / greatest(length(col("text")), lit(1)).cast("double")
+      val oldAvgLen = length(regexp_replace(trim(col("text")), "\\s", ""))
+        .cast("double") / nToks
+      val qs = graft.functions.TextExpressions.qualitySignals(col("text"))
+      val bad = texts.toDF("text")
+        .select(qs.as("qs"), oldPunct.as("p"), oldStop.as("s"), oldAvgLen.as("a"),
+                size(toks).cast("long").as("n"))
+        .filter(col("qs.punct_ratio") =!= col("p") ||
+          col("qs.stopword_ratio") =!= col("s") ||
+          col("qs.avg_token_len") =!= col("a") ||
+          col("qs.n_tokens") =!= col("n"))
+        .collect()
+      assert(bad.isEmpty, s"compiled/Column divergence on: ${bad.take(3).mkString("; ")}")
+    }
+  }
+
+  test("fingerprint sketch = k smallest MD5s of the shingle set, for any text") {
+    forAll(Gen.nonEmptyListOf(nastyTextGen)) { texts =>
+      val rows = texts.toDF("text")
+        .select(col("text"),
+          graft.functions.TextFunctions.fingerprintSketch(col("text"), 4).as("fp"),
+          graft.functions.TextFunctions.wordShingles(col("text"), 8).as("grams"))
+        .collect()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.foreach { r =>
+        val fp = r.getAs[scala.collection.Seq[String]]("fp")
+        val grams = r.getAs[scala.collection.Seq[String]]("grams")
+        val expect = grams.map(g => md.digest(g.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString).sorted.take(4)
+        assert(fp == expect, s"sketch mismatch for '${r.getString(0).take(40)}'")
+      }
     }
   }
 
