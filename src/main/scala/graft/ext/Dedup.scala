@@ -26,27 +26,24 @@ object Dedup {
 
   /** Exact dedup: keep the smallest doc_id per identical text — the
     * hash-first 100 TB shape. Content identity is the 192-bit
-    * (xxhash64, md5) pair computed at the scan, so the dedup shuffle
-    * carries ~32-byte keyed rows instead of whole documents (at 100 TB:
-    * ~3 TB through the exchange instead of 100 TB), with map-side
-    * combine collapsing intra-partition copies first. Survivor text is
-    * attached by a second join that moves each surviving document
-    * exactly once, keyed by its 8-byte doc_id. Two distinct texts
-    * colliding in BOTH hashes (p ≈ 2^-192 per pair) is the accepted
-    * exactness bound — the same identity contract content-addressable
-    * stores use. */
-  def exactDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = load(s, dir, "documents")
-    val survivors = docs
+    * (xxhash64, md5) pair computed at the scan: the exchange keys on
+    * 24 bytes of hash, never the document, and map-side combine leaves
+    * at most ONE text per content group per input partition in the
+    * partial-aggregate buffers (min_by carries the survivor candidate)
+    * — an n-fold-duplicated document ships min(n, #partitions) copies
+    * instead of n. One shuffle total. Two distinct texts colliding in
+    * BOTH hashes (p ≈ 2^-192 per pair) is the accepted exactness
+    * bound — the same identity contract content-addressable stores
+    * use. */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
       .select(xxhash64(col("text")).as("h1"), md5(col("text")).as("h2"),
-              col("doc_id"), col("n_chars"))
+              col("doc_id"), col("n_chars"), col("text"))
       .groupBy("h1", "h2")
-      .agg(min(col("doc_id")).as("doc_id"), min(col("n_chars")).as("n_chars"))
-    docs.select(col("doc_id"), col("text"))
-      .join(survivors.select("doc_id", "n_chars"), Seq("doc_id"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("n_chars")).as("n_chars"),
+           min_by(col("text"), col("doc_id")).as("text"))
       .select(col("doc_id"), col("n_chars"), col("text"))
       .orderBy("doc_id")
-  }
 
   /** Exact-dedup survivor count by content hash — the 100 TB shape:
     * the full text never shuffles, only (hash, min_id). */

@@ -84,8 +84,11 @@ object TextAnalysis {
     val docs = load(s, dir, "documents")
       .filter(langId(col("text")) === "en")
       .filter(qualityScore(col("text")) >= 50.0)
+    // dedup groups on the 192-bit content key, not the text itself —
+    // the document payload never rides the dedup exchange (same
+    // hash-first contract as exactDedup, x01)
     val surviving = docs
-      .groupBy(col("text"))
+      .groupBy(xxhash64(col("text")).as("h1"), md5(col("text")).as("h2"))
       .agg(min(col("doc_id")).as("doc_id"),
            min_by(col("source"), col("doc_id")).as("source"),
            min_by(col("n_chars"), col("doc_id")).as("n_chars"))
