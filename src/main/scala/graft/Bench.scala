@@ -28,21 +28,27 @@ object Bench {
     // min of N cold runs per query: this VM swings identical self-join
     // queries 2-8× run-to-run (PERF.md), and the minimum is the standard
     // low-noise estimator for a deterministic workload
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt).getOrElse(2))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: materializes EVERY output column (count() would let
         // Catalyst prune the projections we're trying to measure)
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         // several queries cache sketched frames internally; dropping them
         // keeps each rep (and each query) independent of what ran before
         spark.catalog.clearCache()
-        dt
+        (ok, dt)
       }
-      name -> times.min
+      // a failed rep finishes fast — min over SUCCESSFUL reps only, so a
+      // transient failure can't masquerade as a great time; if every rep
+      // failed, report the max elapsed (visibly odd, never flattering)
+      val succ = times.collect { case (true, dt) => dt }
+      name -> (if (succ.nonEmpty) succ.min else times.map(_._2).max)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -227,7 +227,9 @@ object EventAnalytics {
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_events"))
     val stats = daily.agg(avg("n_events").as("mu"), stddev_samp("n_events").as("sd"))
-    val z = (col("n_events") - col("mu")) / col("sd")
+    // sd = 0 (every day identical) → z undefined: emit NULL rather than
+    // NaN, mirroring the oracle's NULLIF — engines disagree on 0/0
+    val z = when(col("sd") =!= 0.0, (col("n_events") - col("mu")) / col("sd"))
     daily.crossJoin(broadcast(stats))
       .select(col("day"), col("n_events"),
         round(z, 6).as("z"),
@@ -256,8 +258,8 @@ object EventAnalytics {
         FROM events GROUP BY 1),
       stats AS (SELECT AVG(n_events) AS mu, stddev_samp(n_events) AS sd FROM daily)
       SELECT day, n_events,
-        ROUND((n_events - mu) / sd, 6) AS z,
-        CAST(abs((n_events - mu) / sd) >= 2.0 AS INT) AS is_anomaly
+        ROUND((n_events - mu) / NULLIF(sd, 0), 6) AS z,
+        CAST(abs((n_events - mu) / NULLIF(sd, 0)) >= 2.0 AS INT) AS is_anomaly
       FROM daily, stats ORDER BY day""",
     "x52_retention_cohorts" -> """
       WITH ev AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),

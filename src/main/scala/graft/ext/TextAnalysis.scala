@@ -208,11 +208,15 @@ object TextAnalysis {
   def bigramLm(s: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
     val n = greatest(size(t) - 1, lit(0))
+    // cached: both the context rollup and the join back read this
+    // corpus-wide aggregate — without persistence the scan+explode+agg
+    // (the dominant cost) executes twice
     val bigrams = load(s, dir, "documents")
       .select(slice(t, lit(1), n).as("a"), slice(t, lit(2), n).as("b"))
       .select(explode(arrays_zip(col("a"), col("b"))).as("bi"))
       .select(col("bi.a").as("w1"), col("bi.b").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .cache()
     val contexts = bigrams.groupBy("w1").agg(sum("c12").as("c1"))
     val topContexts = contexts
       .orderBy(col("c1").desc, col("w1")).limit(20)
@@ -241,10 +245,13 @@ object TextAnalysis {
     * the df band keeps output proportional to the discriminative
     * vocabulary, not the corpus. */
   def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    // cached: the df band derives from this frame and joins back to it —
+    // the corpus-wide tokenize+agg would otherwise run twice
     val tf = load(s, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      .cache()
     val banded = tf.groupBy("token").agg(count(lit(1)).as("df"))
       .filter(col("df") >= PostingsDfMin && col("df") <= PostingsDfMax)
     tf.join(banded, Seq("token"))
@@ -289,13 +296,16 @@ object TextAnalysis {
     "x13_text_source_rollup" -> sourceQualityRollup,
     "x14_text_fingerprints" -> fingerprints)
 
-  /** DuckDB twins where the arithmetic is portable. Token counts: both
-    * engines split trimmed text on \s+; ratios are raw double divisions
-    * (no rounding → no decimal-tie divergence). */
-  val oracles: Map[String, String] = Map(
-    "x56_quality_deciles" -> """
-      WITH base AS (
-        SELECT doc_id,
+  /** Shared DuckDB CTE: per-document quality signals and the composite
+    * score — the SQL twin of [[graft.functions.TextExpressions.QualitySignals]],
+    * defined ONCE and interpolated into every oracle that scores
+    * quality (x12/x13/x46/x56). One definition to change when the
+    * formula or stopword list moves, instead of four copies that can
+    * silently drift. */
+  private val QualityScoredSql = """
+      base AS (
+        SELECT doc_id, source, n_chars,
+          len(string_split_regex(trim(text), '\s+')) AS n_tokens,
           CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
             / greatest(length(text), 1) AS punct_ratio,
           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -306,12 +316,19 @@ object TextAnalysis {
           least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS length_score
         FROM documents),
       scored AS (
-        SELECT doc_id,
+        SELECT base.*,
           length_score * 25.0 +
           (1.0 - least(punct_ratio * 5.0, 1.0)) * 25.0 +
           least(stopword_ratio * 4.0, 1.0) * 25.0 +
           (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 25.0 AS q
-        FROM base)
+        FROM base)"""
+
+  /** DuckDB twins where the arithmetic is portable. Token counts: both
+    * engines split trimmed text on \s+; ratios are raw double divisions
+    * (no rounding → no decimal-tie divergence). */
+  val oracles: Map[String, String] = Map(
+    "x56_quality_deciles" -> s"""
+      WITH $QualityScoredSql
       SELECT decile, COUNT(*) AS n_docs,
         MIN(q) AS min_quality, MAX(q) AS max_quality
       FROM (SELECT CAST(ntile(10) OVER (ORDER BY q, doc_id) AS BIGINT) AS decile, q
@@ -327,25 +344,8 @@ object TextAnalysis {
         CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
         round(AVG(CAST(n_bpe AS DOUBLE) / greatest(n_ws, 1)), 4) AS avg_fertility
       FROM t GROUP BY 1 ORDER BY 1""",
-    "x46_quality_percentiles" -> """
-      WITH base AS (
-        SELECT source,
-          CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
-            / greatest(length(text), 1) AS punct_ratio,
-          CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                 x -> list_contains(['the','a','and','of','to','in','is','that','it','for','on','with'], x))) AS DOUBLE)
-            / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS stopword_ratio,
-          CAST(length(regexp_replace(trim(text), '\s', '', 'g')) AS DOUBLE)
-            / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS avg_token_len,
-          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS length_score
-        FROM documents),
-      scored AS (
-        SELECT source,
-          length_score * 25.0 +
-          (1.0 - least(punct_ratio * 5.0, 1.0)) * 25.0 +
-          least(stopword_ratio * 4.0, 1.0) * 25.0 +
-          (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 25.0 AS q
-        FROM base)
+    "x46_quality_percentiles" -> s"""
+      WITH $QualityScoredSql
       SELECT source,
         ROUND(quantile_cont(q, 0.25), 6) AS p25,
         ROUND(quantile_cont(q, 0.5), 6) AS p50,
@@ -477,28 +477,10 @@ object TextAnalysis {
       FROM scores
       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) = 1
       ORDER BY doc_id""",
-    "x13_text_source_rollup" -> """
-      WITH base AS (
-        SELECT doc_id, source, n_chars,
-          len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-          CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
-            / greatest(length(text), 1) AS punct_ratio,
-          CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                 x -> list_contains(['the','a','and','of','to','in','is','that','it','for','on','with'], x))) AS DOUBLE)
-            / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS stopword_ratio,
-          CAST(length(regexp_replace(trim(text), '\s', '', 'g')) AS DOUBLE)
-            / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS avg_token_len,
-          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS length_score
-        FROM documents),
-      scored AS (
-        SELECT source, n_chars, n_tokens,
-          length_score * 25.0 +
-          (1.0 - least(punct_ratio * 5.0, 1.0)) * 25.0 +
-          least(stopword_ratio * 4.0, 1.0) * 25.0 +
-          (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 25.0 AS quality
-        FROM base)
+    "x13_text_source_rollup" -> s"""
+      WITH $QualityScoredSql
       SELECT source, COUNT(*) AS n_docs,
-        round(AVG(quality), 2) AS avg_quality,
+        round(AVG(q), 2) AS avg_quality,
         round(AVG(n_tokens), 2) AS avg_tokens,
         CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM scored GROUP BY 1 ORDER BY 1""",
@@ -515,22 +497,8 @@ object TextAnalysis {
       FROM documents d JOIN ranked r USING (doc_id)
       WHERE r.rank <= 8
       ORDER BY d.doc_id, r.rank""",
-    "x12_text_quality" -> """
-      WITH base AS (
-        SELECT doc_id,
-          CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
-            / greatest(length(text), 1) AS punct_ratio,
-          CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                 x -> list_contains(['the','a','and','of','to','in','is','that','it','for','on','with'], x))) AS DOUBLE)
-            / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS stopword_ratio,
-          CAST(length(regexp_replace(trim(text), '\s', '', 'g')) AS DOUBLE)
-            / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS avg_token_len,
-          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS length_score
-        FROM documents)
-      SELECT doc_id, punct_ratio, stopword_ratio,
-        length_score * 25.0 +
-        (1.0 - least(punct_ratio * 5.0, 1.0)) * 25.0 +
-        least(stopword_ratio * 4.0, 1.0) * 25.0 +
-        (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 25.0 AS quality
-      FROM base ORDER BY doc_id""")
+    "x12_text_quality" -> s"""
+      WITH $QualityScoredSql
+      SELECT doc_id, punct_ratio, stopword_ratio, q AS quality
+      FROM scored ORDER BY doc_id""")
 }

@@ -36,11 +36,13 @@ object TextExpressions {
     }
 
     override def nullSafeEval(v: Any): Any = {
-      // UTF8String.trim strips ASCII space ONLY — matching Spark's
-      // trim() and DuckDB's trim(); Java String.trim would also strip
-      // \t/\n and silently diverge from the Column forms and oracles
-      val toks = v.asInstanceOf[UTF8String].trim.toString
-        .toLowerCase.split("\\s+", -1)
+      // UTF8String.trim/toLowerCase: Spark's own trim() (ASCII space
+      // only) and lower() (locale-independent) semantics — Java
+      // String.trim also strips \t/\n, and String.toLowerCase follows
+      // the JVM default locale (Turkish 'I'→'ı'), either of which
+      // silently diverges from the Column forms and DuckDB oracles
+      val toks = v.asInstanceOf[UTF8String].trim.toLowerCase.toString
+        .split("\\s+", -1)
       val count = math.max(toks.length - n, 0) + 1
       val seen = new java.util.LinkedHashSet[String](count * 2)
       var i = 0
@@ -83,11 +85,13 @@ object TextExpressions {
     }
 
     override def nullSafeEval(v: Any): Any = {
-      // UTF8String.trim strips ASCII space ONLY — matching Spark's
-      // trim() and DuckDB's trim(); Java String.trim would also strip
-      // \t/\n and silently diverge from the Column forms and oracles
-      val toks = v.asInstanceOf[UTF8String].trim.toString
-        .toLowerCase.split("\\s+", -1)
+      // UTF8String.trim/toLowerCase: Spark's own trim() (ASCII space
+      // only) and lower() (locale-independent) semantics — Java
+      // String.trim also strips \t/\n, and String.toLowerCase follows
+      // the JVM default locale (Turkish 'I'→'ı'), either of which
+      // silently diverges from the Column forms and DuckDB oracles
+      val toks = v.asInstanceOf[UTF8String].trim.toLowerCase.toString
+        .split("\\s+", -1)
       val count = math.max(toks.length - n, 0) + 1
       val seen = new java.util.LinkedHashSet[String](count * 2)
       var i = 0
@@ -146,11 +150,13 @@ object TextExpressions {
     }
 
     override def nullSafeEval(v: Any): Any = {
-      // UTF8String.trim strips ASCII space ONLY — matching Spark's
-      // trim() and DuckDB's trim(); Java String.trim would also strip
-      // \t/\n and silently diverge from the Column forms and oracles
-      val toks = v.asInstanceOf[UTF8String].trim.toString
-        .toLowerCase.split("\\s+", -1)
+      // UTF8String.trim/toLowerCase: Spark's own trim() (ASCII space
+      // only) and lower() (locale-independent) semantics — Java
+      // String.trim also strips \t/\n, and String.toLowerCase follows
+      // the JVM default locale (Turkish 'I'→'ı'), either of which
+      // silently diverges from the Column forms and DuckDB oracles
+      val toks = v.asInstanceOf[UTF8String].trim.toLowerCase.toString
+        .split("\\s+", -1)
       val count = math.max(toks.length - n, 0) + 1
       val seen = new java.util.LinkedHashSet[String](count * 2)
       var i = 0
@@ -240,15 +246,18 @@ object TextExpressions {
       }
       // Spark's trim() strips ASCII space only (UTF8String.trim) — NOT
       // Java String.trim (which also strips \t, \n, ...)
-      val trimmed = u.trim.toString
+      val trimmed = u.trim
+      val trimmedStr = trimmed.toString
       var nonWs = 0
       i = 0
-      while (i < trimmed.length) {
-        val cp = trimmed.codePointAt(i)
+      while (i < trimmedStr.length) {
+        val cp = trimmedStr.codePointAt(i)
         if (!isWs(cp)) nonWs += 1
         i += Character.charCount(cp)
       }
-      val toks = trimmed.toLowerCase.split("\\s+", -1)
+      // UTF8String.toLowerCase = Spark's lower(): locale-independent
+      // (Java String.toLowerCase follows the JVM locale — Turkish 'I')
+      val toks = trimmed.toLowerCase.toString.split("\\s+", -1)
       var stops = 0
       i = 0
       while (i < toks.length) {
@@ -289,11 +298,13 @@ object TextExpressions {
     }
 
     override def nullSafeEval(v: Any): Any = {
-      // UTF8String.trim strips ASCII space ONLY — matching Spark's
-      // trim() and DuckDB's trim(); Java String.trim would also strip
-      // \t/\n and silently diverge from the Column forms and oracles
-      val toks = v.asInstanceOf[UTF8String].trim.toString
-        .toLowerCase.split("\\s+", -1)
+      // UTF8String.trim/toLowerCase: Spark's own trim() (ASCII space
+      // only) and lower() (locale-independent) semantics — Java
+      // String.trim also strips \t/\n, and String.toLowerCase follows
+      // the JVM default locale (Turkish 'I'→'ı'), either of which
+      // silently diverges from the Column forms and DuckDB oracles
+      val toks = v.asInstanceOf[UTF8String].trim.toLowerCase.toString
+        .split("\\s+", -1)
       val counts = new java.util.HashMap[String, Int](toks.length * 2)
       var max = 0
       var i = 0
@@ -337,11 +348,13 @@ object TextExpressions {
     }
 
     override def nullSafeEval(v: Any): Any = {
-      // UTF8String.trim strips ASCII space ONLY — matching Spark's
-      // trim() and DuckDB's trim(); Java String.trim would also strip
-      // \t/\n and silently diverge from the Column forms and oracles
-      val toks = v.asInstanceOf[UTF8String].trim.toString
-        .toLowerCase.split("\\s+", -1)
+      // UTF8String.trim/toLowerCase: Spark's own trim() (ASCII space
+      // only) and lower() (locale-independent) semantics — Java
+      // String.trim also strips \t/\n, and String.toLowerCase follows
+      // the JVM default locale (Turkish 'I'→'ı'), either of which
+      // silently diverges from the Column forms and DuckDB oracles
+      val toks = v.asInstanceOf[UTF8String].trim.toLowerCase.toString
+        .split("\\s+", -1)
       val counts = new Array[Int](langs.length)
       var i = 0
       while (i < toks.length) {

@@ -124,14 +124,14 @@ object ConnectedComponents {
     "x43_dup_clusters" -> dupClusters)
 
   val oracles: Map[String, String] = Map(
-    "x43_dup_clusters" -> """
-      WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+    "x43_dup_clusters" -> s"""
+      WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
         FROM documents),
       idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-7, 1)+1)) AS i FROM toks),
       grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM idx),
       gram_roots AS (
         SELECT gram, MIN(doc_id) AS root FROM grams
-        GROUP BY gram HAVING COUNT(*) > 1 AND COUNT(*) <= 64),
+        GROUP BY gram HAVING COUNT(*) > 1 AND COUNT(*) <= $GramDfCap),
       star AS (
         SELECT r.root AS src, g.doc_id AS dst
         FROM gram_roots r JOIN grams g USING (gram)

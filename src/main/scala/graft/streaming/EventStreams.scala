@@ -152,7 +152,14 @@ object EventStreams {
       q.processAllAvailable()
       q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+    // the memory sink pins its rows on the driver for the session's
+    // lifetime via the registered temp view — detach the result (the
+    // sink already materialized it driver-side, so this copies, not
+    // grows) and drop the view so repeated replays don't accumulate
+    val sunk = spark.table(name)
+    val detached = spark.createDataFrame(sunk.collectAsList(), sunk.schema)
+    spark.catalog.dropTempView(name)
+    detached
   }
 
   /** Stream-static enrichment: the unbounded event stream joined to a

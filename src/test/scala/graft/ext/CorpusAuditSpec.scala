@@ -107,8 +107,10 @@ class CorpusAuditSpec extends SparkSpec {
   test("range search agrees with brute-force top-k above the threshold") {
     val range = Similarity.rangeSearch(spark, sfDir)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    // cos_sim is rounded to 6dp: stay half-an-ulp-of-rounding above the
+    // raw tau so a pair at the boundary can't pass here but fail there
     val topk = Similarity.topKBruteForce(spark, sfDir)
-      .filter(col("cos_sim") >= 0.3)
+      .filter(col("cos_sim") >= 0.3000005)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim").as("cs2"))
     // every above-threshold top-k hit must appear in the range result
     val missing = topk.join(range, Seq("query_id", "neighbor_id"), "left_anti")
