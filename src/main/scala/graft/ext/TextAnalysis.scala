@@ -280,7 +280,24 @@ object TextAnalysis {
       .orderBy("decile")
   }
 
+  /** Quality-weighted Bernoulli sampling: keep each document with
+    * probability quality/100 — importance sampling for the training mix
+    * (better documents are likelier to survive), deterministic and
+    * re-runnable like all Sampling operators: selection is a pure
+    * function of (doc_id, quality). A stateless scan-level filter — no
+    * shuffle, no global pass; the threshold floor(q · 2^32/100) and the
+    * u32 hash reproduce bit-for-bit in any engine. */
+  def qualityWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val qs = qualitySignals(col("text"))
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), qs.getField("quality").as("quality"))
+      .filter(graft.ext.Sampling.u32(col("doc_id")) <
+        floor(col("quality") * lit(42949672.96)).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x60_sample_quality_weighted" -> qualityWeightedSample,
     "x56_quality_deciles" -> qualityDeciles,
     "x45_tokenizer_fertility" -> tokenizerFertility,
     "x46_quality_percentiles" -> qualityPercentiles,
@@ -327,6 +344,12 @@ object TextAnalysis {
     * engines split trimmed text on \s+; ratios are raw double divisions
     * (no rounding → no decimal-tie divergence). */
   val oracles: Map[String, String] = Map(
+    "x60_sample_quality_weighted" -> s"""
+      WITH $QualityScoredSql
+      SELECT doc_id, source, q AS quality FROM scored
+      WHERE ((doc_id & 2147483647)*2654435761)%4294967296 <
+        CAST(floor(q * 42949672.96) AS BIGINT)
+      ORDER BY doc_id""",
     "x56_quality_deciles" -> s"""
       WITH $QualityScoredSql
       SELECT decile, COUNT(*) AS n_docs,
