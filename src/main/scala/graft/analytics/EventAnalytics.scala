@@ -237,7 +237,57 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** Behavioral sequence mining: the 20 most common 3-event type
+    * sequences users execute (consecutive by time per user) — the
+    * "what do users actually do" pattern query. One shuffle to order
+    * each user's stream (lead ×2 over the user partition), then a
+    * count aggregate; ties broken lexicographically for determinism. */
+  def topEventSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
+  /** Within-session conversion: of each user's 30-minute-gap sessions,
+    * how many contain a view followed (within the session) by a
+    * purchase — the sessionized refinement of the x18 lifetime funnel.
+    * Reuses the x17 session assignment; one extra per-session
+    * aggregate. */
+  def sessionConversion(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val gapped = load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_session",
+        when(lag("ts", 1).over(w).isNull ||
+          col("ts").cast("long") - lag("ts", 1).over(w).cast("long") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("new_session").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+    val perSession = gapped.groupBy("user_id", "sid")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+           max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
+    perSession.agg(
+      count(lit(1)).as("n_sessions"),
+      count(col("first_view")).as("n_with_view"),
+      count(col("last_purchase")).as("n_with_purchase"),
+      count(when(col("first_view") < col("last_purchase"), 1)).as("n_converted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x61_event_sequences" -> topEventSequences,
+    "x62_session_conversion" -> sessionConversion,
     "x59_volume_anomalies" -> volumeAnomalies,
     "x52_retention_cohorts" -> retentionCohorts,
     "x53_rolling_volume" -> rollingVolume,
@@ -253,6 +303,35 @@ object EventAnalytics {
     "x18_events_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "x61_event_sequences" -> """
+      WITH seq AS (
+        SELECT event_type AS e1,
+          lead(event_type, 1) OVER w AS e2,
+          lead(event_type, 2) OVER w AS e3
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT e1, e2, e3, COUNT(*) AS n FROM seq WHERE e3 IS NOT NULL
+      GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 20""",
+    "x62_session_conversion" -> """
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, event_type, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged),
+      per_session AS (
+        SELECT user_id, sid,
+          MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+          MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+        FROM sessions GROUP BY 1, 2)
+      SELECT COUNT(*) AS n_sessions,
+        COUNT(first_view) AS n_with_view,
+        COUNT(last_purchase) AS n_with_purchase,
+        COUNT(CASE WHEN first_view < last_purchase THEN 1 END) AS n_converted
+      FROM per_session""",
     "x59_volume_anomalies" -> """
       WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events
         FROM events GROUP BY 1),
