@@ -146,6 +146,14 @@ class PlanSpec extends SparkSpec {
       "x12 plan contains an interpreted higher-order function")
   }
 
+  test("quality-weighted sampling is a scan-level filter (no shuffle before selection)") {
+    val p = plan(graft.ext.TextAnalysis.qualityWeightedSample(spark, sfDir))
+    assert(!p.contains("Window"), "per-row weighted sampling must not need a window")
+    assert(p.contains("Filter"), "no filter stage found")
+    // selection needs no aggregate — only the output orderBy may exchange
+    assert(!p.contains("HashAggregate"), "weighted sampling must not aggregate")
+  }
+
   test("redaction and repetition stats run inside WholeStageCodegen") {
     // the projection alone (the queries add an orderBy whose AQE wrapper
     // hides codegen ids until execution)
