@@ -104,6 +104,50 @@ class CorpusAuditSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("volume anomaly z-scores are centered (mean z ~ 0 over days)") {
+    val out = graft.analytics.EventAnalytics.volumeAnomalies(spark, sfDir).cache()
+    val meanZ = out.agg(avg("z")).collect()(0).getDouble(0)
+    assert(math.abs(meanZ) < 1e-6, s"z-scores not centered: mean $meanZ")
+    // an anomaly flag implies |z| >= 2 on the rounded value too
+    assert(out.filter(col("is_anomaly") === 1 && abs(col("z")) < 1.999999).count() == 0)
+    out.unpersist()
+  }
+
+  test("quality-weighted sampling keeps ~mean-quality fraction of the corpus") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val kept = TextAnalysis.qualityWeightedSample(spark, sfDir).count().toDouble
+    val n = docs.count().toDouble
+    val meanQ = TextAnalysis.qualityScores(spark, sfDir)
+      .agg(avg("quality")).collect()(0).getDouble(0)
+    // u32 is uniform on doc_id → keep rate converges to E[quality]/100;
+    // deterministic data, generous band for the finite-sample gap
+    assert(math.abs(kept / n - meanQ / 100.0) < 0.05,
+      s"keep rate ${kept / n} vs mean quality ${meanQ / 100.0}")
+  }
+
+  test("event sequences: top paths are complete trigrams with positive counts") {
+    val rows = graft.analytics.EventAnalytics.topEventSequences(spark, sfDir).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("n") >= 1))
+    assert(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)))
+    // ordered by count descending
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("session conversion counts nest: converted <= purchases <= sessions") {
+    val r = graft.analytics.EventAnalytics.sessionConversion(spark, sfDir).collect()(0)
+    val (sessions, views, purchases, converted) = (r.getAs[Long]("n_sessions"),
+      r.getAs[Long]("n_with_view"), r.getAs[Long]("n_with_purchase"),
+      r.getAs[Long]("n_converted"))
+    assert(converted <= purchases && converted <= views)
+    assert(views <= sessions && purchases <= sessions)
+    // sessionizing can only split users into more sessions, never fewer
+    val users = graft.Tables.load(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(sessions >= users)
+  }
+
   test("range search agrees with brute-force top-k above the threshold") {
     val range = Similarity.rangeSearch(spark, sfDir)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
