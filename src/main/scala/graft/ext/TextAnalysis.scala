@@ -296,7 +296,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Cross-modal label audit: join the text corpus to its embedding
+    * labels (doc_id = vec_id) and profile text quality per embedding
+    * cluster label — the "is cluster 7 junk" question that pairs the
+    * vector and text views of the same corpus. Equi-join on the 8-byte
+    * id + one rollup; at scale the label side is a column in the same
+    * table and this is a single pass. */
+  def labelQualityProfile(s: SparkSession, dir: String): DataFrame = {
+    val qs = qualitySignals(col("text"))
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), qs.getField("quality").as("q"))
+    val labels = load(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("label"))
+    docs.join(labels, Seq("doc_id"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg("q"), 2).as("avg_quality"),
+           round(avg("n_chars"), 2).as("avg_chars"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x63_label_quality" -> labelQualityProfile,
     "x60_sample_quality_weighted" -> qualityWeightedSample,
     "x56_quality_deciles" -> qualityDeciles,
     "x45_tokenizer_fertility" -> tokenizerFertility,
@@ -344,6 +365,13 @@ object TextAnalysis {
     * engines split trimmed text on \s+; ratios are raw double divisions
     * (no rounding → no decimal-tie divergence). */
   val oracles: Map[String, String] = Map(
+    "x63_label_quality" -> s"""
+      WITH $QualityScoredSql
+      SELECT e.label, COUNT(*) AS n_docs,
+        round(AVG(s.q), 2) AS avg_quality,
+        round(AVG(s.n_chars), 2) AS avg_chars
+      FROM scored s JOIN embeddings e ON s.doc_id = e.vec_id
+      GROUP BY 1 ORDER BY 1""",
     "x60_sample_quality_weighted" -> s"""
       WITH $QualityScoredSql
       SELECT doc_id, source, q AS quality FROM scored
