@@ -142,7 +142,15 @@ object Dedup {
   /** MinHash+LSH near-duplicate detection (word 3-gram shingles,
     * 64-slot signatures, 16×4 banding, Jaccard ≥ 0.5 verify).
     * Output: one row per document with its candidate and verified
-    * near-dup counts — bounded regardless of cluster sizes. */
+    * near-dup counts — bounded regardless of cluster sizes.
+    *
+    * Same two-layer skew defense as the other three near-dup operators
+    * (identical shingle SETS — where every pair trivially verifies at
+    * Jaccard 1 — are counted arithmetically per group in O(n), and the
+    * band self-join skips buckets above [[SimhashBucketCap]]): an
+    * n-fold-duplicated page otherwise puts n identical signatures in
+    * every band bucket and the join goes quadratic on exactly the
+    * corpora dedup exists for. */
   def minhashNearDups(s: SparkSession, dir: String): DataFrame = {
     // cache the sketched docs: the self-join + two verify joins below
     // would otherwise recompute the (expensive) shingle+minhash lineage
@@ -150,21 +158,34 @@ object Dedup {
     // frame of (id, hashes) — tiny next to the raw text.
     val docs = load(s, dir, "documents")
       .select(col("doc_id"), shingleHashes(col("text"), 3).as("shingles"))
+      .withColumn("setkey", xxhash64(array_sort(col("shingles"))))
       .cache()
-    val sigs = docs.select(col("doc_id"), col("shingles"),
+    val sigs = docs.select(col("doc_id"), col("setkey"), col("shingles"),
       minhashSignature(col("shingles"), MinhashK).as("sig"))
 
-    val banded = sigs.select(col("doc_id"),
-        explode(lshBandKeys(col("sig"), Bands, RowsPerBand)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .cache()
+    val sameSet = docs.groupBy("setkey").agg(count(lit(1)).as("g"))
+    val sameCounts = docs.join(sameSet, "setkey")
+      .select(col("doc_id"), (col("g") - 1).cast("long").as("n_same"))
 
-    // candidate pairs: same (band, key) bucket, ordered ids, de-duped
-    val a = banded.alias("a")
-    val b = banded.alias("b")
+    val banded = sigs.select(col("doc_id"), col("setkey"),
+        explode(lshBandKeys(col("sig"), Bands, RowsPerBand)).as("bk"))
+      .select(col("doc_id"), col("setkey"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .cache()
+    // 64-bit band-key domain → window count shares the exchange the
+    // self-join needs anyway (the broadcast agg-join wins only for
+    // tiny key domains — see simhash vs jaccard in PERF.md)
+    val cold = banded
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
+      .filter(col("bsz") <= SimhashBucketCap)
+
+    // candidate pairs: same (band, key) bucket, ordered ids, distinct
+    // shingle sets (identical sets were counted arithmetically), de-duped
+    val a = cold.alias("a")
+    val b = cold.alias("b")
     val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") && col("a.setkey") =!= col("b.setkey"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
 
@@ -175,7 +196,13 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
     val verified = withSets.filter(col("jaccard") >= 0.5)
 
-    perDocSummary(load(s, dir, "documents"), pairs, verified.select("id1", "id2"))
+    val base = perDocSummary(load(s, dir, "documents"),
+      pairs, verified.select("id1", "id2"))
+    base.join(sameCounts, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("n_candidates") + col("n_same")).as("n_candidates"),
+        (col("n_near_dups") + col("n_same")).as("n_near_dups"))
+      .orderBy("doc_id")
   }
 
   /** Pair-generation buckets larger than this are dropped: a 16-bit
