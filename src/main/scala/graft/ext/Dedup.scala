@@ -178,6 +178,8 @@ object Dedup {
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
       .filter(col("bsz") <= SimhashBucketCap)
+    reportCapLoss("minhash LSH",
+      banded.groupBy("band", "key").agg(count(lit(1)).as("bsz")))
 
     // candidate pairs: same (band, key) bucket, ordered ids, distinct
     // shingle sets (identical sets were counted arithmetically), de-duped
@@ -213,6 +215,23 @@ object Dedup {
     * uncapped, hot buckets of 400+). */
   private val SimhashBucketCap = 64
 
+  /** No silent caps: every near-dup operator that drops hot buckets
+    * reports HOW MUCH it dropped, so the (unbounded, otherwise
+    * invisible) recall loss shows up in the run log instead of quietly
+    * shrinking n_near_dups. One tiny aggregate job over an
+    * already-cached lineage; identical-content duplicates are never
+    * affected (they are counted arithmetically before the cap). */
+  private def reportCapLoss(op: String, bucketSizes: DataFrame): Unit = {
+    val hot = bucketSizes.filter(col("bsz") > SimhashBucketCap)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("buckets"),
+           coalesce(sum(col("bsz")), lit(0L)).as("rows"))
+      .collect()(0)
+    if (hot.getLong(0) > 0)
+      System.err.println(s"[dedup] $op: bucket cap $SimhashBucketCap skipped " +
+        s"${hot.getLong(0)} hot buckets (${hot.getLong(1)} bucketed rows) in pair " +
+        "generation; identical-content dups still counted exactly")
+  }
+
   /** SimHash near-duplicate detection: 64-bit sketch, 4×16-bit
     * pigeonhole bands (a pair with Hamming ≤ 3 matches at least one
     * band exactly), Hamming verify. The cheapest sketch: 8 bytes/doc.
@@ -245,9 +264,9 @@ object Dedup {
     // would force an exchange of banded — measured consistently slower
     // here; the window form wins only for high-cardinality 64-bit block
     // keys, see ngramJaccardNearDups.)
-    val coldBuckets = bandedS.groupBy("band", "key")
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= SimhashBucketCap)
+    val sizes = bandedS.groupBy("band", "key").agg(count(lit(1)).as("bsz"))
+    reportCapLoss("simhash", sizes)
+    val coldBuckets = sizes.filter(col("bsz") <= SimhashBucketCap)
     val cold = bandedS.join(broadcast(coldBuckets.select("band", "key")), Seq("band", "key"))
 
     val a = cold.alias("a")
@@ -295,6 +314,8 @@ object Dedup {
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("block")))
       .filter(col("bsz") <= SimhashBucketCap)
+    reportCapLoss("ngram-jaccard",
+      docs.groupBy("block").agg(count(lit(1)).as("bsz")))
 
     val a = cold.alias("a")
     val b = cold.alias("b")
@@ -350,9 +371,9 @@ object Dedup {
     // is tiny and banded itself never exchanges before the pair join.
     // (The previous window count forced a full shuffle of the banded
     // frame on a 2k-value key — the slowest query of round 1 at 9.3 s.)
-    val coldBuckets = banded.groupBy("band", "key")
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= SimhashBucketCap)
+    val embSizes = banded.groupBy("band", "key").agg(count(lit(1)).as("bsz"))
+    reportCapLoss("embedding LSH", embSizes)
+    val coldBuckets = embSizes.filter(col("bsz") <= SimhashBucketCap)
     val cold = banded.join(broadcast(coldBuckets.select("band", "key")), Seq("band", "key"))
 
     val a = cold.alias("a")

@@ -31,16 +31,22 @@ object Sampling {
     * wrap in non-ANSI Spark, no overflow error in ANSI engines, for ANY
     * 64-bit key (unmasked, keys ≥ ~3.49e9 overflowed: non-ANSI Spark
     * wrapped them negative and kept every such row while the oracle
-    * errored — exactly the >3.5B-id corpora a 100 TB run has). The odd
-    * multiplier is injective mod 2^32, so no duplicate ranks for keys
-    * within one 31-bit range; keys differing only above bit 30 share a
-    * hash, which is harmless for sampling (selection stays uniform and
-    * deterministic). The arithmetic (`&`, `*`, `%`) reproduces
-    * bit-for-bit in any engine with 64-bit integers — which is what
-    * lets DuckDB verify the exact selected subset; xxhash64 would mix
-    * better but is not portable across engines. */
+    * errored — exactly the >3.5B-id corpora a 100 TB run has). The high
+    * 33 bits are XOR-folded into the low bits BEFORE the mask, so keys
+    * differing only above bit 30 (k and k+2^31 on a >2.1B-id corpus)
+    * still get distinct, uncorrelated hashes instead of colliding. The
+    * odd multiplier is injective mod 2^32, so no duplicate ranks for
+    * distinct folded keys. The arithmetic (`>>`, xor, `&`, `*`, `%`)
+    * reproduces bit-for-bit in any engine with 64-bit integers — which
+    * is what lets DuckDB verify the exact selected subset; xxhash64
+    * would mix better but is not portable across engines. */
   def u32(key: Column): Column =
-    (key.bitwiseAND(lit(2147483647L)) * lit(2654435761L)) % lit(4294967296L)
+    (shiftright(key, 31).bitwiseXOR(key).bitwiseAND(lit(2147483647L))
+      * lit(2654435761L)) % lit(4294967296L)
+
+  /** The DuckDB spelling of [[u32]] for oracle SQL ("k" = key expr). */
+  def u32Sql(k: String): String =
+    s"((xor($k >> 31, $k) & 2147483647)*2654435761)%4294967296"
 
   /** Per-stratum Bernoulli sampling at deterministic rates — here:
     * downsample over-represented languages (en to 40%, es to 80%, rest
@@ -143,7 +149,7 @@ object Sampling {
   val oracles: Map[String, String] = Map(
     "x31_sample_stratified" -> """
       SELECT doc_id, lang, source FROM documents
-      WHERE ((doc_id & 2147483647)*2654435761)%4294967296 <
+      WHERE ((xor(doc_id >> 31, doc_id) & 2147483647)*2654435761)%4294967296 <
         CASE WHEN lang='en' THEN 1717986918
              WHEN lang='es' THEN 3435973836
              ELSE 4294967296 END
@@ -155,15 +161,15 @@ object Sampling {
       quota AS (SELECT w.lang, (n.n * w.wt_pm) // 1000 AS q FROM w, n),
       ranked AS (SELECT doc_id, lang, source,
         ROW_NUMBER() OVER (PARTITION BY lang
-          ORDER BY ((doc_id & 2147483647)*2654435761)%4294967296, doc_id) AS rn
+          ORDER BY ((xor(doc_id >> 31, doc_id) & 2147483647)*2654435761)%4294967296, doc_id) AS rn
         FROM documents)
       SELECT r.doc_id, r.lang, r.source FROM ranked r
       JOIN quota ON r.lang = quota.lang
       WHERE rn <= q ORDER BY doc_id""",
     "x41_split_assignment" -> """
       WITH a AS (SELECT lang, n_chars,
-          CASE WHEN ((doc_id & 2147483647)*2654435761)%4294967296 < 3865470566 THEN 'train'
-               WHEN ((doc_id & 2147483647)*2654435761)%4294967296 < 4080218931 THEN 'val'
+          CASE WHEN ((xor(doc_id >> 31, doc_id) & 2147483647)*2654435761)%4294967296 < 3865470566 THEN 'train'
+               WHEN ((xor(doc_id >> 31, doc_id) & 2147483647)*2654435761)%4294967296 < 4080218931 THEN 'val'
                ELSE 'test' END AS split
         FROM documents)
       SELECT lang, split, COUNT(*) AS n_docs,

@@ -375,7 +375,7 @@ object TextAnalysis {
     "x60_sample_quality_weighted" -> s"""
       WITH $QualityScoredSql
       SELECT doc_id, source, q AS quality FROM scored
-      WHERE ((doc_id & 2147483647)*2654435761)%4294967296 <
+      WHERE ((xor(doc_id >> 31, doc_id) & 2147483647)*2654435761)%4294967296 <
         CAST(floor(q * 42949672.96) AS BIGINT)
       ORDER BY doc_id""",
     "x56_quality_deciles" -> s"""

@@ -141,7 +141,13 @@ object EventStreams {
     * more wall-clock on 32 state stores' bookkeeping than on data).
     * Sizing state partitions to the keyspace — not the core count — is
     * the same decision a production job makes; the conf is restored
-    * after the run. */
+    * after the run.
+    *
+    * NOT thread-safe: the conf change is session-global, so a batch
+    * query planned concurrently on the same session would pick up the
+    * reduced partition count. The verify/bench harnesses are strictly
+    * sequential; concurrent callers should pass a cloned session
+    * (`spark.newSession()`). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append(),
                   statePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
@@ -248,8 +254,14 @@ object EventStreams {
   def statefulSessionReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val maxTs = graft.Tables.load(s, dir, "events")
-      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val maxTsRow = graft.Tables.load(s, dir, "events").agg(max(col("ts"))).collect()(0)
+    if (maxTsRow.isNullAt(0)) // empty source: no sessions, nothing to flush
+      return s.emptyDataset[Session].toDF()
+        .select(col("user_id"),
+                col("session_start").cast("string").as("session_start"),
+                col("session_end").cast("string").as("session_end"),
+                col("n_events"), col("session_value"))
+    val maxTs = maxTsRow.getTimestamp(0)
     val sentinel = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
     sentinel.addData(Event(-1L, -1L, "sentinel",
       new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L), 0.0))
@@ -311,13 +323,13 @@ object EventStreams {
       ORDER BY view_id, purchase_id""",
     "x54_stream_sessions_stateful" -> """
       WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, event_id, ts, value,
           CASE WHEN lag(ts) OVER w IS NULL
                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sessions AS (
         SELECT user_id, ts, value,
-          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM flagged)
       SELECT user_id,
@@ -329,13 +341,13 @@ object EventStreams {
       ORDER BY user_id, session_start""",
     "x44_stream_sessions" -> """
       WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, event_id, ts, value,
           CASE WHEN lag(ts) OVER w IS NULL
                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sessions AS (
         SELECT user_id, ts, value,
-          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM flagged)
       SELECT user_id,

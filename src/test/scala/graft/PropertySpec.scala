@@ -142,20 +142,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("u32 never overflows and folds high keys onto their masked twin") {
+  test("u32 never overflows and XOR-folds high bits (k and k+2^31 hash apart)") {
     forAll(Gen.listOf(Gen.chooseNum(0L, Long.MaxValue))) { ids =>
       whenever(ids.nonEmpty) {
+        // the xor-folded twin ((id >> 31) ^ id) & mask is already 31-bit,
+        // so u32(id) must equal u32(folded) — and for any k < 2^31 the
+        // high-bit sibling k + 2^31 folds to k ^ 1 ≠ k, so the pair that
+        // used to collide under mask-only hashing now hashes apart
         val rows = ids.toDF("id").select(col("id"),
           graft.ext.Sampling.u32(col("id")).as("h"),
-          graft.ext.Sampling.u32(col("id").bitwiseAND(lit(2147483647L))).as("hm"))
+          graft.ext.Sampling.u32(
+            shiftright(col("id"), 31).bitwiseXOR(col("id"))
+              .bitwiseAND(lit(2147483647L))).as("hf"))
           .collect()
         rows.foreach { r =>
           val h = r.getLong(1)
           assert(h >= 0 && h < 4294967296L, s"u32 out of range for id ${r.getLong(0)}")
-          assert(h == r.getLong(2), "key above 2^31 must hash like its masked twin")
+          assert(h == r.getLong(2), "u32 must equal the hash of its xor-folded twin")
         }
       }
     }
+    val sib = Seq(7L, 7L + (1L << 31)).toDF("id")
+      .select(graft.ext.Sampling.u32(col("id")).as("h")).collect().map(_.getLong(0))
+    assert(sib(0) != sib(1), "high-bit siblings must no longer collide")
   }
 
   test("snapshot diff of a frame with itself is empty; against empty is all added/deleted") {
