@@ -144,6 +144,14 @@ object Dedup {
     * Output: one row per document with its candidate and verified
     * near-dup counts — bounded regardless of cluster sizes.
     *
+    * Every stochastic ingredient is ENGINE-PORTABLE so the DuckDB
+    * oracle rebuilds the identical result end-to-end: gram hashes are
+    * md5-prefix 60-bit ints, the affine signature family is plain
+    * integer arithmetic with literal coefficients, and band keys are
+    * md5 over the decimal-joined slots. A deployment that doesn't need
+    * external verification swaps shingle/band hashing back to xxhash64
+    * in two lines — the plan shape is hash-agnostic.
+    *
     * Same two-layer skew defense as the other three near-dup operators
     * (identical shingle SETS — where every pair trivially verifies at
     * Jaccard 1 — are counted arithmetically per group in O(n), and the
@@ -157,7 +165,7 @@ object Dedup {
     // up to 4×. At cluster scale this is persist(MEMORY_AND_DISK) on a
     // frame of (id, hashes) — tiny next to the raw text.
     val docs = load(s, dir, "documents")
-      .select(col("doc_id"), shingleHashes(col("text"), 3).as("shingles"))
+      .select(col("doc_id"), portableShingleHashes(col("text"), 3).as("shingles"))
       .withColumn("setkey", xxhash64(array_sort(col("shingles"))))
       .cache()
     val sigs = docs.select(col("doc_id"), col("setkey"), col("shingles"),
@@ -168,7 +176,7 @@ object Dedup {
       .select(col("doc_id"), (col("g") - 1).cast("long").as("n_same"))
 
     val banded = sigs.select(col("doc_id"), col("setkey"),
-        explode(lshBandKeys(col("sig"), Bands, RowsPerBand)).as("bk"))
+        explode(portableBandKeys(col("sig"), Bands, RowsPerBand)).as("bk"))
       .select(col("doc_id"), col("setkey"), col("bk.band").as("band"), col("bk.key").as("key"))
       .cache()
     // 64-bit band-key domain → window count shares the exchange the
@@ -232,7 +240,7 @@ object Dedup {
         "generation; identical-content dups still counted exactly")
   }
 
-  /** SimHash near-duplicate detection: 64-bit sketch, 4×16-bit
+  /** SimHash near-duplicate detection: 60-bit portable sketch, 4×15-bit
     * pigeonhole bands (a pair with Hamming ≤ 3 matches at least one
     * band exactly), Hamming verify. The cheapest sketch: 8 bytes/doc.
     *
@@ -246,8 +254,12 @@ object Dedup {
     * is missed — the price of bounded work; identical-signature dups
     * are always counted. */
   def simhashNearDups(s: SparkSession, dir: String): DataFrame = {
+    // portable 60-bit simhash (md5-prefix token hashes, 4×15-bit bands):
+    // the whole pipeline is shift/mask/bit_count arithmetic the DuckDB
+    // oracle reproduces verbatim; swap simhashPortable→simhash64 (and
+    // the band fn) for the 64-bit Spark-internal-hash variant
     val docs = load(s, dir, "documents")
-      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sim"))
+      .select(col("doc_id"), simhashPortable(tokens(col("text"))).as("sim"))
       .cache()
 
     // degenerate identical-signature groups, counted without pairs
@@ -256,7 +268,7 @@ object Dedup {
       .select(col("doc_id"), (col("g") - 1).cast("long").as("n_same"))
 
     val bandedS = docs.select(col("doc_id"), col("sim"),
-        explode(simhashBandKeys(col("sim"))).as("bk"))
+        explode(simhashPortableBandKeys(col("sim"))).as("bk"))
       .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))
     // bucket sizes as a separate aggregate, joined back: the 16-bit band
     // key domain is tiny (≤ 4·65536), so the size table broadcasts and
@@ -300,10 +312,14 @@ object Dedup {
     * [[SimhashBucketCap]], so one over-shared prefix can't go
     * quadratic. */
   def ngramJaccardNearDups(s: SparkSession, dir: String): DataFrame = {
+    // portable hashing throughout (md5-prefix gram ints; block key =
+    // md5 of the 4 smallest, decimal-joined) so the DuckDB oracle
+    // rebuilds blocking and verification exactly
     val docs = load(s, dir, "documents")
-      .select(col("doc_id"), shingleHashes(col("text"), 2).as("grams"))
+      .select(col("doc_id"), portableShingleHashes(col("text"), 2).as("grams"))
       .withColumn("setkey", xxhash64(array_sort(col("grams"))))
-      .withColumn("block", xxhash64(slice(array_sort(col("grams")), 1, 4)))
+      .withColumn("block", md5(concat_ws(",",
+        transform(slice(array_sort(col("grams")), 1, 4), x => x.cast("string")))))
       .cache()
 
     val sameSet = docs.groupBy("setkey").agg(count(lit(1)).as("g"))
@@ -426,7 +442,124 @@ object Dedup {
     "x51_dedup_normalized" -> normalizedDedup,
     "x55_dedup_incremental" -> incrementalDedup)
 
+  /** The realized MinHash affine coefficients as a SQL VALUES list —
+    * java.util.Random can't run in SQL, but its output is 128 literals. */
+  private lazy val coefValues: String = {
+    val (as, bs) = graft.functions.Sketches.coeffs(MinhashK, 42L)
+    (0 until MinhashK).map(j => s"(${j}, ${as(j)}, ${bs(j)})").mkString(", ")
+  }
+
+  /** Shared oracle SQL: per-doc sorted portable gram-hash sets for
+    * word n-grams (mirrors portableShingleHashes + array_sort).
+    * Emits CTEs `sets(doc_id, hs, setkey)`. */
+  private def gramSetsSql(n: Int): String = s"""
+      toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+      idx AS (SELECT doc_id, t,
+          unnest(range(1, greatest(len(t)-${n - 1}, 1)+1)) AS i FROM toks),
+      grams AS (SELECT DISTINCT doc_id,
+          array_to_string(list_slice(t, i, i+${n - 1}), ' ') AS gram FROM idx),
+      gh AS (SELECT doc_id,
+          CAST(concat('0x', substr(md5(gram),1,15)) AS BIGINT) AS h FROM grams),
+      sets AS (SELECT doc_id, list_sort(list(h)) AS hs,
+          md5(array_to_string(list_sort(list(h)), ',')) AS setkey
+        FROM gh GROUP BY doc_id)"""
+
+  /** Shared oracle SQL tail: per-doc candidate/near-dup counts from
+    * `pairs(id1, id2)` + `verified(id1, id2)` + `same(doc_id, n_same)`. */
+  private val summarySql: String = """
+      cand AS (SELECT doc_id, COUNT(*) AS n FROM
+        (SELECT id1 AS doc_id FROM pairs UNION ALL SELECT id2 FROM pairs)
+        GROUP BY 1),
+      near AS (SELECT doc_id, COUNT(*) AS n FROM
+        (SELECT id1 AS doc_id FROM verified UNION ALL SELECT id2 FROM verified)
+        GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(c.n, 0) + s.n_same AS n_candidates,
+        COALESCE(v.n, 0) + s.n_same AS n_near_dups
+      FROM documents d
+      JOIN same s ON s.doc_id = d.doc_id
+      LEFT JOIN cand c ON c.doc_id = d.doc_id
+      LEFT JOIN near v ON v.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
+
   val oracles: Map[String, String] = Map(
+    "x03_dedup_minhash" -> s"""
+      WITH coef(j, a, b) AS (VALUES $coefValues),
+      ${gramSetsSql(3)},
+      same AS (SELECT doc_id,
+          COUNT(*) OVER (PARTITION BY setkey) - 1 AS n_same FROM sets),
+      sig AS (SELECT doc_id, j,
+          MIN((a * (h % 2147483647) + b) % 2147483647) AS sv
+        FROM gh CROSS JOIN coef GROUP BY doc_id, j),
+      sigl AS (SELECT doc_id, list(sv ORDER BY j) AS sig FROM sig GROUP BY doc_id),
+      bandix(band) AS (SELECT unnest(range(0, 16))),
+      bands AS (SELECT g.doc_id, bx.band,
+          md5(array_to_string(list_slice(g.sig, bx.band*4+1, bx.band*4+4), ',')) AS bkey
+        FROM sigl g CROSS JOIN bandix bx),
+      sized AS (SELECT doc_id, band, bkey,
+          COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
+      cold AS (SELECT doc_id, band, bkey FROM sized WHERE bsz <= 64),
+      pairs AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+        FROM cold a JOIN cold b2
+          ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+        JOIN sets sa ON sa.doc_id = a.doc_id
+        JOIN sets sb ON sb.doc_id = b2.doc_id
+        WHERE sa.setkey <> sb.setkey),
+      verified AS (SELECT p.id1, p.id2 FROM pairs p
+        JOIN sets sa ON sa.doc_id = p.id1
+        JOIN sets sb ON sb.doc_id = p.id2
+        WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+          / greatest(len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)), 1)
+          >= 0.5),
+      $summarySql""",
+    "x04_dedup_simhash" -> s"""
+      WITH toksm AS (SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents),
+      th AS (SELECT doc_id,
+          CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT) AS h FROM toksm),
+      bitix(i) AS (SELECT unnest(range(0, 60))),
+      votes AS (SELECT doc_id, i,
+          SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        FROM th CROSS JOIN bitix GROUP BY doc_id, i),
+      sims AS (SELECT doc_id,
+          CAST(SUM(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sim
+        FROM votes GROUP BY doc_id),
+      same AS (SELECT doc_id,
+          COUNT(*) OVER (PARTITION BY sim) - 1 AS n_same FROM sims),
+      bandix(band) AS (SELECT unnest(range(0, 4))),
+      bands AS (SELECT doc_id, sim, band, (sim >> (band*15)) & 32767 AS bkey
+        FROM sims CROSS JOIN bandix),
+      sized AS (SELECT doc_id, sim, band, bkey,
+          COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
+      cold AS (SELECT doc_id, sim, band, bkey FROM sized WHERE bsz <= 64),
+      pairs AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
+          a.sim AS sim1, b2.sim AS sim2
+        FROM cold a JOIN cold b2
+          ON a.band = b2.band AND a.bkey = b2.bkey
+          AND a.doc_id < b2.doc_id AND a.sim <> b2.sim),
+      verified AS (SELECT id1, id2 FROM pairs
+        WHERE bit_count(xor(sim1, sim2)) <= 3),
+      $summarySql""",
+    "x05_dedup_ngram_jaccard" -> s"""
+      WITH ${gramSetsSql(2)},
+      same AS (SELECT doc_id,
+          COUNT(*) OVER (PARTITION BY setkey) - 1 AS n_same FROM sets),
+      blocked AS (SELECT doc_id, hs, setkey,
+          md5(array_to_string(list_slice(hs, 1, 4), ',')) AS block FROM sets),
+      sized AS (SELECT doc_id, hs, setkey, block,
+          COUNT(*) OVER (PARTITION BY block) AS bsz FROM blocked),
+      cold AS (SELECT doc_id, hs, setkey, block FROM sized WHERE bsz <= 64),
+      pairs AS (SELECT a.doc_id AS id1, b2.doc_id AS id2,
+          CAST(len(list_intersect(a.hs, b2.hs)) AS DOUBLE)
+            / greatest(len(a.hs) + len(b2.hs) - len(list_intersect(a.hs, b2.hs)), 1)
+            AS jac
+        FROM cold a JOIN cold b2
+          ON a.block = b2.block AND a.doc_id < b2.doc_id
+          AND a.setkey <> b2.setkey),
+      verified AS (SELECT id1, id2 FROM pairs WHERE jac >= 0.6),
+      $summarySql""",
     "x55_dedup_incremental" -> """
       WITH batch AS (
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_batch_copies, text

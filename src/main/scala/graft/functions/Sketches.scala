@@ -20,8 +20,10 @@ object Sketches {
   private val P = 2147483647L
 
   /** Deterministic affine coefficients (seeded — results must be stable
-    * across runs and engines). */
-  private def coeffs(k: Int, seed: Long): (Seq[Long], Seq[Long]) = {
+    * across runs and engines). Public because the DuckDB oracles embed
+    * the realized values as literals: java.util.Random isn't
+    * reproducible in SQL, but its OUTPUT is just 2k constants. */
+  def coeffs(k: Int, seed: Long): (Seq[Long], Seq[Long]) = {
     val rnd = new scala.util.Random(seed)
     val as = Seq.fill(k)(math.abs(rnd.nextLong()) % (P - 1) + 1)
     val bs = Seq.fill(k)(math.abs(rnd.nextLong()) % P)
@@ -47,6 +49,18 @@ object Sketches {
     transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(b.as("band"),
              xxhash64(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))).as("key")))
+
+  /** Engine-portable LSH band keys: md5 of the comma-joined decimal
+    * slot values — `md5(array_to_string(sig[b·r+1 : b·r+r], ','))`
+    * rebuilds the identical key in DuckDB (xxhash64 of an array's
+    * binary layout cannot leave Spark). 16 small md5 calls per row is
+    * noise next to the signature itself. */
+  def portableBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+             md5(concat_ws(",",
+               transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
+                 x => x.cast("string")))).as("key")))
 
   /** Exact Jaccard similarity of two pre-distinct element arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -93,6 +107,11 @@ object Sketches {
     * hashes (native expression — see TextExpressions.SimHash64). */
   def simhash64(tokens: Column): Column = TextExpressions.simHash64(tokens)
 
+  /** Engine-portable 60-bit SimHash (md5-prefix token hashes) — see
+    * TextExpressions.SimHashPortable. Pair with
+    * [[simhashPortableBandKeys]]. */
+  def simhashPortable(tokens: Column): Column = TextExpressions.simHashPortable(tokens)
+
   /** Hamming distance between two 64-bit SimHashes (native bit_count). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -102,4 +121,12 @@ object Sketches {
     array((0 until 4).map(b =>
       struct(lit(b).as("band"),
              shiftrightunsigned(sim, b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)
+
+  /** 15-bit band keys of a 60-bit portable SimHash (same pigeonhole
+    * bound: hamming ≤ 3 over 4 bands ⇒ one band matches exactly). Plain
+    * shift/mask integer arithmetic — the oracle reproduces it verbatim. */
+  def simhashPortableBandKeys(sim: Column): Column =
+    array((0 until 4).map(b =>
+      struct(lit(b).as("band"),
+             shiftrightunsigned(sim, b * 15).bitwiseAND(lit(0x7fffL)).as("key"))): _*)
 }

@@ -184,6 +184,121 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Portable 60-bit hash of each distinct word n-gram: the first 15 hex
+    * chars of the gram's MD5, parsed as a long. Same shingling as
+    * [[WordShingleHashes]] (tokenize once, LinkedHashSet-distinct), but
+    * the hash is reproducible in ANY engine — md5 + hex prefix + integer
+    * parse — which is what lets DuckDB rebuild the entire
+    * MinHash/LSH/Jaccard pipeline for the correctness gate (xxhash64's
+    * seed/spec is Spark-internal). 60 bits stays positive in a signed
+    * 64-bit int in every engine. Production deployments that don't need
+    * an external oracle swap back to [[WordShingleHashes]] in one line —
+    * every downstream shape (signature, banding, caps, verify) is
+    * hash-agnostic. */
+  case class WordShinglePortableHashes(child: Expression, n: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shinglePortExpr", this, classOf[WordShinglePortableHashes].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($v);")
+    }
+
+    @transient private lazy val md5 =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
+
+    override def nullSafeEval(v: Any): Any = {
+      // UTF8String.trim/toLowerCase — Spark's own trim/lower semantics
+      // (see WordShingleHashes for why Java String's versions diverge)
+      val toks = v.asInstanceOf[UTF8String].trim.toLowerCase.toString
+        .split("\\s+", -1)
+      val count = math.max(toks.length - n, 0) + 1
+      val seen = new java.util.LinkedHashSet[String](count * 2)
+      var i = 0
+      while (i < count) {
+        val end = math.min(i + n, toks.length)
+        seen.add(String.join(" ", java.util.Arrays.asList(toks.slice(i, end): _*)))
+        i += 1
+      }
+      val digest = md5.get()
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) {
+        digest.reset()
+        val d = digest.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 15 hex chars = high 60 bits of the digest, big-endian —
+        // identical to CAST(concat('0x', substr(md5(g),1,15)) AS BIGINT)
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        h = (h << 4) | ((d(7) >> 4) & 0xfL)
+        out(j) = h
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Portable 60-bit SimHash over a token MULTISET: per-bit majority
+    * vote of each token's md5-prefix hash (15 hex chars = 60 bits, the
+    * same engine-portable construction as [[WordShinglePortableHashes]]).
+    * 4×15-bit pigeonhole bands preserve the hamming ≤ 3 guarantee.
+    * Repeated tokens vote repeatedly — SimHash weighs by term frequency
+    * (that's what distinguishes it from a set sketch). */
+  case class SimHashPortable(child: Expression)
+      extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simhashPortExpr", this, classOf[SimHashPortable].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = ((java.lang.Long) $ref.nullSafeEval($v)).longValue();")
+    }
+
+    @transient private lazy val md5 =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val counts = new Array[Int](60)
+      val digest = md5.get()
+      val n = arr.numElements()
+      var t = 0
+      while (t < n) {
+        digest.reset()
+        val d = digest.digest(
+          arr.getUTF8String(t).toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        h = (h << 4) | ((d(7) >> 4) & 0xfL)
+        var i = 0
+        while (i < 60) { counts(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+        t += 1
+      }
+      var out = 0L
+      var i = 0
+      while (i < 60) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** All text-quality signals in ONE tokenization pass, bit-identical to
     * the Column formulations in [[TextFunctions]] (same IEEE op order, so
     * the DuckDB oracles keep hash-matching):
@@ -428,6 +543,12 @@ object TextExpressions {
 
   def wordShingleStrings(text: Column, n: Int): Column =
     column(WordShingleStrings(expression(text), n))
+
+  def wordShinglePortableHashes(text: Column, n: Int): Column =
+    column(WordShinglePortableHashes(expression(text), n))
+
+  def simHashPortable(tokens: Column): Column =
+    column(SimHashPortable(expression(tokens)))
 
   def topTokenShare(text: Column): Column = column(TopTokenShare(expression(text)))
 

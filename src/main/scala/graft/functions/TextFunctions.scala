@@ -44,6 +44,12 @@ object TextFunctions {
   def shingleHashes(text: Column, n: Int): Column =
     TextExpressions.wordShingleHashes(text, n)
 
+  /** Engine-portable variant of [[shingleHashes]]: 60-bit md5-prefix
+    * gram hashes a DuckDB oracle can rebuild (xxhash64 cannot leave
+    * Spark). Same shingling, hash-agnostic downstream. */
+  def portableShingleHashes(text: Column, n: Int): Column =
+    TextExpressions.wordShinglePortableHashes(text, n)
+
   // ---- language ID ----------------------------------------------------
 
   /** Tiny public stopword lists; enough signal for a deterministic
