@@ -93,6 +93,33 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Temperature-weighted mixture plan: source weights ∝ mass^α with
+    * α = 1/2 — the standard "flatten the source distribution" rule
+    * (multilingual/multi-corpus sampling à la temperature sampling in
+    * public LM-training literature): big sources are down-weighted,
+    * small ones up-weighted, exponent 0.5 halfway between natural (α=1)
+    * and uniform (α=0). Mass = total characters (document count is a
+    * worse proxy when doc lengths differ by source).
+    *
+    * Engine-portable by construction: α=1/2 is floor∘sqrt (IEEE sqrt is
+    * correctly rounded, so floor(sqrt(bigint)) is identical in every
+    * engine), weights are per-mille integer divisions, and the planned
+    * per-source doc quota is integer arithmetic — no float sums whose
+    * ordering could diverge. One tiny aggregate (|sources| rows) that
+    * broadcasts; the scan is the only big input at 100 TB. */
+  def temperatureWeights(s: SparkSession, dir: String): DataFrame = {
+    val bySource = load(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("total_chars"))
+      .withColumn("isqrt", floor(sqrt(col("total_chars"))).cast("long"))
+    val totals = bySource.agg(sum(col("isqrt")).as("t"), sum(col("n_docs")).as("n_total"))
+    bySource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        expr("isqrt * 1000 div t").as("weight_pm"),
+        expr("n_total * (isqrt * 1000 div t) div 1000").as("planned_docs"))
+      .orderBy("source")
+  }
+
   /** Tokens per training sequence for [[packSequences]]. */
   val PackBudget = 256
 
@@ -144,9 +171,21 @@ object Sampling {
     "x31_sample_stratified" -> stratifiedSample,
     "x32_sample_mixture" -> mixtureSample,
     "x33_pack_sequences" -> packSequences,
-    "x41_split_assignment" -> splitAssignment)
+    "x41_split_assignment" -> splitAssignment,
+    "x64_mixture_temperature" -> temperatureWeights)
 
   val oracles: Map[String, String] = Map(
+    "x64_mixture_temperature" -> """
+      WITH c AS (SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          CAST(floor(sqrt(CAST(SUM(n_chars) AS BIGINT))) AS BIGINT) AS isq
+        FROM documents GROUP BY 1),
+      t AS (SELECT CAST(SUM(isq) AS BIGINT) AS t,
+          CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c)
+      SELECT source, n_docs, total_chars,
+        CAST((isq * 1000) // t.t AS BIGINT) AS weight_pm,
+        CAST((n_total * ((isq * 1000) // t.t)) // 1000 AS BIGINT) AS planned_docs
+      FROM c, t ORDER BY source""",
     "x31_sample_stratified" -> """
       SELECT doc_id, lang, source FROM documents
       WHERE ((xor(doc_id >> 31, doc_id) & 2147483647)*2654435761)%4294967296 <

@@ -104,6 +104,32 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining: for each query vector, the top-k most
+    * SIMILAR candidates with a DIFFERENT label — the contrastive-
+    * training staple (high-cosine other-class examples are the
+    * negatives that actually teach the boundary). Identical broadcast
+    * shape to [[topKBruteForce]]: the label predicate rides the join
+    * condition so excluded pairs never score, and at 100 TB the
+    * LSH/IVF bucketing above is the same drop-in scale path. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    val queries = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+              col("label").as("qlabel"))
+    val scored = all.join(broadcast(queries),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("qlabel").cast("long").as("query_label"),
+              col("rank"), col("vec_id").as("neighbor_id"),
+              col("label").cast("long").as("neighbor_label"),
+              round(col("cos"), 6).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-label centroid similarity matrix — a grouped vector aggregate
     * (element-wise mean as ONE custom typed aggregation, map-side
     * partials like any built-in agg), then pairwise cosine between the
@@ -185,12 +211,30 @@ object Similarity {
     "x08_sim_topk_lsh" -> topKLsh,
     "x09_sim_label_centroids" -> labelCentroidSims,
     "x28_sim_topk_ivf" -> topKIvf,
-    "x58_sim_range_search" -> rangeSearch)
+    "x58_sim_range_search" -> rangeSearch,
+    "x65_sim_hard_negatives" -> hardNegatives)
 
   /** DuckDB twin for the brute-force path, with the dot/norm fold
     * written out explicitly so both engines do identical double
     * arithmetic in identical order. */
   val oracles: Map[String, String] = Map(
+    "x65_sim_hard_negatives" -> s"""
+      WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < $NQueries),
+      scored AS (
+        SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+          list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2])) /
+          (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+           sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cos
+        FROM e, q WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel),
+      ranked AS (
+        SELECT query_id, qlabel, vec_id, label,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank, cos
+        FROM scored)
+      SELECT query_id, CAST(qlabel AS BIGINT) AS query_label, rank,
+        vec_id AS neighbor_id, CAST(label AS BIGINT) AS neighbor_label,
+        ROUND(cos, 6) AS cos_sim
+      FROM ranked WHERE rank <= $K ORDER BY query_id, rank""",
     "x58_sim_range_search" -> s"""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries),

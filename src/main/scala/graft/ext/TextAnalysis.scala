@@ -59,6 +59,55 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Per-document discriminative terms by tf-idf, rational-idf form:
+    * score = tf · N / df — a single integer-derived multiply and one
+    * IEEE division per row, so every engine computes the identical
+    * double (log-idf ranks by tf·ln(N/df); ln is NOT bit-specified
+    * across engines, so the portable form uses the raw rarity ratio —
+    * swapping `ln` in is one line for deployments that don't need an
+    * external oracle). Top-3 per doc, ties broken by token.
+    *
+    * Scale shape: tf = one token-keyed aggregate with map-side
+    * partials; df = a second aggregate OVER THE tf FRAME (already one
+    * row per (doc, token) — never re-reads the corpus); N broadcasts;
+    * final top-k is a per-doc window on the doc-keyed shuffle. Nothing
+    * touches the raw text twice. */
+  def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), col("token"))
+    tf.join(df, "token").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Corpus profile over ALL grouping combinations of (lang, source) —
+    * CUBE: per-cell, per-lang, per-source, and grand-total doc counts
+    * and char mass in ONE pass (Spark expands the grouping sets in the
+    * aggregate, not by re-scanning per dimension). Null grouping keys
+    * are labeled 'ALL' so every engine sorts/compares them identically.
+    * avg_chars = one integer-exact sum divided once — portable. */
+  def corpusCube(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_chars").cast("long").as("total_chars"),
+           round(sum("n_chars").cast("double") / count(lit(1)).cast("double"), 2)
+             .as("avg_chars"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+              coalesce(col("source"), lit("ALL")).as("source"),
+              col("n_docs"), col("total_chars"), col("avg_chars"))
+      .orderBy("lang", "source")
+
   /** Winnowing-style fingerprints, exploded to one row per sketch slot:
     * (doc_id, content_hash, rank, gram_hash) where gram_hash is the
     * rank-th smallest MD5 of the doc's word 8-grams (shared element ⇒
@@ -332,7 +381,9 @@ object TextAnalysis {
     "x11_text_langid" -> languageId,
     "x12_text_quality" -> qualityScores,
     "x13_text_source_rollup" -> sourceQualityRollup,
-    "x14_text_fingerprints" -> fingerprints)
+    "x14_text_fingerprints" -> fingerprints,
+    "x66_tfidf_terms" -> tfidfTerms,
+    "x67_corpus_cube" -> corpusCube)
 
   /** Shared DuckDB CTE: per-document quality signals and the composite
     * score — the SQL twin of [[graft.functions.TextExpressions.QualitySignals]],
@@ -365,6 +416,26 @@ object TextAnalysis {
     * engines split trimmed text on \s+; ratios are raw double divisions
     * (no rounding → no decimal-tie divergence). */
   val oracles: Map[String, String] = Map(
+    "x66_tfidf_terms" -> """
+      WITH toks AS (SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+          CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+        FROM tf JOIN df USING (token), n),
+      ranked AS (SELECT *, CAST(ROW_NUMBER() OVER
+          (PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rank
+        FROM scored)
+      SELECT doc_id, rank, token, tf, df, score
+      FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "x67_corpus_cube" -> """
+      SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+        COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2) AS avg_chars
+      FROM documents GROUP BY CUBE(lang, source) ORDER BY 1, 2""",
     "x63_label_quality" -> s"""
       WITH $QualityScoredSql
       SELECT e.label, COUNT(*) AS n_docs,

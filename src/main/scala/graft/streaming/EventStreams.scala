@@ -299,13 +299,38 @@ object EventStreams {
       .orderBy("view_id", "purchase_id")
   }
 
+  /** Driver-checked query: at-least-once delivery replay — the events
+    * file stream UNIONED WITH A SECOND READ of the same files (every
+    * event delivered exactly twice, the redelivery pattern a restarted
+    * upstream producer creates) pushed through
+    * [[dedupWithinWatermark]]. The state store sees each event_id
+    * twice inside the horizon and emits it once, so the oracle is
+    * simply the events table — effectively-once semantics made
+    * checkable. Watermarked state is GC'd by event time, so the
+    * operator holds one horizon's worth of ids regardless of stream
+    * length. */
+  def dedupReplay(s: SparkSession, dir: String): DataFrame = {
+    val twice = fromParquetDir(s, dir).unionByName(fromParquetDir(s, dir))
+    runToMemory(dedupWithinWatermark(twice),
+        s"stream_dedup_${java.util.UUID.randomUUID.toString.replace("-", "")}")
+      .select(col("event_id"),
+              date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+              col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x19_stream_tumbling" -> tumblingReplay,
     "x44_stream_sessions" -> sessionReplay,
     "x54_stream_sessions_stateful" -> statefulSessionReplay,
-    "x57_stream_view_purchase" -> viewPurchaseReplay)
+    "x57_stream_view_purchase" -> viewPurchaseReplay,
+    "x68_stream_dedup" -> dedupReplay)
 
   val oracles: Map[String, String] = Map(
+    "x68_stream_dedup" -> """
+      SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        user_id, event_type, value
+      FROM events ORDER BY event_id""",
     "x19_stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value

@@ -160,4 +160,69 @@ class CorpusAuditSpec extends SparkSpec {
     val missing = topk.join(range, Seq("query_id", "neighbor_id"), "left_anti")
     assert(missing.count() == 0, "top-k hit above tau missing from range search")
   }
+
+  test("temperature weights flatten the mixture toward uniform") {
+    val rows = Sampling.temperatureWeights(spark, sfDir).collect()
+    val masses = rows.map(_.getAs[Long]("total_chars").toDouble)
+    val weights = rows.map(_.getAs[Long]("weight_pm").toDouble)
+    // per-mille weights form a (floor-truncated) distribution
+    assert(weights.sum <= 1000.0 && weights.sum > 1000.0 - rows.length)
+    // alpha = 1/2 compresses spread: weight ratio <= sqrt of mass ratio
+    val massRatio = masses.max / masses.min
+    val weightRatio = weights.max / math.max(weights.min, 1.0)
+    assert(weightRatio <= math.sqrt(massRatio) * 1.05,
+      s"weight spread $weightRatio exceeds sqrt of mass spread $massRatio")
+    // monotone: more mass never means a smaller weight
+    val byMass = rows.sortBy(_.getAs[Long]("total_chars"))
+    val ws = byMass.map(_.getAs[Long]("weight_pm"))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("hard negatives never share the query's label and rank by cosine") {
+    val out = Similarity.hardNegatives(spark, sfDir).cache()
+    assert(out.filter(col("query_label") === col("neighbor_label")).count() == 0)
+    // within a query, cos_sim is non-increasing in rank
+    val bad = out.alias("a").join(out.alias("b"),
+        col("a.query_id") === col("b.query_id") &&
+        col("a.rank") < col("b.rank") && col("a.cos_sim") < col("b.cos_sim"))
+    assert(bad.count() == 0, "cosine not monotone in rank")
+    // a hard negative can never score above the unrestricted top-1
+    val top1 = Similarity.topKBruteForce(spark, sfDir)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("cos_sim").as("best"))
+    val over = out.filter(col("rank") === 1)
+      .join(top1, "query_id").filter(col("cos_sim") > col("best"))
+    assert(over.count() == 0)
+    out.unpersist()
+  }
+
+  test("tfidf: rarity ordering holds and score reconstructs from tf, df, N") {
+    val n = graft.Tables.load(spark, sfDir, "documents").count().toDouble
+    val out = TextAnalysis.tfidfTerms(spark, sfDir).cache()
+    assert(out.filter(col("rank") > 3).count() == 0)
+    val broken = out.filter(
+      abs(col("score") - col("tf") * lit(n) / col("df")) > lit(1e-9))
+    assert(broken.count() == 0, "score != tf * N / df")
+    assert(out.filter(col("df") < 1 || col("tf") < 1).count() == 0)
+    out.unpersist()
+  }
+
+  test("corpus cube: marginals and grand total are consistent") {
+    val out = TextAnalysis.corpusCube(spark, sfDir).cache()
+    val nDocs = graft.Tables.load(spark, sfDir, "documents").count()
+    val grand = out.filter(col("lang") === "ALL" && col("source") === "ALL").collect()
+    assert(grand.length == 1 && grand(0).getAs[Long]("n_docs") == nDocs)
+    // per-lang marginals sum back to the grand total
+    val langSum = out.filter(col("lang") =!= "ALL" && col("source") === "ALL")
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(langSum == nDocs)
+    // finest cells sum to each lang marginal
+    val cellSums = out.filter(col("lang") =!= "ALL" && col("source") =!= "ALL")
+      .groupBy("lang").agg(sum("n_docs").as("cells"))
+    val marg = out.filter(col("lang") =!= "ALL" && col("source") === "ALL")
+      .select(col("lang"), col("n_docs").as("marginal"))
+    assert(cellSums.join(marg, "lang")
+      .filter(col("cells") =!= col("marginal")).count() == 0)
+    out.unpersist()
+  }
 }
