@@ -380,7 +380,7 @@ object Dedup {
       .select(col("doc_id"), (col("g") - 1).cast("long").as("n_same"))
 
     val banded = embs.select(col("doc_id"), col("veckey"),
-        explode(bitBandKeys(col("bits"), EmbBands, BitsPerBand)).as("bk"))
+        explode(bitBandStringKeys(col("bits"), EmbBands, BitsPerBand)).as("bk"))
       .select(col("doc_id"), col("veckey"), col("bk.band").as("band"), col("bk.key").as("key"))
     // bucket sizes as a broadcast agg-join, same rule as simhash: the
     // key domain is 8 bands × 2^8 keys = 2,048 values, so the size table
@@ -449,6 +449,16 @@ object Dedup {
     (0 until MinhashK).map(j => s"(${j}, ${as(j)}, ${bs(j)})").mkString(", ")
   }
 
+  /** The realized hyperplane matrix as SQL list literals (one VALUES
+    * row per plane). Scala's Double.toString is the shortest exact
+    * round-trip form and DuckDB parses it back to the identical IEEE
+    * double, so the oracle's ordered multiply-add fold reproduces
+    * Spark's compiled loop bit-for-bit (the property x07's cosine
+    * oracle already hash-proves). */
+  private lazy val planeValues: String =
+    Planes.zipWithIndex.map { case (row, b) =>
+      s"($b, [${row.mkString(", ")}])" }.mkString(", ")
+
   /** Shared oracle SQL: per-doc sorted portable gram-hash sets for
     * word n-grams (mirrors portableShingleHashes + array_sort).
     * Emits CTEs `sets(doc_id, hs, setkey)`. */
@@ -466,8 +476,9 @@ object Dedup {
         FROM gh GROUP BY doc_id)"""
 
   /** Shared oracle SQL tail: per-doc candidate/near-dup counts from
-    * `pairs(id1, id2)` + `verified(id1, id2)` + `same(doc_id, n_same)`. */
-  private val summarySql: String = """
+    * `pairs(id1, id2)` + `verified(id1, id2)` + `same(doc_id, n_same)`,
+    * over the given base relation (must expose doc_id). */
+  private def summarySql(base: String = "documents"): String = s"""
       cand AS (SELECT doc_id, COUNT(*) AS n FROM
         (SELECT id1 AS doc_id FROM pairs UNION ALL SELECT id2 FROM pairs)
         GROUP BY 1),
@@ -477,7 +488,7 @@ object Dedup {
       SELECT d.doc_id,
         COALESCE(c.n, 0) + s.n_same AS n_candidates,
         COALESCE(v.n, 0) + s.n_same AS n_near_dups
-      FROM documents d
+      FROM $base d
       JOIN same s ON s.doc_id = d.doc_id
       LEFT JOIN cand c ON c.doc_id = d.doc_id
       LEFT JOIN near v ON v.doc_id = d.doc_id
@@ -512,7 +523,38 @@ object Dedup {
         WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
           / greatest(len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)), 1)
           >= 0.5),
-      $summarySql""",
+      ${summarySql()}""",
+    "x06_dedup_embedding" -> s"""
+      WITH pl(b, p) AS (VALUES $planeValues),
+      e AS (SELECT vec_id AS doc_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      bits AS (SELECT e.doc_id, pl.b,
+          CASE WHEN list_sum(list_transform(list_zip(e.v, pl.p), q -> q[1]*q[2])) > 0
+               THEN 1 ELSE 0 END AS bit
+        FROM e CROSS JOIN pl),
+      bitstr AS (SELECT doc_id,
+          string_agg(CAST(bit AS VARCHAR), '' ORDER BY b) AS bs
+        FROM bits GROUP BY doc_id),
+      same AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY v) - 1 AS n_same FROM e),
+      bandix(band) AS (SELECT unnest(range(0, 8))),
+      bands AS (SELECT doc_id, band, substr(bs, band*8+1, 8) AS bkey
+        FROM bitstr CROSS JOIN bandix),
+      sized AS (SELECT doc_id, band, bkey,
+          COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
+      cold AS (SELECT doc_id, band, bkey FROM sized WHERE bsz <= 64),
+      pairs AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+        FROM cold a JOIN cold b2
+          ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+        JOIN e ea ON ea.doc_id = a.doc_id
+        JOIN e eb ON eb.doc_id = b2.doc_id
+        WHERE ea.v <> eb.v),
+      verified AS (SELECT p.id1, p.id2 FROM pairs p
+        JOIN e e1 ON e1.doc_id = p.id1
+        JOIN e e2 ON e2.doc_id = p.id2
+        WHERE list_sum(list_transform(list_zip(e1.v, e2.v), q -> q[1]*q[2])) /
+          (sqrt(list_sum(list_transform(e1.v, x -> x * x))) *
+           sqrt(list_sum(list_transform(e2.v, x -> x * x)))) >= 0.95),
+      ${summarySql("(SELECT vec_id AS doc_id FROM embeddings)")}""",
     "x04_dedup_simhash" -> s"""
       WITH toksm AS (SELECT doc_id,
           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
@@ -541,7 +583,7 @@ object Dedup {
           AND a.doc_id < b2.doc_id AND a.sim <> b2.sim),
       verified AS (SELECT id1, id2 FROM pairs
         WHERE bit_count(xor(sim1, sim2)) <= 3),
-      $summarySql""",
+      ${summarySql()}""",
     "x05_dedup_ngram_jaccard" -> s"""
       WITH ${gramSetsSql(2)},
       same AS (SELECT doc_id,
@@ -559,7 +601,7 @@ object Dedup {
           ON a.block = b2.block AND a.doc_id < b2.doc_id
           AND a.setkey <> b2.setkey),
       verified AS (SELECT id1, id2 FROM pairs WHERE jac >= 0.6),
-      $summarySql""",
+      ${summarySql()}""",
     "x55_dedup_incremental" -> """
       WITH batch AS (
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_batch_copies, text

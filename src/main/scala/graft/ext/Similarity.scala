@@ -77,13 +77,20 @@ object Similarity {
     * candidates = bucket collisions (generous banding → high recall),
     * then exact cosine re-rank to top-k per query. The cross product
     * never materializes — candidate generation is a shuffle on band
-    * keys, |candidates| ≪ |Q|·n. */
+    * keys, |candidates| ≪ |Q|·n.
+    *
+    * Fully deterministic AND engine-portable: hyperplane sign bits are
+    * ordered multiply-add folds (IEEE-identical in any engine), band
+    * keys are the bits themselves as strings, and the re-rank is the
+    * same cosine arithmetic x07's oracle hash-proves — so the DuckDB
+    * oracle replays candidate generation exactly, not just a recall
+    * bound. */
   def topKLsh(s: SparkSession, dir: String): DataFrame = {
     val all = embs(s, dir).withColumn("bits", hyperplaneBits(col("v"), Planes))
     // cached: the query side below re-reads this frame — without the
     // cache the 64 hyperplane projections per vector run twice
     val banded = all.select(col("vec_id"), col("v"),
-        explode(bitBandKeys(col("bits"), Bands, BitsPerBand)).as("bk"))
+        explode(bitBandStringKeys(col("bits"), Bands, BitsPerBand)).as("bk"))
       .select(col("vec_id"), col("v"), col("bk.band").as("band"), col("bk.key").as("key"))
       .cache()
     val queries = banded.filter(col("vec_id") < NQueries)
@@ -217,7 +224,42 @@ object Similarity {
   /** DuckDB twin for the brute-force path, with the dot/norm fold
     * written out explicitly so both engines do identical double
     * arithmetic in identical order. */
+  /** Seed-11 hyperplanes as SQL list literals (see Dedup.planeValues
+    * for why literal interpolation is sound). */
+  private lazy val planeValues: String =
+    Planes.zipWithIndex.map { case (row, b) =>
+      s"($b, [${row.mkString(", ")}])" }.mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "x08_sim_topk_lsh" -> s"""
+      WITH pl(b, p) AS (VALUES $planeValues),
+      e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      bits AS (SELECT e.vec_id, pl.b,
+          CASE WHEN list_sum(list_transform(list_zip(e.v, pl.p), q -> q[1]*q[2])) > 0
+               THEN 1 ELSE 0 END AS bit
+        FROM e CROSS JOIN pl),
+      bitstr AS (SELECT vec_id,
+          string_agg(CAST(bit AS VARCHAR), '' ORDER BY b) AS bs
+        FROM bits GROUP BY vec_id),
+      bandix(band) AS (SELECT unnest(range(0, $Bands))),
+      bands AS (SELECT vec_id, band, substr(bs, band*$BitsPerBand+1, $BitsPerBand) AS bkey
+        FROM bitstr CROSS JOIN bandix),
+      cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+        FROM bands qb JOIN bands cb
+          ON qb.band = cb.band AND qb.bkey = cb.bkey
+        WHERE qb.vec_id < $NQueries AND cb.vec_id <> qb.vec_id),
+      scored AS (SELECT c.query_id, c.vec_id,
+          list_sum(list_transform(list_zip(q.v, e.v), p -> p[1] * p[2])) /
+          (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+           sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cos
+        FROM cand c
+        JOIN e q ON q.vec_id = c.query_id
+        JOIN e ON e.vec_id = c.vec_id),
+      ranked AS (SELECT query_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank, cos
+        FROM scored)
+      SELECT query_id, rank, vec_id AS neighbor_id, ROUND(cos, 6) AS cos_sim
+      FROM ranked WHERE rank <= $K ORDER BY query_id, rank""",
     "x65_sim_hard_negatives" -> s"""
       WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < $NQueries),

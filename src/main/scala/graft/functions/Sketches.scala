@@ -103,6 +103,19 @@ object Sketches {
       struct(b.as("band"),
              xxhash64(slice(bits, b * bitsPerBand + 1, lit(bitsPerBand))).as("key")))
 
+  /** Engine-portable band keys over a bit signature: the band's bits as
+    * a literal '0'/'1' string — `substr(string_agg(bit), b·w+1, w)`
+    * rebuilds it anywhere. A w-char key is as discriminative as a
+    * w-bit one; the hyperplane bits themselves are portable because
+    * both engines run the identical ordered multiply-add fold (the
+    * same property x07's oracle already hash-proves for cosine). */
+  def bitBandStringKeys(bits: Column, bands: Int, bitsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+             concat_ws("",
+               transform(slice(bits, b * bitsPerBand + 1, lit(bitsPerBand)),
+                 x => x.cast("string"))).as("key")))
+
   /** 64-bit SimHash of a token array: per-bit majority vote of token
     * hashes (native expression — see TextExpressions.SimHash64). */
   def simhash64(tokens: Column): Column = TextExpressions.simHash64(tokens)
