@@ -21,6 +21,7 @@ object SparkEntry {
       ext.TextAnalysis.queries ++
       ext.Sampling.queries ++
       ext.Contamination.queries ++
+      etl.Sources.queries ++
       ops.SnapshotDiff.queries ++
       ops.ConnectedComponents.queries ++
       streaming.EventStreams.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
       ext.TextAnalysis.oracles ++
       ext.Sampling.oracles ++
       ext.Contamination.oracles ++
+      etl.Sources.oracles ++
       ops.SnapshotDiff.oracles ++
       ops.ConnectedComponents.oracles ++
       streaming.EventStreams.oracles ++

@@ -285,7 +285,31 @@ object EventAnalytics {
       count(when(col("first_view") < col("last_purchase"), 1)).as("n_converted"))
   }
 
+  /** Inter-arrival profile: per event type, stats over the gap from the
+    * same user's PREVIOUS event (any type) — the arrival-process audit
+    * behind session-gap and watermark-lateness tuning. Gaps are
+    * microsecond-exact integers (unix_micros ≡ DuckDB epoch_us), so
+    * min/max/sum are engine-exact; the average is one division at the
+    * edge. Shape: one user-keyed window (same shuffle x17 already
+    * needs), one small rollup. */
+  def interArrivalStats(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+           min("gap_us").as("min_gap_us"),
+           max("gap_us").as("max_gap_us"),
+           round(sum("gap_us").cast("double") / count(lit(1)).cast("double") / 1000000.0, 2)
+             .as("avg_gap_s"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x69_event_gaps" -> interArrivalStats,
     "x61_event_sequences" -> topEventSequences,
     "x62_session_conversion" -> sessionConversion,
     "x59_volume_anomalies" -> volumeAnomalies,
@@ -303,6 +327,18 @@ object EventAnalytics {
     "x18_events_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "x69_event_gaps" -> """
+      WITH g AS (
+        SELECT event_type,
+          epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events)
+      SELECT event_type, COUNT(*) AS n_gaps,
+        MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+        ROUND(CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 2)
+          AS avg_gap_s
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY 1 ORDER BY 1""",
     "x61_event_sequences" -> """
       WITH seq AS (
         SELECT event_type AS e1,

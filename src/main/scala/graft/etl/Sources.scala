@@ -134,4 +134,40 @@ object Sources {
       .withColumn("etl_timestamp", current_timestamp())
       .write.mode(SaveMode.Append).parquet(s"$dir/etl_metadata.parquet")
   }
+
+  /** JSONL sink + source: write a frame as JSON-lines, read it back
+    * with a DECLARED schema (inference re-scans the data and can widen
+    * types — never in a production path). JSON escapes embedded
+    * newlines/quotes, so arbitrary document text round-trips. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Driver-checked query: the documents table pushed through the JSONL
+    * sink and re-read with its declared schema — the second file format
+    * next to CSV (S1/S3) and parquet (S4). The oracle is the identity
+    * query on `documents`: a lossless round-trip IS the assertion
+    * (any escaping, encoding, or type-mapping defect shows up as a
+    * hash mismatch). Text columns with newlines/quotes exercise the
+    * escaping path; writes are spark-parallel (one shard per
+    * partition), reads are schema-declared — the same shape either
+    * direction at 100 TB. */
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    writeJsonl(docs, tmp)
+    readJsonl(s, tmp, docs.schema).orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x70_jsonl_roundtrip" -> jsonlRoundtrip)
+
+  val oracles: Map[String, String] = Map(
+    "x70_jsonl_roundtrip" -> """
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents ORDER BY doc_id""")
 }

@@ -262,4 +262,24 @@ class EtlSpec extends SparkSpec {
       assert(bytes > 0)
     } finally spark.sql("DROP TABLE IF EXISTS graft_stats_probe")
   }
+
+  test("JSONL round-trip is lossless for document text (newlines, quotes)") {
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, "line one\nline two\t\"quoted\"", "en", "s", 25L),
+      (2L, "unicode é中文 and \\ backslash", "zh", "s", 24L),
+      (3L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_spec").toString
+    Sources.writeJsonl(tricky, tmp)
+    val back = Sources.readJsonl(spark, tmp, tricky.schema)
+    assert(back.count() == 3)
+    assert(back.exceptAll(tricky).count() == 0 && tricky.exceptAll(back).count() == 0,
+      "JSONL round-trip must be byte-lossless")
+    // and the driver query's shape: full documents table round-trips
+    val out = Sources.jsonlRoundtrip(spark, sfDir)
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assert(out.exceptAll(docs).count() == 0 && docs.exceptAll(out).count() == 0)
+  }
 }

@@ -161,6 +161,17 @@ class CorpusAuditSpec extends SparkSpec {
     assert(missing.count() == 0, "top-k hit above tau missing from range search")
   }
 
+  test("inter-arrival gaps: non-negative, and gap count = events - users") {
+    val out = graft.analytics.EventAnalytics.interArrivalStats(spark, sfDir).cache()
+    assert(out.filter(col("min_gap_us") < 0).count() == 0,
+      "window ordered by (ts, event_id) can never yield a negative gap")
+    val events = graft.Tables.load(spark, sfDir, "events")
+    val expected = events.count() - events.select("user_id").distinct().count()
+    val total = out.agg(sum("n_gaps")).collect()(0).getLong(0)
+    assert(total == expected, s"each user contributes (n_events - 1) gaps: $total != $expected")
+    out.unpersist()
+  }
+
   test("temperature weights flatten the mixture toward uniform") {
     val rows = Sampling.temperatureWeights(spark, sfDir).collect()
     val masses = rows.map(_.getAs[Long]("total_chars").toDouble)
