@@ -261,7 +261,53 @@ object Analytics {
     finished.except(open).intersect(positive).orderBy("o_custkey")
   }
 
+  /** Month × order-status matrix via the genuine relational PIVOT
+    * (Spark compiles the explicit value list to conditional aggregates
+    * in ONE pass — no per-status re-scan; explicit values keep the
+    * plan static, a values-inferring pivot would need a distinct
+    * pre-query). Counts are integers, so every engine agrees. */
+  def statusPivot(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .groupBy("month")
+      .pivot("o_orderstatus", Seq("P", "O", "F"))
+      .agg(count(lit(1)))
+      .select(col("month"),
+        coalesce(col("P"), lit(0L)).as("n_pending"),
+        coalesce(col("O"), lit(0L)).as("n_open"),
+        coalesce(col("F"), lit(0L)).as("n_filled"))
+      .orderBy("month")
+
+  /** Each nation's share of its region's (filled-order) revenue — the
+    * window-aggregate-over-groups idiom. Revenue is converted to
+    * integer cents PER ROW (round of a deterministic double product)
+    * before any sum, so group and window totals are exact integers in
+    * every engine; the share is one division at the edge. Dims
+    * broadcast; the only shuffle keys on the customer join + the
+    * (region, nation) aggregate. */
+  def revenueShare(s: SparkSession, dir: String): DataFrame = {
+    val nation = load(s, dir, "nation")
+    val region = load(s, dir, "region")
+    val cust = load(s, dir, "customer")
+    val byNation = load(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_cents"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("r_name")
+    byNation
+      .withColumn("region_cents", sum("rev_cents").over(w))
+      .select(col("r_name"), col("n_name"), col("n_orders"), col("rev_cents"),
+        round(col("rev_cents").cast("double") / col("region_cents").cast("double"), 4)
+          .as("revenue_share"))
+      .orderBy("r_name", "n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_status_pivot" -> statusPivot,
+    "q19_revenue_share" -> revenueShare,
     "q17_order_set_ops" -> orderSetOps,
     "q16_supplier_balances" -> supplierBalances,
     "q01_monthly_sales" -> monthlySales,
@@ -283,6 +329,26 @@ object Analytics {
   /** DuckDB twins of every query above — same parquet, same column
     * names, same rounding, same ordering. */
   val oracles: Map[String, String] = Map(
+    "q18_status_pivot" -> """
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending,
+        COUNT(*) FILTER (o_orderstatus = 'O') AS n_open,
+        COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled
+      FROM orders GROUP BY 1 ORDER BY 1""",
+    "q19_revenue_share" -> """
+      WITH n AS (
+        SELECT r.r_name, na.n_name, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation na ON c.c_nationkey = na.n_nationkey
+        JOIN region r ON na.n_regionkey = r.r_regionkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY 1, 2)
+      SELECT r_name, n_name, n_orders, rev_cents,
+        ROUND(CAST(rev_cents AS DOUBLE) /
+          CAST(SUM(rev_cents) OVER (PARTITION BY r_name) AS DOUBLE), 4) AS revenue_share
+      FROM n ORDER BY r_name, n_name""",
     "q17_order_set_ops" -> """
       SELECT * FROM (
         (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'

@@ -64,4 +64,24 @@ class AnalyticsSpec extends SparkSpec {
       .agg(sum("o_totalprice")).collect()(0).getDouble(0)
     assert(math.abs(sumRegions - total) < 1.0) // 2dp rounding per region
   }
+
+  test("statusPivot: pivot cells partition the orders table") {
+    val out = Analytics.statusPivot(spark, sfDir)
+    val cellTotal = out.agg(
+      sum(col("n_pending") + col("n_open") + col("n_filled"))).collect()(0).getLong(0)
+    val nOrders = graft.Tables.load(spark, sfDir, "orders").count()
+    assert(cellTotal == nOrders, s"pivot cells $cellTotal != orders $nOrders")
+  }
+
+  test("revenueShare: shares within each region sum to 1 (mod 4dp rounding)") {
+    val rows = Analytics.revenueShare(spark, sfDir).collect()
+    rows.groupBy(_.getAs[String]("r_name")).foreach { case (r, rs) =>
+      val total = rs.map(_.getAs[Double]("revenue_share")).sum
+      assert(math.abs(total - 1.0) <= rs.length * 0.0001,
+        s"region $r shares sum to $total")
+    }
+    assert(rows.forall { r =>
+      val s = r.getAs[Double]("revenue_share"); s >= 0.0 && s <= 1.0
+    })
+  }
 }
