@@ -68,20 +68,23 @@ object TextAnalysis {
     * external oracle). Top-3 per doc, ties broken by token.
     *
     * Scale shape: tf = one token-keyed aggregate with map-side
-    * partials; df = a second aggregate OVER THE tf FRAME (already one
-    * row per (doc, token) — never re-reads the corpus); N broadcasts;
-    * final top-k is a per-doc window on the doc-keyed shuffle. Nothing
-    * touches the raw text twice. */
+    * partials; df = a WINDOW COUNT over the tf frame's token partition
+    * — it rides the token shuffle the tf aggregate already did and
+    * never re-reads the corpus (a separate df aggregate + join-back
+    * would re-run the tokenize lineage: measured 3 parquet scans vs 2,
+    * plan-asserted in PlanSpec); N broadcasts; final top-k is a
+    * per-doc window on the doc-keyed shuffle. */
   def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("token")))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("score"), col("token"))
-    tf.join(df, "token").crossJoin(broadcast(n))
+    withDf.crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
       .withColumn("rank", row_number().over(w).cast("long"))

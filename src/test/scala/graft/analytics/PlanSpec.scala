@@ -167,6 +167,48 @@ class PlanSpec extends SparkSpec {
     assert(projLine.nonEmpty, s"text stats fell out of codegen:\n$p")
   }
 
+  test("tfidf scans the corpus once and aggregates with map-side partials") {
+    val df = graft.ext.TextAnalysis.tfidfTerms(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("partial_count"), "tf aggregate lost map-side combine")
+    assert(!p.contains("CartesianProduct"), "tfidf planned a cartesian product")
+    // df is a window over the tf frame, N a 1-row count: two actual
+    // scans (tokens + N) — formatted mode mentions each scan twice
+    // (tree + detail section), so 2 scans = 4 mentions
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 4, s"tfidf re-reads the corpus ($scans scan mentions > 4)")
+  }
+
+  test("hard negatives broadcast the query side (corpus streams once)") {
+    val p = graft.ext.Similarity.hardNegatives(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // inequality-only join condition ⇒ nested loop is expected, but it
+    // MUST be the broadcast variant (tiny query side), never a product
+    assert(p.contains("BroadcastNestedLoopJoin"), "query side not broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("temperature weights: no window, quota math on a broadcast 1-row total") {
+    val p = plan(graft.ext.Sampling.temperatureWeights(spark, sfDir))
+    assert(!p.contains("Window"), "weight computation must not need a window")
+    assert(p.contains("HashAggregate"), "per-source aggregate missing")
+  }
+
+  test("revenue share broadcasts all dims; only fact + group keys shuffle") {
+    val p = plan(Analytics.revenueShare(spark, sfDir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"expected 3 broadcast dim joins, got $broadcasts")
+    assert(!p.contains("SortMergeJoin"), "dim join degenerated to sort-merge")
+  }
+
+  test("status pivot is one scan + one aggregate pass (no per-status re-scan)") {
+    val p = plan(Analytics.statusPivot(spark, sfDir))
+    assert(p.contains("partial_count"), "pivot aggregate lost map-side combine")
+    // formatted mode mentions each scan twice (tree + detail)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"pivot re-reads orders ($scans scan mentions > 2)")
+  }
+
   test("sketch expressions run inside WholeStageCodegen") {
     val df = graft.Tables.load(spark, sfDir, "documents")
       .select(graft.functions.TextFunctions.shingleHashes(
