@@ -148,6 +148,33 @@ object Sampling {
       .orderBy("source", "pack_id")
   }
 
+  /** Context-window chunking parameters: 32-token windows, 8-token
+    * overlap → stride 24. */
+  val ChunkTokens = 32L
+  val ChunkOverlap = 8L
+
+  /** Context-window chunk manifest: split each document into
+    * fixed-size token windows with overlap — the retrieval/pretraining
+    * chunking step (every chunk after the first re-reads `overlap`
+    * tokens so no span is ever cut without context). Emits one row per
+    * chunk with its token span; n_chunks = ceil((n−overlap)/stride),
+    * min 1. Pure integer arithmetic per row + an explode — scan speed,
+    * no shuffle, and the manifest is exactly reproducible anywhere
+    * (resume/backfill safe). */
+  def chunkManifest(s: SparkSession, dir: String): DataFrame = {
+    val stride = ChunkTokens - ChunkOverlap
+    load(s, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("n_chunks",
+        greatest(lit(1L), expr(s"(n_tokens - $ChunkOverlap + ${stride - 1}) div $stride")))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("tok_start"),
+        least(col("chunk_id") * stride + ChunkTokens, col("n_tokens")).as("tok_end"))
+      .withColumn("chunk_tokens", col("tok_end") - col("tok_start"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Deterministic train/val/test split assignment: u32 hash ranges
     * 90/5/5. The property that matters operationally: membership is a
     * pure function of the key — adding documents later never moves an
@@ -172,9 +199,21 @@ object Sampling {
     "x32_sample_mixture" -> mixtureSample,
     "x33_pack_sequences" -> packSequences,
     "x41_split_assignment" -> splitAssignment,
-    "x64_mixture_temperature" -> temperatureWeights)
+    "x64_mixture_temperature" -> temperatureWeights,
+    "x71_chunk_manifest" -> chunkManifest)
 
   val oracles: Map[String, String] = Map(
+    "x71_chunk_manifest" -> """
+      WITH t AS (SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+          greatest(1, (n_tokens - 8 + 23) // 24) AS n_chunks FROM t),
+      x AS (SELECT doc_id, n_tokens, unnest(range(0, n_chunks)) AS chunk_id FROM c)
+      SELECT doc_id, chunk_id, chunk_id * 24 AS tok_start,
+        least(chunk_id * 24 + 32, n_tokens) AS tok_end,
+        least(chunk_id * 24 + 32, n_tokens) - chunk_id * 24 AS chunk_tokens
+      FROM x ORDER BY doc_id, chunk_id""",
     "x64_mixture_temperature" -> """
       WITH c AS (SELECT source, COUNT(*) AS n_docs,
           CAST(SUM(n_chars) AS BIGINT) AS total_chars,

@@ -161,6 +161,27 @@ class CorpusAuditSpec extends SparkSpec {
     assert(missing.count() == 0, "top-k hit above tau missing from range search")
   }
 
+  test("chunk manifest tiles every document: full cover, real overlap, bounded size") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Sampling.chunkManifest(spark, sfDir).cache()
+    val toks = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+    val cover = out.groupBy("doc_id")
+      .agg(min("tok_start").as("s"), max("tok_end").as("e"))
+      .join(toks, "doc_id")
+    assert(cover.filter(col("s") =!= 0L || col("e") =!= col("n")).count() == 0,
+      "chunks must cover [0, n_tokens) exactly")
+    val w = Window.partitionBy("doc_id").orderBy("chunk_id")
+    val lagged = out.withColumn("prev_end", lag("tok_end", 1).over(w))
+      .filter(col("prev_end").isNotNull)
+    assert(lagged.filter(col("tok_start") >= col("prev_end")).count() == 0,
+      "every chunk must overlap its predecessor")
+    assert(out.filter(col("chunk_tokens") < 1L ||
+      col("chunk_tokens") > Sampling.ChunkTokens).count() == 0)
+    out.unpersist()
+  }
+
   test("inter-arrival gaps: non-negative, and gap count = events - users") {
     val out = graft.analytics.EventAnalytics.interArrivalStats(spark, sfDir).cache()
     assert(out.filter(col("min_gap_us") < 0).count() == 0,
