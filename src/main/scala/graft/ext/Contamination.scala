@@ -111,10 +111,45 @@ object Contamination {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate SPAN coverage — the masking-pass measurement on top of
+    * x42's gram flags: how many of each document's TOKENS sit inside at
+    * least one above-threshold 8-gram (i.e. what a removal pass would
+    * actually delete; overlapping hot grams don't double-count because
+    * coverage dedups token positions). Positional grams come from one
+    * compiled pass ([[graft.functions.TextExpressions.WordShinglePositional]]
+    * — the distinct variants can't say WHERE a gram sits); coverage is
+    * explode(sequence(pos, pos+7)) + distinct, i.e. integer set algebra
+    * that any engine reproduces. Same two shuffles as x42 (gram df +
+    * join-back), plus a doc-keyed dedup of covered positions. */
+  def boilerplateSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val grams = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        explode(graft.functions.TextExpressions.wordShinglePositional(col("text"), 8)).as("pg"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pg.pos").cast("long").as("pos"), col("pg.gram").as("gram"))
+    val hot = grams.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") > BoilerplateDocThreshold)
+    val covered = grams.join(hot.select("gram"), Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), least(col("pos") + 7, col("n_tokens") - 1))).as("tok"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+    docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_covered"))
+      .withColumn("covered_ratio",
+        round(col("n_covered").cast("double") / greatest(col("n_tokens"), lit(1L)).cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x34_contamination" -> benchmarkContamination,
     "x35_blocklist" -> blocklistFilter,
-    "x42_boilerplate" -> boilerplateReport)
+    "x42_boilerplate" -> boilerplateReport,
+    "x73_boilerplate_spans" -> boilerplateSpans)
 
   val oracles: Map[String, String] = Map(
     "x34_contamination" -> """
@@ -152,5 +187,24 @@ object Contamination {
       SELECT t.doc_id, t.n_grams, COALESCE(p.n_boiler, 0) AS n_boiler,
         COALESCE(p.n_boiler, 0) / CAST(greatest(t.n_grams, 1) AS DOUBLE) AS boiler_ratio
       FROM totals t LEFT JOIN per_doc p USING (doc_id)
-      ORDER BY t.doc_id""")
+      ORDER BY t.doc_id""",
+    "x73_boilerplate_spans" -> """
+      WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      idx AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+          unnest(range(1, greatest(len(t)-7, 1)+1)) AS i FROM toks),
+      grams AS (SELECT doc_id, n, i, array_to_string(t[i:i+7], ' ') AS gram FROM idx),
+      hot AS (SELECT gram FROM (
+          SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY 1)
+        WHERE df > 2),
+      cov AS (SELECT DISTINCT doc_id, tok FROM (
+          SELECT g.doc_id, unnest(range(g.i, least(g.i + 8, g.n + 1))) AS tok
+          FROM grams g JOIN hot USING (gram))),
+      covc AS (SELECT doc_id, COUNT(*) AS n_covered FROM cov GROUP BY 1),
+      nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+      SELECT nt.doc_id, nt.n_tokens, COALESCE(c.n_covered, 0) AS n_covered,
+        ROUND(CAST(COALESCE(c.n_covered, 0) AS DOUBLE)
+          / CAST(greatest(nt.n_tokens, 1) AS DOUBLE), 4) AS covered_ratio
+      FROM nt LEFT JOIN covc c USING (doc_id)
+      ORDER BY nt.doc_id""")
 }

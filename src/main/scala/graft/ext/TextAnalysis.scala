@@ -415,6 +415,37 @@ object TextAnalysis {
           (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 25.0 AS q
         FROM base)"""
 
+  /** Shared DuckDB CTEs: language prediction + quality score per doc —
+    * the SQL twin of the (langId, qualityScore) curation gate. Used by
+    * the x27 batch pipeline oracle and the x72 streaming-ingest twin
+    * (EventStreams) so the two can never drift. Exposes
+    * `lang_pred(doc_id, predicted, rn)` and `quality(doc_id, q)`. */
+  private[graft] val CurationGateSql = """
+      sw(lang, words) AS (VALUES
+        ('de', ['der','die','das','und','ist','nicht','mit','ein','zu','den','von','sich']),
+        ('en', ['the','a','and','of','to','in','is','that','it','for','on','with']),
+        ('es', ['el','la','de','que','y','en','un','es','se','no','por','los']),
+        ('fr', ['le','la','de','et','un','que','pour','dans','ce','les','des','est']),
+        ('zh', ['的','是','不','了','在','人','有','我','他','这','中','大'])),
+      toks AS (SELECT doc_id, source, n_chars, text,
+                 string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      lang_pred AS (
+        SELECT doc_id, lang AS predicted,
+          row_number() OVER (PARTITION BY doc_id ORDER BY
+            CAST(len(list_filter(t, x -> list_contains(sw.words, x))) AS DOUBLE)
+              / greatest(len(t), 1) DESC, lang DESC) AS rn
+        FROM toks CROSS JOIN sw),
+      quality AS (
+        SELECT doc_id,
+          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 25.0 +
+          (1.0 - least(CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) * 5.0, 1.0)) * 25.0 +
+          least(CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','in','is','that','it','for','on','with'], x))) AS DOUBLE)
+             / greatest(len(t), 1) * 4.0, 1.0) * 25.0 +
+          (CASE WHEN CAST(length(regexp_replace(trim(text), '\s', '', 'g')) AS DOUBLE)
+             / greatest(len(t), 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 25.0 AS q
+        FROM toks)"""
+
   /** DuckDB twins where the arithmetic is portable. Token counts: both
     * engines split trimmed text on \s+; ratios are raw double divisions
     * (no rounding → no decimal-tie divergence). */
@@ -539,31 +570,8 @@ object TextAnalysis {
           ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, token) AS rank
         FROM counts)
       WHERE rank <= 5 ORDER BY source, rank""",
-    "x27_text_curation" -> """
-      WITH sw(lang, words) AS (VALUES
-        ('de', ['der','die','das','und','ist','nicht','mit','ein','zu','den','von','sich']),
-        ('en', ['the','a','and','of','to','in','is','that','it','for','on','with']),
-        ('es', ['el','la','de','que','y','en','un','es','se','no','por','los']),
-        ('fr', ['le','la','de','et','un','que','pour','dans','ce','les','des','est']),
-        ('zh', ['的','是','不','了','在','人','有','我','他','这','中','大'])),
-      toks AS (SELECT doc_id, source, n_chars, text,
-                 string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
-      lang_pred AS (
-        SELECT doc_id, lang AS predicted,
-          row_number() OVER (PARTITION BY doc_id ORDER BY
-            CAST(len(list_filter(t, x -> list_contains(sw.words, x))) AS DOUBLE)
-              / greatest(len(t), 1) DESC, lang DESC) AS rn
-        FROM toks CROSS JOIN sw),
-      quality AS (
-        SELECT doc_id,
-          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 25.0 +
-          (1.0 - least(CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
-             / greatest(length(text), 1) * 5.0, 1.0)) * 25.0 +
-          least(CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','in','is','that','it','for','on','with'], x))) AS DOUBLE)
-             / greatest(len(t), 1) * 4.0, 1.0) * 25.0 +
-          (CASE WHEN CAST(length(regexp_replace(trim(text), '\s', '', 'g')) AS DOUBLE)
-             / greatest(len(t), 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 25.0 AS q
-        FROM toks),
+    "x27_text_curation" -> s"""
+      WITH $CurationGateSql,
       kept AS (
         SELECT d.doc_id, d.source, d.n_chars, d.text
         FROM documents d

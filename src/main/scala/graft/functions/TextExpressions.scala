@@ -114,6 +114,48 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Word n-grams WITH their 0-based starting token position — the
+    * positional variant of [[WordShingleStrings]], and deliberately NOT
+    * distinct: a gram occurring twice occupies two spans. Output
+    * array<struct<pos:int, gram:string>>, one compiled pass. Feeds
+    * span-cover operators that need to know WHERE a gram sits (e.g.
+    * boilerplate masking), where the distinct variants only answer
+    * whether it occurs. */
+  case class WordShinglePositional(child: Expression, n: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("gram", StringType, nullable = false))), containsNull = false)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shinglePosExpr", this, classOf[WordShinglePositional].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($v);")
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      // UTF8String.trim/toLowerCase — Spark's own trim/lower semantics
+      // (see WordShingleHashes for why Java String's versions diverge)
+      val toks = v.asInstanceOf[UTF8String].trim.toLowerCase.toString
+        .split("\\s+", -1)
+      val count = math.max(toks.length - n, 0) + 1
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        val end = math.min(i + n, toks.length)
+        val gram = String.join(" ", java.util.Arrays.asList(toks.slice(i, end): _*))
+        out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, UTF8String.fromString(gram)))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** The k lexicographically-smallest MD5 hex digests of the distinct
     * word n-gram shingles, ascending — a winnowing-style fingerprint
     * sketch in an engine-portable encoding: MD5-over-UTF-8 produces the
@@ -546,6 +588,9 @@ object TextExpressions {
 
   def wordShinglePortableHashes(text: Column, n: Int): Column =
     column(WordShinglePortableHashes(expression(text), n))
+
+  def wordShinglePositional(text: Column, n: Int): Column =
+    column(WordShinglePositional(expression(text), n))
 
   def simHashPortable(tokens: Column): Column =
     column(SimHashPortable(expression(tokens)))

@@ -31,6 +31,29 @@ object EventStreams {
     else raw
   }
 
+  /** Schema-declared file stream over any single-file testdata table
+    * (generalizes [[fromParquetDir]], which adds the events-specific
+    * timestamp rebuild on top). */
+  def tableStream(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/$table.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
+  /** Ingest-time curation: the (language, quality) gate applied to the
+    * document STREAM — purely stateless per-row predicates (compiled
+    * LangId + QualitySignals expressions), no watermark, no state
+    * store, so it filters at ingest throughput forever. The batch twin
+    * is the front half of TextAnalysis.curationPipeline; dedup stays a
+    * batch/incremental concern (x55) because content keys need state. */
+  def curationFilterStream(docs: DataFrame): DataFrame = {
+    val qs = graft.functions.TextFunctions.qualitySignals(col("text"))
+    docs
+      .filter(graft.functions.TextFunctions.langId(col("text")) === "en")
+      .filter(qs.getField("quality") >= 50.0)
+      .select(col("doc_id"), col("source"), round(qs.getField("quality"), 2).as("quality"))
+  }
+
   /** Tumbling 1-hour counts per event type with a 2-hour watermark —
     * streaming twin of EventAnalytics.tumblingCounts. Append-mode safe:
     * a window emits once its end passes the watermark. */
@@ -319,7 +342,18 @@ object EventStreams {
       .orderBy("event_id")
   }
 
+  /** Driver-checked query: bounded replay of the document stream
+    * through the ingest-time curation gate. Stateless append — every
+    * passing document emits exactly once; the oracle is the batch
+    * gate's SQL (shared CTE with x27, so stream and batch semantics
+    * can never drift). */
+  def curationReplay(s: SparkSession, dir: String): DataFrame =
+    runToMemory(curationFilterStream(tableStream(s, dir, "documents")),
+        s"stream_curation_${java.util.UUID.randomUUID.toString.replace("-", "")}")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x72_stream_curation" -> curationReplay,
     "x19_stream_tumbling" -> tumblingReplay,
     "x44_stream_sessions" -> sessionReplay,
     "x54_stream_sessions_stateful" -> statefulSessionReplay,
@@ -327,6 +361,13 @@ object EventStreams {
     "x68_stream_dedup" -> dedupReplay)
 
   val oracles: Map[String, String] = Map(
+    "x72_stream_curation" -> s"""
+      WITH ${graft.ext.TextAnalysis.CurationGateSql}
+      SELECT d.doc_id, d.source, ROUND(qu.q, 2) AS quality
+      FROM documents d
+      JOIN lang_pred lp ON d.doc_id = lp.doc_id AND lp.rn = 1 AND lp.predicted = 'en'
+      JOIN quality qu ON d.doc_id = qu.doc_id AND qu.q >= 50.0
+      ORDER BY d.doc_id""",
     "x68_stream_dedup" -> """
       SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
         user_id, event_type, value

@@ -58,4 +58,17 @@ class ContaminationSpec extends SparkSpec {
     assert(wrong.count() == 0, "duplicate-cluster members must be pure boilerplate")
     out.unpersist()
   }
+
+  test("boilerplate spans: coverage bounded by tokens and consistent with x42 flags") {
+    val spans = Contamination.boilerplateSpans(spark, sfDir).cache()
+    assert(spans.filter(col("n_covered") > col("n_tokens")).count() == 0)
+    assert(spans.filter(col("covered_ratio") < 0.0 || col("covered_ratio") > 1.0).count() == 0)
+    // a doc has covered tokens iff x42 flagged at least one of its grams
+    val flags = Contamination.boilerplateReport(spark, sfDir)
+      .select(col("doc_id"), col("n_boiler"))
+    val disagree = spans.join(flags, "doc_id")
+      .filter((col("n_covered") > 0) =!= (col("n_boiler") > 0))
+    assert(disagree.count() == 0, "span coverage and gram flags disagree")
+    spans.unpersist()
+  }
 }

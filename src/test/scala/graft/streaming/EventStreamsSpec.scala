@@ -157,4 +157,17 @@ class EventStreamsSpec extends SparkSpec {
     val batchTotal = graft.Tables.load(spark, sfDir, "events").count()
     assert(streamTotal == batchTotal)
   }
+
+  test("streaming curation gate equals its batch twin row-for-row") {
+    val streamed = EventStreams.curationReplay(spark, sfDir)
+    val qs = graft.functions.TextFunctions.qualitySignals(col("text"))
+    val batch = graft.Tables.load(spark, sfDir, "documents")
+      .filter(graft.functions.TextFunctions.langId(col("text")) === "en")
+      .filter(qs.getField("quality") >= 50.0)
+      .select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.round(qs.getField("quality"), 2).as("quality"))
+    assert(streamed.exceptAll(batch).count() == 0 &&
+           batch.exceptAll(streamed).count() == 0,
+      "stream and batch curation must select identical rows")
+  }
 }
