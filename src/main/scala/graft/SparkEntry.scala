@@ -23,6 +23,7 @@ object SparkEntry {
       ext.Contamination.queries ++
       etl.Sources.queries ++
       ops.SnapshotDiff.queries ++
+      ops.RangeJoin.queries ++
       ops.ConnectedComponents.queries ++
       streaming.EventStreams.queries ++
       multimodal.Multimodal.queries
@@ -39,6 +40,7 @@ object SparkEntry {
       ext.Contamination.oracles ++
       etl.Sources.oracles ++
       ops.SnapshotDiff.oracles ++
+      ops.RangeJoin.oracles ++
       ops.ConnectedComponents.oracles ++
       streaming.EventStreams.oracles ++
       multimodal.Multimodal.oracles

@@ -209,6 +209,17 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 2, s"pivot re-reads orders ($scans scan mentions > 2)")
   }
 
+  test("bucketed range join plans a hash join, never a nested loop over intervals") {
+    val p = graft.ops.RangeJoin.windowAudit(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "range join degenerated to a product")
+    // the point-side join on __b must be a hash join (broadcast or
+    // shuffled) — a BETWEEN join without bucketing would be BNLJ over
+    // every (point, interval) pair
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no hash join on bucket ids:\n$p")
+  }
+
   test("sketch expressions run inside WholeStageCodegen") {
     val df = graft.Tables.load(spark, sfDir, "documents")
       .select(graft.functions.TextFunctions.shingleHashes(
