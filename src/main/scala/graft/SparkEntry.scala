@@ -24,6 +24,7 @@ object SparkEntry {
       etl.Sources.queries ++
       ops.SnapshotDiff.queries ++
       ops.RangeJoin.queries ++
+      ops.Skew.queries ++
       ops.ConnectedComponents.queries ++
       streaming.EventStreams.queries ++
       multimodal.Multimodal.queries
@@ -41,6 +42,7 @@ object SparkEntry {
       etl.Sources.oracles ++
       ops.SnapshotDiff.oracles ++
       ops.RangeJoin.oracles ++
+      ops.Skew.oracles ++
       ops.ConnectedComponents.oracles ++
       streaming.EventStreams.oracles ++
       multimodal.Multimodal.oracles

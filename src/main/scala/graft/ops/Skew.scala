@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation operators for the shapes AQE's runtime skew-join
@@ -51,4 +51,42 @@ object Skew {
       .groupBy(col(key))
       .agg(phase2.head, phase2.tail: _*)
   }
+
+  /** Driver-checked query: a weighted per-event-type rollup computed
+    * through BOTH skew tools — salted join of the events fact (5
+    * distinct keys over 10k+ rows: maximal key skew, the shape where
+    * one reducer would own a fifth of the table) against a small
+    * weight dim, then the two-phase salted aggregation. The salt is an
+    * internal plan detail; the result is identical to the plain
+    * join+group — which is exactly what the DuckDB oracle runs, making
+    * the equivalence a hash-checked gate, not just a spec. Weighted
+    * values go through integer cents per row so partial-sum order
+    * can't perturb the result. */
+  def skewRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        (round(col("value") * 100, 0).cast("long")).as("cents"))
+    val dim = s.createDataFrame(Seq(
+      ("click", 1L), ("view", 2L), ("purchase", 10L), ("signup", 5L), ("error", 0L)))
+      .toDF("event_type", "weight")
+    val joined = saltedJoin(ev, dim, "event_type", salt = 8)
+      .withColumn("wcents", col("cents") * col("weight"))
+    twoPhaseAgg(joined, "event_type", salt = 8)(
+      Seq(count(lit(1)).as("n1"), sum("wcents").as("c1")),
+      Seq(sum("n1").as("n_events"), sum("c1").as("weighted_cents")))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x75_skew_rollup" -> skewRollup)
+
+  val oracles: Map[String, String] = Map(
+    "x75_skew_rollup" -> """
+      WITH dim(event_type, weight) AS (VALUES
+        ('click', 1), ('view', 2), ('purchase', 10), ('signup', 5), ('error', 0))
+      SELECT e.event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(round(e.value * 100, 0) AS BIGINT) * d.weight) AS BIGINT)
+          AS weighted_cents
+      FROM events e JOIN dim d USING (event_type)
+      GROUP BY 1 ORDER BY 1""")
 }
