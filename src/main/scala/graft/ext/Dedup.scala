@@ -66,6 +66,39 @@ object Dedup {
            approx_count_distinct(col("text"), rsd = 0.01).as("approx_distinct_texts"))
       .orderBy("source")
 
+  private val KmvK = 16
+
+  /** KMV (k-minimum-values) approximate distinct count per source — the
+    * ENGINE-PORTABLE sketch next to HLL++ (x26): keep the k smallest
+    * portable content hashes per group; with the hash space normalized
+    * to [0, 1), E[distinct] ≈ (k−1)/h_k. Unlike HLL (whose register
+    * layout is implementation-specific), the estimate is a pure
+    * function of the k-th smallest md5-prefix hash, so DuckDB
+    * recomputes it EXACTLY — an approximate algorithm under an exact
+    * correctness gate. Groups with fewer than k distinct values report
+    * the exact count (the sketch holds them all — standard KMV).
+    * Mergeable: min-k of a union = min-k of the merged min-k sets, the
+    * property that lets 1000 executors sketch independently. The
+    * row_number window is the small-scale form; at 100 TB swap in a
+    * bounded-heap min-k aggregate (the TopKAgg pattern) so partials
+    * carry ≤ k hashes per group per partition. */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val h = load(s, dir, "documents")
+      .select(col("source"),
+        expr("conv(substr(md5(text), 1, 15), 16, 10)").cast("long").as("hv"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("hv")
+    h.withColumn("rn", row_number().over(w)).filter(col("rn") <= KmvK)
+      .groupBy("source")
+      .agg(count(lit(1)).as("m"), max("hv").as("hk"))
+      .select(col("source"),
+        when(col("m") < KmvK, col("m").cast("double"))
+          .otherwise(round(
+            lit((KmvK - 1).toDouble * math.pow(2, 60)) / col("hk").cast("double"), 2))
+          .as("est_distinct"))
+      .orderBy("source")
+  }
+
   /** Cross-source content-overlap matrix: for every source pair (a < b),
     * the number of distinct word 8-grams both contain and the gram-set
     * Jaccard — the "which crawls overlap, and how much" audit that
@@ -440,7 +473,8 @@ object Dedup {
     "x06_dedup_embedding" -> embeddingNearDups,
     "x50_source_overlap" -> crossSourceOverlap,
     "x51_dedup_normalized" -> normalizedDedup,
-    "x55_dedup_incremental" -> incrementalDedup)
+    "x55_dedup_incremental" -> incrementalDedup,
+    "x76_kmv_distinct" -> kmvDistinct)
 
   /** The realized MinHash affine coefficients as a SQL VALUES list —
     * java.util.Random can't run in SQL, but its output is 128 literals. */
@@ -495,6 +529,19 @@ object Dedup {
       ORDER BY d.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "x76_kmv_distinct" -> s"""
+      WITH h AS (SELECT DISTINCT source,
+          CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS hv
+        FROM documents),
+      ranked AS (SELECT source, hv,
+          row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h),
+      mink AS (SELECT source, COUNT(*) AS m, MAX(hv) AS hk
+        FROM ranked WHERE rn <= $KmvK GROUP BY 1)
+      SELECT source,
+        CASE WHEN m < $KmvK THEN CAST(m AS DOUBLE)
+             ELSE ROUND(${(KmvK - 1).toDouble * math.pow(2, 60)} / CAST(hk AS DOUBLE), 2)
+        END AS est_distinct
+      FROM mink ORDER BY source""",
     "x03_dedup_minhash" -> s"""
       WITH coef(j, a, b) AS (VALUES $coefValues),
       ${gramSetsSql(3)},

@@ -51,7 +51,11 @@ object EventStreams {
     docs
       .filter(graft.functions.TextFunctions.langId(col("text")) === "en")
       .filter(qs.getField("quality") >= 50.0)
-      .select(col("doc_id"), col("source"), round(qs.getField("quality"), 2).as("quality"))
+      // quality is a RAW per-row double — the repo rounding rule: round
+      // aggregated values at the query edge, never per-row scalars
+      // (engines disagree on .xx5-adjacent doubles; measured: 5 of
+      // ~4.5k rows flipped at sf0.1 when this was round(·, 2))
+      .select(col("doc_id"), col("source"), qs.getField("quality").as("quality"))
   }
 
   /** Tumbling 1-hour counts per event type with a 2-hour watermark —
@@ -363,7 +367,7 @@ object EventStreams {
   val oracles: Map[String, String] = Map(
     "x72_stream_curation" -> s"""
       WITH ${graft.ext.TextAnalysis.CurationGateSql}
-      SELECT d.doc_id, d.source, ROUND(qu.q, 2) AS quality
+      SELECT d.doc_id, d.source, qu.q AS quality
       FROM documents d
       JOIN lang_pred lp ON d.doc_id = lp.doc_id AND lp.rn = 1 AND lp.predicted = 'en'
       JOIN quality qu ON d.doc_id = qu.doc_id AND qu.q >= 50.0

@@ -19,4 +19,28 @@ class ApproxDedupSpec extends SparkSpec {
         s"source ${r.getAs[String]("source")}: approx $a vs exact $e")
     }
   }
+
+  test("KMV distinct estimates land within the sketch's statistical error") {
+    val est = Dedup.kmvDistinct(spark, sfDir)
+    val exact = graft.Tables.load(spark, sfDir, "documents")
+      .groupBy("source")
+      .agg(count_distinct(col("text")).as("exact_distinct"))
+    val joined = est.join(exact, "source").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val a = r.getAs[Double]("est_distinct")
+      val e = r.getAs[Long]("exact_distinct").toDouble
+      // k=16 → relative stderr ≈ 1/sqrt(k-2) ≈ 27%; 3σ bound with slack
+      assert(math.abs(a - e) / e <= 1.0,
+        s"source ${r.getAs[String]("source")}: KMV $a vs exact $e")
+    }
+    // and the estimator is unbiased-ish in aggregate: the MEAN estimate
+    // across 20 independent sources must sit much closer than any
+    // single sketch is required to
+    val (sa, se) = joined.foldLeft((0.0, 0.0)) { case ((x, y), r) =>
+      (x + r.getAs[Double]("est_distinct"),
+       y + r.getAs[Long]("exact_distinct").toDouble) }
+    assert(math.abs(sa - se) / se <= 0.25,
+      s"aggregate KMV bias too large: $sa vs $se")
+  }
 }

@@ -164,8 +164,7 @@ class EventStreamsSpec extends SparkSpec {
     val batch = graft.Tables.load(spark, sfDir, "documents")
       .filter(graft.functions.TextFunctions.langId(col("text")) === "en")
       .filter(qs.getField("quality") >= 50.0)
-      .select(col("doc_id"), col("source"),
-        org.apache.spark.sql.functions.round(qs.getField("quality"), 2).as("quality"))
+      .select(col("doc_id"), col("source"), qs.getField("quality").as("quality"))
     assert(streamed.exceptAll(batch).count() == 0 &&
            batch.exceptAll(streamed).count() == 0,
       "stream and batch curation must select identical rows")
