@@ -25,6 +25,7 @@ object SparkEntry {
       ops.SnapshotDiff.queries ++
       ops.RangeJoin.queries ++
       ops.Skew.queries ++
+      ops.ZOrder.queries ++
       ops.ConnectedComponents.queries ++
       streaming.EventStreams.queries ++
       multimodal.Multimodal.queries
@@ -43,6 +44,7 @@ object SparkEntry {
       ops.SnapshotDiff.oracles ++
       ops.RangeJoin.oracles ++
       ops.Skew.oracles ++
+      ops.ZOrder.oracles ++
       ops.ConnectedComponents.oracles ++
       streaming.EventStreams.oracles ++
       multimodal.Multimodal.oracles
