@@ -99,6 +99,41 @@ object Dedup {
       .orderBy("source")
   }
 
+  private val CmsRows = 4
+  private val CmsWidth = 1024L
+
+  /** Count-Min sketch heavy-hitter estimation over the token stream —
+    * the fixed-memory frequency sketch (d=4 rows × w=1024 counters)
+    * that answers "how often does this token occur" without keeping
+    * the full vocabulary: est(t) = min over rows of counter[r][h_r(t)],
+    * never an underestimate, over by at most the collision mass. Like
+    * x76, the hashes are md5-prefix arithmetic, so the DuckDB oracle
+    * rebuilds the ENTIRE sketch and the exact same estimates — an
+    * approximate structure under an exact gate. Probes are the top-20
+    * exact tokens (deterministic tie-break) so the output also shows
+    * the estimation error directly. At 100 TB the counter build is one
+    * map-side-combined aggregate over (row, cell) — 4096 cells total,
+    * mergeable across any sharding. */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = load(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+    val cellExpr = // h_r(token) = md5-prefix of "row<r>:<token>" mod width
+      s"CAST(conv(substr(md5(concat('row', CAST(r AS STRING), ':', token)), 1, 15), 16, 10) AS BIGINT) % $CmsWidth"
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+    val probes = exact.orderBy(desc("exact_n"), col("token")).limit(20)
+    val counters = toks
+      .select(col("token"), explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
+      .withColumn("c", expr(cellExpr))
+      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+    probes
+      .select(col("token"), col("exact_n"),
+        explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
+      .withColumn("c", expr(cellExpr))
+      .join(counters, Seq("r", "c"))
+      .groupBy("token", "exact_n").agg(min("cnt").as("est_n"))
+      .orderBy("token")
+  }
+
   /** Cross-source content-overlap matrix: for every source pair (a < b),
     * the number of distinct word 8-grams both contain and the gram-set
     * Jaccard — the "which crawls overlap, and how much" audit that
@@ -474,7 +509,8 @@ object Dedup {
     "x50_source_overlap" -> crossSourceOverlap,
     "x51_dedup_normalized" -> normalizedDedup,
     "x55_dedup_incremental" -> incrementalDedup,
-    "x76_kmv_distinct" -> kmvDistinct)
+    "x76_kmv_distinct" -> kmvDistinct,
+    "x78_cms_heavy_hitters" -> cmsHeavyHitters)
 
   /** The realized MinHash affine coefficients as a SQL VALUES list —
     * java.util.Random can't run in SQL, but its output is 128 literals. */
@@ -529,6 +565,23 @@ object Dedup {
       ORDER BY d.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "x78_cms_heavy_hitters" -> s"""
+      WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents),
+      exact AS (SELECT token, COUNT(*) AS exact_n FROM toks GROUP BY 1),
+      probes AS (SELECT token, exact_n FROM exact
+        ORDER BY exact_n DESC, token LIMIT 20),
+      rws(r) AS (SELECT unnest(range(0, $CmsRows))),
+      cells AS (SELECT r,
+          CAST(concat('0x', substr(md5(concat('row', CAST(r AS VARCHAR), ':', token)), 1, 15)) AS BIGINT) % $CmsWidth AS c,
+          COUNT(*) AS cnt
+        FROM toks CROSS JOIN rws GROUP BY 1, 2),
+      probed AS (SELECT p.token, p.exact_n, rws.r,
+          CAST(concat('0x', substr(md5(concat('row', CAST(rws.r AS VARCHAR), ':', p.token)), 1, 15)) AS BIGINT) % $CmsWidth AS c
+        FROM probes p CROSS JOIN rws)
+      SELECT pr.token, pr.exact_n, MIN(ce.cnt) AS est_n
+      FROM probed pr JOIN cells ce ON pr.r = ce.r AND pr.c = ce.c
+      GROUP BY 1, 2 ORDER BY pr.token""",
     "x76_kmv_distinct" -> s"""
       WITH h AS (SELECT DISTINCT source,
           CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS hv

@@ -43,4 +43,19 @@ class ApproxDedupSpec extends SparkSpec {
     assert(math.abs(sa - se) / se <= 0.25,
       s"aggregate KMV bias too large: $sa vs $se")
   }
+
+  test("count-min estimates never underestimate and stay near exact for heavy hitters") {
+    val out = Dedup.cmsHeavyHitters(spark, sfDir).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("exact_n")
+      val est = r.getAs[Long]("est_n")
+      assert(est >= exact,
+        s"CMS underestimated '${r.getAs[String]("token")}': $est < $exact")
+      // w=1024 cells over a small vocab: collision mass is a tiny
+      // fraction of a heavy hitter's own count
+      assert(est <= exact * 2,
+        s"CMS estimate for a heavy hitter too loose: $est vs $exact")
+    }
+  }
 }
