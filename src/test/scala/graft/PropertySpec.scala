@@ -214,6 +214,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("portable shingle hashes = conv(md5-prefix) of the distinct grams, for any text") {
+    // the compiled byte loop must equal the Column spelling the oracles
+    // use: CAST(conv(substr(md5(gram),1,15),16,10) AS BIGINT)
+    forAll(Gen.nonEmptyListOf(nastyTextGen)) { texts =>
+      val rows = texts.toDF("text")
+        .select(col("text"),
+          graft.functions.TextFunctions.portableShingleHashes(col("text"), 3).as("ph"),
+          transform(graft.functions.TextFunctions.wordShingles(col("text"), 3),
+            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("ref"))
+        .collect()
+      rows.foreach { r =>
+        val ph = r.getAs[scala.collection.Seq[Long]]("ph")
+        val ref = r.getAs[scala.collection.Seq[Long]]("ref")
+        assert(ph == ref, s"portable hash mismatch for '${r.getString(0).take(40)}'")
+      }
+    }
+  }
+
+  test("portable simhash bit = majority vote of md5-prefix token hashes, any text") {
+    forAll(Gen.nonEmptyListOf(nastyTextGen)) { texts =>
+      val rows = texts.toDF("text")
+        .select(col("text"),
+          graft.functions.Sketches.simhashPortable(
+            graft.functions.TextFunctions.tokens(col("text"))).as("sim"))
+        .collect()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.foreach { r =>
+        val text = r.getString(0)
+        // reference implementation straight from the definition
+        val toks = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+          .trim.toLowerCase.toString.split("\\s+", -1)
+        val counts = new Array[Int](60)
+        toks.foreach { t =>
+          val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+          val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+          (0 until 60).foreach(i => counts(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1))
+        }
+        var expect = 0L
+        (0 until 60).foreach(i => if (counts(i) > 0) expect |= (1L << i))
+        assert(r.getLong(1) == expect, s"simhash mismatch for '${text.take(40)}'")
+      }
+    }
+  }
+
   test("fingerprint sketch = k smallest MD5s of the shingle set, for any text") {
     forAll(Gen.nonEmptyListOf(nastyTextGen)) { texts =>
       val rows = texts.toDF("text")
