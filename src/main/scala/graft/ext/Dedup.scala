@@ -107,24 +107,31 @@ object Dedup {
     * that answers "how often does this token occur" without keeping
     * the full vocabulary: est(t) = min over rows of counter[r][h_r(t)],
     * never an underestimate, over by at most the collision mass. Like
-    * x76, the hashes are md5-prefix arithmetic, so the DuckDB oracle
-    * rebuilds the ENTIRE sketch and the exact same estimates — an
-    * approximate structure under an exact gate. Probes are the top-20
-    * exact tokens (deterministic tie-break) so the output also shows
-    * the estimation error directly. At 100 TB the counter build is one
+    * x76, the row hashes are portable md5 arithmetic (4 disjoint 8-hex
+    * windows of one digest), so the DuckDB oracle rebuilds the ENTIRE
+    * sketch and the exact same estimates — an approximate structure
+    * under an exact gate. Probes are the top-20 exact tokens
+    * (deterministic tie-break) so the output also shows the estimation
+    * error directly. At 100 TB the counter build is one
     * map-side-combined aggregate over (row, cell) — 4096 cells total,
     * mergeable across any sharding. */
   def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val toks = load(s, dir, "documents")
+    // aggregate to term frequencies FIRST: the sketch ingests the
+    // (vocab-sized) tf frame with weighted counts, so hashing cost is
+    // per distinct token, not per occurrence — and all 4 row-hashes
+    // carve disjoint 8-hex windows out of ONE md5 digest
+    val cellExpr = // h_r(token) = hex window r of md5(token), mod width
+      s"CAST(conv(substr(md5(token), r * 8 + 1, 8), 16, 10) AS BIGINT) % $CmsWidth"
+    val tf = load(s, dir, "documents")
       .select(explode(tokens(col("text"))).as("token"))
-    val cellExpr = // h_r(token) = md5-prefix of "row<r>:<token>" mod width
-      s"CAST(conv(substr(md5(concat('row', CAST(r AS STRING), ':', token)), 1, 15), 16, 10) AS BIGINT) % $CmsWidth"
-    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
-    val probes = exact.orderBy(desc("exact_n"), col("token")).limit(20)
-    val counters = toks
-      .select(col("token"), explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
+      .groupBy("token").agg(count(lit(1)).as("exact_n"))
+      .cache()
+    val probes = tf.orderBy(desc("exact_n"), col("token")).limit(20)
+    val counters = tf
+      .select(col("token"), col("exact_n"),
+        explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
       .withColumn("c", expr(cellExpr))
-      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+      .groupBy("r", "c").agg(sum("exact_n").as("cnt"))
     probes
       .select(col("token"), col("exact_n"),
         explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
@@ -573,11 +580,11 @@ object Dedup {
         ORDER BY exact_n DESC, token LIMIT 20),
       rws(r) AS (SELECT unnest(range(0, $CmsRows))),
       cells AS (SELECT r,
-          CAST(concat('0x', substr(md5(concat('row', CAST(r AS VARCHAR), ':', token)), 1, 15)) AS BIGINT) % $CmsWidth AS c,
-          COUNT(*) AS cnt
-        FROM toks CROSS JOIN rws GROUP BY 1, 2),
+          CAST(concat('0x', substr(md5(token), r * 8 + 1, 8)) AS BIGINT) % $CmsWidth AS c,
+          CAST(SUM(exact_n) AS BIGINT) AS cnt
+        FROM exact CROSS JOIN rws GROUP BY 1, 2),
       probed AS (SELECT p.token, p.exact_n, rws.r,
-          CAST(concat('0x', substr(md5(concat('row', CAST(rws.r AS VARCHAR), ':', p.token)), 1, 15)) AS BIGINT) % $CmsWidth AS c
+          CAST(concat('0x', substr(md5(p.token), rws.r * 8 + 1, 8)) AS BIGINT) % $CmsWidth AS c
         FROM probes p CROSS JOIN rws)
       SELECT pr.token, pr.exact_n, MIN(ce.cnt) AS est_n
       FROM probed pr JOIN cells ce ON pr.r = ce.r AND pr.c = ce.c
