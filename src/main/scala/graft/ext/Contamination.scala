@@ -145,13 +145,60 @@ object Contamination {
       .orderBy("doc_id")
   }
 
+  /** Train→test split leakage: after the deterministic u32 split (the
+    * exact x41 assignment), how many distinct word 8-grams do TEST
+    * documents share with the TRAIN split, and how many test docs are
+    * "leaked" (share at least one 8-gram with training data)? This is
+    * the eval-integrity check a pipeline must run BEFORE training —
+    * x34 decontaminates against an external benchmark; this audits the
+    * pipeline's own held-out split. Shape: one distinct-gram pass, a
+    * gram-keyed semi-join of test grams against the train gram set
+    * (xxhash64 keys at 100 TB; strings kept for the oracle), three
+    * tiny counts. Because the split is a pure hash of doc_id, the
+    * oracle reproduces the exact same partition — leakage is
+    * hash-checked, not sampled. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.ext.Sampling.u32(col("doc_id"))
+    val grams = load(s, dir, "documents")
+      .select(col("doc_id"), h.as("h"),
+        explode(graft.functions.TextExpressions.wordShingleStrings(col("text"), 8)).as("gram"))
+    val trainGrams = grams.filter(col("h") < lit(3865470566L))
+      .select("gram").distinct()
+    val testGrams = grams.filter(col("h") >= lit(4080218931L))
+    val leaked = testGrams.join(trainGrams, Seq("gram"), "left_semi")
+    val nTest = load(s, dir, "documents")
+      .filter(h >= lit(4080218931L))
+      .agg(count(lit(1)).as("n_test_docs"))
+    val leakStats = leaked.agg(
+      count_distinct(col("doc_id")).as("n_leaked_docs"),
+      count_distinct(col("gram")).as("n_shared_grams"))
+    nTest.crossJoin(leakStats)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x34_contamination" -> benchmarkContamination,
     "x35_blocklist" -> blocklistFilter,
     "x42_boilerplate" -> boilerplateReport,
-    "x73_boilerplate_spans" -> boilerplateSpans)
+    "x73_boilerplate_spans" -> boilerplateSpans,
+    "x79_split_leakage" -> splitLeakage)
 
   val oracles: Map[String, String] = Map(
+    "x79_split_leakage" -> s"""
+      WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-7, 1)+1)) AS i FROM toks),
+      grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM idx),
+      hs AS (SELECT doc_id, ${graft.ext.Sampling.u32Sql("doc_id")} AS h FROM documents),
+      train_grams AS (SELECT DISTINCT gram FROM grams JOIN hs USING (doc_id)
+        WHERE h < 3865470566),
+      test_grams AS (SELECT g.doc_id, g.gram FROM grams g JOIN hs USING (doc_id)
+        WHERE h >= 4080218931),
+      leak AS (SELECT DISTINCT tg.doc_id, tg.gram
+        FROM test_grams tg JOIN train_grams USING (gram))
+      SELECT
+        (SELECT COUNT(*) FROM hs WHERE h >= 4080218931) AS n_test_docs,
+        (SELECT COUNT(DISTINCT doc_id) FROM leak) AS n_leaked_docs,
+        (SELECT COUNT(DISTINCT gram) FROM leak) AS n_shared_grams""",
     "x34_contamination" -> """
       WITH toks AS (SELECT doc_id, source,
           string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

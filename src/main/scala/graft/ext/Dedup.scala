@@ -250,19 +250,21 @@ object Dedup {
     val sameCounts = docs.join(sameSet, "setkey")
       .select(col("doc_id"), (col("g") - 1).cast("long").as("n_same"))
 
-    val banded = sigs.select(col("doc_id"), col("setkey"),
+    // high-cardinality band-key domain → window count shares the
+    // exchange the self-join needs anyway (the broadcast agg-join wins
+    // only for tiny key domains — see simhash vs jaccard in PERF.md).
+    // The SIZED frame is what gets cached: the cap filter and the
+    // cap-loss report both read it, so bucket sizes compute once.
+    val sized = sigs.select(col("doc_id"), col("setkey"),
         explode(portableBandKeys(col("sig"), Bands, RowsPerBand)).as("bk"))
       .select(col("doc_id"), col("setkey"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .cache()
-    // 64-bit band-key domain → window count shares the exchange the
-    // self-join needs anyway (the broadcast agg-join wins only for
-    // tiny key domains — see simhash vs jaccard in PERF.md)
-    val cold = banded
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
-      .filter(col("bsz") <= SimhashBucketCap)
+      .cache()
+    val cold = sized.filter(col("bsz") <= SimhashBucketCap)
     reportCapLoss("minhash LSH",
-      banded.groupBy("band", "key").agg(count(lit(1)).as("bsz")))
+      sized.filter(col("bsz") > SimhashBucketCap)
+        .groupBy("band", "key").agg(first(col("bsz")).as("bsz")))
 
     // candidate pairs: same (band, key) bucket, ordered ids, distinct
     // shingle sets (identical sets were counted arithmetically), de-duped

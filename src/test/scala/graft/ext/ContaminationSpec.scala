@@ -71,4 +71,21 @@ class ContaminationSpec extends SparkSpec {
     assert(disagree.count() == 0, "span coverage and gram flags disagree")
     spans.unpersist()
   }
+
+  test("split leakage: bounded by the test split, and exact dups always leak") {
+    val r = Contamination.splitLeakage(spark, sfDir).collect()(0)
+    val (nTest, nLeaked) =
+      (r.getAs[Long]("n_test_docs"), r.getAs[Long]("n_leaked_docs"))
+    assert(nLeaked <= nTest, "more leaked docs than test docs")
+    // any test doc whose exact text also appears in the train split
+    // must be counted as leaked (it shares every 8-gram)
+    val h = Sampling.u32(col("doc_id"))
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), h.as("h"))
+    val trainTexts = docs.filter(col("h") < 3865470566L).select("text").distinct()
+    val dupTestDocs = docs.filter(col("h") >= 4080218931L)
+      .join(trainTexts, Seq("text"), "left_semi").count()
+    assert(nLeaked >= dupTestDocs,
+      s"$dupTestDocs exact-dup test docs but only $nLeaked leaked")
+  }
 }
