@@ -21,6 +21,7 @@ object SparkEntry {
       ext.TextAnalysis.queries ++
       ext.Sampling.queries ++
       ext.Contamination.queries ++
+      ext.SqlSurface.queries ++
       etl.Sources.queries ++
       ops.SnapshotDiff.queries ++
       ops.RangeJoin.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       ext.TextAnalysis.oracles ++
       ext.Sampling.oracles ++
       ext.Contamination.oracles ++
+      ext.SqlSurface.oracles ++
       etl.Sources.oracles ++
       ops.SnapshotDiff.oracles ++
       ops.RangeJoin.oracles ++

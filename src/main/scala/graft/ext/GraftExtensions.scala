@@ -93,3 +93,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
   }
 }
+
+/** Driver-checked query for the SQL surface itself: a pure
+  * `spark.sql(...)` pipeline over the registered temp views using the
+  * extension-injected functions (graft_lang_id, graft_quality,
+  * graft_shingles) — proving a SQL-only user of the library gets the
+  * same hash-checked results as the DataFrame DSL. The oracle reuses
+  * the x27/x11 CTE fragments, so the SQL surface, the DSL, and DuckDB
+  * are pinned to one semantics. */
+object SqlSurface {
+
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  def sqlSurfaceQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT doc_id,
+             graft_lang_id(text) AS predicted_lang,
+             graft_quality(text).quality AS quality,
+             CAST(size(graft_shingles(text, 8)) AS BIGINT) AS n_grams
+      FROM documents ORDER BY doc_id""")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x80_sql_surface" -> (sqlSurfaceQuery _))
+
+  val oracles: Map[String, String] = Map(
+    "x80_sql_surface" -> s"""
+      WITH ${TextAnalysis.CurationGateSql},
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-7, 1)+1)) AS i FROM toks),
+      ng AS (SELECT doc_id,
+          CAST(COUNT(DISTINCT array_to_string(t[i:i+7], ' ')) AS BIGINT) AS n_grams
+        FROM idx GROUP BY 1)
+      SELECT d.doc_id, lp.predicted AS predicted_lang, qu.q AS quality, ng.n_grams
+      FROM documents d
+      JOIN lang_pred lp ON d.doc_id = lp.doc_id AND lp.rn = 1
+      JOIN quality qu ON d.doc_id = qu.doc_id
+      JOIN ng ON d.doc_id = ng.doc_id
+      ORDER BY d.doc_id""")
+}
