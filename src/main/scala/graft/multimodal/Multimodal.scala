@@ -220,11 +220,39 @@ object Multimodal {
       .select(col("media_id"), col("n_copies"))
       .orderBy("media_id")
 
+  /** Tile size for [[mediaTiles]] — deliberately NOT a divisor of the
+    * synthetic dimensions (which are multiples of 8), so edge tiles are
+    * genuinely ragged and the ceil/remainder arithmetic is exercised. */
+  val TileSize = 12L
+
+  /** Vision-preprocessing tile manifest: the patch grid a ViT-style
+    * encoder or a tiled-decode path cuts each image into — per image,
+    * the tile-grid shape and the ragged edge-tile dimensions. Pure
+    * integer metadata arithmetic (ceil-division + remainder) at scan
+    * speed; the payload is never touched, and the manifest is exactly
+    * reproducible for resume (same contract as the x71 text chunker,
+    * applied to the image axis pair). */
+  def mediaTiles(s: SparkSession, dir: String): DataFrame =
+    mediaFromDocuments(s, dir).toDF()
+      .filter(col("kind") === "image")
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .withColumn("tiles_x", expr(s"(width + ${TileSize - 1}) div $TileSize"))
+      .withColumn("tiles_y", expr(s"(height + ${TileSize - 1}) div $TileSize"))
+      .select(col("media_id"), col("width"), col("height"),
+        col("tiles_x"), col("tiles_y"),
+        (col("tiles_x") * col("tiles_y")).as("n_tiles"),
+        (col("width") - (col("tiles_x") - 1) * TileSize).as("edge_w"),
+        (col("height") - (col("tiles_y") - 1) * TileSize).as("edge_h"))
+      .orderBy("media_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x20_media_stats" -> mediaStats,
     "x21_media_features" -> mediaFeatures,
     "x22_media_frame_sample" -> frameSampleStats,
-    "x39_media_dedup" -> mediaDedup)
+    "x39_media_dedup" -> mediaDedup,
+    "x81_media_tiles" -> mediaTiles)
 
   val oracles: Map[String, String] = Map(
     "x20_media_stats" ->
@@ -240,5 +268,17 @@ object Multimodal {
     // payload = UTF-8 bytes of text (bijective), so text groups ≡ payload groups
     "x39_media_dedup" ->
       """SELECT MIN(doc_id) AS media_id, COUNT(*) AS n_copies
-         FROM documents GROUP BY text ORDER BY media_id""")
+         FROM documents GROUP BY text ORDER BY media_id""",
+    "x81_media_tiles" -> s"""
+      WITH m AS (SELECT doc_id AS media_id,
+          (doc_id % 7) * 8 + 16 AS width, (doc_id % 5) * 8 + 16 AS height
+        FROM documents WHERE doc_id % 3 = 0),
+      t AS (SELECT media_id, width, height,
+          (width + ${TileSize - 1}) // $TileSize AS tiles_x,
+          (height + ${TileSize - 1}) // $TileSize AS tiles_y FROM m)
+      SELECT media_id, width, height, tiles_x, tiles_y,
+        tiles_x * tiles_y AS n_tiles,
+        width - (tiles_x - 1) * $TileSize AS edge_w,
+        height - (tiles_y - 1) * $TileSize AS edge_h
+      FROM t ORDER BY media_id""")
 }

@@ -81,4 +81,22 @@ class MultimodalSpec extends SparkSpec {
     assert(smaller.count() == 0)
     out.unpersist(); media.unpersist()
   }
+
+  test("tile manifest covers every image exactly: grid bounds and ragged edges") {
+    val out = Multimodal.mediaTiles(spark, sfDir).cache()
+    val ts = Multimodal.TileSize
+    // the grid covers the image: (tiles-1)·ts < dim <= tiles·ts
+    val badGrid = out.filter(
+      (col("tiles_x") - 1) * ts >= col("width") || col("tiles_x") * ts < col("width") ||
+      (col("tiles_y") - 1) * ts >= col("height") || col("tiles_y") * ts < col("height"))
+    assert(badGrid.count() == 0, "tile grid does not cover the image exactly")
+    // edge tiles are within (0, ts] and consistent with the grid
+    val badEdge = out.filter(
+      col("edge_w") < 1 || col("edge_w") > ts || col("edge_h") < 1 || col("edge_h") > ts)
+    assert(badEdge.count() == 0, "edge tile out of range")
+    // only images are tiled
+    assert(out.count() ==
+      Multimodal.mediaFromDocuments(spark, sfDir).filter(_.kind == "image").count())
+    out.unpersist()
+  }
 }
