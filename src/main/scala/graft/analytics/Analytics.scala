@@ -282,9 +282,11 @@ object Analytics {
     * window-aggregate-over-groups idiom. Revenue is converted to
     * integer cents PER ROW (round of a deterministic double product)
     * before any sum, so group and window totals are exact integers in
-    * every engine; the share is one division at the edge. Dims
-    * broadcast; the only shuffle keys on the customer join + the
-    * (region, nation) aggregate. */
+    * every engine; the share is one division at the edge. All three
+    * dims (customer included) broadcast at these scale factors, so the
+    * only shuffle keys on the (region, nation) aggregate; at a scale
+    * where customer outgrows the broadcast threshold, drop the hint
+    * and stats pick a shuffled hash join on o_custkey. */
   def revenueShare(s: SparkSession, dir: String): DataFrame = {
     val nation = load(s, dir, "nation")
     val region = load(s, dir, "region")

@@ -158,7 +158,10 @@ object Sources {
   def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    // fixed per-JVM path + Overwrite: repeated Verify/Bench invocations
+    // reuse one directory instead of leaking a fresh temp copy per run
+    val tmp = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_jsonl_roundtrip").toString
     writeJsonl(docs, tmp)
     readJsonl(s, tmp, docs.schema).orderBy("doc_id")
   }

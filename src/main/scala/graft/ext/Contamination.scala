@@ -159,9 +159,13 @@ object Contamination {
     * hash-checked, not sampled. */
   def splitLeakage(s: SparkSession, dir: String): DataFrame = {
     val h = graft.ext.Sampling.u32(col("doc_id"))
+    // cached: the train filter and the test filter both read this frame —
+    // without persistence the tokenize+shingle lineage runs twice (the
+    // same rule the dedup operators' cached sketch frames follow)
     val grams = load(s, dir, "documents")
       .select(col("doc_id"), h.as("h"),
         explode(graft.functions.TextExpressions.wordShingleStrings(col("text"), 8)).as("gram"))
+      .cache()
     val trainGrams = grams.filter(col("h") < lit(3865470566L))
       .select("gram").distinct()
     val testGrams = grams.filter(col("h") >= lit(4080218931L))

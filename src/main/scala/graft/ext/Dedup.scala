@@ -213,6 +213,9 @@ object Dedup {
   private val MinhashK = 64
   private val Bands = 16
   private val RowsPerBand = 4 // s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
+  private val MinhashTau = 0.5
+  private val NgramTau = 0.6
+  private val CosineTau = 0.95
 
   /** MinHash+LSH near-duplicate detection (word 3-gram shingles,
     * 64-slot signatures, 16×4 banding, Jaccard ≥ 0.5 verify).
@@ -281,7 +284,7 @@ object Dedup {
       .join(docs.select(col("doc_id").as("id1"), col("shingles").as("sh1")), "id1")
       .join(docs.select(col("doc_id").as("id2"), col("shingles").as("sh2")), "id2")
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
-    val verified = withSets.filter(col("jaccard") >= 0.5)
+    val verified = withSets.filter(col("jaccard") >= MinhashTau)
 
     val base = perDocSummary(load(s, dir, "documents"),
       pairs, verified.select("id1", "id2"))
@@ -347,8 +350,8 @@ object Dedup {
     val bandedS = docs.select(col("doc_id"), col("sim"),
         explode(simhashPortableBandKeys(col("sim"))).as("bk"))
       .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // bucket sizes as a separate aggregate, joined back: the 16-bit band
-    // key domain is tiny (≤ 4·65536), so the size table broadcasts and
+    // bucket sizes as a separate aggregate, joined back: the 15-bit band
+    // key domain is tiny (≤ 4·32768), so the size table broadcasts and
     // banded itself never shuffles before the pair join. (A window count
     // would force an exchange of banded — measured consistently slower
     // here; the window form wins only for high-cardinality 64-bit block
@@ -418,7 +421,7 @@ object Dedup {
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
               jaccard(col("a.grams"), col("b.grams")).as("jaccard"))
 
-    val verified = pairs.filter(col("jaccard") >= 0.6)
+    val verified = pairs.filter(col("jaccard") >= NgramTau)
     val base = perDocSummary(load(s, dir, "documents"),
       pairs.select("id1", "id2"), verified.select("id1", "id2"))
     base.join(sameCounts, Seq("doc_id"))
@@ -481,7 +484,7 @@ object Dedup {
       .join(embs.select(col("doc_id").as("id1"), col("v").as("v1")), "id1")
       .join(embs.select(col("doc_id").as("id2"), col("v").as("v2")), "id2")
       .withColumn("cos", cosine(col("v1"), col("v2")))
-    val verified = withVecs.filter(col("cos") >= 0.95)
+    val verified = withVecs.filter(col("cos") >= CosineTau)
 
     val base = perDocSummary(
       load(s, dir, "embeddings").select(col("vec_id").as("doc_id")),
@@ -613,13 +616,14 @@ object Dedup {
           MIN((a * (h % 2147483647) + b) % 2147483647) AS sv
         FROM gh CROSS JOIN coef GROUP BY doc_id, j),
       sigl AS (SELECT doc_id, list(sv ORDER BY j) AS sig FROM sig GROUP BY doc_id),
-      bandix(band) AS (SELECT unnest(range(0, 16))),
+      bandix(band) AS (SELECT unnest(range(0, $Bands))),
       bands AS (SELECT g.doc_id, bx.band,
-          md5(array_to_string(list_slice(g.sig, bx.band*4+1, bx.band*4+4), ',')) AS bkey
+          md5(array_to_string(list_slice(g.sig,
+            bx.band*$RowsPerBand+1, bx.band*$RowsPerBand+$RowsPerBand), ',')) AS bkey
         FROM sigl g CROSS JOIN bandix bx),
       sized AS (SELECT doc_id, band, bkey,
           COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
-      cold AS (SELECT doc_id, band, bkey FROM sized WHERE bsz <= 64),
+      cold AS (SELECT doc_id, band, bkey FROM sized WHERE bsz <= $SimhashBucketCap),
       pairs AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
         FROM cold a JOIN cold b2
           ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
@@ -631,7 +635,7 @@ object Dedup {
         JOIN sets sb ON sb.doc_id = p.id2
         WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
           / greatest(len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)), 1)
-          >= 0.5),
+          >= $MinhashTau),
       ${summarySql()}""",
     "x06_dedup_embedding" -> s"""
       WITH pl(b, p) AS (VALUES $planeValues),
@@ -645,12 +649,13 @@ object Dedup {
           string_agg(CAST(bit AS VARCHAR), '' ORDER BY b) AS bs
         FROM bits GROUP BY doc_id),
       same AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY v) - 1 AS n_same FROM e),
-      bandix(band) AS (SELECT unnest(range(0, 8))),
-      bands AS (SELECT doc_id, band, substr(bs, band*8+1, 8) AS bkey
+      bandix(band) AS (SELECT unnest(range(0, $EmbBands))),
+      bands AS (SELECT doc_id, band,
+          substr(bs, band*$BitsPerBand+1, $BitsPerBand) AS bkey
         FROM bitstr CROSS JOIN bandix),
       sized AS (SELECT doc_id, band, bkey,
           COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
-      cold AS (SELECT doc_id, band, bkey FROM sized WHERE bsz <= 64),
+      cold AS (SELECT doc_id, band, bkey FROM sized WHERE bsz <= $SimhashBucketCap),
       pairs AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
         FROM cold a JOIN cold b2
           ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
@@ -662,7 +667,7 @@ object Dedup {
         JOIN e e2 ON e2.doc_id = p.id2
         WHERE list_sum(list_transform(list_zip(e1.v, e2.v), q -> q[1]*q[2])) /
           (sqrt(list_sum(list_transform(e1.v, x -> x * x))) *
-           sqrt(list_sum(list_transform(e2.v, x -> x * x)))) >= 0.95),
+           sqrt(list_sum(list_transform(e2.v, x -> x * x)))) >= $CosineTau),
       ${summarySql("(SELECT vec_id AS doc_id FROM embeddings)")}""",
     "x04_dedup_simhash" -> s"""
       WITH toksm AS (SELECT doc_id,
@@ -684,7 +689,7 @@ object Dedup {
         FROM sims CROSS JOIN bandix),
       sized AS (SELECT doc_id, sim, band, bkey,
           COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
-      cold AS (SELECT doc_id, sim, band, bkey FROM sized WHERE bsz <= 64),
+      cold AS (SELECT doc_id, sim, band, bkey FROM sized WHERE bsz <= $SimhashBucketCap),
       pairs AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
           a.sim AS sim1, b2.sim AS sim2
         FROM cold a JOIN cold b2
@@ -701,7 +706,7 @@ object Dedup {
           md5(array_to_string(list_slice(hs, 1, 4), ',')) AS block FROM sets),
       sized AS (SELECT doc_id, hs, setkey, block,
           COUNT(*) OVER (PARTITION BY block) AS bsz FROM blocked),
-      cold AS (SELECT doc_id, hs, setkey, block FROM sized WHERE bsz <= 64),
+      cold AS (SELECT doc_id, hs, setkey, block FROM sized WHERE bsz <= $SimhashBucketCap),
       pairs AS (SELECT a.doc_id AS id1, b2.doc_id AS id2,
           CAST(len(list_intersect(a.hs, b2.hs)) AS DOUBLE)
             / greatest(len(a.hs) + len(b2.hs) - len(list_intersect(a.hs, b2.hs)), 1)
@@ -709,7 +714,7 @@ object Dedup {
         FROM cold a JOIN cold b2
           ON a.block = b2.block AND a.doc_id < b2.doc_id
           AND a.setkey <> b2.setkey),
-      verified AS (SELECT id1, id2 FROM pairs WHERE jac >= 0.6),
+      verified AS (SELECT id1, id2 FROM pairs WHERE jac >= $NgramTau),
       ${summarySql()}""",
     "x55_dedup_incremental" -> """
       WITH batch AS (

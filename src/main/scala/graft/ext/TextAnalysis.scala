@@ -105,9 +105,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
            sum("n_chars").cast("long").as("total_chars"),
            round(sum("n_chars").cast("double") / count(lit(1)).cast("double"), 2)
-             .as("avg_chars"))
-      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
-              coalesce(col("source"), lit("ALL")).as("source"),
+             .as("avg_chars"),
+           // grouping(), not coalesce-on-null: a genuine NULL data value
+           // must stay distinguishable from the rolled-up marginal rows
+           grouping(col("lang")).as("gl"), grouping(col("source")).as("gs"))
+      .select(when(col("gl") === 1, "ALL").otherwise(col("lang")).as("lang"),
+              when(col("gs") === 1, "ALL").otherwise(col("source")).as("source"),
               col("n_docs"), col("total_chars"), col("avg_chars"))
       .orderBy("lang", "source")
 
@@ -466,7 +469,8 @@ object TextAnalysis {
       SELECT doc_id, rank, token, tf, df, score
       FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
     "x67_corpus_cube" -> """
-      SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+      SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+        CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
         COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2) AS avg_chars
       FROM documents GROUP BY CUBE(lang, source) ORDER BY 1, 2""",

@@ -17,23 +17,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** File-stream source over the testdata `events` parquet layout
-    * (schema must be declared for streaming reads). */
+  /** File-stream source over the testdata `events` parquet layout:
+    * [[tableStream]] plus the TIMESTAMP(NANOS) rebuild Tables.load does
+    * for batch reads (nanosAsLong sessions). */
   def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the testdata layout stores each table as one parquet FILE; file
-    // streams need a directory, so stream the parent with a glob filter
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    // same TIMESTAMP(NANOS) rebuild as Tables.load (nanosAsLong sessions)
+    val raw = tableStream(spark, dir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 
   /** Schema-declared file stream over any single-file testdata table
-    * (generalizes [[fromParquetDir]], which adds the events-specific
-    * timestamp rebuild on top). */
+    * ([[fromParquetDir]] adds the events-specific timestamp rebuild on
+    * top). The testdata layout stores each table as one parquet FILE;
+    * file streams need a directory, so stream the parent with a glob
+    * filter. */
   def tableStream(spark: SparkSession, dir: String, table: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/$table.parquet").schema
     spark.readStream.schema(schema)
