@@ -354,7 +354,34 @@ object EventStreams {
         s"stream_curation_${java.util.UUID.randomUUID.toString.replace("-", "")}")
       .orderBy("doc_id")
 
+  /** Driver-checked query: top event types per 6-hour window — the
+    * streaming-aggregate → batch-re-rank composition a production job
+    * uses because Structured Streaming forbids chained aggregations in
+    * one query: the stream maintains per-(window, type) counts
+    * (Complete-mode replay emits them all), and the bounded result is
+    * re-ranked by the algebraic bounded-heap TopK aggregate. 6-hour
+    * windows are epoch-aligned in both engines, so the oracle is
+    * integer epoch arithmetic + a rank window. */
+  def windowTopTypesReplay(s: SparkSession, dir: String): DataFrame = {
+    val counts = runToMemory(
+      fromParquetDir(s, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt")),
+      s"stream_toptypes_${java.util.UUID.randomUUID.toString.replace("-", "")}",
+      OutputMode.Complete())
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+              col("event_type"), col("cnt"))
+    graft.functions.TopKAgg.topKPerKey(counts, Seq("window_start"), col("cnt"),
+        col("event_type"), 3)
+      .select(col("window_start"), col("rank"),
+        get_json_object(col("entry_json"), "$.event_type").as("event_type"),
+        get_json_object(col("entry_json"), "$.cnt").cast("long").as("cnt"))
+      .orderBy("window_start", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x82_stream_top_types" -> windowTopTypesReplay,
     "x72_stream_curation" -> curationReplay,
     "x19_stream_tumbling" -> tumblingReplay,
     "x44_stream_sessions" -> sessionReplay,
@@ -363,6 +390,20 @@ object EventStreams {
     "x68_stream_dedup" -> dedupReplay)
 
   val oracles: Map[String, String] = Map(
+    "x82_stream_top_types" -> """
+      WITH c AS (
+        SELECT strftime(to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600),
+                 '%Y-%m-%d %H:%M:%S') AS window_start,
+          event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      ranked AS (
+        SELECT window_start, event_type, cnt,
+          CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+            ORDER BY cnt DESC, event_type) AS BIGINT) AS rank
+        FROM c)
+      SELECT window_start, rank, event_type, cnt
+      FROM ranked WHERE rank <= 3
+      ORDER BY window_start, rank""",
     "x72_stream_curation" -> s"""
       WITH ${graft.ext.TextAnalysis.CurationGateSql}
       SELECT d.doc_id, d.source, qu.q AS quality
