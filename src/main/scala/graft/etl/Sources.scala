@@ -142,9 +142,16 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** `mode`: PERMISSIVE (default — malformed lines become null rows,
+    * the bulk-ingest choice where one bad record must not kill a 100 TB
+    * load; count them via a corrupt-record column) or FAILFAST (the
+    * validation-pass choice — first malformed line throws). Same
+    * error-surface contract as the reference's CSV EmptyDataError
+    * guard, applied to the JSONL format. */
   def readJsonl(spark: SparkSession, path: String,
-                schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+                schema: org.apache.spark.sql.types.StructType,
+                mode: String = "PERMISSIVE"): DataFrame =
+    spark.read.option("mode", mode).schema(schema).json(path)
 
   /** Driver-checked query: the documents table pushed through the JSONL
     * sink and re-read with its declared schema — the second file format

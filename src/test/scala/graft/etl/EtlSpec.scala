@@ -282,4 +282,23 @@ class EtlSpec extends SparkSpec {
       .select("doc_id", "text", "lang", "source", "n_chars")
     assert(out.exceptAll(docs).count() == 0 && docs.exceptAll(out).count() == 0)
   }
+
+  test("JSONL source surfaces malformed lines: null rows in PERMISSIVE, throw in FAILFAST") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_corrupt")
+    java.nio.file.Files.writeString(dir.resolve("part-0.json"),
+      """{"doc_id": 1, "text": "good"}
+        |{not json at all
+        |{"doc_id": 3, "text": "also good"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val permissive = Sources.readJsonl(spark, dir.toString, schema)
+    assert(permissive.count() == 3, "PERMISSIVE must keep one (null) row per bad line")
+    assert(permissive.filter(col("doc_id").isNull).count() == 1)
+    val thrown = intercept[Exception] {
+      Sources.readJsonl(spark, dir.toString, schema, mode = "FAILFAST").collect()
+    }
+    assert(thrown.getMessage != null)
+  }
 }
