@@ -68,23 +68,26 @@ object TextAnalysis {
     * external oracle). Top-3 per doc, ties broken by token.
     *
     * Scale shape: tf = one token-keyed aggregate with map-side
-    * partials; df = a WINDOW COUNT over the tf frame's token partition
-    * — it rides the token shuffle the tf aggregate already did and
-    * never re-reads the corpus (a separate df aggregate + join-back
-    * would re-run the tokenize lineage: measured 3 parquet scans vs 2,
-    * plan-asserted in PlanSpec); N broadcasts; final top-k is a
-    * per-doc window on the doc-keyed shuffle. */
+    * partials, CACHED because both df and the final score read it (the
+    * uncached form re-ran the tokenize lineage — 3 parquet scans,
+    * plan-asserted); df = a second aggregate over tf + a token-keyed
+    * join back. NOT a window count over the token partition: a hot
+    * token ("the" in a web corpus) puts its whole partition on one
+    * task, and window skew — unlike join skew — is something AQE
+    * cannot split. The df aggregate map-side-combines and the join is
+    * AQE-skew-splittable; N broadcasts; final top-k is a per-doc
+    * window on the doc-keyed shuffle. */
   def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val withDf = tf.withColumn("df", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("token")))
+      .cache()
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("score"), col("token"))
-    withDf.crossJoin(broadcast(n))
+    tf.join(df, "token").crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
       .withColumn("rank", row_number().over(w).cast("long"))
