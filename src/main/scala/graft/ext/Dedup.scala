@@ -78,19 +78,25 @@ object Dedup {
     * correctness gate. Groups with fewer than k distinct values report
     * the exact count (the sketch holds them all — standard KMV).
     * Mergeable: min-k of a union = min-k of the merged min-k sets, the
-    * property that lets 1000 executors sketch independently. The
-    * row_number window is the small-scale form; at 100 TB swap in a
-    * bounded-heap min-k aggregate (the TopKAgg pattern) so partials
-    * carry ≤ k hashes per group per partition. */
+    * property that lets 1000 executors sketch independently — realized
+    * here with the bounded-heap TopK AGGREGATE (map-side partials carry
+    * ≤ k hashes per group per partition), not a per-source row_number
+    * window, which would sort each source's whole hash stream on one
+    * task. Exactness trick: the heap ranks by a constant sort key and
+    * breaks ties on the ZERO-PADDED HEX of the hash — lexicographic on
+    * fixed-width hex ≡ numeric on the 60-bit value, with no double
+    * rounding (the heap's Double sort key can't hold 60 bits). */
   def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
     val h = load(s, dir, "documents")
       .select(col("source"),
         expr("conv(substr(md5(text), 1, 15), 16, 10)").cast("long").as("hv"))
       .distinct()
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("hv")
-    h.withColumn("rn", row_number().over(w)).filter(col("rn") <= KmvK)
+    graft.functions.TopKAgg.topKPerKey(
+        h.withColumn("hx", format_string("%015x", col("hv"))),
+        Seq("source"), lit(0.0), col("hx"), KmvK)
       .groupBy("source")
-      .agg(count(lit(1)).as("m"), max("hv").as("hk"))
+      .agg(count(lit(1)).as("m"),
+           max(get_json_object(col("entry_json"), "$.hv").cast("long")).as("hk"))
       .select(col("source"),
         when(col("m") < KmvK, col("m").cast("double"))
           .otherwise(round(
