@@ -61,10 +61,45 @@ object SnapshotDiff {
       .orderBy("doc_id")
   }
 
+  /** Incremental aggregate maintenance: refresh a standing monthly
+    * revenue rollup with a new order batch WITHOUT recomputing from
+    * scratch — aggregate the delta alone, then MERGE partials
+    * (sum-of-sums, count-of-counts; the algebraic-merge property every
+    * incremental/materialized-view pipeline rests on). The corpus
+    * split is a deterministic stand-in (order keys ending in 0 = the
+    * newly arrived batch). Revenue rides integer cents so the merged
+    * total is bit-equal to a from-scratch aggregate in any engine —
+    * and the ORACLE IS the from-scratch aggregate, so the maintenance
+    * identity merge(agg(old), agg(delta)) = agg(all) is hash-checked,
+    * not assumed. At 100 TB the standing side is a stored partial
+    * (months × 2 longs), and a refresh touches only the delta. */
+  def incrementalAggQuery(s: SparkSession, dir: String): DataFrame = {
+    val orders = load(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("month")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_cents"))
+    val standing = partial(orders.filter(col("o_orderkey") % 10 =!= 0))
+    val delta = partial(orders.filter(col("o_orderkey") % 10 === 0))
+    standing.unionByName(delta)
+      .groupBy("month")
+      .agg(sum("n_orders").as("n_orders"), sum("rev_cents").as("rev_cents"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x83_incremental_agg" -> incrementalAggQuery,
     "x36_snapshot_diff" -> snapshotDiffQuery)
 
   val oracles: Map[String, String] = Map(
+    "x83_incremental_agg" -> """
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY 1 ORDER BY 1""",
     "x36_snapshot_diff" -> """
       WITH prev AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 5 <> 0),
       cur AS (SELECT doc_id,
