@@ -247,12 +247,40 @@ object Multimodal {
         (col("height") - (col("tiles_y") - 1) * TileSize).as("edge_h"))
       .orderBy("media_id")
 
+  /** STFT framing parameters: 25 ms windows, 10 ms hop at 16 kHz —
+    * the standard speech-feature grid. */
+  val FrameWindow = 400L
+  val FrameHop = 160L
+
+  /** Audio framing manifest — the third modality's chunker next to
+    * image tiles (x81) and video frame-sampling (x22): per audio
+    * medium, the STFT-style frame count (1 + ⌊(n − window)/hop⌋ for
+    * n ≥ window, else 0 full frames) and the duration implied by the
+    * sample rate. Payload bytes stand in for samples (the stub-codec
+    * contract); the arithmetic is the real one a feature-extraction
+    * stage runs, metadata-only and integer-exact — one scan, no
+    * shuffle, reproducible for resume. */
+  def audioFrames(s: SparkSession, dir: String): DataFrame =
+    mediaFromDocuments(s, dir).toDF()
+      .filter(col("kind") === "audio")
+      .select(col("media_id"),
+        length(col("payload")).cast("long").as("n_samples"),
+        col("sample_rate").cast("long").as("sample_rate"))
+      .withColumn("n_frames",
+        when(col("n_samples") >= FrameWindow,
+          lit(1L) + expr(s"(n_samples - $FrameWindow) div $FrameHop"))
+          .otherwise(lit(0L)))
+      .withColumn("duration_s",
+        col("n_samples").cast("double") / col("sample_rate").cast("double"))
+      .orderBy("media_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x20_media_stats" -> mediaStats,
     "x21_media_features" -> mediaFeatures,
     "x22_media_frame_sample" -> frameSampleStats,
     "x39_media_dedup" -> mediaDedup,
-    "x81_media_tiles" -> mediaTiles)
+    "x81_media_tiles" -> mediaTiles,
+    "x84_audio_frames" -> audioFrames)
 
   val oracles: Map[String, String] = Map(
     "x20_media_stats" ->
@@ -269,6 +297,17 @@ object Multimodal {
     "x39_media_dedup" ->
       """SELECT MIN(doc_id) AS media_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY media_id""",
+    "x84_audio_frames" -> s"""
+      WITH a AS (SELECT doc_id AS media_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+          CAST(16000 AS BIGINT) AS sample_rate
+        FROM documents WHERE doc_id % 3 = 1)
+      SELECT media_id, n_samples, sample_rate,
+        CASE WHEN n_samples >= $FrameWindow
+             THEN 1 + (n_samples - $FrameWindow) // $FrameHop
+             ELSE 0 END AS n_frames,
+        CAST(n_samples AS DOUBLE) / CAST(sample_rate AS DOUBLE) AS duration_s
+      FROM a ORDER BY media_id""",
     "x81_media_tiles" -> s"""
       WITH m AS (SELECT doc_id AS media_id,
           (doc_id % 7) * 8 + 16 AS width, (doc_id % 5) * 8 + 16 AS height
