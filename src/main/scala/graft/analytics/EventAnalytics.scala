@@ -458,9 +458,15 @@ object EventAnalytics {
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "x16_events_sliding" ->
       """WITH assigned AS (
-           SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS w, value FROM events
+           -- TZ-free: naive TIMESTAMP + interval (to_timestamp is
+           -- TIMESTAMPTZ and renders in the session zone)
+           SELECT TIMESTAMP '1970-01-01'
+             + CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * INTERVAL '1 second' AS w,
+             value FROM events
            UNION ALL
-           SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)) AS w, value FROM events)
+           SELECT TIMESTAMP '1970-01-01'
+             + CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT) * INTERVAL '1 second' AS w,
+             value FROM events)
          SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
          FROM assigned GROUP BY 1 ORDER BY 1""",

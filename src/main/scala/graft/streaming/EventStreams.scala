@@ -392,7 +392,11 @@ object EventStreams {
   val oracles: Map[String, String] = Map(
     "x82_stream_top_types" -> """
       WITH c AS (
-        SELECT strftime(to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600),
+        -- TZ-free window rebuild: naive TIMESTAMP + seconds interval.
+        -- (to_timestamp returns TIMESTAMPTZ and strftime would render
+        -- it in the DuckDB session timezone — red gate on non-UTC hosts)
+        SELECT strftime(TIMESTAMP '1970-01-01'
+                 + ((CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600) * INTERVAL '1 second',
                  '%Y-%m-%d %H:%M:%S') AS window_start,
           event_type, COUNT(*) AS cnt
         FROM events GROUP BY 1, 2),

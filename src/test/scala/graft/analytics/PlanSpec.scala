@@ -174,11 +174,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "tfidf planned a cartesian product")
     // tf is cached and consumed twice (df aggregate + score join): both
     // consumers must read the InMemoryRelation, not re-run the tokenize
-    // lineage — and df must NOT be a window over the token partition
-    // (hot-token window skew is un-splittable by AQE; the join is)
+    // lineage. Formatted mode mentions each operator twice (tree +
+    // detail), so 2 cache consumers = 4 mentions — >= 2 would pass with
+    // a single consumer and miss the re-scan regression.
     val cacheReads = "InMemoryTableScan".r.findAllIn(p).size
-    assert(cacheReads >= 2, s"tf cache not reused by both consumers:\n$p")
-    assert(!p.contains("Window [count"), "df must be an aggregate, not a token window")
+    assert(cacheReads >= 4, s"tf cache not reused by both consumers:\n$p")
+    // df must NOT be a window partitioned by token (hot-token window
+    // skew is un-splittable by AQE; the join is). The simple-mode plan
+    // prints each window's partition spec; only the per-doc rank window
+    // may appear.
+    val simple = graft.ext.TextAnalysis.tfidfTerms(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val tokenWindow = "Window .*\\[token#".r.findFirstIn(simple)
+    assert(tokenWindow.isEmpty, "df computed by a token-partitioned window")
   }
 
   test("hard negatives broadcast the query side (corpus streams once)") {

@@ -299,6 +299,11 @@ class EtlSpec extends SparkSpec {
     val thrown = intercept[Exception] {
       Sources.readJsonl(spark, dir.toString, schema, mode = "FAILFAST").collect()
     }
-    assert(thrown.getMessage != null)
+    // the FAILFAST contract is specifically about malformed records —
+    // an unrelated AnalysisException must not satisfy this test
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(thrown).exists(m => m != null && m.toLowerCase.contains("malformed")),
+      s"FAILFAST threw, but not for a malformed record: ${thrown.getMessage}")
   }
 }
