@@ -230,6 +230,24 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), s"no hash join on bucket ids:\n$p")
   }
 
+  test("KMV and CMS sketches aggregate without any window (no per-key sort path)") {
+    // both sketches were designed around map-side-combining aggregates;
+    // a refactor back to a row_number/count window would re-introduce
+    // the un-splittable per-key partition (the tfidf lesson)
+    for (q <- Seq(
+        graft.ext.Dedup.kmvDistinct(spark, sfDir),
+        graft.ext.Dedup.cmsHeavyHitters(spark, sfDir))) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"sketch fell back to a window:\n$p")
+    }
+  }
+
+  test("incremental aggregate maintenance keeps map-side partials on both stages") {
+    val p = plan(graft.ops.SnapshotDiff.incrementalAggQuery(spark, sfDir))
+    assert(p.contains("partial_sum"), "merge stage lost map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("sketch expressions run inside WholeStageCodegen") {
     val df = graft.Tables.load(spark, sfDir, "documents")
       .select(graft.functions.TextFunctions.shingleHashes(
