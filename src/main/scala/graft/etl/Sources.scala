@@ -173,11 +173,39 @@ object Sources {
     readJsonl(s, tmp, docs.schema).orderBy("doc_id")
   }
 
+  /** ORC sink + source — the columnar format next to parquet (Spark
+    * ships the ORC reader/writer in core). Predicate pushdown and
+    * column pruning work the same as parquet, so the choice is an
+    * ecosystem decision, not a capability one; the round-trip query
+    * proves type fidelity under the same identity oracle as JSONL. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** Driver-checked query: documents through the ORC round-trip —
+    * third file format next to CSV (S1/S3) and JSONL (x70); parquet is
+    * the native table format throughout. */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val tmp = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_orc_roundtrip").toString
+    writeOrc(docs, tmp)
+    readOrc(s, tmp, docs.schema).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x70_jsonl_roundtrip" -> jsonlRoundtrip)
+    "x70_jsonl_roundtrip" -> jsonlRoundtrip,
+    "x85_orc_roundtrip" -> orcRoundtrip)
 
   val oracles: Map[String, String] = Map(
     "x70_jsonl_roundtrip" -> """
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents ORDER BY doc_id""",
+    "x85_orc_roundtrip" -> """
       SELECT doc_id, text, lang, source, n_chars
       FROM documents ORDER BY doc_id""")
 }
