@@ -29,8 +29,14 @@ object Bench {
     // queries 2-8× run-to-run (PERF.md), and the minimum is the standard
     // low-noise estimator for a deterministic workload
     val reps = math.max(1,
-      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt).getOrElse(2))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt).getOrElse(3))
+    // optional comma-separated allowlist for isolated re-measurement of
+    // a flagged query (empty/unset = the full suite)
+    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: materializes EVERY output column (count() would let
@@ -44,16 +50,23 @@ object Bench {
         spark.catalog.clearCache()
         (ok, dt)
       }
-      // a failed rep finishes fast — min over SUCCESSFUL reps only, so a
+      // a failed rep finishes fast — stats over SUCCESSFUL reps only, so a
       // transient failure can't masquerade as a great time; if every rep
       // failed, report the max elapsed (visibly odd, never flattering)
       val succ = times.collect { case (true, dt) => dt }
-      name -> (if (succ.nonEmpty) succ.min else times.map(_._2).max)
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val pool = if (succ.nonEmpty) succ else Seq(times.map(_._2).max)
+      name -> ((pool.min, pool.max))
+    }
+    // "queries" stays min-of-N (the low-noise estimator for deterministic
+    // work on a noisy VM); "spreads" publishes each query's [min, max]
+    // across reps so a reader can tell VM weather from a real regression
+    // without re-running (PERF.md documents 2-8x single-run swings).
+    val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spreads = results.map { case (k, (mn, mx)) => s"\"" + k + "\":[" + mn + "," + mx + "]" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spreads":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,10 +19,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    // dev-only isolation knob (unset in the driver's run = full dump)
+    val only = sys.env.getOrElse("SPARK_GRAFT_VERIFY_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // pull the deferred no-silent-caps report while the query's
+        // cached lineage is still warm (see Dedup.drainCapLossReports)
+        ext.Dedup.drainCapLossReports()
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -162,13 +162,27 @@ object Sources {
     * escaping path; writes are spark-parallel (one shard per
     * partition), reads are schema-declared — the same shape either
     * direction at 100 TB. */
+  /** Per-JVM round-trip scratch root: unique per run (a fixed
+    * world-predictable path lets concurrent runs clobber each other,
+    * and on a shared host a pre-existing directory owned by someone
+    * else would break or poison the round-trip gate), reused across
+    * bench reps within a run (Overwrite — no per-rep leak), removed on
+    * JVM exit. */
+  private lazy val roundtripRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_roundtrip_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
   def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-    // fixed per-JVM path + Overwrite: repeated Verify/Bench invocations
-    // reuse one directory instead of leaking a fresh temp copy per run
-    val tmp = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_jsonl_roundtrip").toString
+    val tmp = roundtripRoot.resolve("jsonl").toString
     writeJsonl(docs, tmp)
     readJsonl(s, tmp, docs.schema).orderBy("doc_id")
   }
@@ -191,8 +205,7 @@ object Sources {
   def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-    val tmp = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_orc_roundtrip").toString
+    val tmp = roundtripRoot.resolve("orc").toString
     writeOrc(docs, tmp)
     readOrc(s, tmp, docs.schema).orderBy("doc_id")
   }

@@ -220,9 +220,10 @@ object Multimodal {
       .select(col("media_id"), col("n_copies"))
       .orderBy("media_id")
 
-  /** Tile size for [[mediaTiles]] — deliberately NOT a divisor of the
-    * synthetic dimensions (which are multiples of 8), so edge tiles are
-    * genuinely ragged and the ceil/remainder arithmetic is exercised. */
+  /** Tile size for [[mediaTiles]] — not a divisor of ALL the synthetic
+    * dimensions (multiples of 8: 16/40/56… are indivisible by 12, while
+    * 24/48 divide evenly), so the fixture exercises both ragged and
+    * exact edge tiles through the ceil/remainder arithmetic. */
   val TileSize = 12L
 
   /** Vision-preprocessing tile manifest: the patch grid a ViT-style

@@ -12,7 +12,11 @@ import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
-con.execute("SET TimeZone='UTC'")  # match Spark's pinned session timezone
+# Deliberately NON-UTC: every oracle must be timezone-free (naive
+# TIMESTAMP arithmetic only), and pinning the gate to an offset zone
+# keeps that property enforced — a TZ-sensitive oracle fails here even
+# if the driver's DuckDB happens to run in UTC.
+con.execute("SET TimeZone='Asia/Tokyo'")
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = p.split("/")[-1].replace(".parquet", "")
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
