@@ -182,14 +182,20 @@ object Multimodal {
            max(col("width") * col("height")).cast("long").as("max_pixels"))
       .orderBy("kind")
 
-  /** Full decode → resize → featurize pass; per-kind feature rollup.
-    * Deterministic via the stub codec (rows-only driver check). */
+  /** Full decode → resize → featurize pass, per media. ORACLE-CHECKED:
+    * the stub codec is pure splitmix64 + Horner-31 integer arithmetic,
+    * so DuckDB replays it exactly (wrapping 64-bit multiplies via
+    * HUGEINT mod 2^64) — the same portable-sketch technique as the
+    * KMV/CMS oracles. mean/std are raw doubles, NOT rounded per row
+    * (README rule): both derive from exact integer sums over the 256
+    * resized pixels (sums < 2^53, /256 is a power-of-two divide, one
+    * correctly-rounded sqrt), so the IEEE values agree bit-for-bit. */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val feats = extractFeatures(resize(decode(mediaFromDocuments(s, dir)), 16, 16))
     feats.toDF()
-      .select(col("media_id"), col("kind"), round(col("mean"), 4).as("mean_px"),
-              round(col("std"), 4).as("std_px"),
+      .select(col("media_id"), col("kind"), col("mean").as("mean_px"),
+              col("std").as("std_px"),
               element_at(col("histogram"), 1).as("hist_bin0"))
       .orderBy("media_id")
   }
@@ -284,6 +290,68 @@ object Multimodal {
     "x84_audio_frames" -> audioFrames)
 
   val oracles: Map[String, String] = Map(
+    // Exact replay of the stub codec in SQL: payload seed = Horner-31
+    // over the UTF-8 bytes (the corpus is ASCII, so ord(char) IS the
+    // byte — asserted by MultimodalSpec); pixel p of the decode buffer
+    // is byte p%8 of splitmix64(seed + (p/8+1)*GOLDEN); the 16x16
+    // nearest-neighbor resize reads only 256 source positions per
+    // image. Wrapping 64-bit multiplies split 32/32 in HUGEINT
+    // (al*bl + ((al*bh + ah*bl) mod 2^32)*2^32, all < 2^127); >>> is
+    // power-of-two floor division on the nonnegative mod-2^64 domain.
+    // mean/std come from exact integer sums (see mediaFeatures doc).
+    "x21_media_features" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id,
+          ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+          CAST((doc_id % 7) * 8 + 16 AS BIGINT) AS w,
+          CAST((doc_id % 5) * 8 + 16 AS BIGINT) AS h,
+          text
+        FROM documents),
+      seeds AS (
+        SELECT media_id, kind, w, h,
+          list_reduce(
+            list_prepend(CAST(1125899906842597 AS HUGEINT),
+              list_transform(split(text, ''), c -> CAST(ord(c) AS HUGEINT))),
+            (acc, b) -> (31 * acc + b) % 18446744073709551616) AS seed
+        FROM m),
+      pos AS (
+        SELECT media_id, kind, seed,
+          ((i // 16) * h // 16) * w + ((i % 16) * w // 16) AS p
+        FROM seeds, (SELECT unnest(range(0, 256)) AS i)),
+      mixed AS (
+        SELECT media_id, kind, p,
+          (seed + (p // 8 + 1) * CAST(11400714819323198485 AS HUGEINT))
+            % 18446744073709551616 AS s0
+        FROM pos),
+      m1 AS (SELECT media_id, kind, p, xor(s0, s0 // 1073741824) AS z0 FROM mixed),
+      m2 AS (
+        SELECT media_id, kind, p,
+          ((z0 % 4294967296) * 484763065
+           + (((z0 % 4294967296) * 3210233709 + (z0 // 4294967296) * 484763065)
+              % 4294967296) * 4294967296) % 18446744073709551616 AS z1
+        FROM m1),
+      m3 AS (SELECT media_id, kind, p, xor(z1, z1 // 134217728) AS z2 FROM m2),
+      m4 AS (
+        SELECT media_id, kind, p,
+          ((z2 % 4294967296) * 321982955
+           + (((z2 % 4294967296) * 2496678331 + (z2 // 4294967296) * 321982955)
+              % 4294967296) * 4294967296) % 18446744073709551616 AS z3
+        FROM m3),
+      vals AS (
+        SELECT media_id, kind,
+          CAST((xor(z3, z3 // 2147483648)
+            // ([CAST(1 AS HUGEINT), 256, 65536, 16777216, 4294967296,
+                 1099511627776, 281474976710656, 72057594037927936])[CAST(p % 8 AS INT) + 1])
+            % 256 AS BIGINT) AS v
+        FROM m4)
+      SELECT media_id, kind,
+        CAST(SUM(v) AS DOUBLE) / 256 AS mean_px,
+        sqrt(greatest(0.0, CAST(SUM(v * v) AS DOUBLE) / 256
+          - (CAST(SUM(v) AS DOUBLE) / 256) * (CAST(SUM(v) AS DOUBLE) / 256))) AS std_px,
+        CAST(SUM(CASE WHEN v < 16 THEN 1 ELSE 0 END) AS BIGINT) AS hist_bin0
+      FROM vals
+      GROUP BY media_id, kind
+      ORDER BY media_id""",
     "x20_media_stats" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
          COUNT(*) AS n_media,

@@ -99,4 +99,14 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.mediaFromDocuments(spark, sfDir).filter(_.kind == "image").count())
     out.unpersist()
   }
+
+  test("x21 oracle precondition: corpus is ASCII (payload byte == codepoint)") {
+    // the DuckDB replay of the stub codec hashes ord(char) per character;
+    // that equals the UTF-8 payload byte only while the corpus is ASCII —
+    // if the testdata ever grows multi-byte chars this must fail loudly
+    // (and the oracle switch to a real byte extractor)
+    val nonAscii = graft.Tables.load(spark, sfDir, "documents")
+      .filter(col("text").rlike("[^\\x00-\\x7f]")).count()
+    assert(nonAscii == 0, s"$nonAscii documents contain non-ASCII text")
+  }
 }
