@@ -138,4 +138,96 @@ object DataGen {
     Sources.writeCsv(orders(spark, nOrders, nCustomers), s"$dir/sample_orders")
     Sources.writeCsv(orderItems(spark, nOrders, nProducts), s"$dir/sample_order_items")
   }
+
+  // ---- Scale-check twins of the driver's documents/events/embeddings ----
+  // Distribution-matched to /root/testdata/sf0.1 (measured: 31-word vocab,
+  // 10-100 tokens/doc uniform, 20 uniform sources, weighted lang labels;
+  // events uniform over 5 types × 30 days; embeddings 64-dim, 10 labels).
+  // Used ONLY to measure how operator runtime scales past sf0.1 — never as
+  // a correctness input (the oracles always run on the driver's testdata).
+
+  private val docVocab = Seq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window")
+  private val docLangs = Seq(
+    ("en", 0.4), ("zh", 0.15), ("es", 0.15), ("fr", 0.15), ("de", 0.15))
+
+  /** Documents twin: same vocab/length/source/lang shape as the driver's
+    * `documents` table, so shingle-sharing (and therefore near-dup bucket
+    * sizes) scale the way the real corpus would. ~3% of docs are exact
+    * copies of their block's template doc and ~3% are near-copies (two
+    * extra tokens), so the dedup/cluster operators have dup structure to
+    * find at every scale — text is a pure function of a seed id, so
+    * "copy" needs no join, just seed snapping. The token array is a
+    * hash-per-position draw — a one-off interpreted HOF is fine here;
+    * generation is not a measured path. */
+  def documentsLike(spark: SparkSession, n: Long): DataFrame = {
+    val r = u(col("doc_id"), 9)
+    val template = col("doc_id") - pmod(col("doc_id"), lit(100L))
+    spark.range(0, n).toDF("doc_id")
+      .withColumn("seed", when(r < 0.06, template).otherwise(col("doc_id")))
+      .withColumn("len", uniformLong(col("seed"), 1, 10, 100).cast("int"))
+      .withColumn("body", array_join(transform(sequence(lit(1), col("len")),
+        i => element_at(typedLit(docVocab),
+          (pmod(xxhash64(col("seed"), i, lit(2)), lit(docVocab.size)) + 1).cast("int"))), " "))
+      .withColumn("text", when(r >= 0.03 && r < 0.06,
+          concat(col("body"), lit(" "),
+            element_at(typedLit(docVocab),
+              (pmod(xxhash64(col("doc_id"), lit(7)), lit(docVocab.size)) + 1).cast("int")),
+            lit(" "),
+            element_at(typedLit(docVocab),
+              (pmod(xxhash64(col("doc_id"), lit(8)), lit(docVocab.size)) + 1).cast("int"))))
+        .otherwise(col("body")))
+      .withColumn("lang", weighted(col("doc_id"), 3, docLangs))
+      .withColumn("source", concat(lit("src"), uniformLong(col("doc_id"), 4, 0, 19)))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** Events twin: uniform types over a 30-day window; user count scales
+    * with volume (the realistic axis — more traffic is more users, and
+    * per-user session/as-of state must NOT grow with corpus size). */
+  def eventsLike(spark: SparkSession, n: Long, nUsers: Long): DataFrame =
+    spark.range(0, n).toDF("event_id")
+      .withColumn("ts", timestamp_micros(
+        (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L)
+          + pmod(xxhash64(col("event_id"), lit(1)), lit(30L * 24 * 3600 * 1000000L)))))
+      .withColumn("user_id", uniformLong(col("event_id"), 2, 0, nUsers - 1))
+      .withColumn("event_type", pick(col("event_id"), 3,
+        Seq("click", "view", "purchase", "signup", "error")))
+      .withColumn("value", uniformMoney(col("event_id"), 4, 0.0, 200.0))
+      .withColumn("props", concat(lit("{\"k\": "),
+        uniformLong(col("event_id"), 5, 0, 99), lit("}")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** Embeddings twin: 64-dim float vectors around one of 10 label
+    * anchors plus noise — cosine structure (tight within-label, loose
+    * across) matches the driver table closely enough for ANN/dedup
+    * timing. */
+  def embeddingsLike(spark: SparkSession, n: Long): DataFrame =
+    spark.range(0, n).toDF("vec_id")
+      // ~4% exact-duplicate vectors via the same seed-snapping trick as
+      // documentsLike, so embedding dedup has real clusters to find
+      .withColumn("seed", when(u(col("vec_id"), 9) < 0.04,
+        col("vec_id") - pmod(col("vec_id"), lit(100L))).otherwise(col("vec_id")))
+      .withColumn("label", pmod(xxhash64(col("seed"), lit(1)), lit(10)).cast("int"))
+      .withColumn("embedding", transform(sequence(lit(1), lit(64)),
+        i => ((pmod(xxhash64(col("label"), i, lit(2)), lit(1L << 30)).cast("double")
+                 / lit((1L << 30).toDouble) - 0.5) * 0.3 +
+              (pmod(xxhash64(col("seed"), i, lit(3)), lit(1L << 30)).cast("double")
+                 / lit((1L << 30).toDouble) - 0.5) * 0.2).cast("float")))
+      .select("vec_id", "embedding", "label")
+
+  /** Write a documents/events/embeddings slice shaped like the driver's
+    * testdata at `mult`× the sf0.1 volumes. */
+  def writeScaleSlice(spark: SparkSession, dir: String, mult: Int): Unit = {
+    documentsLike(spark, 5000L * mult)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    eventsLike(spark, 100000L * mult, 1500L * mult)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    embeddingsLike(spark, 2000L * mult)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
 }

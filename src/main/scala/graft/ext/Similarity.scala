@@ -164,13 +164,20 @@ object Similarity {
     * lists are a partitioned table and a query touches nprobe/nlist of
     * the corpus. Deterministic end-to-end (seeded init, total-order
     * tie-breaks). */
-  def topKIvf(s: SparkSession, dir: String): DataFrame = {
+  def topKIvf(s: SparkSession, dir: String): DataFrame =
+    topKIvfTuned(s, dir, IvfClusters, IvfProbes, LloydIters)
+
+  /** [[topKIvf]] with the index knobs exposed — nlist (cluster count),
+    * nprobe (clusters scanned per query), Lloyd iterations. The recall
+    * spec sweeps these; the driver query pins the defaults above. */
+  def topKIvfTuned(s: SparkSession, dir: String,
+                   nlist: Int, nprobe: Int, lloydIters: Int): DataFrame = {
     val all = embs(s, dir).select(col("vec_id"), col("v")).cache()
 
     // hash-seeded init: the IvfClusters vectors with smallest xxhash64(id)
     var centroids = all
       .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy("h").limit(IvfClusters)
+      .orderBy("h").limit(nlist)
       .withColumn("cluster", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("h")).cast("long"))
       .select(col("cluster"), col("v").as("c"))
@@ -183,7 +190,7 @@ object Similarity {
              first(col("v"), ignoreNulls = true).as("v"))
 
     // Lloyd: assign → recompute centroid as the element-wise mean
-    (1 to LloydIters).foreach { _ =>
+    (1 to lloydIters).foreach { _ =>
       val assigned = assign(all, centroids)
       centroids = assigned.groupBy(col("cluster"))
         .agg(graft.functions.VectorAgg.vectorAvg(col("v")).as("c"))
@@ -198,7 +205,7 @@ object Similarity {
     val probed = queries.join(broadcast(centroids))
       .withColumn("qcos", cosine(col("qv"), col("c")))
       .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= IvfProbes)
+      .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("cluster"))
 
     val candidates = probed.join(index, "cluster")

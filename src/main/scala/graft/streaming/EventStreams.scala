@@ -174,7 +174,8 @@ object EventStreams {
     * sequential; concurrent callers should pass a cloned session
     * (`spark.newSession()`). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append(),
-                  statePartitions: Int = 8): DataFrame = {
+                  statePartitions: Int = 8,
+                  maxRows: Long = MaxReplayRows): DataFrame = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
@@ -188,10 +189,30 @@ object EventStreams {
     // sink already materialized it driver-side, so this copies, not
     // grows) and drop the view so repeated replays don't accumulate
     val sunk = spark.table(name)
+    // Loud guard on the driver-side materialization the memory sink
+    // implies: this harness is for BOUNDED replays (tests, verify,
+    // bench). A result past the cap means someone pointed it at a
+    // production-sized stream — fail with the contract named instead
+    // of quietly driving the driver toward OOM. The count is free:
+    // the sink already holds the rows in driver memory.
+    val n = sunk.count()
+    if (n > maxRows) {
+      spark.catalog.dropTempView(name)
+      throw new IllegalStateException(
+        s"runToMemory('$name') produced $n rows > maxRows=$maxRows. " +
+        "The memory-sink replay harness materializes its result on the " +
+        "driver and is for BOUNDED replays only; route unbounded or " +
+        "large streams to a distributed sink (parquet/kafka/foreachBatch).")
+    }
     val detached = spark.createDataFrame(sunk.collectAsList(), sunk.schema)
     spark.catalog.dropTempView(name)
     detached
   }
+
+  /** Row cap for [[runToMemory]] — far above any bounded replay in the
+    * suite (largest is ~10k rows at sf0.1) yet small enough that the
+    * driver copy stays trivially safe. */
+  val MaxReplayRows: Long = 1000000L
 
   /** Stream-static enrichment: the unbounded event stream joined to a
     * static user-dimension frame. Catalyst broadcasts the static side

@@ -45,4 +45,47 @@ class SkewSpec extends SparkSpec {
       .select("__salt").distinct().count()
     assert(spread == 8, s"hot key only reached $spread of 8 salt buckets")
   }
+
+  // AQE's OptimizeSkewedJoin splits oversized shuffle partitions of a
+  // sort-merge/shuffled-hash JOIN at runtime — so manual salting is NOT
+  // needed for plain shuffle joins; Skew.saltedJoin exists for the shapes
+  // AQE can't touch (aggregations, and joins whose partitioning is
+  // pre-committed, e.g. feeding a bucketed write). This test pins that
+  // boundary by showing the runtime split actually firing.
+  test("AQE OptimizeSkewedJoin splits the hot join partition at runtime") {
+    // ~24k rows with an 80-char payload on one key → the hot shuffle
+    // partition carries ~2 MB while the median partition is near-empty,
+    // far past factor×median AND the lowered byte threshold below.
+    val pad = "x" * 80
+    val hot = (1 to 25000).map { i =>
+      (if (i % 25 == 0) i.toLong % 100 else 7L, i.toLong, pad)
+    }.toDF("k", "id", "payload")
+    val right = (0L to 99L).flatMap(k => (1 to 5).map(r => (k, r.toLong)))
+      .toDF("k", "r")
+
+    val overrides = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // no broadcast: force both sides through the shuffle so the
+      // skew detector has partitions to inspect
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (key, _) => key -> spark.conf.getOption(key) }
+    overrides.foreach { case (key, v) => spark.conf.set(key, v) }
+    try {
+      val joined = hot.join(right, Seq("k"))
+      // execute THIS dataset (an aggregating action would plan its own
+      // query and leave joined's adaptive plan unfinalized); the skew
+      // split is a runtime re-plan, so it only shows after execution
+      assert(joined.collect().length == 25000 * 5)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to fire (skew=true in plan):\n$plan")
+    } finally saved.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None)    => spark.conf.unset(key)
+    }
+  }
 }

@@ -158,6 +158,19 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamTotal == batchTotal)
   }
 
+  test("runToMemory fails loudly past the bounded-replay row cap") {
+    // 4 real events pass the watermark sentinel; cap at 2 → must trip.
+    val ex = intercept[IllegalStateException] {
+      EventStreams.runToMemory(
+        mkStream(base).toDF().select(col("event_id"), col("user_id")),
+        "t_capped", maxRows = 2L)
+    }
+    assert(ex.getMessage.contains("BOUNDED replays only"),
+      s"guard must name the bounded-replay contract, got: ${ex.getMessage}")
+    // and the temp view must not leak after the failure
+    assert(!spark.catalog.tableExists("t_capped"))
+  }
+
   test("streaming curation gate equals its batch twin row-for-row") {
     val streamed = EventStreams.curationReplay(spark, sfDir)
     val qs = graft.functions.TextFunctions.qualitySignals(col("text"))
