@@ -113,6 +113,31 @@ object EventAnalytics {
         col("n"))
       .orderBy("event_type")
 
+  /** Approximate percentiles by DETERMINISTIC hash-sampling — the
+    * scale path next to [[valuePercentiles]]'s exact buffering form.
+    * The sample is a pure u32(event_id) threshold filter (10%), so it
+    * pushes to the scan, costs no extra shuffle, and buffers 10× less
+    * per group; and because the SAME subset reproduces in any engine
+    * (portable integer hash, exact integer threshold), this approximate
+    * operator still sits under an EXACT DuckDB oracle — the same trick
+    * that made the KMV/CMS sketches hash-checkable. At 100 TB the rate
+    * dials down (1e-4 keeps ~10M rows per 100B-row type) while the scan
+    * stays one pass; exact percentile() instead buffers every group
+    * value forever. Sampling error on these 20k-rows/type groups is
+    * ~1-2% at mid quantiles (spec-checked against the exact form). */
+  def sampledPercentiles(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .filter(graft.ext.Sampling.u32(col("event_id")) < lit(429496730L)) // 0.1 * 2^32
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("ps"),
+           count(lit(1)).as("n_sampled"))
+      .select(col("event_type"),
+        round(element_at(col("ps"), 1), 6).as("p50"),
+        round(element_at(col("ps"), 2), 6).as("p95"),
+        round(element_at(col("ps"), 3), 6).as("p99"),
+        col("n_sampled"))
+      .orderBy("event_type")
+
   /** Hierarchical rollup (date × type) via grouping sets — subtotal
     * rows carry NULL group keys exactly as ANSI ROLLUP defines; one
     * shuffle computes all three granularities. */
@@ -319,6 +344,7 @@ object EventAnalytics {
     "x40_events_json" -> propsJsonRollup,
     "x29_events_asof_native" -> asofAttributionNative,
     "x24_events_percentiles" -> valuePercentiles,
+    "x86_sampled_percentiles" -> sampledPercentiles,
     "x25_events_rollup" -> dailyTypeRollup,
     "x23_events_asof_attribution" -> asofAttribution,
     "x15_events_tumbling" -> tumblingCounts,
@@ -433,6 +459,15 @@ object EventAnalytics {
          ROUND(quantile_cont(value, 0.99), 6) AS p99,
          COUNT(*) AS n
          FROM events GROUP BY 1 ORDER BY 1""",
+    "x86_sampled_percentiles" ->
+      s"""WITH s AS (SELECT event_type, value FROM events
+         WHERE ${graft.ext.Sampling.u32Sql("event_id")} < 429496730)
+         SELECT event_type,
+         ROUND(quantile_cont(value, 0.5), 6) AS p50,
+         ROUND(quantile_cont(value, 0.95), 6) AS p95,
+         ROUND(quantile_cont(value, 0.99), 6) AS p99,
+         COUNT(*) AS n_sampled
+         FROM s GROUP BY 1 ORDER BY 1""",
     "x25_events_rollup" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
          COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value

@@ -169,9 +169,24 @@ object DataGen {
     spark.range(0, n).toDF("doc_id")
       .withColumn("seed", when(r < 0.06, template).otherwise(col("doc_id")))
       .withColumn("len", uniformLong(col("seed"), 1, 10, 100).cast("int"))
+      // per-doc SKEWED draw (u² concentrates mass on low ranks) over a
+      // per-doc hash-driven PERMUTATION of the vocab: the driver's docs
+      // repeat a few words 3-4× each while differing doc-to-doc. A
+      // uniform draw makes every doc distribution-identical (simhash
+      // concentrates the corpus into near-cap buckets); a skew over a
+      // FIXED family of rotations makes same-rotation pairs grow
+      // quadratically with corpus size (no real crawl does that — a page
+      // has a bounded number of near-copies). A unique permutation per
+      // doc keeps both properties right: docs repeat words internally,
+      // chance cross-doc similarity stays negligible at every scale, and
+      // only the seed-snapped dup blocks are similar.
+      .withColumn("perm", array_sort(transform(typedLit(docVocab),
+        w => struct(xxhash64(col("seed"), w).as("h"), w.as("w")))))
       .withColumn("body", array_join(transform(sequence(lit(1), col("len")),
-        i => element_at(typedLit(docVocab),
-          (pmod(xxhash64(col("seed"), i, lit(2)), lit(docVocab.size)) + 1).cast("int"))), " "))
+        i => element_at(col("perm"),
+          (floor(pow(pmod(xxhash64(col("seed"), i, lit(2)), lit(1L << 30)).cast("double")
+                       / lit((1L << 30).toDouble), lit(2.0)) * lit(docVocab.size.toDouble))
+             .cast("int") + 1)).getField("w")), " "))
       .withColumn("text", when(r >= 0.03 && r < 0.06,
           concat(col("body"), lit(" "),
             element_at(typedLit(docVocab),

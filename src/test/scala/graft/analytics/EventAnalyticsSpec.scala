@@ -57,4 +57,25 @@ class EventAnalyticsSpec extends SparkSpec {
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     assert(converted <= purchasers && purchasers <= users && viewers <= users)
   }
+
+  test("sampled percentiles track the exact form within sampling error") {
+    val exact = EventAnalytics.valuePercentiles(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"), r.getAs[Long]("n"))).toMap
+    val sampled = EventAnalytics.sampledPercentiles(spark, sfDir).collect()
+    assert(sampled.nonEmpty)
+    sampled.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val (p50e, p95e, n) = exact(et)
+      val nS = r.getAs[Long]("n_sampled")
+      // 10% deterministic sample: size within a loose binomial band
+      assert(nS > n / 20 && nS < n / 5, s"$et sample size $nS of $n")
+      // values are uniform[0,200] at sf0.001 (~200 events/type sampled
+      // to ~20): the p50 of a 20-row sample sits within ±25 units; the
+      // p95 is effectively the sample max (order statistic 19/20) whose
+      // spread is wider — ±50 covers it (measured 41 on one type)
+      assert(math.abs(r.getAs[Double]("p50") - p50e) < 25.0, s"$et p50 off")
+      assert(math.abs(r.getAs[Double]("p95") - p95e) < 50.0, s"$et p95 off")
+    }
+  }
 }

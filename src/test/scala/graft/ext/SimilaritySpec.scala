@@ -33,16 +33,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall $recall below 0.6")
   }
 
-  test("IVF top-k recall vs brute force is reasonable; output is deterministic") {
-    val exact = Similarity.topKBruteForce(spark, sfDir)
-      .select("query_id", "neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf1 = Similarity.topKIvf(spark, sfDir).collect()
-    val ivf2 = Similarity.topKIvf(spark, sfDir).collect()
-    assert(ivf1.sameElements(ivf2), "IVF result not deterministic")
-    val approx = ivf1.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall $recall below 0.5")
+  test("IVF top-k recall >= 0.8 at both spec scale factors; output is deterministic") {
+    // floor rationale: recall is deterministic (seeded init, total-order
+    // tie-breaks), measured 0.90 / 0.84 at the two SFs with the default
+    // 8/16 probes — see the sweep notes on Similarity.IvfProbes
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val exact = Similarity.topKBruteForce(spark, dir)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivf1 = Similarity.topKIvf(spark, dir).collect()
+      val ivf2 = Similarity.topKIvf(spark, dir).collect()
+      assert(ivf1.sameElements(ivf2), s"IVF result not deterministic at $dir")
+      val approx = ivf1.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val recall = (exact & approx).size.toDouble / exact.size
+      assert(recall >= 0.8, s"IVF recall $recall below 0.8 at $dir")
+    }
   }
 
   test("label centroid sims: 45 unordered label pairs, cos in [-1, 1]") {
