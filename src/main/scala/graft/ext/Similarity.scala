@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.load
@@ -155,71 +155,90 @@ object Similarity {
   // Defaults from a measured sweep (RecallProbe, test scope): this
   // synthetic corpus is near-orthogonal, so true neighbors scatter
   // across coarse cells and recall tracks the nprobe/nlist fraction —
-  // 8/16 probes + 3 Lloyd iterations measure recall 0.90 (sf0.001) /
-  // 0.84 (sf0.01) vs brute force, the best recall-per-list-scanned
-  // point in the sweep (4/16 gave 0.54-0.64). A real embedding space
-  // with cluster structure reaches 0.9+ at nprobe/nlist ≈ 1/8; on this
-  // corpus that fraction caps near 0.6, which is the documented reason
-  // the floor isn't higher.
-  private val IvfClusters = 16
-  private val IvfProbes = 8
-  private val LloydIters = 3
+  // 6/8 probes + 2 Lloyd iterations measure recall 0.88 (sf0.001) /
+  // 0.90 (sf0.01) vs brute force on the quantized path (4/16 gave
+  // 0.62; 8/16 sat exactly at the 0.8 floor with no margin). A real
+  // embedding space with cluster structure reaches 0.9+ at
+  // nprobe/nlist ≈ 1/8; on this corpus that fraction caps near 0.6,
+  // which is the documented reason the floor isn't higher.
+  private val IvfClusters = 8
+  private val IvfProbes = 6
+  private val LloydIters = 2
 
   /** IVF ANN — the other scale path next to LSH: a coarse k-means
-    * quantizer (hash-seeded init + 2 Lloyd iterations, all DataFrame
-    * ops: broadcast-join assignment + vectorAvg update), inverted lists
-    * keyed by cluster, then probe the `IvfProbes` nearest clusters per
-    * query and exact-re-rank only those lists. At 100 TB the inverted
-    * lists are a partitioned table and a query touches nprobe/nlist of
-    * the corpus. Deterministic end-to-end (seeded init, total-order
-    * tie-breaks). */
+    * quantizer (hash-seeded init + Lloyd iterations, all DataFrame
+    * ops: broadcast-join assignment + one element-wise sum aggregate),
+    * inverted lists keyed by cluster, then probe the `IvfProbes`
+    * nearest clusters per query and exact-re-rank only those lists. At
+    * 100 TB the inverted lists are a partitioned table and a query
+    * touches nprobe/nlist of the corpus.
+    *
+    * ENGINE-PORTABLE end-to-end, which is what puts an iterative
+    * k-means under an exact DuckDB oracle:
+    *  - inputs quantize to integers, `floor(double(x) · 2^20)` — the
+    *    scale is a power of two so the multiply is exact, and every
+    *    downstream vector-vector product of these ≤2^20 components is
+    *    exact integer arithmetic inside the double mantissa;
+    *  - centroids are element-wise integer SUM vectors, never means:
+    *    integer addition is order-independent (a float mean depends on
+    *    partial-aggregation order), and cosine is scale-invariant so a
+    *    sum vector ranks identically to the mean it is n× of;
+    *  - the seed hash is the portable u32 (Sampling.u32), and every
+    *    tie breaks on a total order (cos, cluster) / (cos, vec_id). */
   def topKIvf(s: SparkSession, dir: String): DataFrame =
     topKIvfTuned(s, dir, IvfClusters, IvfProbes, LloydIters)
+
+  /** Quantization scale: 2^20 (see [[topKIvf]]). */
+  private val QuantScale = 1048576.0
 
   /** [[topKIvf]] with the index knobs exposed — nlist (cluster count),
     * nprobe (clusters scanned per query), Lloyd iterations. The recall
     * spec sweeps these; the driver query pins the defaults above. */
   def topKIvfTuned(s: SparkSession, dir: String,
                    nlist: Int, nprobe: Int, lloydIters: Int): DataFrame = {
-    val all = embs(s, dir).select(col("vec_id"), col("v")).cache()
+    def asDouble(c: Column): Column = transform(c, _.cast("double"))
+    val all = load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(toDouble(col("embedding")),
+          x => floor(x * lit(QuantScale)).cast("long")).as("vq"))
+      .cache()
 
-    // hash-seeded init: the IvfClusters vectors with smallest xxhash64(id)
+    // hash-seeded init: the nlist vectors with smallest u32(id)
     var centroids = all
-      .withColumn("h", xxhash64(col("vec_id")))
+      .withColumn("h", graft.ext.Sampling.u32(col("vec_id")))
       .orderBy("h").limit(nlist)
       .withColumn("cluster", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("h")).cast("long"))
-      .select(col("cluster"), col("v").as("c"))
+      .select(col("cluster"), col("vq").as("c"))
 
-    def assign(vectors: DataFrame, cents: DataFrame): DataFrame =
-      vectors.join(broadcast(cents))
-        .withColumn("cos", cosine(col("v"), col("c")))
+    def assign(cents: DataFrame): DataFrame =
+      all.join(broadcast(cents))
+        .withColumn("cos", cosine(asDouble(col("vq")), asDouble(col("c"))))
         .groupBy(col("vec_id"))
         .agg(max_by(col("cluster"), struct(col("cos"), col("cluster"))).as("cluster"),
-             first(col("v"), ignoreNulls = true).as("v"))
+             first(col("vq"), ignoreNulls = true).as("vq"))
 
-    // Lloyd: assign → recompute centroid as the element-wise mean
+    // Lloyd: assign → recompute centroid as the element-wise integer sum
     (1 to lloydIters).foreach { _ =>
-      val assigned = assign(all, centroids)
-      centroids = assigned.groupBy(col("cluster"))
-        .agg(graft.functions.VectorAgg.vectorAvg(col("v")).as("c"))
+      centroids = assign(centroids).groupBy(col("cluster"))
+        .agg(graft.functions.VectorAgg.vectorSumLong(col("vq")).as("c"))
     }
-    val index = assign(all, centroids).select(col("vec_id"), col("cluster"), col("v"))
+    val index = assign(centroids).select(col("vec_id"), col("cluster"), col("vq"))
 
-    // probe: nearest IvfProbes clusters per query, union their lists
+    // probe: nearest nprobe clusters per query, union their lists
     val queries = all.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("vq").as("qv"))
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(desc("qcos"), col("cluster"))
     val probed = queries.join(broadcast(centroids))
-      .withColumn("qcos", cosine(col("qv"), col("c")))
+      .withColumn("qcos", cosine(asDouble(col("qv")), asDouble(col("c"))))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("cluster"))
 
     val candidates = probed.join(index, "cluster")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("cos", cosine(asDouble(col("qv")), asDouble(col("vq"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(desc("cos"), col("vec_id"))
     candidates.withColumn("rank", row_number().over(w).cast("long"))
@@ -246,7 +265,64 @@ object Similarity {
     Planes.zipWithIndex.map { case (row, b) =>
       s"($b, [${row.mkString(", ")}])" }.mkString(", ")
 
+  /** DuckDB spelling of the cosine between two BIGINT list columns —
+    * same multiply-add fold the Spark DotProduct expression runs, on
+    * the same exact integer-valued doubles. */
+  private def duckCos(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+        (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+
+  /** Exact DuckDB replay of the full quantized IVF pipeline — the
+    * Lloyd iterations unroll into chained CTE blocks (assign sN → pick
+    * aN → per-dimension integer sums uN → centroid list cN), then the
+    * probe + re-rank mirror the Spark window tie-breaks exactly
+    * ((cos, cluster DESC) for assignment, (cos DESC, cluster ASC) for
+    * probing, (cos DESC, vec_id ASC) for the final rank). */
+  private lazy val ivfOracleSql: String = {
+    val iters = (1 to LloydIters).map { i =>
+      s"""s$i AS (SELECT e.vec_id, e.vq, c.cluster, ${duckCos("e.vq", "c.c")} AS cos
+            FROM e CROSS JOIN c${i - 1} c),
+         a$i AS (SELECT vec_id, vq, cluster FROM (
+            SELECT vec_id, vq, cluster,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster DESC) AS rn
+            FROM s$i) WHERE rn = 1),
+         u$i AS (SELECT cluster, pos, SUM(x) AS x FROM (
+            SELECT cluster, generate_subscripts(vq, 1) AS pos, unnest(vq) AS x FROM a$i)
+            GROUP BY 1, 2),
+         c$i AS (SELECT cluster, list(x ORDER BY pos) AS c FROM u$i GROUP BY 1)"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT)) AS vq
+        FROM embeddings),
+      hs AS (SELECT vec_id, ${graft.ext.Sampling.u32Sql("vec_id")} AS h FROM embeddings),
+      init AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS cluster
+        FROM hs ORDER BY h LIMIT $IvfClusters),
+      c0 AS (SELECT i.cluster, e.vq AS c FROM init i JOIN e USING (vec_id)),
+      $iters,
+      fs AS (SELECT e.vec_id, e.vq, c.cluster, ${duckCos("e.vq", "c.c")} AS cos
+        FROM e CROSS JOIN c$LloydIters c),
+      idx AS (SELECT vec_id, vq, cluster FROM (
+        SELECT vec_id, vq, cluster,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster DESC) AS rn
+        FROM fs) WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, vq AS qv FROM e WHERE vec_id < $NQueries),
+      pr AS (SELECT query_id, qv, cluster FROM (
+        SELECT q.query_id, q.qv, c.cluster,
+          ROW_NUMBER() OVER (PARTITION BY q.query_id
+            ORDER BY ${duckCos("q.qv", "c.c")} DESC, c.cluster) AS pn
+        FROM q CROSS JOIN c$LloydIters c) WHERE pn <= $IvfProbes),
+      cand AS (SELECT pr.query_id, i.vec_id, ${duckCos("pr.qv", "i.vq")} AS cos
+        FROM pr JOIN idx i USING (cluster) WHERE i.vec_id <> pr.query_id),
+      ranked AS (SELECT query_id, vec_id, cos,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        FROM cand)
+      SELECT query_id, rank, vec_id AS neighbor_id, ROUND(cos, 6) AS cos_sim
+      FROM ranked WHERE rank <= $K ORDER BY query_id, rank"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "x28_sim_topk_ivf" -> ivfOracleSql,
     "x08_sim_topk_lsh" -> s"""
       WITH pl(b, p) AS (VALUES $planeValues),
       e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

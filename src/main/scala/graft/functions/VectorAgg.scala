@@ -52,4 +52,43 @@ object VectorAgg {
 
   /** Element-wise mean of an array<double> column. */
   def vectorAvg(v: Column): Column = udaf(vectorAvgAggregator).apply(v)
+
+  /** Element-wise SUM of an array<long> column — the ORDER-INDEPENDENT
+    * (and therefore engine-portable) sibling of [[vectorAvg]]: integer
+    * addition is exact and commutative, so the result is identical
+    * under any partial-aggregation order, which is what lets the
+    * quantized IVF centroids sit under an exact DuckDB oracle
+    * (cosine is scale-invariant, so a sum vector ranks exactly like
+    * the mean vector it is n× of). */
+  val vectorSumLongAggregator: Aggregator[Seq[Long], Array[Long], Seq[Long]] =
+    new Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+      override def zero: Array[Long] = Array.emptyLongArray
+
+      override def reduce(b: Array[Long], v: Seq[Long]): Array[Long] = {
+        if (v == null) return b
+        val sum = if (b.length == 0) new Array[Long](v.length) else b
+        var i = 0
+        while (i < v.length) { sum(i) += v(i); i += 1 }
+        sum
+      }
+
+      override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        if (a.length == 0) return b
+        if (b.length == 0) return a
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+
+      override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+
+      override def bufferEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+      override def outputEncoder: Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    }
+
+  /** Element-wise sum of an array<long> column. */
+  def vectorSumLong(v: Column): Column = udaf(vectorSumLongAggregator).apply(v)
 }
