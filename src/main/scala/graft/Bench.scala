@@ -13,6 +13,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Host-overload tolerance: round 5's run died to executor-heartbeat
+      // RPC timeouts (10 s ask on a CPU-starved VM), producing an empty
+      // bench artifact. Local-mode heartbeats cross the same RPC layer, so
+      // widen both the interval and the network timeout (must be larger
+      // than the interval) — a starved heartbeat then waits instead of
+      // killing the executor mid-suite.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: absorb session/codegen/JIT startup so the first timed
@@ -34,39 +42,68 @@ object Bench {
     // a flagged query (empty/unset = the full suite)
     val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink: materializes EVERY output column (count() would let
-        // Catalyst prune the projections we're trying to measure)
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // several queries cache sketched frames internally; dropping them
-        // keeps each rep (and each query) independent of what ran before
-        spark.catalog.clearCache()
-        (ok, dt)
-      }
-      // a failed rep finishes fast — stats over SUCCESSFUL reps only, so a
-      // transient failure can't masquerade as a great time; if every rep
-      // failed, report the max elapsed (visibly odd, never flattering)
-      val succ = times.collect { case (true, dt) => dt }
-      val pool = if (succ.nonEmpty) succ else Seq(times.map(_._2).max)
-      name -> ((pool.min, pool.max))
+    // Degrade-don't-die budget: a healthy full suite finishes in ~3-6 min,
+    // so the deadline only bites when the host is badly oversubscribed.
+    // Past 40% of it remaining queries drop to 1 rep; past 100% they are
+    // skipped (and named in the JSON) — partial data beats an rc=124.
+    val deadlineSec = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1200").toDouble).getOrElse(1200.0)
+    val suiteT0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - suiteT0) / 1e9
+
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(String, (Double, Double))]()
+    val skipped = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def emit(partial: Boolean): Unit = if (printed.compareAndSet(false, true)) {
+      import scala.jdk.CollectionConverters._
+      val results = done.asScala.toSeq
+      // "queries" stays min-of-N (the low-noise estimator for deterministic
+      // work on a noisy VM); "spreads" publishes each query's [min, max]
+      // across reps so a reader can tell VM weather from a real regression
+      // without re-running (PERF.md documents 2-8x single-run swings).
+      val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }
+        .mkString("{", ",", "}")
+      val spreads = results.map { case (k, (mn, mx)) => s"\"" + k + "\":[" + mn + "," + mx + "]" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2._1).sum
+      val skippedJson = skipped.asScala.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"partial":$partial,"skipped":$skippedJson,"queries":$qs,"spreads":$spreads,"sf":"$sfDir"}""")
+      System.out.flush()
     }
-    // "queries" stays min-of-N (the low-noise estimator for deterministic
-    // work on a noisy VM); "spreads" publishes each query's [min, max]
-    // across reps so a reader can tell VM weather from a real regression
-    // without re-running (PERF.md documents 2-8x single-run swings).
-    val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }
-      .mkString("{", ",", "}")
-    val spreads = results.map { case (k, (mn, mx)) => s"\"" + k + "\":[" + mn + "," + mx + "]" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spreads":$spreads,"sf":"$sfDir"}""")
+    // If an external `timeout` TERMs the JVM mid-suite, shutdown hooks
+    // still run — publish whatever finished so the driver parses a
+    // partial line instead of nothing (round-5 failure mode).
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(partial = true)))
+
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
+      if (elapsed() > deadlineSec) { skipped.add(name) }
+      else {
+        val repsNow = if (elapsed() > 0.4 * deadlineSec) 1 else reps
+        val times = (1 to repsNow).map { _ =>
+          val t0 = System.nanoTime()
+          // noop sink: materializes EVERY output column (count() would let
+          // Catalyst prune the projections we're trying to measure)
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case _: Throwable => false }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // several queries cache sketched frames internally; dropping them
+          // keeps each rep (and each query) independent of what ran before
+          spark.catalog.clearCache()
+          (ok, dt)
+        }
+        // a failed rep finishes fast — stats over SUCCESSFUL reps only, so a
+        // transient failure can't masquerade as a great time; if every rep
+        // failed, report the max elapsed (visibly odd, never flattering)
+        val succ = times.collect { case (true, dt) => dt }
+        val pool = if (succ.nonEmpty) succ else Seq(times.map(_._2).max)
+        done.add(name -> ((pool.min, pool.max)))
+      }
+    }
+    emit(partial = false)
     spark.stop()
   }
 }

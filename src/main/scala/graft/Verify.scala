@@ -16,25 +16,15 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Host-overload tolerance (see Bench.scala): round 5's run died to
+      // 10 s executor-heartbeat RPC timeouts on a CPU-starved VM and the
+      // round's correctness artifact came back empty. Wider heartbeat +
+      // network timeouts let a starved run limp through instead.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev-only isolation knob (unset in the driver's run = full dump)
-    val only = sys.env.getOrElse("SPARK_GRAFT_VERIFY_ONLY", "")
-      .split(",").map(_.trim).filter(_.nonEmpty).toSet
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        // pull the deferred no-silent-caps report while the query's
-        // cached lineage is still warm (see Dedup.drainCapLossReports)
-        ext.Dedup.drainCapLossReports()
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -47,9 +37,31 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Write the oracle map BEFORE running any query: if the host is so
+    // overloaded that an external timeout kills this JVM mid-dump, the
+    // checker can still grade every query whose parquet made it out —
+    // partial correctness beats round 5's empty artifact.
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // dev-only isolation knob (unset in the driver's run = full dump)
+    val only = sys.env.getOrElse("SPARK_GRAFT_VERIFY_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // sorted: deterministic dump order, so a partial kill leaves a clean
+    // prefix (reference-parity q* queries land before extension x*)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // pull the deferred no-silent-caps report while the query's
+        // cached lineage is still warm (see Dedup.drainCapLossReports)
+        ext.Dedup.drainCapLossReports()
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

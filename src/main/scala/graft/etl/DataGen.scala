@@ -207,7 +207,10 @@ object DataGen {
   def eventsLike(spark: SparkSession, n: Long, nUsers: Long): DataFrame =
     spark.range(0, n).toDF("event_id")
       .withColumn("ts", timestamp_micros(
-        (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L)
+        // Instant.parse, not Timestamp.valueOf: the latter parses in the
+        // JVM default timezone, shifting the generated slice per host
+        // (ADVICE r5) — epoch anchors must be host-TZ independent.
+        (lit(java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L)
           + pmod(xxhash64(col("event_id"), lit(1)), lit(30L * 24 * 3600 * 1000000L)))))
       .withColumn("user_id", uniformLong(col("event_id"), 2, 0, nUsers - 1))
       .withColumn("event_type", pick(col("event_id"), 3,

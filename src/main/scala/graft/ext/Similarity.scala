@@ -223,6 +223,10 @@ object Similarity {
       centroids = assign(centroids).groupBy(col("cluster"))
         .agg(graft.functions.VectorAgg.vectorSumLong(col("vq")).as("c"))
     }
+    // nlist rows; cached because three consumers re-derive it (index
+    // assignment, query probing, the exactness guard below) and its
+    // lineage is the whole Lloyd chain
+    centroids = centroids.cache()
     val index = assign(centroids).select(col("vec_id"), col("cluster"), col("vq"))
 
     // probe: nearest nprobe clusters per query, union their lists
@@ -243,9 +247,40 @@ object Similarity {
       .partitionBy(col("query_id")).orderBy(desc("cos"), col("vec_id"))
     candidates.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
+      // 1-row frame; broadcast cross-join keeps the guard lazy and the
+      // isNull filter (assert_true yields NULL on success) forces its
+      // evaluation at execution time
+      .crossJoin(broadcast(exactnessGuard(all, centroids)))
+      .filter(col("exact_ok").isNull)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
               round(col("cos"), 6).as("cos_sim"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Runtime exactness guard (ADVICE r5): [[QuantScale]] is sized so the
+    * CONSERVATIVE worst-case dot product (dim · max|vq|² · clusterSize)
+    * sits at the 2^53 double-mantissa edge with zero headroom — a larger
+    * corpus, fatter clusters, or larger-magnitude embeddings would cross
+    * it silently, at which point Spark/DuckDB summation-order differences
+    * can diverge the x28 oracle. Every dot this index evaluates is
+    * bounded by dim · max|component| · max(max|centroid-sum component|,
+    * max|component|), so assert on those ACTUAL magnitudes: passes with
+    * wide margin today (signed components cancel inside centroid sums),
+    * fails the job loudly the day the invariant breaks. Returns a 1-row
+    * frame whose `exact_ok` is NULL iff the bound holds. */
+  private[ext] def exactnessGuard(all: DataFrame, centroids: DataFrame): DataFrame = {
+    val maxAbs: Column => Column = v =>
+      aggregate(transform(v, x => abs(x)), lit(0L), (a, x) => greatest(a, x))
+    all.agg(max(maxAbs(col("vq"))).cast("double").as("maxv"))
+      .crossJoin(centroids.agg(
+        max(maxAbs(col("c"))).cast("double").as("maxc"),
+        max(size(col("c"))).cast("double").as("dim")))
+      .select(assert_true(
+        col("dim") * col("maxv") * greatest(col("maxc"), col("maxv")) < lit(math.pow(2, 53)),
+        concat(lit("IVF quantization exactness violated: dim*max|vq|*max|c| >= 2^53 " +
+            "— lower Similarity.QuantScale or shrink clusters (dim="),
+          col("dim"), lit(", max|vq|="), col("maxv"), lit(", max|c|="), col("maxc"), lit(")"))
+      ).as("exact_ok"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -35,8 +35,9 @@ class SimilaritySpec extends SparkSpec {
 
   test("IVF top-k recall >= 0.8 at both spec scale factors; output is deterministic") {
     // floor rationale: recall is deterministic (seeded init, total-order
-    // tie-breaks), measured 0.90 / 0.84 at the two SFs with the default
-    // 8/16 probes — see the sweep notes on Similarity.IvfProbes
+    // tie-breaks), measured 0.88 (sf0.001) / 0.90 (sf0.01) with the
+    // shipped defaults nlist=8, nprobe=6, 2 Lloyd iterations — see the
+    // sweep notes on Similarity.IvfClusters/IvfProbes
     for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
       val exact = Similarity.topKBruteForce(spark, dir)
         .select("query_id", "neighbor_id").collect()
@@ -48,6 +49,27 @@ class SimilaritySpec extends SparkSpec {
       val recall = (exact & approx).size.toDouble / exact.size
       assert(recall >= 0.8, s"IVF recall $recall below 0.8 at $dir")
     }
+  }
+
+  test("IVF exactness guard: passes on real magnitudes, trips past 2^53") {
+    import spark.implicits._
+    // shaped like the internal frames: all(vq: array<long>), centroids(c)
+    val small = Seq(Tuple1(Array(3L, -4L))).toDF("vq")
+    val smallC = Seq(Tuple1(Array(10L, -7L))).toDF("c")
+    // dim(2) * max|vq| * max|c| < 2^53 → NULL, every row survives the filter
+    assert(Similarity.exactnessGuard(small, smallC)
+      .filter(col("exact_ok").isNull).count() == 1)
+    // a centroid-sum component at 2^51 with max|vq|=2^21 and dim 2 puts
+    // the bound product at 2^73 — the guard must fail the job, not round
+    val big = Seq(Tuple1(Array(1L << 21, 0L))).toDF("vq")
+    val bigC = Seq(Tuple1(Array(1L << 51, 0L))).toDF("c")
+    val e = intercept[Exception] {
+      Similarity.exactnessGuard(big, bigC).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("IVF quantization exactness violated")),
+      s"unexpected error: $e")
   }
 
   test("label centroid sims: 45 unordered label pairs, cos in [-1, 1]") {
