@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.load
 import graft.functions.TextFunctions._
@@ -374,7 +375,78 @@ object TextAnalysis {
       .orderBy("label")
   }
 
+  /** Global token budget for [[budgetFill]], and the per-source share
+    * cap (30% of the budget) that stops one crawl source from filling
+    * the whole mix. Absolute-token constants like a real mix plan; at
+    * sf0.001 the whole corpus fits (selection = everything), at sf0.01
+    * the budget binds (~40% selected), at sf0.1 it binds hard (~4%). */
+  val BudgetTokens = 10000L
+  val SourceCapTokens = 3000L
+
+  /** Token-budget corpus selection — "fill a 10k-token training budget
+    * with the best documents, no source above 30%": the final assembly
+    * step of a pretraining mix, downstream of scoring/dedup. Selection
+    * rule (the spec, what the oracle states directly): order docs by
+    * (quality DESC, doc_id), cap each source's running tokens at
+    * [[SourceCapTokens]], then keep the prefix of the survivors whose
+    * global running token total fits [[BudgetTokens]].
+    *
+    * The PLAN is deliberately not the spec's global-sort window — that
+    * would put a 100 TB corpus through one ordered partition. Stage 1
+    * (source caps) partitions by source: parallel, skew bounded by the
+    * cap itself. Stage 2 resolves the global prefix by THRESHOLD
+    * REFINEMENT: histogram token mass into 1001 integer quality buckets
+    * (floor(q·10) — one tiny aggregate, broadcast), find the boundary
+    * bucket where the running total crosses the budget, select every doc
+    * above the boundary outright, and run the ordered-prefix window ONLY
+    * inside the boundary bucket (~1/1000 of the corpus; the lone
+    * single-partition window in the plan, bounded by construction).
+    * Provably the same set as the spec: floor is monotone, so bucket
+    * order agrees with quality order across buckets, and the boundary
+    * bucket's docs see the exact same global cumulative (full-bucket
+    * prefix + in-bucket running sum). Hash-checked against the naive
+    * spec in DuckDB — the plan-vs-spec equivalence is the gate. */
+  def budgetFill(s: SparkSession, dir: String): DataFrame = {
+    val qs = qualitySignals(col("text"))
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        qs.getField("quality").as("q"))
+    val srcW = Window.partitionBy("source").orderBy(desc("q"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cached: the bucket histogram and both selection branches read it
+    val eligible = docs.withColumn("src_cum", sum("n_tokens").over(srcW))
+      .filter(col("src_cum") <= lit(SourceCapTokens))
+      .withColumn("qb", floor(col("q") * lit(10)).cast("long"))
+      .cache()
+    val bw = Window.orderBy(desc("qb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ≤1001 rows — the running sum's single partition is over the
+    // histogram, never the corpus
+    val runs = eligible.groupBy("qb").agg(sum("n_tokens").as("bt"))
+      .withColumn("run", sum("bt").over(bw))
+    // boundary = highest bucket whose running total crosses the budget;
+    // null ⇒ the whole eligible corpus fits. prefix_above = tokens in
+    // buckets strictly above it (≤ budget by minimality of the crossing)
+    val bnd = broadcast(runs.agg(
+      max(when(col("run") > lit(BudgetTokens), col("qb"))).as("qb_b"),
+      max_by(col("run") - col("bt"),
+        when(col("run") > lit(BudgetTokens), col("qb"))).as("prefix_above")))
+    val withBnd = eligible.crossJoin(bnd)
+    val above = withBnd.filter(col("qb_b").isNull || col("qb") > col("qb_b"))
+    val prefixW = Window.orderBy(desc("q"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atBoundary = withBnd.filter(col("qb") === col("qb_b"))
+      .withColumn("bcum", sum("n_tokens").over(prefixW))
+      .filter(col("prefix_above") + col("bcum") <= lit(BudgetTokens))
+      .drop("bcum")
+    above.unionByName(atBoundary)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x87_budget_fill" -> budgetFill,
     "x63_label_quality" -> labelQualityProfile,
     "x60_sample_quality_weighted" -> qualityWeightedSample,
     "x56_quality_deciles" -> qualityDeciles,
@@ -456,6 +528,20 @@ object TextAnalysis {
     * engines split trimmed text on \s+; ratios are raw double divisions
     * (no rounding → no decimal-tie divergence). */
   val oracles: Map[String, String] = Map(
+    // x87's oracle is the SPEC (global-sort prefix), not the plan
+    // (bucketed threshold refinement) — the hash match IS the proof
+    // that the scale-shaped plan computes the spec's exact set.
+    "x87_budget_fill" -> s"""
+      WITH $QualityScoredSql,
+      capped AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, q,
+          SUM(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+            ROWS UNBOUNDED PRECEDING) AS src_cum
+        FROM scored),
+      eligible AS (SELECT * FROM capped WHERE src_cum <= $SourceCapTokens),
+      g AS (SELECT *, SUM(n_tokens) OVER (ORDER BY q DESC, doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum FROM eligible)
+      SELECT doc_id, source, n_tokens FROM g WHERE cum <= $BudgetTokens
+      ORDER BY doc_id""",
     "x66_tfidf_terms" -> """
       WITH toks AS (SELECT doc_id,
           unnest(string_split_regex(lower(trim(text)), '\s+')) AS token

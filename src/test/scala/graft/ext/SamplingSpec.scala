@@ -22,6 +22,39 @@ class SamplingSpec extends SparkSpec {
     assert(a.count(_.getString(1) == "de") == deTotal)
   }
 
+  test("budgetFill: threshold-refinement plan equals the naive global-prefix spec") {
+    import org.apache.spark.sql.expressions.Window
+    // the spec, computed the naive way (global-sort windows) in Spark —
+    // the DuckDB oracle states the same thing; this pins the equivalence
+    // inside one engine so an oracle-side quirk can't mask a plan bug
+    val qs = graft.functions.TextFunctions.qualitySignals(col("text"))
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        qs.getField("quality").as("q"))
+    val srcW = Window.partitionBy("source").orderBy(desc("q"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gW = Window.orderBy(desc("q"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = docs.withColumn("src_cum", sum("n_tokens").over(srcW))
+      .filter(col("src_cum") <= TextAnalysis.SourceCapTokens)
+      .withColumn("cum", sum("n_tokens").over(gW))
+      .filter(col("cum") <= TextAnalysis.BudgetTokens)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val out = TextAnalysis.budgetFill(spark, sfDir).collect()
+    val got = out.map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expected,
+      s"plan/spec diverge: extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+    assert(got.nonEmpty)
+    // the two hard constraints, re-checked from the output itself
+    assert(out.map(_.getAs[Long]("n_tokens")).sum <= TextAnalysis.BudgetTokens)
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      assert(rows.map(_.getAs[Long]("n_tokens")).sum <= TextAnalysis.SourceCapTokens,
+        s"source $src exceeds its cap")
+    }
+  }
+
   test("mixtureSample hits exact integer quotas and never exceeds supply") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val counts = docs.groupBy("lang").count().collect()
