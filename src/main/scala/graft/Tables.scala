@@ -24,15 +24,35 @@ object Tables {
     * representable in Spark's microsecond TimestampType, so sessions must
     * set `spark.sql.legacy.parquet.nanosAsLong=true`; we then rebuild the
     * microsecond timestamp here (lossless when sub-µs bits are zero, as
-    * in the driver's testdata). */
+    * in the driver's testdata).
+    *
+    * Timezone-naive parquet timestamps (isAdjustedToUTC=false) arrive as
+    * TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default. The engine's
+    * time operators (unix_micros, watermarks, epoch casts) require the
+    * instant type, so NTZ columns are normalized to TimestampType here —
+    * sessions pin spark.sql.session.timeZone=UTC, making the cast a pure
+    * wall-clock reinterpretation that matches a naive-TIMESTAMP oracle
+    * bit-for-bit. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      // integer `div`, not `/`: float division of int64 nanos rounds in
-      // the 53-bit mantissa and lands ±1µs off the true microsecond
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    val nanosFixed =
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        // integer `div`, not `/`: float division of int64 nanos rounds in
+        // the 53-bit mantissa and lands ±1µs off the true microsecond
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      else df
+    normalizeNtz(nanosFixed)
+  }
+
+  /** Cast every TIMESTAMP_NTZ column to the session-TZ instant type (a
+    * no-op frame when none exist, so non-temporal tables pay nothing). */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect {
+      case StructField(n, TimestampNTZType, _, _) => n
+    }
+    ntz.foldLeft(df)((d, n) =>
+      d.withColumn(n, d.col(n).cast(TimestampType)))
   }
 
   /** Register every testdata table as a temp view so `spark.sql` works

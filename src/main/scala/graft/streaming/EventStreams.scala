@@ -22,9 +22,13 @@ object EventStreams {
     * for batch reads (nanosAsLong sessions). */
   def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
     val raw = tableStream(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    val fixed =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    // naive parquet timestamps read as TIMESTAMP_NTZ, which watermarks
+    // reject — same session-TZ normalization as the batch loader
+    graft.Tables.normalizeNtz(fixed)
   }
 
   /** Schema-declared file stream over any single-file testdata table
