@@ -47,19 +47,61 @@ object Verify {
     // dev-only isolation knob (unset in the driver's run = full dump)
     val only = sys.env.getOrElse("SPARK_GRAFT_VERIFY_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
-    // sorted: deterministic dump order, so a partial kill leaves a clean
-    // prefix (reference-parity q* queries land before extension x*)
+    // Staleness-first dump order: round 6's storm-truncated run re-graded
+    // the same sorted 37-query prefix and produced zero new information
+    // about the other 69. Queries ABSENT from the newest committed
+    // CORRECTNESS_r*.json artifact (cwd = repo root in the driver's run)
+    // dump first, so a truncated run always grades the least-recently-
+    // graded surface; within each group the order stays sorted/stable.
+    val graded: Set[String] = {
+      val arts = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+        .filter(f => f.getName.matches("CORRECTNESS_r\\d+\\.json"))
+      if (arts.isEmpty) Set.empty
+      else {
+        val latest = arts.maxBy(f =>
+          "\\d+".r.findFirstIn(f.getName).fold(0)(_.toInt))
+        val txt = scala.util.Try(Files.readString(latest.toPath)).getOrElse("")
+        "\"([qx]\\d+[a-z0-9_]*)\"\\s*:\\s*\\{".r
+          .findAllMatchIn(txt).map(_.group(1)).toSet
+      }
+    }
+    // Degrade-don't-die (mirrors Bench): a per-query watchdog cancels the
+    // query's job group at the cap so one storm-hit query can't starve
+    // the tail, and an overall deadline skips (and names) the rest.
+    val capSec = scala.util.Try(sys.env.getOrElse(
+      "SPARK_GRAFT_VERIFY_QUERY_CAP_SEC", "150").toDouble).getOrElse(150.0)
+    val deadlineSec = scala.util.Try(sys.env.getOrElse(
+      "SPARK_GRAFT_VERIFY_DEADLINE_SEC", "1800").toDouble).getOrElse(1800.0)
+    val t0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - t0) / 1e9
+    val timer = new java.util.Timer("verify-watchdog", true)
     SparkEntry.queries.toSeq.sortBy(_._1)
+      .sortBy { case (name, _) => graded(name) } // stable: false (stale) first
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        // pull the deferred no-silent-caps report while the query's
-        // cached lineage is still warm (see Dedup.drainCapLossReports)
-        ext.Dedup.drainCapLossReports()
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      if (elapsed() > deadlineSec) {
+        System.err.println(s"[verify] $name skipped: suite deadline ${deadlineSec}s exceeded")
+      } else {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        val watchdog = new java.util.TimerTask {
+          def run(): Unit = spark.sparkContext.cancelJobGroup(name)
+        }
+        // repeating: cancelJobGroup only kills jobs running at that instant,
+        // so a multi-job query (or one still in planning at the cap) needs
+        // the cancel re-asserted until the dump call returns
+        timer.scheduleAtFixedRate(watchdog, (capSec * 1000).toLong, 1000L)
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          // pull the deferred no-silent-caps report while the query's
+          // cached lineage is still warm (see Dedup.drainCapLossReports)
+          ext.Dedup.drainCapLossReports()
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } finally {
+          watchdog.cancel()
+          spark.sparkContext.clearJobGroup()
+        }
       }
     }
     spark.stop()
