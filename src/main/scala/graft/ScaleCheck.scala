@@ -19,7 +19,9 @@ import org.apache.spark.sql.SparkSession
   * Generated slices are a measurement rig only — correctness oracles
   * always run on the driver's own testdata.
   *
-  * Usage: Test/runMain graft.ScaleCheck [workDir] [mult] [reps]
+  * Usage: Test/runMain graft.ScaleCheck [workDir] [mult] [reps] [q1,q2,…]
+  * (the optional 4th arg restricts the measured set — used for the
+  * 30×+ confirmation slices where running all twelve would take hours)
   */
 object ScaleCheck {
 
@@ -50,6 +52,9 @@ object ScaleCheck {
     val workDir = args.headOption.getOrElse("/root/repo/tmp/scalecheck")
     val mult = if (args.length > 1) args(1).toInt else 10
     val reps = if (args.length > 2) args(2).toInt else 2
+    val measured =
+      if (args.length > 3) Hot.filter(args(3).split(",").map(_.trim).toSet)
+      else Hot
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -85,9 +90,9 @@ object ScaleCheck {
       times.min
     }
     // warmup on the small slice
-    run(dir1, Hot.head)
+    run(dir1, measured.head)
 
-    val rows = Hot.map { name =>
+    val rows = measured.map { name =>
       val t1 = run(dir1, name)
       val tN = run(dirN, name)
       (name, t1, tN, tN / t1)
