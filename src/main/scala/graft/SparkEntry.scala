@@ -25,6 +25,7 @@ object SparkEntry {
       etl.Sources.queries ++
       ops.SnapshotDiff.queries ++
       ops.RangeJoin.queries ++
+      ops.GlobalOrder.queries ++
       ops.Skew.queries ++
       ops.ZOrder.queries ++
       ops.ConnectedComponents.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       etl.Sources.oracles ++
       ops.SnapshotDiff.oracles ++
       ops.RangeJoin.oracles ++
+      ops.GlobalOrder.oracles ++
       ops.Skew.oracles ++
       ops.ZOrder.oracles ++
       ops.ConnectedComponents.oracles ++
