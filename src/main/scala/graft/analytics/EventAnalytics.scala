@@ -333,7 +333,31 @@ object EventAnalytics {
       .orderBy("event_type")
   }
 
+  /** Calendar-spine gap filling: daily totals for RARE events (value >
+    * 450 — one qualifying day at sf0.01) reported over EVERY day the
+    * corpus spans, zero-filled. Dashboards and anomaly jobs need the
+    * empty days present; a plain groupBy silently drops them. The spine
+    * comes from one 1-row min/max aggregate exploded through sequence()
+    * — no generator table, broadcast to the daily counts. At 100 TB the
+    * spine is still ≤ a few thousand rows (one per day), so the join
+    * stays a broadcast of the spine regardless of corpus size. */
+  def dailySpine(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+    val spine = ev
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val rare = ev.filter(col("value") > 450)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+    broadcast(spine).join(rare, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+              coalesce(col("n_events"), lit(0L)).as("n_events"),
+              coalesce(col("total_value"), lit(0.0)).as("total_value"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x92_daily_spine" -> dailySpine,
     "x69_event_gaps" -> interArrivalStats,
     "x61_event_sequences" -> topEventSequences,
     "x62_session_conversion" -> sessionConversion,
@@ -353,6 +377,17 @@ object EventAnalytics {
     "x18_events_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "x92_daily_spine" -> """
+      WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+      spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+      rare AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+          ROUND(SUM(value), 2) AS total_value
+        FROM events WHERE value > 450 GROUP BY 1)
+      SELECT strftime(s.day, '%Y-%m-%d') AS day,
+        COALESCE(r.n_events, 0) AS n_events,
+        COALESCE(r.total_value, 0.0) AS total_value
+      FROM spine s LEFT JOIN rare r USING (day) ORDER BY day""",
     "x69_event_gaps" -> """
       WITH g AS (
         SELECT event_type,

@@ -283,7 +283,25 @@ object Similarity {
       ).as("exact_ok"))
   }
 
+  /** ANN recall audit: recall@k of the LSH index against the exact
+    * brute-force top-k, per query. The number every approximate index
+    * must publish before it is trusted — at 100 TB you run exactly this
+    * on a query sample (exact top-k over a broadcast sample is cheap;
+    * the index answers come from the index) and alert when recall
+    * drifts. Composes the two existing oracle-proven paths, so the
+    * DuckDB twin replays BOTH sides and the recall arithmetic exactly. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = topKBruteForce(s, dir).select(col("query_id"), col("neighbor_id"))
+    val lshHits = topKLsh(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    brute.join(lshHits, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg((count(col("hit")).cast("double") / K).as("recall_at_k"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x90_ann_recall" -> annRecall,
     "x07_sim_topk_brute" -> topKBruteForce,
     "x08_sim_topk_lsh" -> topKLsh,
     "x09_sim_label_centroids" -> labelCentroidSims,
@@ -356,7 +374,7 @@ object Similarity {
       FROM ranked WHERE rank <= $K ORDER BY query_id, rank"""
   }
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "x28_sim_topk_ivf" -> ivfOracleSql,
     "x08_sim_topk_lsh" -> s"""
       WITH pl(b, p) AS (VALUES $planeValues),
@@ -442,4 +460,14 @@ object Similarity {
            sqrt(list_sum(list_transform(b.c, x -> x * x)))), 6) AS cos_sim
       FROM cl a JOIN cl b ON a.label < b.label
       ORDER BY label1, label2""")
+
+  /** x90 replays BOTH proven paths as derived tables and counts the
+    * overlap — the oracle audits the audit. */
+  val oracles: Map[String, String] = baseOracles + ("x90_ann_recall" -> s"""
+      SELECT b.query_id,
+        CAST(COUNT(l.neighbor_id) AS DOUBLE) / $K AS recall_at_k
+      FROM (${baseOracles("x07_sim_topk_brute")}) b
+      LEFT JOIN (${baseOracles("x08_sim_topk_lsh")}) l
+        ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id""")
 }

@@ -5,6 +5,20 @@ import org.apache.spark.sql.functions._
 
 class EventAnalyticsSpec extends SparkSpec {
 
+  test("daily spine covers every day in span, zero-filling the gaps") {
+    val rows = EventAnalytics.dailySpine(spark, sfDir).collect()
+    val days = rows.map(_.getString(0))
+    // contiguous: one row per calendar day from min to max, no holes
+    assert(days.length ==
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(days.head),
+        java.time.LocalDate.parse(days.last)) + 1)
+    assert(days.sorted.sameElements(days))
+    // the rare-event filter leaves genuine gaps, and they carry zeros
+    val zeros = rows.filter(_.getLong(1) == 0L)
+    assert(zeros.nonEmpty && zeros.forall(_.getDouble(2) == 0.0))
+  }
+
   test("tumbling window counts sum to total events") {
     val ev = graft.Tables.load(spark, sfDir, "events").count()
     val agg = EventAnalytics.tumblingCounts(spark, sfDir)

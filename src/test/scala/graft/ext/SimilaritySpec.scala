@@ -33,6 +33,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall $recall below 0.6")
   }
 
+  test("annRecall matches an independently-computed per-query overlap") {
+    val exact = Similarity.topKBruteForce(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val approx = Similarity.topKLsh(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = exact.groupBy(_._1).view
+      .mapValues(ns => ns.count(approx).toDouble / ns.length).toMap
+    val got = Similarity.annRecall(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (q, r) =>
+      assert(math.abs(r - expected(q)) < 1e-12, s"query $q: $r vs ${expected(q)}")
+      assert(r >= 0.0 && r <= 1.0)
+    }
+  }
+
   test("IVF top-k recall >= 0.8 at both spec scale factors; output is deterministic") {
     // floor rationale: recall is deterministic (seeded init, total-order
     // tie-breaks), measured 0.88 (sf0.001) / 0.90 (sf0.01) with the
