@@ -427,7 +427,69 @@ object EventStreams {
       .orderBy("window_start", "rank")
   }
 
+  /** Exactly-once parquet output: foreachBatch writes each micro-batch
+    * to a batch-id-deterministic subdirectory with OVERWRITE, so a
+    * replayed batch rewrites its own files instead of appending
+    * duplicates — the production streaming-sink idempotence pattern
+    * (checkpoint tracks progress; the deterministic path + overwrite
+    * makes redelivery a no-op). No state store, no watermark: the sink
+    * is stateless and the batch write is Spark-parallel. */
+  def idempotentParquetSink(stream: DataFrame, outDir: String,
+                            ckptDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Per-JVM scratch root for the sink replay (same lifecycle contract
+    * as etl.Sources.roundtripRoot: unique per run, reused across bench
+    * reps, removed on JVM exit). */
+  private lazy val sinkReplayRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_sink_replay_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
+  /** x91: the events table staged as 4 files, streamed one file per
+    * micro-batch through [[idempotentParquetSink]], then the ENTIRE
+    * stream redelivered from a fresh checkpoint (the worst-case
+    * duplicate delivery). The reread output aggregates to the exact
+    * batch answer only if overwrite-by-batch-id held — doubled counts
+    * red-flag the oracle immediately. */
+  def idempotentSinkReplay(s: SparkSession, dir: String): DataFrame = {
+    val staged = sinkReplayRoot.resolve("src").toString
+    val out = sinkReplayRoot.resolve("out").toString
+    graft.Tables.load(s, dir, "events").repartition(4)
+      .write.mode("overwrite").parquet(staged)
+    val schema = s.read.parquet(staged).schema
+    def deliverAll(): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory(
+        sinkReplayRoot, "ckpt_")
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      idempotentParquetSink(stream, out, ckpt.toString)
+    }
+    deliverAll()
+    deliverAll() // full redelivery — idempotence keeps the totals exact
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x91_stream_idempotent_sink" -> idempotentSinkReplay,
     "x82_stream_top_types" -> windowTopTypesReplay,
     "x72_stream_curation" -> curationReplay,
     "x19_stream_tumbling" -> tumblingReplay,
@@ -437,6 +499,10 @@ object EventStreams {
     "x68_stream_dedup" -> dedupReplay)
 
   val oracles: Map[String, String] = Map(
+    "x91_stream_idempotent_sink" -> """
+      SELECT event_type, COUNT(*) AS n_events,
+        ROUND(SUM(value), 2) AS total_value
+      FROM events GROUP BY 1 ORDER BY 1""",
     "x82_stream_top_types" -> """
       WITH c AS (
         -- TZ-free window rebuild: naive TIMESTAMP + seconds interval.

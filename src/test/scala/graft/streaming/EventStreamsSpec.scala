@@ -182,4 +182,12 @@ class EventStreamsSpec extends SparkSpec {
            batch.exceptAll(streamed).count() == 0,
       "stream and batch curation must select identical rows")
   }
+
+  test("idempotent sink: full redelivery leaves exact totals, no duplicates") {
+    val out = EventStreams.idempotentSinkReplay(spark, sfDir)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    val expected = graft.Tables.load(spark, sfDir, "events").count()
+    assert(out == expected,
+      s"double-delivered sink holds $out rows, batch truth is $expected")
+  }
 }
