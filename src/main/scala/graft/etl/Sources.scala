@@ -210,11 +210,38 @@ object Sources {
     readOrc(s, tmp, docs.schema).orderBy("doc_id")
   }
 
+  /** x95: schema evolution across parquet snapshots — a lake written
+    * over months GROWS columns, and every reader must keep working.
+    * Two generations of the documents table (the older one lacks
+    * n_chars) are read together under mergeSchema: old rows surface the
+    * new column as null, nothing is rewritten. The scale contract is
+    * exactly Spark's: schema reconciliation happens on footers at plan
+    * time, data files are never touched — a 100 TB lake evolves by
+    * writing new files only. */
+  def schemaEvolutionRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(s, dir, "documents")
+    val gen1 = roundtripRoot.resolve("evol_gen1").toString
+    val gen2 = roundtripRoot.resolve("evol_gen2").toString
+    docs.filter(col("doc_id") < 250)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .write.mode(SaveMode.Overwrite).parquet(gen1)
+    docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode(SaveMode.Overwrite).parquet(gen2)
+    s.read.option("mergeSchema", "true").parquet(gen1, gen2)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x95_schema_evolution" -> schemaEvolutionRoundtrip,
     "x70_jsonl_roundtrip" -> jsonlRoundtrip,
     "x85_orc_roundtrip" -> orcRoundtrip)
 
   val oracles: Map[String, String] = Map(
+    "x95_schema_evolution" -> """
+      SELECT doc_id, lang, source,
+        CASE WHEN doc_id < 250 THEN NULL ELSE n_chars END AS n_chars
+      FROM documents ORDER BY doc_id""",
     "x70_jsonl_roundtrip" -> """
       SELECT doc_id, text, lang, source, n_chars
       FROM documents ORDER BY doc_id""",

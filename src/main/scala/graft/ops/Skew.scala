@@ -77,10 +77,42 @@ object Skew {
       .orderBy("event_type")
   }
 
+  /** x94: join-key skew diagnostic — the measurement that decides
+    * whether a key needs salting BEFORE the job stalls on one reducer.
+    * Reports the top-10 heaviest user_id keys with their row share and
+    * the key's load factor vs a perfectly uniform spread (count ×
+    * n_distinct_keys / n_rows — >> 1 means that key alone can stall a
+    * partition). One count aggregate + a broadcast 1-row totals frame;
+    * the top-10 is a TakeOrdered, never a full sort. */
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.load(s, dir, "events")
+    val perKey = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val totals = perKey.agg(
+      sum("n").as("total_rows"), count(lit(1)).as("n_keys"))
+    perKey.crossJoin(broadcast(totals))
+      .withColumn("share_pct",
+        round(col("n") * lit(100.0) / col("total_rows"), 4))
+      .withColumn("load_factor",
+        round(col("n") * col("n_keys") / col("total_rows").cast("double"), 4))
+      .orderBy(desc("n"), col("user_id"))
+      .select(col("user_id"), col("n"), col("share_pct"), col("load_factor"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x94_key_skew_report" -> skewReport,
     "x75_skew_rollup" -> skewRollup)
 
   val oracles: Map[String, String] = Map(
+    "x94_key_skew_report" -> """
+      WITH k AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+                   COUNT(*) AS n_keys FROM k)
+      SELECT user_id, n,
+        ROUND(n * 100.0 / total_rows, 4) AS share_pct,
+        ROUND(n * n_keys / CAST(total_rows AS DOUBLE), 4) AS load_factor
+      FROM k CROSS JOIN t
+      ORDER BY n DESC, user_id LIMIT 10""",
     "x75_skew_rollup" -> """
       WITH dim(event_type, weight) AS (VALUES
         ('click', 1), ('view', 2), ('purchase', 10), ('signup', 5), ('error', 0))

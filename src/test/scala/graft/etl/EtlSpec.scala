@@ -283,6 +283,15 @@ class EtlSpec extends SparkSpec {
     assert(out.exceptAll(docs).count() == 0 && docs.exceptAll(out).count() == 0)
   }
 
+  test("mergeSchema read spans snapshot generations; old rows null the new column") {
+    val merged = Sources.schemaEvolutionRoundtrip(spark, sfDir)
+    assert(merged.columns.toSet == Set("doc_id", "lang", "source", "n_chars"))
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    assert(merged.count() == docs.count())
+    assert(merged.filter(col("doc_id") < 250 && col("n_chars").isNotNull).count() == 0)
+    assert(merged.filter(col("doc_id") >= 250 && col("n_chars").isNull).count() == 0)
+  }
+
   test("JSONL source surfaces malformed lines: null rows in PERMISSIVE, throw in FAILFAST") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_corrupt")

@@ -88,4 +88,20 @@ class SkewSpec extends SparkSpec {
       case (key, None)    => spark.conf.unset(key)
     }
   }
+
+  test("skewReport: shares and load factors are internally consistent") {
+    val rows = Skew.skewReport(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sameElements(counts.sorted.reverse), "must be heaviest-first")
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0 && r.getDouble(2) <= 100.0)
+      assert(r.getDouble(3) > 0)
+    }
+    // the maximum is always >= the mean, so the heaviest key's load
+    // factor must be >= 1 (lighter top-10 keys may legitimately sit
+    // below it when the distribution has few heavy keys)
+    assert(rows.head.getDouble(3) >= 1.0,
+      s"heaviest key below uniform load: ${rows.head.getDouble(3)}")
+  }
 }
