@@ -120,10 +120,84 @@ object ConnectedComponents {
       .orderBy("doc_id")
   }
 
+  /** x96: the dedup pipeline's final deliverable — the KEPT corpus.
+    * Clusters every document (singletons included), then keeps the
+    * best-quality member per cluster (doc_id breaks ties), so the
+    * output is one row per surviving document with its cluster's size.
+    * The representative choice is a per-cluster window — partitions are
+    * bounded by cluster size (capped upstream by the gram df-cap), so
+    * the selection parallelizes over clusters at any corpus scale. */
+  def canonicalDocs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = load(s, dir, "documents")
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.TextExpressions.wordShingleStrings(col("text"), 8)).as("gram"))
+    val cc = labelPropagation(docs.select(col("doc_id").as("id")),
+      starEdges(grams, GramDfCap))
+    val qs = graft.functions.TextFunctions.qualitySignals(col("text"))
+    val members = cc.join(
+        docs.select(col("doc_id"), qs.getField("quality").as("quality")),
+        cc("id") === col("doc_id"))
+      .select(col("cluster"), col("doc_id"), col("quality"))
+    val byCluster = Window.partitionBy("cluster")
+    members
+      .withColumn("rn", row_number().over(
+        byCluster.orderBy(desc("quality"), col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("kept_doc_id"),
+              col("n_members"), col("quality"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x96_dedup_canonical" -> canonicalDocs,
     "x43_dup_clusters" -> dupClusters)
 
   val oracles: Map[String, String] = Map(
+    "x96_dedup_canonical" -> s"""
+      WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-7, 1)+1)) AS i FROM toks),
+      grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM idx),
+      gram_roots AS (
+        SELECT gram, MIN(doc_id) AS root FROM grams
+        GROUP BY gram HAVING COUNT(*) > 1 AND COUNT(*) <= $GramDfCap),
+      star AS (
+        SELECT r.root AS src, g.doc_id AS dst
+        FROM gram_roots r JOIN grams g USING (gram)
+        WHERE g.doc_id <> r.root),
+      edges AS (SELECT src, dst FROM star UNION SELECT dst, src FROM star),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      cc AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a),
+      qb AS (
+        SELECT doc_id,
+          CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) AS punct_ratio,
+          CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> list_contains(['the','a','and','of','to','in','is','that','it','for','on','with'], x))) AS DOUBLE)
+            / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1) AS stopword_ratio,
+          CAST(length(regexp_replace(trim(text), '\\s', '', 'g')) AS DOUBLE)
+            / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS avg_token_len,
+          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS length_score
+        FROM documents),
+      qscore AS (
+        SELECT doc_id,
+          length_score * 25.0 +
+          (1.0 - least(punct_ratio * 5.0, 1.0)) * 25.0 +
+          least(stopword_ratio * 4.0, 1.0) * 25.0 +
+          (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 25.0 AS quality
+        FROM qb),
+      ranked AS (
+        SELECT cc.cluster, cc.doc_id, q.quality,
+          row_number() OVER (PARTITION BY cc.cluster ORDER BY q.quality DESC, cc.doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY cc.cluster) AS n_members
+        FROM cc JOIN qscore q USING (doc_id))
+      SELECT cluster, doc_id AS kept_doc_id, n_members, quality
+      FROM ranked WHERE rn = 1 ORDER BY cluster""",
     "x43_dup_clusters" -> s"""
       WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
         FROM documents),

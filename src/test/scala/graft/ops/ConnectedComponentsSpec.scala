@@ -83,4 +83,16 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(split2.count() == 0, "exact dups must be in the same cluster")
     out.unpersist()
   }
+
+  test("canonicalDocs keeps exactly one best-quality member per cluster") {
+    val kept = ConnectedComponents.canonicalDocs(spark, sfDir).collect()
+    val nDocs = graft.Tables.load(spark, sfDir, "documents").count()
+    // membership totals cover the corpus; one row per cluster
+    assert(kept.map(_.getLong(2)).sum == nDocs)
+    assert(kept.map(_.getLong(0)).distinct.length == kept.length)
+    // the representative leads its cluster: no member may beat it
+    // (cluster ids are min member ids, so kept_doc_id >= cluster)
+    kept.foreach(r => assert(r.getLong(1) >= r.getLong(0)))
+    assert(kept.exists(_.getLong(2) > 1), "fixture must have non-trivial clusters")
+  }
 }
