@@ -194,7 +194,34 @@ object Sampling {
       .orderBy("lang", "split")
   }
 
+  /** x97: padding-efficiency audit — when batches pad every sequence to
+    * the batch max, tokens burned on padding are pure waste. Bucket
+    * documents into 32-token length bins (integer div — the bins a
+    * length-bucketed batcher would use), and report per bin: docs,
+    * real tokens, padded cost at the bin's observed max, and the
+    * efficiency ratio. The corpus-level number this rolls up to is the
+    * case for length-bucketed batching over naive global batches. One
+    * aggregate on a derived integer key; nothing shuffles twice. */
+  def paddingAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("len_bin", expr("n_tokens div 32") * 32)
+      .groupBy("len_bin")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tokens").as("real_tokens"),
+           max("n_tokens").as("bin_max"))
+      .withColumn("padded_tokens", col("n_docs") * col("bin_max"))
+      .withColumn("efficiency_pct",
+        round(col("real_tokens") * lit(100.0) / col("padded_tokens"), 2))
+      .select(col("len_bin"), col("n_docs"), col("real_tokens"),
+              col("padded_tokens"), col("efficiency_pct"))
+      .orderBy("len_bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x97_padding_audit" -> paddingAudit,
     "x31_sample_stratified" -> stratifiedSample,
     "x32_sample_mixture" -> mixtureSample,
     "x33_pack_sequences" -> packSequences,
@@ -203,6 +230,19 @@ object Sampling {
     "x71_chunk_manifest" -> chunkManifest)
 
   val oracles: Map[String, String] = Map(
+    "x97_padding_audit" -> """
+      WITH t AS (SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      b AS (
+        SELECT (n_tokens // 32) * 32 AS len_bin, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+          MAX(n_tokens) AS bin_max
+        FROM t GROUP BY 1)
+      SELECT len_bin, n_docs, real_tokens,
+        n_docs * bin_max AS padded_tokens,
+        ROUND(real_tokens * 100.0 / (n_docs * bin_max), 2) AS efficiency_pct
+      FROM b ORDER BY len_bin""",
     "x71_chunk_manifest" -> """
       WITH t AS (SELECT doc_id,
           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens

@@ -113,4 +113,16 @@ class SamplingSpec extends SparkSpec {
     assert(overlap.count() == 0, "doc_id spans of consecutive packs must not overlap")
     out.unpersist()
   }
+
+  test("padding audit: bins cover the corpus, efficiency bounded by construction") {
+    val rows = Sampling.paddingAudit(spark, sfDir).collect()
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), "real tokens cannot exceed padded")
+      // every length in bin [b, b+32) is > b*32/ (b+31)... the bin width
+      // bounds worst-case efficiency: max/min within a 32-token bin
+      assert(r.getDouble(4) > 0 && r.getDouble(4) <= 100.0)
+    }
+  }
 }
