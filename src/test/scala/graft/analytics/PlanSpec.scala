@@ -259,4 +259,36 @@ class PlanSpec extends SparkSpec {
       .find(l => l.contains("Project") && l.contains("codegen id")).getOrElse("")
     assert(projLine.nonEmpty, s"sketch projection fell out of codegen:\n$p")
   }
+
+  test("daily spine joins a broadcast spine — corpus size never drives the join") {
+    val p = EventAnalytics.dailySpine(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"spine not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "spine join degenerated to sort-merge")
+  }
+
+  test("skew report broadcasts the 1-row totals and plans top-10 as TakeOrdered") {
+    val p = graft.ops.Skew.skewReport(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "totals frame not broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 planned as a global sort")
+  }
+
+  test("ANN recall audit stays on hash/broadcast joins, never a product over the corpus") {
+    val p = graft.ext.Similarity.annRecall(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "recall audit degenerated to a cartesian")
+  }
+
+  test("shard manifest windows are bucket-partitioned (no global sort of the corpus)") {
+    val p = graft.ops.GlobalOrder.shardManifest(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val rowNumberWindows = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("row_number")).toSeq
+    assert(rowNumberWindows.nonEmpty &&
+      rowNumberWindows.forall(_.contains("__go_bucket")),
+      s"corpus-scale window lost its bucket partitioning:\n$p")
+  }
 }
