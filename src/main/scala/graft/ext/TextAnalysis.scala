@@ -445,7 +445,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** x98: per-document novelty — the share of a document's distinct
+    * 8-grams that it introduces FIRST into the corpus (ingest order =
+    * doc_id). A doc whose grams were all seen earlier contributes
+    * nothing new; curation pipelines use exactly this marginal-
+    * contribution signal to cut late near-copies that slipped past
+    * pairwise dedup. One gram-keyed min-aggregate (the same first-owner
+    * relation the cluster star edges use) joined back per doc — the
+    * x50 overlap-matrix plan shape, linear in total gram mass. */
+  def noveltyScores(s: SparkSession, dir: String): DataFrame = {
+    val grams = load(s, dir, "documents").select(col("doc_id"),
+      explode(graft.functions.TextExpressions.wordShingleStrings(col("text"), 8)).as("gram"))
+    val firstOwner = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
+    grams.join(firstOwner, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+             .as("novel_grams"))
+      .withColumn("novelty_pct",
+        round(col("novel_grams") * lit(100.0) / col("n_grams"), 2))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x98_novelty" -> noveltyScores,
     "x87_budget_fill" -> budgetFill,
     "x63_label_quality" -> labelQualityProfile,
     "x60_sample_quality_weighted" -> qualityWeightedSample,
@@ -528,6 +551,19 @@ object TextAnalysis {
     * engines split trimmed text on \s+; ratios are raw double divisions
     * (no rounding → no decimal-tie divergence). */
   val oracles: Map[String, String] = Map(
+    "x98_novelty" -> """
+      WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-7, 1)+1)) AS i FROM toks),
+      grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM idx),
+      fo AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY 1)
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+        CAST(SUM(CASE WHEN g.doc_id = fo.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+          AS novel_grams,
+        ROUND(SUM(CASE WHEN g.doc_id = fo.first_doc THEN 1 ELSE 0 END) * 100.0
+          / COUNT(*), 2) AS novelty_pct
+      FROM grams g JOIN fo USING (gram)
+      GROUP BY 1 ORDER BY 1""",
     // x87's oracle is the SPEC (global-sort prefix), not the plan
     // (bucketed threshold refinement) — the hash match IS the proof
     // that the scale-shaped plan computes the spec's exact set.

@@ -257,4 +257,22 @@ class CorpusAuditSpec extends SparkSpec {
       .filter(col("cells") =!= col("marginal")).count() == 0)
     out.unpersist()
   }
+
+  test("novelty: later exact duplicates score zero; the corpus opener scores 100") {
+    val out = TextAnalysis.noveltyScores(spark, sfDir).cache()
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    assert(out.count() == docs.count())
+    // every doc_id that is a LATER copy of an earlier identical text
+    // introduces no gram first — novelty must be exactly 0
+    val laterDups = docs.alias("a").join(docs.alias("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id")).distinct()
+    val nonZero = out.join(laterDups, "doc_id")
+      .filter(col("novelty_pct") =!= 0.0)
+    assert(nonZero.count() == 0, "a later exact dup claimed novel grams")
+    // the lowest doc_id sees an empty corpus before it: everything novel
+    val opener = out.orderBy("doc_id").first()
+    assert(opener.getDouble(3) == 100.0)
+    out.unpersist()
+  }
 }
