@@ -42,7 +42,10 @@ object ScaleCheck {
     "x43_dup_clusters",
     "x50_source_overlap",
     "x66_tfidf_terms",
-    "x79_split_leakage")
+    "x79_split_leakage",
+    "x88_global_rank",
+    "x96_dedup_canonical",
+    "x98_novelty")
   // x80_sql_surface is excluded only because it registers the full
   // testdata catalog (registerAll) and the scale slices carry just the
   // three scaled tables; its per-doc work is the x11/x12 expression set

@@ -75,12 +75,25 @@ object Verify {
     val t0 = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - t0) / 1e9
     val timer = new java.util.Timer("verify-watchdog", true)
+    // Kill-safe progress ledger: one JSON line per query, appended as it
+    // finishes, so ANY truncation (OOM-kill, external timeout, storm)
+    // leaves an exact record of what ran, what failed, and what it cost
+    // — the round-6/7 artifacts left the driver guessing at all three.
+    // named .json so every checker's "*.json is not a query dump"
+    // exclusion (tools/check.py:84) applies; content is JSON-per-line
+    val manifest = Paths.get(s"$outDir/manifest.json")
+    def note(name: String, status: String, secs: Double): Unit =
+      scala.util.Try(Files.writeString(manifest,
+        s"""{"query":${q(name)},"status":${q(status)},"secs":${math.round(secs * 1000) / 1000.0}}""" + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND))
     SparkEntry.queries.toSeq.sortBy(_._1)
       .sortBy { case (name, _) => graded(name) } // stable: false (stale) first
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       if (elapsed() > deadlineSec) {
         System.err.println(s"[verify] $name skipped: suite deadline ${deadlineSec}s exceeded")
+        note(name, "skipped_deadline", 0.0)
       } else {
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
         val watchdog = new java.util.TimerTask {
@@ -90,14 +103,17 @@ object Verify {
         // so a multi-job query (or one still in planning at the cap) needs
         // the cancel re-asserted until the dump call returns
         timer.scheduleAtFixedRate(watchdog, (capSec * 1000).toLong, 1000L)
+        val qT0 = System.nanoTime()
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           // pull the deferred no-silent-caps report while the query's
           // cached lineage is still warm (see Dedup.drainCapLossReports)
           ext.Dedup.drainCapLossReports()
+          note(name, "ok", (System.nanoTime() - qT0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          note(name, "failed", (System.nanoTime() - qT0) / 1e9)
         } finally {
           watchdog.cancel()
           spark.sparkContext.clearJobGroup()
