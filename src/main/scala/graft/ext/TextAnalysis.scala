@@ -467,7 +467,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** x99: vocabulary growth across ingest order — distinct terms seen
+    * by the end of each doc_id decile (the Heaps'-law curve). A corpus
+    * whose curve flattens early is saturating (more data, no new
+    * language); a straight curve says keep crawling. Deciles are pure
+    * integer arithmetic on the doc_id range (one 1-row min/max
+    * aggregate, broadcast) — no ntile, no global window; the only
+    * ordered window runs over the 10 decile rows. */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val bounds = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    def decileOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      least(floor((c - col("lo")) * 10 / (col("hi") - col("lo") + 1)), lit(9)).cast("long")
+    val terms = docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val firstSeen = terms.groupBy("term").agg(min("doc_id").as("first_doc"))
+    val perDecile = firstSeen.crossJoin(broadcast(bounds))
+      .groupBy(decileOf(col("first_doc")).as("decile"))
+      .agg(count(lit(1)).as("new_terms"))
+    val nDocs = docs.crossJoin(broadcast(bounds))
+      .groupBy(decileOf(col("doc_id")).as("decile"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    nDocs.join(perDecile, Seq("decile"), "left")
+      .select(col("decile"), col("n_docs"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .withColumn("cum_vocab", sum("new_terms").over(w))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x99_vocab_growth" -> vocabGrowth,
     "x98_novelty" -> noveltyScores,
     "x87_budget_fill" -> budgetFill,
     "x63_label_quality" -> labelQualityProfile,
@@ -551,6 +582,25 @@ object TextAnalysis {
     * engines split trimmed text on \s+; ratios are raw double divisions
     * (no rounding → no decimal-tie divergence). */
   val oracles: Map[String, String] = Map(
+    "x99_vocab_growth" -> """
+      WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+      terms AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      fs AS (SELECT term, MIN(doc_id) AS first_doc FROM terms GROUP BY 1),
+      nt AS (
+        SELECT least((first_doc - lo) * 10 // (hi - lo + 1), 9) AS decile,
+          COUNT(*) AS new_terms
+        FROM fs CROSS JOIN b GROUP BY 1),
+      nd AS (
+        SELECT least((doc_id - lo) * 10 // (hi - lo + 1), 9) AS decile,
+          COUNT(*) AS n_docs
+        FROM documents CROSS JOIN b GROUP BY 1)
+      SELECT nd.decile, nd.n_docs,
+        COALESCE(nt.new_terms, 0) AS new_terms,
+        CAST(SUM(COALESCE(nt.new_terms, 0)) OVER (ORDER BY nd.decile
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+      FROM nd LEFT JOIN nt USING (decile) ORDER BY nd.decile""",
     "x98_novelty" -> """
       WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
         FROM documents),

@@ -275,4 +275,17 @@ class CorpusAuditSpec extends SparkSpec {
     assert(opener.getDouble(3) == 100.0)
     out.unpersist()
   }
+
+  test("vocab growth: deciles cover the corpus, curve is monotone and exact at the end") {
+    val rows = TextAnalysis.vocabGrowth(spark, sfDir).collect()
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 9L))
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    val cum = rows.map(_.getLong(3))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b }, "curve must not shrink")
+    val totalVocab = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .agg(countDistinct("term")).collect()(0).getLong(0)
+    assert(cum.last == totalVocab, s"final vocab ${cum.last} != exact $totalVocab")
+  }
 }
