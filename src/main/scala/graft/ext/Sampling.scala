@@ -220,7 +220,37 @@ object Sampling {
       .orderBy("len_bin")
   }
 
+  /** x93: systematic probability-proportional-to-size sampling — draw
+    * ~k documents with inclusion probability ∝ quality, WITHOUT
+    * replacement, fully deterministic. Docs are laid on a line in
+    * portable-hash order, each occupying a segment of integer length
+    * w = floor(quality·1000); a doc is selected iff its segment crosses
+    * a multiple of total/k (compared by cross-multiplication — pure
+    * int64, no float grid). The cumulative position comes from
+    * GlobalOrder.prefixSum (hash-prefix buckets), so there is NO
+    * single-partition window at any corpus size — and the arithmetic
+    * is integer-exact, so DuckDB replays the same selected set from a
+    * naive windowed cumsum. */
+  def ppsSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 50L
+    val qs = graft.functions.TextFunctions.qualitySignals(col("text"))
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        floor(qs.getField("quality") * 1000).cast("long").as("w"),
+        u32(col("doc_id")).as("h"))
+    val cum = graft.ops.GlobalOrder.prefixSum(docs,
+      expr("h div 4194304"),
+      Seq(col("h").asc, col("doc_id").asc), col("w"), "cum")
+    val total = docs.agg(sum("w").as("total_w"))
+    cum.crossJoin(broadcast(total))
+      .filter(expr(s"(cum * $k) div total_w") >
+              expr(s"((cum - w) * $k) div total_w"))
+      .select(col("doc_id"), col("w"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x93_sample_pps" -> ppsSample,
     "x97_padding_audit" -> paddingAudit,
     "x31_sample_stratified" -> stratifiedSample,
     "x32_sample_mixture" -> mixtureSample,
@@ -230,6 +260,38 @@ object Sampling {
     "x71_chunk_manifest" -> chunkManifest)
 
   val oracles: Map[String, String] = Map(
+    // x93's oracle is the SPEC (one global windowed cumsum); the plan
+    // under test is the bucketed prefix-sum — the hash match proves the
+    // decomposition re-adds to the identical integer line.
+    "x93_sample_pps" -> s"""
+      WITH qb AS (
+        SELECT doc_id,
+          CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) AS punct_ratio,
+          CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> list_contains(['the','a','and','of','to','in','is','that','it','for','on','with'], x))) AS DOUBLE)
+            / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1) AS stopword_ratio,
+          CAST(length(regexp_replace(trim(text), '\\s', '', 'g')) AS DOUBLE)
+            / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS avg_token_len,
+          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS length_score
+        FROM documents),
+      wts AS (
+        SELECT doc_id,
+          CAST(floor((length_score * 25.0 +
+            (1.0 - least(punct_ratio * 5.0, 1.0)) * 25.0 +
+            least(stopword_ratio * 4.0, 1.0) * 25.0 +
+            (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 25.0
+          ) * 1000) AS BIGINT) AS w,
+          ${u32Sql("doc_id")} AS h
+        FROM qb),
+      c AS (
+        SELECT doc_id, w,
+          SUM(w) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+          (SELECT SUM(w) FROM wts) AS total_w
+        FROM wts)
+      SELECT doc_id, w FROM c
+      WHERE (cum * 50) // total_w > ((cum - w) * 50) // total_w
+      ORDER BY doc_id""",
     "x97_padding_audit" -> """
       WITH t AS (SELECT doc_id,
           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens

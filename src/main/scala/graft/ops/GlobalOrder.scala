@@ -56,6 +56,30 @@ object GlobalOrder {
       .drop("__go_bucket", "__go_off")
   }
 
+  /** Exact INCLUSIVE global prefix sum of an integer column along
+    * (bucket, order…) — `sum(v) OVER (ORDER BY … ROWS UNBOUNDED
+    * PRECEDING)` without the single-partition window, by the same
+    * bucket/offset/within-bucket decomposition as [[globalRowNumber]].
+    * Integer-only by contract: per-bucket partials re-associate the
+    * additions, which is exact for longs and would drift for doubles. */
+  def prefixSum(df: DataFrame, bucket: Column, order: Seq[Column],
+                value: Column, out: String = "prefix_sum"): DataFrame = {
+    val withB = df.withColumn("__go_bucket", bucket.cast("long"))
+      .withColumn("__go_v", value.cast("long"))
+    val totals = withB.groupBy("__go_bucket").agg(sum("__go_v").as("__go_n"))
+    val offW = Window.orderBy(col("__go_bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = totals
+      .withColumn("__go_off", sum(col("__go_n")).over(offW) - col("__go_n"))
+      .select("__go_bucket", "__go_off")
+    val inBucket = Window.partitionBy(col("__go_bucket")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .join(broadcast(offsets), "__go_bucket")
+      .withColumn(out, sum(col("__go_v")).over(inBucket) + col("__go_off"))
+      .drop("__go_bucket", "__go_off", "__go_v")
+  }
+
   /** x88: exact global quality ranking of the document corpus — the
     * curriculum-ordering primitive (highest-quality docs first). The
     * bucket is the budgetFill histogram key reversed to align ascending

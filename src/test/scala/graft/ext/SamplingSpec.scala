@@ -114,6 +114,19 @@ class SamplingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("PPS sample: ~k docs, deterministic, and no zero-weight selections") {
+    val out = Sampling.ppsSample(spark, sfDir).cache()
+    val n = out.count()
+    // systematic PPS yields exactly k when every weight < step; the
+    // fixture's quality weights are far below total/50
+    assert(n == 50, s"expected 50 selections, got $n")
+    assert(out.filter(col("w") <= 0).count() == 0, "zero-weight doc selected")
+    val again = Sampling.ppsSample(spark, sfDir)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0,
+      "selection must be deterministic")
+    out.unpersist()
+  }
+
   test("padding audit: bins cover the corpus, efficiency bounded by construction") {
     val rows = Sampling.paddingAudit(spark, sfDir).collect()
     val docs = graft.Tables.load(spark, sfDir, "documents")

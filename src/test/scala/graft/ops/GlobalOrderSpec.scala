@@ -58,6 +58,22 @@ class GlobalOrderSpec extends SparkSpec {
     assert(rowNumberLines.nonEmpty && rowNumberLines.forall(_.contains("__go_bucket")))
   }
 
+  test("prefixSum equals the naive global windowed cumsum (integer, ties + skew)") {
+    val df = skewed.withColumn("weight", (col("id") % 17 + 1).cast("long"))
+    val got = GlobalOrder.prefixSum(df,
+        lit(1000L) - floor(col("v") * 10).cast("long"),
+        Seq(col("v").desc, col("id").asc), col("weight"), "cum")
+      .orderBy("id").select("id", "cum").collect()
+    val naiveW = Window.orderBy(col("v").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = df.withColumn("cum", sum("weight").over(naiveW))
+      .orderBy("id").select("id", "cum").collect()
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g.getLong(0) == e.getLong(0) && g.getLong(1) == e.getLong(1),
+        s"id=${g.getLong(0)}: bucketed=${g.getLong(1)} naive=${e.getLong(1)}")
+    }
+  }
+
   test("driver queries agree with each other: shard totals cover the corpus") {
     val dir = "/root/testdata/sf0.001"
     val shards = GlobalOrder.shardManifest(spark, dir).collect()
