@@ -36,7 +36,11 @@ import graft.functions.TextFunctions._
 object GlobalOrder {
 
   /** Exact `row_number() OVER (ORDER BY order…)` as a long column named
-    * `out`, computed via the bucketed path above. */
+    * `out`, computed via the bucketed path above.
+    *
+    * Contract (both primitives): `bucket` must be NON-NULL for every row
+    * — a null bucket key would drop the row at the offsets equi-join.
+    * Floor/div coarsenings of a non-null sort key satisfy this. */
   def globalRowNumber(df: DataFrame, bucket: Column, order: Seq[Column],
                       out: String = "global_rank"): DataFrame = {
     val withB = df.withColumn("__go_bucket", bucket.cast("long"))
