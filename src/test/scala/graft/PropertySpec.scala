@@ -291,4 +291,48 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("globalRowNumber ≡ naive window for arbitrary data and bucket coarseness") {
+    import org.apache.spark.sql.expressions.Window
+    val frameGen = for {
+      rows <- Gen.nonEmptyListOf(Gen.zip(Gen.posNum[Long], Gen.chooseNum(-50.0, 50.0)))
+      coarse <- Gen.oneOf(1L, 2L, 10L, 1000L) // bucket granularity
+    } yield (rows.distinctBy(_._1), coarse)
+    forAll(frameGen) { case (rows, coarse) =>
+      val df = rows.toDF("id", "v")
+      // bucket: ascending-aligned floor coarsening of the DESC sort key
+      val got = ops.GlobalOrder.globalRowNumber(df,
+          lit(0L) - floor(col("v") * coarse).cast("long"),
+          Seq(col("v").desc, col("id").asc))
+        .orderBy("id").select("id", "global_rank").collect()
+      val exp = df.withColumn("global_rank",
+          row_number().over(Window.orderBy(col("v").desc, col("id").asc)).cast("long"))
+        .orderBy("id").select("id", "global_rank").collect()
+      got.zip(exp).foreach { case (g, e) =>
+        assert(g.getLong(1) == e.getLong(1), s"id=${g.getLong(0)}")
+      }
+    }
+  }
+
+  test("prefixSum ≡ naive running total for arbitrary integer weights") {
+    import org.apache.spark.sql.expressions.Window
+    val frameGen = for {
+      rows <- Gen.nonEmptyListOf(
+        Gen.zip(Gen.posNum[Long], Gen.chooseNum(0L, 100L), Gen.chooseNum(-9L, 9L)))
+      coarse <- Gen.oneOf(1L, 3L, 100L)
+    } yield (rows.distinctBy(_._1), coarse)
+    forAll(frameGen) { case (rows, coarse) =>
+      val df = rows.toDF("id", "w", "k")
+      val got = ops.GlobalOrder.prefixSum(df,
+          expr(s"k div $coarse"), Seq(col("k").asc, col("id").asc), col("w"), "cum")
+        .orderBy("id").select("id", "cum").collect()
+      val naiveW = Window.orderBy(col("k").asc, col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val exp = df.withColumn("cum", sum("w").over(naiveW))
+        .orderBy("id").select("id", "cum").collect()
+      got.zip(exp).foreach { case (g, e) =>
+        assert(g.getLong(1) == e.getLong(1), s"id=${g.getLong(0)}")
+      }
+    }
+  }
 }
