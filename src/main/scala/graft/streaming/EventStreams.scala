@@ -468,8 +468,15 @@ object EventStreams {
     * batch answer only if overwrite-by-batch-id held — doubled counts
     * red-flag the oracle immediately. */
   def idempotentSinkReplay(s: SparkSession, dir: String): DataFrame = {
-    val staged = sinkReplayRoot.resolve("src").toString
-    val out = sinkReplayRoot.resolve("out").toString
+    // scratch paths are keyed by the INPUT dir: redelivery of the same
+    // corpus must overwrite its own batch dirs (the idempotence under
+    // test), but a different corpus must never inherit another's output
+    // (stale batch_id dirs from a larger earlier run would leak into
+    // the reread — exactly what a real job avoids by giving each
+    // dataset its own sink root)
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val staged = sinkReplayRoot.resolve(s"src_$key").toString
+    val out = sinkReplayRoot.resolve(s"out_$key").toString
     graft.Tables.load(s, dir, "events").repartition(4)
       .write.mode("overwrite").parquet(staged)
     val schema = s.read.parquet(staged).schema
