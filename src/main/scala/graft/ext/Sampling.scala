@@ -249,7 +249,43 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** x101: train/val distribution drift — beyond x79's n-gram LEAKAGE
+    * check, splits must also be distributionally exchangeable: a val
+    * set whose term mix diverges from train's measures the wrong model.
+    * For the 50 most frequent corpus terms, report each split's share
+    * in integer parts-per-million (exact div — engines never compare
+    * floats) and the absolute drift. Shares ride one term-keyed
+    * aggregate; split totals are a broadcast 2-row frame; top-50 is a
+    * TakeOrdered. */
+  def splitTermDrift(s: SparkSession, dir: String): DataFrame = {
+    val h = u32(col("doc_id"))
+    val splitCol = when(h < lit(3865470566L), "train")
+      .when(h < lit(4080218931L), "val").otherwise("test")
+    val terms = graft.Tables.load(s, dir, "documents")
+      .withColumn("split", splitCol)
+      .filter(col("split") =!= "test")
+      .select(col("split"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val counts = terms.groupBy("split", "term").agg(count(lit(1)).as("n"))
+    val totals = terms.groupBy("split").agg(count(lit(1)).as("tot"))
+    val shares = counts.join(broadcast(totals), "split")
+      .withColumn("share_ppm", expr("(n * 1000000) div tot"))
+    val top = terms.groupBy("term").agg(count(lit(1)).as("n_all"))
+      .orderBy(desc("n_all"), col("term")).limit(50)
+    top
+      .join(shares.filter(col("split") === "train")
+        .select(col("term"), col("share_ppm").as("train_ppm")), Seq("term"), "left")
+      .join(shares.filter(col("split") === "val")
+        .select(col("term"), col("share_ppm").as("val_ppm")), Seq("term"), "left")
+      .select(col("term"), col("n_all"),
+        coalesce(col("train_ppm"), lit(0L)).as("train_ppm"),
+        coalesce(col("val_ppm"), lit(0L)).as("val_ppm"))
+      .withColumn("drift_ppm", abs(col("train_ppm") - col("val_ppm")))
+      .orderBy(desc("n_all"), col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x101_split_drift" -> splitTermDrift,
     "x93_sample_pps" -> ppsSample,
     "x97_padding_audit" -> paddingAudit,
     "x31_sample_stratified" -> stratifiedSample,
@@ -260,6 +296,30 @@ object Sampling {
     "x71_chunk_manifest" -> chunkManifest)
 
   val oracles: Map[String, String] = Map(
+    "x101_split_drift" -> s"""
+      WITH t AS (
+        SELECT CASE WHEN ${u32Sql("doc_id")} < 3865470566 THEN 'train'
+                    WHEN ${u32Sql("doc_id")} < 4080218931 THEN 'val'
+                    ELSE 'test' END AS split,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents),
+      tv AS (SELECT * FROM t WHERE split <> 'test'),
+      counts AS (SELECT split, term, COUNT(*) AS n FROM tv GROUP BY 1, 2),
+      totals AS (SELECT split, COUNT(*) AS tot FROM tv GROUP BY 1),
+      shares AS (
+        SELECT c.split, c.term, (c.n * 1000000) // tot AS share_ppm
+        FROM counts c JOIN totals USING (split)),
+      top AS (
+        SELECT term, COUNT(*) AS n_all FROM tv GROUP BY 1
+        ORDER BY n_all DESC, term LIMIT 50)
+      SELECT top.term, top.n_all,
+        COALESCE(tr.share_ppm, 0) AS train_ppm,
+        COALESCE(va.share_ppm, 0) AS val_ppm,
+        abs(COALESCE(tr.share_ppm, 0) - COALESCE(va.share_ppm, 0)) AS drift_ppm
+      FROM top
+      LEFT JOIN (SELECT term, share_ppm FROM shares WHERE split = 'train') tr USING (term)
+      LEFT JOIN (SELECT term, share_ppm FROM shares WHERE split = 'val') va USING (term)
+      ORDER BY top.n_all DESC, top.term""",
     // x93's oracle is the SPEC (one global windowed cumsum); the plan
     // under test is the bucketed prefix-sum — the hash match proves the
     // decomposition re-adds to the identical integer line.

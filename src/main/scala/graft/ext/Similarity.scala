@@ -300,7 +300,29 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** x100: embedding-table audit — the sanity pass every ANN index
+    * build should gate on. Zero vectors poison cosine (0/0), norm
+    * outliers distort unnormalized dot-product scores, and both are
+    * classic embedding-job failure modes (dead encoder outputs, missing
+    * L2-normalize). Per label: counts, zero-norm count, the norm²
+    * range, and how many vectors sit within ±10% of unit norm. One scan
+    * + one aggregate; norm² is the same codegen DotProduct fold the
+    * cosine oracles replay. */
+  def embeddingAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+      .withColumn("n2", graft.functions.VectorExpressions.dotProduct(col("v"), col("v")))
+    e.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+           sum(when(col("n2") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+           min("n2").as("min_norm2"),
+           max("n2").as("max_norm2"),
+           sum(when(col("n2") >= 0.81 && col("n2") <= 1.21, 1L).otherwise(0L))
+             .as("n_unit_band"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x100_embedding_audit" -> embeddingAudit,
     "x90_ann_recall" -> annRecall,
     "x07_sim_topk_brute" -> topKBruteForce,
     "x08_sim_topk_lsh" -> topKLsh,
@@ -469,5 +491,16 @@ object Similarity {
       FROM (${baseOracles("x07_sim_topk_brute")}) b
       LEFT JOIN (${baseOracles("x08_sim_topk_lsh")}) l
         ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
-      GROUP BY b.query_id ORDER BY b.query_id""")
+      GROUP BY b.query_id ORDER BY b.query_id""") + ("x100_embedding_audit" -> """
+      WITH e AS (
+        SELECT label,
+          list_sum(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+            x -> x * x)) AS n2
+        FROM embeddings)
+      SELECT label, COUNT(*) AS n_vecs,
+        CAST(SUM(CASE WHEN n2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        MIN(n2) AS min_norm2, MAX(n2) AS max_norm2,
+        CAST(SUM(CASE WHEN n2 >= 0.81 AND n2 <= 1.21 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_unit_band
+      FROM e GROUP BY label ORDER BY label""")
 }

@@ -114,6 +114,19 @@ class SamplingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("split drift: shares are exact ppm fractions, drift is their difference") {
+    val rows = Sampling.splitTermDrift(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      val (tr, va, drift) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(tr >= 0 && tr <= 1000000 && va >= 0 && va <= 1000000)
+      assert(drift == math.abs(tr - va))
+    }
+    // ordering: most frequent corpus terms first
+    val nAll = rows.map(_.getLong(1))
+    assert(nAll.sameElements(nAll.sorted.reverse))
+  }
+
   test("PPS sample: ~k docs, deterministic, and no zero-weight selections") {
     val out = Sampling.ppsSample(spark, sfDir).cache()
     val n = out.count()

@@ -33,6 +33,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall $recall below 0.6")
   }
 
+  test("embedding audit: counts cover the table, norm bounds are consistent") {
+    val rows = Similarity.embeddingAudit(spark, sfDir).collect()
+    val total = graft.Tables.load(spark, sfDir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(4), "min_norm2 must not exceed max_norm2")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(5) <= r.getLong(1))
+    }
+  }
+
   test("annRecall matches an independently-computed per-query overlap") {
     val exact = Similarity.topKBruteForce(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
