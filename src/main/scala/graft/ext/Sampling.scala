@@ -284,7 +284,24 @@ object Sampling {
       .orderBy(desc("n_all"), col("term"))
   }
 
+  /** x102: k-fold cross-validation assignment (k=5) — growth-stable,
+    * like the x41 split: a document's fold depends only on its own id
+    * hash, so adding data never reshuffles existing folds (re-running
+    * CV on a grown corpus stays comparable). Reports per-fold document
+    * and character mass so imbalance is visible before training. */
+  def kfoldAssignment(s: SparkSession, dir: String): DataFrame = {
+    val k = 5L
+    graft.Tables.load(s, dir, "documents")
+      .withColumn("__h", u32(col("doc_id")))
+      .withColumn("fold", least(expr(s"__h div ${4294967296L / k}"), lit(k - 1)))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_chars").cast("long").as("n_chars"))
+      .orderBy("fold")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x102_kfold" -> kfoldAssignment,
     "x101_split_drift" -> splitTermDrift,
     "x93_sample_pps" -> ppsSample,
     "x97_padding_audit" -> paddingAudit,
@@ -296,6 +313,10 @@ object Sampling {
     "x71_chunk_manifest" -> chunkManifest)
 
   val oracles: Map[String, String] = Map(
+    "x102_kfold" -> s"""
+      SELECT least(${u32Sql("doc_id")} // ${4294967296L / 5}, 4) AS fold,
+        COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY 1 ORDER BY 1""",
     "x101_split_drift" -> s"""
       WITH t AS (
         SELECT CASE WHEN ${u32Sql("doc_id")} < 3865470566 THEN 'train'

@@ -114,6 +114,21 @@ class SamplingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("k-fold assignment: 5 folds cover the corpus, roughly balanced, growth-stable") {
+    val rows = Sampling.kfoldAssignment(spark, sfDir).collect()
+    val total = graft.Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 4L))
+    assert(rows.map(_.getLong(1)).sum == total)
+    // hash-uniform folds: no fold more than 2x the smallest on 500 docs
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max <= 2 * sizes.min, s"folds badly imbalanced: ${sizes.toSeq}")
+    // growth-stable: recomputing on a subset never moves a doc's fold —
+    // fold depends only on the doc's own hash, asserted by determinism
+    val again = Sampling.kfoldAssignment(spark, sfDir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).sameElements(
+           again.map(r => (r.getLong(0), r.getLong(1)))))
+  }
+
   test("split drift: shares are exact ppm fractions, drift is their difference") {
     val rows = Sampling.splitTermDrift(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 50)
