@@ -291,4 +291,22 @@ class PlanSpec extends SparkSpec {
       rowNumberWindows.forall(_.contains("__go_bucket")),
       s"corpus-scale window lost its bucket partitioning:\n$p")
   }
+
+  test("PPS sampling's running total is bucket-partitioned, totals broadcast") {
+    val p = graft.ext.Sampling.ppsSample(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val sumWindows = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("sum(")).toSeq
+    assert(sumWindows.nonEmpty && sumWindows.forall(_.contains("__go_bucket")),
+      s"prefix sum lost its bucket partitioning:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "total-weight frame not broadcast")
+  }
+
+  test("split drift broadcasts split totals and plans top-50 as TakeOrdered") {
+    val p = graft.ext.Sampling.splitTermDrift(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), "top-50 planned as a global sort")
+    assert(!p.contains("CartesianProduct"), "drift audit degenerated to a cartesian")
+  }
 }
