@@ -497,7 +497,27 @@ object TextAnalysis {
       .orderBy("decile")
   }
 
+  /** x103: quality drift across ingest order — mean/extreme quality per
+    * doc_id decile. A crawl whose recent deciles trend down is pulling
+    * in junk; the monitoring twin of x99's vocabulary curve, same
+    * integer decile arithmetic, one aggregate. */
+  def qualityDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val bounds = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val qs = qualitySignals(col("text"))
+    docs.select(col("doc_id"), qs.getField("quality").as("q"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(least(floor((col("doc_id") - col("lo")) * 10 /
+          (col("hi") - col("lo") + 1)), lit(9)).cast("long").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg("q"), 2).as("mean_quality"),
+           min("q").as("min_quality"),
+           max("q").as("max_quality"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x103_quality_drift" -> qualityDrift,
     "x99_vocab_growth" -> vocabGrowth,
     "x98_novelty" -> noveltyScores,
     "x87_budget_fill" -> budgetFill,
@@ -582,6 +602,30 @@ object TextAnalysis {
     * engines split trimmed text on \s+; ratios are raw double divisions
     * (no rounding → no decimal-tie divergence). */
   val oracles: Map[String, String] = Map(
+    "x103_quality_drift" -> """
+      WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+      qb AS (
+        SELECT doc_id,
+          CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) AS punct_ratio,
+          CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> list_contains(['the','a','and','of','to','in','is','that','it','for','on','with'], x))) AS DOUBLE)
+            / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS stopword_ratio,
+          CAST(length(regexp_replace(trim(text), '\s', '', 'g')) AS DOUBLE)
+            / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS avg_token_len,
+          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS length_score
+        FROM documents),
+      sc AS (
+        SELECT doc_id,
+          length_score * 25.0 +
+          (1.0 - least(punct_ratio * 5.0, 1.0)) * 25.0 +
+          least(stopword_ratio * 4.0, 1.0) * 25.0 +
+          (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 25.0 AS q
+        FROM qb)
+      SELECT least((sc.doc_id - lo) * 10 // (hi - lo + 1), 9) AS decile,
+        COUNT(*) AS n_docs, ROUND(AVG(q), 2) AS mean_quality,
+        MIN(q) AS min_quality, MAX(q) AS max_quality
+      FROM sc CROSS JOIN b GROUP BY 1 ORDER BY 1""",
     "x99_vocab_growth" -> """
       WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
       terms AS (

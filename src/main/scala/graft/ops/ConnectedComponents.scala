@@ -150,11 +150,66 @@ object ConnectedComponents {
       .orderBy("cluster")
   }
 
+  /** x104: cluster-level cross-source redundancy — which crawl sources
+    * duplicate EACH OTHER, measured on near-dup clusters rather than
+    * raw grams (x50's matrix counts shared vocabulary; this counts
+    * actual duplicate documents). Per unordered source pair: how many
+    * clusters span both, and how many cross-source doc pairs they
+    * contain. The pairing is a cluster-keyed self-join over per-cluster
+    * source rollups — bounded by sources-per-cluster (≤ #sources),
+    * never by cluster size. */
+  def clusterSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.TextExpressions.wordShingleStrings(col("text"), 8)).as("gram"))
+    val cc = labelPropagation(docs.select(col("doc_id").as("id")),
+      starEdges(grams, GramDfCap))
+    val bySrc = cc.join(docs.select(col("doc_id"), col("source")),
+        cc("id") === col("doc_id"))
+      .groupBy("cluster", "source").agg(count(lit(1)).as("n"))
+    val a = bySrc.select(col("cluster"), col("source").as("source_a"), col("n").as("n_a"))
+    val b = bySrc.select(col("cluster"), col("source").as("source_b"), col("n").as("n_b"))
+    a.join(b, Seq("cluster")).filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_clusters"),
+           sum(col("n_a") * col("n_b")).as("n_doc_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x104_cluster_source_matrix" -> clusterSourceMatrix,
     "x96_dedup_canonical" -> canonicalDocs,
     "x43_dup_clusters" -> dupClusters)
 
   val oracles: Map[String, String] = Map(
+    "x104_cluster_source_matrix" -> s"""
+      WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-7, 1)+1)) AS i FROM toks),
+      grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM idx),
+      gram_roots AS (
+        SELECT gram, MIN(doc_id) AS root FROM grams
+        GROUP BY gram HAVING COUNT(*) > 1 AND COUNT(*) <= $GramDfCap),
+      star AS (
+        SELECT r.root AS src, g.doc_id AS dst
+        FROM gram_roots r JOIN grams g USING (gram)
+        WHERE g.doc_id <> r.root),
+      edges AS (SELECT src, dst FROM star UNION SELECT dst, src FROM star),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      cc AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a),
+      by_src AS (
+        SELECT cc.cluster, d.source, COUNT(*) AS n
+        FROM cc JOIN documents d USING (doc_id)
+        GROUP BY 1, 2)
+      SELECT x.source AS source_a, y.source AS source_b,
+        COUNT(*) AS n_clusters,
+        CAST(SUM(x.n * y.n) AS BIGINT) AS n_doc_pairs
+      FROM by_src x JOIN by_src y
+        ON x.cluster = y.cluster AND x.source < y.source
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "x96_dedup_canonical" -> s"""
       WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
         FROM documents),

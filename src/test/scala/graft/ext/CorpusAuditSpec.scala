@@ -288,4 +288,16 @@ class CorpusAuditSpec extends SparkSpec {
       .agg(countDistinct("term")).collect()(0).getLong(0)
     assert(cum.last == totalVocab, s"final vocab ${cum.last} != exact $totalVocab")
   }
+
+  test("quality drift: deciles cover the corpus, bounds sane") {
+    val rows = TextAnalysis.qualityDrift(spark, sfDir).collect()
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 9L))
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    rows.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(4), "min quality above max")
+      assert(r.getDouble(2) >= r.getDouble(3) - 0.01 &&
+             r.getDouble(2) <= r.getDouble(4) + 0.01, "mean outside [min, max]")
+    }
+  }
 }

@@ -95,4 +95,13 @@ class ConnectedComponentsSpec extends SparkSpec {
     kept.foreach(r => assert(r.getLong(1) >= r.getLong(0)))
     assert(kept.exists(_.getLong(2) > 1), "fixture must have non-trivial clusters")
   }
+
+  test("cluster source matrix: unordered pairs, positive counts, pair bound holds") {
+    val rows = ConnectedComponents.clusterSourceMatrix(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs must be unordered (a < b)")
+      assert(r.getLong(2) > 0 && r.getLong(3) >= r.getLong(2),
+        "each shared cluster contributes at least one cross-source doc pair")
+    }
+  }
 }
