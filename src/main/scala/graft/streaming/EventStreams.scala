@@ -495,7 +495,58 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** x105: streaming aggregate-table maintenance — foreachBatch folds
+    * each micro-batch's PARTIAL aggregate into a versioned running
+    * state table (read v(n), union, re-aggregate, write v(n+1)), the
+    * production merge-into pattern for keeping a serving aggregate
+    * fresh without re-scanning history. The algebra is x83's
+    * merge(agg(old), agg(delta)) = agg(all), and money rides integer
+    * cents so the merge re-association is exact. Versioned writes (not
+    * in-place) keep every state readable while its successor is being
+    * built — the poor-man's snapshot isolation a real table format
+    * provides natively. */
+  def incrementalAggReplay(s: SparkSession, dir: String): DataFrame = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val staged = sinkReplayRoot.resolve(s"agg_src_$key").toString
+    val stateRoot = sinkReplayRoot.resolve(s"agg_state_$key")
+    graft.Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .repartition(4).write.mode("overwrite").parquet(staged)
+    val schema = s.read.parquet(staged).schema
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
+    val ckpt = java.nio.file.Files.createTempDirectory(sinkReplayRoot, "agg_ckpt_")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val delta = partial(batch)
+        val prev = s"$stateRoot/v$id"
+        val merged =
+          if (new java.io.File(prev).exists())
+            batch.sparkSession.read.parquet(prev).union(delta)
+              .groupBy("event_type")
+              .agg(sum("n_events").as("n_events"), sum("total_cents").as("total_cents"))
+          else delta
+        merged.write.mode("overwrite").parquet(s"$stateRoot/v${id + 1}")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val versions = Option(stateRoot.toFile.listFiles()).getOrElse(Array())
+      .filter(_.getName.startsWith("v")).map(_.getName.drop(1).toInt)
+    if (versions.isEmpty) // empty source → no micro-batch ever fired
+      partial(s.read.schema(schema).parquet(staged))
+    else
+      s.read.parquet(s"$stateRoot/v${versions.max}").orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x105_stream_incremental_agg" -> incrementalAggReplay,
     "x91_stream_idempotent_sink" -> idempotentSinkReplay,
     "x82_stream_top_types" -> windowTopTypesReplay,
     "x72_stream_curation" -> curationReplay,
@@ -506,6 +557,10 @@ object EventStreams {
     "x68_stream_dedup" -> dedupReplay)
 
   val oracles: Map[String, String] = Map(
+    "x105_stream_incremental_agg" -> """
+      SELECT event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM events GROUP BY 1 ORDER BY 1""",
     "x91_stream_idempotent_sink" -> """
       SELECT event_type, COUNT(*) AS n_events,
         ROUND(SUM(value), 2) AS total_value

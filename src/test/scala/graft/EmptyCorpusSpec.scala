@@ -37,6 +37,7 @@ class EmptyCorpusSpec extends SparkSpec {
   test("schema evolution and the idempotent sink tolerate zero rows") {
     assert(etl.Sources.schemaEvolutionRoundtrip(spark, emptyDir).count() == 0)
     assert(streaming.EventStreams.idempotentSinkReplay(spark, emptyDir).count() == 0)
+    assert(streaming.EventStreams.incrementalAggReplay(spark, emptyDir).count() == 0)
   }
 
   test("ANN recall audit returns no rows when there are no queries") {

@@ -183,6 +183,17 @@ class EventStreamsSpec extends SparkSpec {
       "stream and batch curation must select identical rows")
   }
 
+  test("streaming incremental agg equals the from-scratch batch aggregate") {
+    val streamed = EventStreams.incrementalAggReplay(spark, sfDir)
+    val batch = graft.Tables.load(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100, 0) as bigint)")).as("total_cents"))
+    assert(streamed.exceptAll(batch).count() == 0 &&
+           batch.exceptAll(streamed).count() == 0,
+      "merged per-batch partials must equal the full aggregate exactly")
+  }
+
   test("idempotent sink: full redelivery leaves exact totals, no duplicates") {
     val out = EventStreams.idempotentSinkReplay(spark, sfDir)
       .agg(sum("n_events")).collect()(0).getLong(0)
