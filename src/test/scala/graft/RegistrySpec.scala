@@ -1,0 +1,60 @@
+package graft
+
+/** Registry-wide invariants over the ENTIRE driver surface — blanket
+  * guarantees the per-query specs can't keep up with as the surface
+  * grows. */
+class RegistrySpec extends SparkSpec {
+
+  /** Streaming replays and sink round-trips EXECUTE work while the
+    * query builder runs (processAllAvailable inside), so they are
+    * excluded from plan-only sweeps; their operators' batch twins are
+    * all swept below, and their own specs cover them. */
+  private val executesOnBuild = Set(
+    "x19_stream_tumbling", "x44_stream_sessions",
+    "x54_stream_sessions_stateful", "x57_stream_view_purchase",
+    "x68_stream_dedup", "x72_stream_curation", "x82_stream_top_types",
+    "x91_stream_idempotent_sink", "x105_stream_incremental_agg",
+    // iterative: label propagation runs jobs to converge
+    "x43_dup_clusters", "x96_dedup_canonical", "x104_cluster_source_matrix",
+    // k-means iterations run during planning of the final frame
+    "x28_sim_topk_ivf")
+
+  test("no registered query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => executesOnBuild(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"queries planning a cartesian product: ${offenders.mkString(", ")}")
+  }
+
+  test("every query has an oracle except the documented rows-only set") {
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert(oracles.subsetOf(queries),
+      s"orphan oracles: ${(oracles -- queries).mkString(", ")}")
+    val rowsOnly = queries -- oracles
+    assert(rowsOnly == Set("x26_dedup_approx_stats"),
+      s"undocumented rows-only queries: ${(rowsOnly - "x26_dedup_approx_stats").mkString(", ")}")
+  }
+
+  test("query and oracle column names agree (the driver compares by sorted name)") {
+    // spot the mismatch class that silently fails the hash gate: run the
+    // cheap plan-only column extraction for every oracle-gated query
+    val mismatched = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => executesOnBuild(name) }
+      .filter { case (name, _) => SparkEntry.oracleSql.contains(name) }
+      .flatMap { case (name, fn) =>
+        val sparkCols = fn(spark, sfDir).columns.toSet
+        // oracle columns are authoritative only via DuckDB; here assert
+        // the spark side has no duplicate or empty column names, which
+        // the sorted-name compare cannot survive
+        val dups = fn(spark, sfDir).columns.groupBy(identity).filter(_._2.length > 1).keys
+        if (dups.nonEmpty || sparkCols.contains("")) Some(name -> dups.mkString(","))
+        else None
+      }
+    assert(mismatched.isEmpty, s"ambiguous output columns: $mismatched")
+  }
+}
