@@ -338,9 +338,12 @@ object EventAnalytics {
     * corpus spans, zero-filled. Dashboards and anomaly jobs need the
     * empty days present; a plain groupBy silently drops them. The spine
     * comes from one 1-row min/max aggregate exploded through sequence()
-    * — no generator table, broadcast to the daily counts. At 100 TB the
-    * spine is still ≤ a few thousand rows (one per day), so the join
-    * stays a broadcast of the spine regardless of corpus size. */
+    * — no generator table. Both join sides are ≤ one row per DAY
+    * regardless of corpus size; the broadcast hint goes on the rare
+    * AGGREGATE (the build side — Spark cannot broadcast the preserved
+    * side of a LEFT OUTER join, so hinting the spine would be silently
+    * ignored). At 100 TB the join is still a broadcast of a
+    * few-thousand-row frame. */
   def dailySpine(s: SparkSession, dir: String): DataFrame = {
     val ev = load(s, dir, "events")
     val spine = ev
@@ -349,7 +352,7 @@ object EventAnalytics {
     val rare = ev.filter(col("value") > 450)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
-    broadcast(spine).join(rare, Seq("day"), "left")
+    spine.join(broadcast(rare), Seq("day"), "left")
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
               coalesce(col("n_events"), lit(0L)).as("n_events"),
               coalesce(col("total_value"), lit(0.0)).as("total_value"))

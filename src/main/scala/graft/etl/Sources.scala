@@ -217,15 +217,24 @@ object Sources {
     * new column as null, nothing is rewritten. The scale contract is
     * exactly Spark's: schema reconciliation happens on footers at plan
     * time, data files are never touched — a 100 TB lake evolves by
-    * writing new files only. */
+    * writing new files only. The generation boundary is the doc_id
+    * midpoint from a 1-row min/max aggregate (not a fixed constant —
+    * a constant outside the corpus's id range would leave one
+    * generation empty and data-dependently drop n_chars from the
+    * merged schema). `<= split` guarantees gen1 is non-empty on any
+    * corpus; gen2 is non-empty whenever ≥ 2 distinct doc_ids exist
+    * (the documented minimum-corpus assumption). */
   def schemaEvolutionRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(s, dir, "documents")
     val gen1 = roundtripRoot.resolve("evol_gen1").toString
     val gen2 = roundtripRoot.resolve("evol_gen2").toString
-    docs.filter(col("doc_id") < 250)
+    val b = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head()
+    val (lo, hi) = (b.getAs[Long]("lo"), b.getAs[Long]("hi"))
+    val split = lo + (hi - lo) / 2
+    docs.filter(col("doc_id") <= split)
       .select(col("doc_id"), col("lang"), col("source"))
       .write.mode(SaveMode.Overwrite).parquet(gen1)
-    docs.filter(col("doc_id") >= 250)
+    docs.filter(col("doc_id") > split)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .write.mode(SaveMode.Overwrite).parquet(gen2)
     s.read.option("mergeSchema", "true").parquet(gen1, gen2)
@@ -238,10 +247,13 @@ object Sources {
     "x85_orc_roundtrip" -> orcRoundtrip)
 
   val oracles: Map[String, String] = Map(
+    // split mirrors the Scala midpoint: lo + (hi-lo) // 2, integer div
     "x95_schema_evolution" -> """
+      WITH b AS (SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) // 2
+                   AS split FROM documents)
       SELECT doc_id, lang, source,
-        CASE WHEN doc_id < 250 THEN NULL ELSE n_chars END AS n_chars
-      FROM documents ORDER BY doc_id""",
+        CASE WHEN doc_id <= split THEN NULL ELSE n_chars END AS n_chars
+      FROM documents CROSS JOIN b ORDER BY doc_id""",
     "x70_jsonl_roundtrip" -> """
       SELECT doc_id, text, lang, source, n_chars
       FROM documents ORDER BY doc_id""",

@@ -61,17 +61,21 @@ object Contamination {
     * This is the pattern for blocklists too big to broadcast as a hash
     * table but whose Bloom bits fit anywhere (1.2 MB per million entries
     * at 1% fpp); Spark's own AQE runtime filters inject the same shape
-    * natively. The Bloom probe is a deliberately non-codegen UDF — it
-    * runs once per row against broadcast bits, not in the agg hot path. */
+    * natively. The probe is a compiled codegen expression
+    * ([[graft.functions.BloomProbe]]) — Spark's own
+    * `bloom_filter_agg`/`might_contain` pair is internal-registry-only
+    * in 4.1, so the house expression provides the same codegen probe
+    * with the bits riding the plan as a reference object. */
   def blocklistFilter(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
     val block = docs.filter(blockedDoc).select("text")
     val bloom = block.stat.bloomFilter("text", 1 << 20, 0.01)
-    val bloomB = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((t: String) => t != null && bloomB.value.mightContain(t))
+    // null text never probes true (UDF-era behavior preserved)
+    val mightContain = coalesce(
+      graft.functions.BloomProbe.bloomMightContain(bloom, col("text")), lit(false))
 
-    val clean = docs.filter(!mightContain(col("text")))
-    val cleared = docs.filter(mightContain(col("text")))
+    val clean = docs.filter(!mightContain)
+    val cleared = docs.filter(mightContain)
       .join(block, Seq("text"), "left_anti")
     clean.select("doc_id", "source")
       .unionByName(cleared.select("doc_id", "source"))

@@ -53,17 +53,40 @@ object Dedup {
              count_distinct(col("text")).as("n_distinct_texts"))
   }
 
-  /** HyperLogLog++ variant of the dedup survey: per-source approximate
-    * distinct texts at 1% target error. At 100 TB this replaces the
-    * exact count-distinct's full shuffle of text hashes with fixed-size
+  /** HyperLogLog++ dedup survey: per-source approximate distinct texts
+    * at 1% target error. At 100 TB this replaces the exact
+    * count-distinct's full shuffle of text hashes with fixed-size
     * mergeable sketches — the right first pass before an exact dedup.
-    * (No DuckDB oracle: HLL implementations differ; DedupSpec bounds
-    * the error against the exact count instead.) */
-  def approxDedupStats(s: SparkSession, dir: String): DataFrame =
+    * ESTIMATE-ONLY production path; the gate query is the audited
+    * variant below ([[approxDedupStats]]). */
+  def approxDistinctEstimates(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            approx_count_distinct(col("text"), rsd = 0.01).as("approx_distinct_texts"))
+      .orderBy("source")
+
+  /** x26: HLL++ accuracy audit — the trust gate every approximate
+    * sketch needs (the same pattern as x90's recall@k audit of the LSH
+    * index). Emits, per source, the exact distinct count next to a
+    * boolean asserting the HLL++ estimate landed within 5% of it. The
+    * HLL register layout is engine-specific, so the raw estimate can
+    * never be hash-checked cross-engine; the AUDIT is exactly
+    * replayable (DuckDB recomputes the exact side and expects TRUE),
+    * which puts the whole capability under the full three-check gate
+    * instead of a rows-only pass. Costs one exact count-distinct pass
+    * by design — this is the periodic trust query, not the production
+    * survey ([[approxDistinctEstimates]] is estimate-only).
+    * ApproxDedupSpec bounds the raw estimates separately. */
+  def approxDedupStats(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           count_distinct(col("text")).as("exact_distinct"),
+           approx_count_distinct(col("text"), rsd = 0.01).as("hll_est"))
+      .select(col("source"), col("n_docs"), col("exact_distinct"),
+        (abs(col("hll_est") - col("exact_distinct")) <=
+          col("exact_distinct") * lit(0.05)).as("hll_within_5pct"))
       .orderBy("source")
 
   private val KmvK = 16
@@ -838,5 +861,13 @@ object Dedup {
          FROM documents GROUP BY text ORDER BY doc_id""",
     "x02_dedup_stats" ->
       """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct_texts
-         FROM documents""")
+         FROM documents""",
+    // x26: the oracle recomputes the exact side and asserts the audit
+    // verdict; the HLL estimate itself is engine-internal and is
+    // bounded by ApproxDedupSpec instead (see approxDedupStats doc).
+    "x26_dedup_approx_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+                COUNT(DISTINCT text) AS exact_distinct,
+                TRUE AS hll_within_5pct
+         FROM documents GROUP BY source ORDER BY source""")
 }

@@ -477,8 +477,12 @@ object TextAnalysis {
   def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
     val bounds = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    // integer `div` on BOTH engines (oracle uses `//`): floor(double
+    // division) can land one decile off once (id-lo)*10 nears 2^53 —
+    // the repo-wide exact-integer convention for oracle-replayed math
     def decileOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      least(floor((c - col("lo")) * 10 / (col("hi") - col("lo") + 1)), lit(9)).cast("long")
+      least(call_function("div", (c - col("lo")) * 10,
+        col("hi") - col("lo") + 1), lit(9)).cast("long")
     val terms = docs.select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
     val firstSeen = terms.groupBy("term").agg(min("doc_id").as("first_doc"))
@@ -507,8 +511,8 @@ object TextAnalysis {
     val qs = qualitySignals(col("text"))
     docs.select(col("doc_id"), qs.getField("quality").as("q"))
       .crossJoin(broadcast(bounds))
-      .groupBy(least(floor((col("doc_id") - col("lo")) * 10 /
-          (col("hi") - col("lo") + 1)), lit(9)).cast("long").as("decile"))
+      .groupBy(least(call_function("div", (col("doc_id") - col("lo")) * 10,
+          col("hi") - col("lo") + 1), lit(9)).cast("long").as("decile"))
       .agg(count(lit(1)).as("n_docs"),
            round(avg("q"), 2).as("mean_quality"),
            min("q").as("min_quality"),

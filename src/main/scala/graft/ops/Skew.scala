@@ -93,7 +93,10 @@ object Skew {
       .withColumn("share_pct",
         round(col("n") * lit(100.0) / col("total_rows"), 4))
       .withColumn("load_factor",
-        round(col("n") * col("n_keys") / col("total_rows").cast("double"), 4))
+        // cast BEFORE multiplying: at billion-row × billion-key scale
+        // the long×long product overflows int64 and non-ANSI Spark
+        // wraps silently — the exact hazard this diagnostic hunts
+        round(col("n").cast("double") * col("n_keys") / col("total_rows"), 4))
       .orderBy(desc("n"), col("user_id"))
       .select(col("user_id"), col("n"), col("share_pct"), col("load_factor"))
       .limit(10)
@@ -110,7 +113,7 @@ object Skew {
                    COUNT(*) AS n_keys FROM k)
       SELECT user_id, n,
         ROUND(n * 100.0 / total_rows, 4) AS share_pct,
-        ROUND(n * n_keys / CAST(total_rows AS DOUBLE), 4) AS load_factor
+        ROUND(CAST(n AS DOUBLE) * n_keys / total_rows, 4) AS load_factor
       FROM k CROSS JOIN t
       ORDER BY n DESC, user_id LIMIT 10""",
     "x75_skew_rollup" -> """

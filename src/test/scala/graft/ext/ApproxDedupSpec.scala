@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 class ApproxDedupSpec extends SparkSpec {
 
   test("HLL++ distinct counts stay within 5% of exact per source") {
-    val approx = Dedup.approxDedupStats(spark, sfDir)
+    val approx = Dedup.approxDistinctEstimates(spark, sfDir)
     val exact = graft.Tables.load(spark, sfDir, "documents")
       .groupBy("source")
       .agg(count_distinct(col("text")).as("exact_distinct"))
@@ -17,6 +17,16 @@ class ApproxDedupSpec extends SparkSpec {
       val e = r.getAs[Long]("exact_distinct").toDouble
       assert(math.abs(a - e) / e <= 0.05,
         s"source ${r.getAs[String]("source")}: approx $a vs exact $e")
+    }
+  }
+
+  test("x26 audit query reports every source within the HLL 5% bound") {
+    val out = Dedup.approxDedupStats(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("hll_within_5pct"),
+        s"source ${r.getAs[String]("source")}: HLL estimate outside 5% of " +
+          s"exact ${r.getAs[Long]("exact_distinct")}")
     }
   }
 
