@@ -27,9 +27,13 @@ object ScaleCheck {
 
   // The measured set: the operators that dominate BENCH totals and whose
   // cost is driven by the scaled tables (documents/events/embeddings).
-  // Streaming replays are excluded — their micro-batch scheduling floor
-  // is constant-dominated at these volumes and the underlying operators'
-  // batch twins are all here.
+  // Memory-sink streaming replays are excluded — their micro-batch
+  // scheduling floor is constant-dominated at these volumes and the
+  // underlying operators' batch twins are all here. The two
+  // foreachBatch replays (x91/x105) ARE measured: their sinks are
+  // distributed parquet, so a 10× slice answers whether redelivery +
+  // versioned-merge cost tracks volume (expected: yes, linearly in the
+  // staged files) rather than hitting a state cliff.
   private val Hot = Seq(
     "x03_dedup_minhash",
     "x04_dedup_simhash",
@@ -44,8 +48,11 @@ object ScaleCheck {
     "x66_tfidf_terms",
     "x79_split_leakage",
     "x88_global_rank",
+    "x91_stream_idempotent_sink",
     "x96_dedup_canonical",
-    "x98_novelty")
+    "x98_novelty",
+    "x104_cluster_source_matrix",
+    "x105_stream_incremental_agg")
   // x80_sql_surface is excluded only because it registers the full
   // testdata catalog (registerAll) and the scale slices carry just the
   // three scaled tables; its per-doc work is the x11/x12 expression set
