@@ -22,6 +22,14 @@ import org.apache.spark.sql.SparkSession
   * Usage: Test/runMain graft.ScaleCheck [workDir] [mult] [reps] [q1,q2,…]
   * (the optional 4th arg restricts the measured set — used for the
   * 30×+ confirmation slices where running all twelve would take hours)
+  *
+  * The sentinel 4th arg `suite` measures EVERY SparkEntry query that
+  * runs on the generated slice (the slice carries only
+  * documents/events/embeddings, so relational-table queries are probed
+  * out on the 1× slice and named in the output — no silent drops).
+  * This is the whole-suite scale datapoint: the driver's bench runs at
+  * sf0.1, so `suite` at mult=10 is the full extension surface at
+  * sf1-equivalent volume.
   */
 object ScaleCheck {
 
@@ -41,6 +49,7 @@ object ScaleCheck {
     "x06_dedup_embedding",
     "x14_text_fingerprints",
     "x17_events_sessionize",
+    "x28_sim_topk_ivf",
     "x29_events_asof_native",
     "x34_contamination",
     "x43_dup_clusters",
@@ -62,8 +71,10 @@ object ScaleCheck {
     val workDir = args.headOption.getOrElse("/root/repo/tmp/scalecheck")
     val mult = if (args.length > 1) args(1).toInt else 10
     val reps = if (args.length > 2) args(2).toInt else 2
+    val suiteMode = args.length > 3 && args(3) == "suite"
     val measured =
-      if (args.length > 3) Hot.filter(args(3).split(",").map(_.trim).toSet)
+      if (suiteMode) Nil // resolved after the slices exist (probe needs them)
+      else if (args.length > 3) Hot.filter(args(3).split(",").map(_.trim).toSet)
       else Hot
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -99,19 +110,55 @@ object ScaleCheck {
       }
       times.min
     }
-    // warmup on the small slice
-    run(dir1, measured.head)
 
-    val rows = measured.map { name =>
-      val t1 = run(dir1, name)
-      val tN = run(dirN, name)
-      (name, t1, tN, tN / t1)
+    // suite mode: every query that RUNS on the 1× slice (the slice has
+    // only the three scaled tables; relational queries fail their scan
+    // and are excluded BY NAME — a probe run, not a hand-kept list, so
+    // new queries join the measured set automatically)
+    val (suiteSet, probedOut) =
+      if (!suiteMode) (measured, Nil)
+      else {
+        val probed = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+          val ok =
+            try {
+              SparkEntry.queries(name)(spark, dir1)
+                .write.format("noop").mode("overwrite").save()
+              spark.catalog.clearCache()
+              true
+            } catch { case _: Throwable => spark.catalog.clearCache(); false }
+          (name, ok)
+        }
+        (probed.collect { case (n, true) => n },
+         probed.collect { case (n, false) => n })
+      }
+    val finalSet = if (suiteMode) suiteSet else measured
+    require(finalSet.nonEmpty,
+      s"no measurable queries — the 4th arg must name Hot-set queries (${Hot.mkString(", ")}) or `suite`")
+
+    // warmup on the small slice
+    run(dir1, finalSet.head)
+
+    // suite mode at 10×: a memory-sink replay can legitimately trip its
+    // 1M-row driver cap on a volume the harness was never sized for —
+    // record the failure by name and keep measuring (no silent drops)
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rows = finalSet.flatMap { name =>
+      try {
+        val t1 = run(dir1, name)
+        val tN = run(dirN, name)
+        Some((name, t1, tN, tN / t1))
+      } catch {
+        case _: Throwable if suiteMode => failed += name; None
+      }
     }
     val qjson = rows.map { case (n, t1, tN, r) =>
       f""""$n":{"t1":$t1%.3f,"t$mult":$tN%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
     val worst = rows.maxBy(_._4)
-    println(s"""{"metric":"scale_ratio_p50","value":${median(rows.map(_._4))},"mult":$mult,"reps":$reps,"worst":"${worst._1}","worst_ratio":${f"${worst._4}%.2f"},"queries":$qjson}""")
+    val excluded = (probedOut.map("\"" + _ + "\"") ++ failed.map("\"" + _ + "\""))
+      .mkString("[", ",", "]")
+    val totals = f""""t1_total":${rows.map(_._2).sum}%.1f,"t${mult}_total":${rows.map(_._3).sum}%.1f"""
+    println(s"""{"metric":"scale_ratio_p50","value":${median(rows.map(_._4))},"mult":$mult,"reps":$reps,"n_measured":${rows.size},"excluded":$excluded,$totals,"worst":"${worst._1}","worst_ratio":${f"${worst._4}%.2f"},"queries":$qjson}""")
     spark.stop()
   }
 

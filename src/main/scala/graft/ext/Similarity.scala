@@ -179,10 +179,14 @@ object Similarity {
     *    scale is a power of two so the multiply is exact, and every
     *    downstream vector-vector product of these ≤2^20 components is
     *    exact integer arithmetic inside the double mantissa;
-    *  - centroids are element-wise integer SUM vectors, never means:
-    *    integer addition is order-independent (a float mean depends on
-    *    partial-aggregation order), and cosine is scale-invariant so a
-    *    sum vector ranks identically to the mean it is n× of;
+    *  - centroids are element-wise integer MEANS computed as exact
+    *    integer sum then ONE truncating integer division (`div` ≡
+    *    DuckDB `//`, both toward zero): the sum is order-independent
+    *    (a float mean would depend on partial-aggregation order), the
+    *    single division is engine-identical, and the division bounds
+    *    |centroid| ≤ max|vq| at any cluster size — raw sums grow with
+    *    membership and cross the 2^53 exactness bound on large corpora
+    *    (cosine is scale-invariant, so the mean ranks like the sum);
     *  - the seed hash is the portable u32 (Sampling.u32), and every
     *    tie breaks on a total order (cos, cluster) / (cos, vec_id). */
   def topKIvf(s: SparkSession, dir: String): DataFrame =
@@ -218,10 +222,21 @@ object Similarity {
         .agg(max_by(col("cluster"), struct(col("cos"), col("cluster"))).as("cluster"),
              first(col("vq"), ignoreNulls = true).as("vq"))
 
-    // Lloyd: assign → recompute centroid as the element-wise integer sum
+    // Lloyd: assign → recompute centroid as the element-wise integer
+    // MEAN: exact integer sum (order-independent), then ONE truncating
+    // integer division per element (`div` ≡ DuckDB `//`, both toward
+    // zero). The division keeps |centroid| ≤ max|vq| at ANY cluster
+    // size — raw SUM centroids grow with cluster membership and cross
+    // the 2^53 exactness guard on large corpora (found by the suite
+    // ScaleCheck at 10×: max|c| hit 6.0e8 and the guard fired). Cosine
+    // is scale-invariant, so the mean ranks like the sum it replaces;
+    // the truncation is a sub-ulp direction nudge on a COARSE quantizer.
     (1 to lloydIters).foreach { _ =>
       centroids = assign(centroids).groupBy(col("cluster"))
-        .agg(graft.functions.VectorAgg.vectorSumLong(col("vq")).as("c"))
+        .agg(graft.functions.VectorAgg.vectorSumLong(col("vq")).as("csum"),
+             count(lit(1)).as("n"))
+        .select(col("cluster"),
+          transform(col("csum"), x => call_function("div", x, col("n"))).as("c"))
     }
     // nlist rows; cached because three consumers re-derive it (index
     // assignment, query probing, the exactness guard below) and its
@@ -362,7 +377,7 @@ object Similarity {
             SELECT vec_id, vq, cluster,
               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster DESC) AS rn
             FROM s$i) WHERE rn = 1),
-         u$i AS (SELECT cluster, pos, SUM(x) AS x FROM (
+         u$i AS (SELECT cluster, pos, SUM(x) // COUNT(*) AS x FROM (
             SELECT cluster, generate_subscripts(vq, 1) AS pos, unnest(vq) AS x FROM a$i)
             GROUP BY 1, 2),
          c$i AS (SELECT cluster, list(x ORDER BY pos) AS c FROM u$i GROUP BY 1)"""
