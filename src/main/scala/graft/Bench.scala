@@ -68,7 +68,16 @@ object Bench {
       val total = results.map(_._2._1).sum
       val skippedJson = skipped.asScala.toSeq.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")
-      val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"partial":$partial,"skipped":$skippedJson,"queries":$qs,"spreads":$spreads,"sf":"$sfDir"}"""
+      // provenance (round-7/8 ADVICE): the artifact names the commit
+      // and date that produced it — best-effort, never fails the bench
+      val commit = scala.util.Try {
+        val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes()).trim
+        p.waitFor(); if (out.matches("[0-9a-f]{6,}")) out else "unknown"
+      }.getOrElse("unknown")
+      val date = java.time.LocalDate.now().toString
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"partial":$partial,"skipped":$skippedJson,"queries":$qs,"spreads":$spreads,"sf":"$sfDir","meta":{"commit":"$commit","date":"$date","generator":"graft.Bench"}}"""
       println(line)
       System.out.flush()
       // The round-6/7 perf evidence was lost to stdout tail-capture

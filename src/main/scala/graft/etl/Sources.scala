@@ -226,11 +226,17 @@ object Sources {
     * (the documented minimum-corpus assumption). */
   def schemaEvolutionRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(s, dir, "documents")
-    val gen1 = roundtripRoot.resolve("evol_gen1").toString
-    val gen2 = roundtripRoot.resolve("evol_gen2").toString
+    // scratch keyed by the input dir (same contract as the streaming
+    // sink replay): concurrent calls on different corpora must not
+    // share generation paths
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val gen1 = roundtripRoot.resolve(s"evol_${key}_gen1").toString
+    val gen2 = roundtripRoot.resolve(s"evol_${key}_gen2").toString
     val b = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head()
-    val (lo, hi) = (b.getAs[Long]("lo"), b.getAs[Long]("hi"))
-    val split = lo + (hi - lo) / 2
+    // empty corpus → null bounds → both generations empty, which still
+    // round-trips (empty parquet writes carry their schema)
+    val split = if (b.isNullAt(0)) 0L
+      else b.getAs[Long]("lo") + (b.getAs[Long]("hi") - b.getAs[Long]("lo")) / 2
     docs.filter(col("doc_id") <= split)
       .select(col("doc_id"), col("lang"), col("source"))
       .write.mode(SaveMode.Overwrite).parquet(gen1)

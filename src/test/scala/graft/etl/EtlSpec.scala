@@ -288,8 +288,29 @@ class EtlSpec extends SparkSpec {
     assert(merged.columns.toSet == Set("doc_id", "lang", "source", "n_chars"))
     val docs = graft.Tables.load(spark, sfDir, "documents")
     assert(merged.count() == docs.count())
-    assert(merged.filter(col("doc_id") < 250 && col("n_chars").isNotNull).count() == 0)
-    assert(merged.filter(col("doc_id") >= 250 && col("n_chars").isNull).count() == 0)
+    // the generation boundary is the corpus doc_id midpoint (derived,
+    // not a constant — a fixed id can empty one generation on corpora
+    // whose id range misses it)
+    val b = docs.agg(min("doc_id"), max("doc_id")).head()
+    val split = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    assert(merged.filter(col("doc_id") <= split && col("n_chars").isNotNull).count() == 0)
+    assert(merged.filter(col("doc_id") > split && col("n_chars").isNull).count() == 0)
+    assert(merged.filter(col("doc_id") > split).count() > 0,
+      "second generation must be non-empty on a >=2-doc corpus")
+  }
+
+  test("schema evolution holds on the minimum corpus (2 distinct doc_ids)") {
+    // the documented minimum-corpus assumption: >= 2 distinct doc_ids
+    // guarantees both generations are non-empty, so mergeSchema always
+    // surfaces n_chars
+    val dir = java.nio.file.Files.createTempDirectory("graft_evol_min").toString
+    graft.Tables.load(spark, sfDir, "documents").orderBy("doc_id").limit(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merged = Sources.schemaEvolutionRoundtrip(spark, dir)
+    assert(merged.columns.toSet == Set("doc_id", "lang", "source", "n_chars"))
+    assert(merged.count() == 2)
+    assert(merged.filter(col("n_chars").isNull).count() == 1)
+    assert(merged.filter(col("n_chars").isNotNull).count() == 1)
   }
 
   test("JSONL source surfaces malformed lines: null rows in PERMISSIVE, throw in FAILFAST") {

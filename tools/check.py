@@ -10,7 +10,7 @@ Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_r1 [--json out.j
 hash_match, spark_rows, oracle_rows, err}}) so a builder re-run can commit
 evidence in the same schema the driver's CORRECTNESS_r{N}.json uses.
 """
-import sys, json, glob, math
+import sys, os, json, glob, math
 import duckdb
 import pandas as pd
 
@@ -97,6 +97,24 @@ for name in sorted(rows_only):
                         "oracle_rows": None, "err": str(e)}
         fail += 1
 if json_out:
+    # provenance block: every builder-regenerated gate artifact says
+    # what produced it (round-7 ADVICE) — commit, data, date, generator
+    import subprocess, datetime
+    try:
+        commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                                capture_output=True, text=True,
+                                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+                                ).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    report["_meta"] = {
+        "generator": "tools/check.py",
+        "commit": commit,
+        "sf_dir": sfdir,
+        "verify_dir": outdir,
+        "date": datetime.date.today().isoformat(),
+        "n_queries": len([k for k in report if not k.startswith("_")]),
+    }
     json.dump(report, open(json_out, "w"), indent=1, default=str)
 print(f"\n{'ALL GREEN' if fail == 0 else f'{fail} FAILURES'}")
 sys.exit(1 if fail else 0)
