@@ -69,6 +69,11 @@ object Contamination {
   def blocklistFilter(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
     val block = docs.filter(blockedDoc).select("text")
+    // empty blocklist short-circuit: stat.bloomFilter over zero rows
+    // yields an uninitialized sketch (null bit buffer) that NPEs on
+    // serialization — and an empty blocklist blocks nothing anyway
+    if (block.isEmpty)
+      return docs.select("doc_id", "source").orderBy("doc_id")
     val bloom = block.stat.bloomFilter("text", 1 << 20, 0.01)
     // null text never probes true (UDF-era behavior preserved)
     val mightContain = coalesce(

@@ -286,10 +286,13 @@ object Similarity {
   private[ext] def exactnessGuard(all: DataFrame, centroids: DataFrame): DataFrame = {
     val maxAbs: Column => Column = v =>
       aggregate(transform(v, x => abs(x)), lit(0L), (a, x) => greatest(a, x))
-    all.agg(max(maxAbs(col("vq"))).cast("double").as("maxv"))
+    // coalesce: an EMPTY corpus aggregates to null maxima, and
+    // assert_true(null < bound) raises — zero magnitudes are trivially
+    // exact, so an empty index passes the guard instead of crashing
+    all.agg(coalesce(max(maxAbs(col("vq"))).cast("double"), lit(0.0)).as("maxv"))
       .crossJoin(centroids.agg(
-        max(maxAbs(col("c"))).cast("double").as("maxc"),
-        max(size(col("c"))).cast("double").as("dim")))
+        coalesce(max(maxAbs(col("c"))).cast("double"), lit(0.0)).as("maxc"),
+        coalesce(max(size(col("c"))).cast("double"), lit(0.0)).as("dim")))
       .select(assert_true(
         col("dim") * col("maxv") * greatest(col("maxc"), col("maxv")) < lit(math.pow(2, 53)),
         concat(lit("IVF quantization exactness violated: dim*max|vq|*max|c| >= 2^53 " +

@@ -43,4 +43,20 @@ class EmptyCorpusSpec extends SparkSpec {
   test("ANN recall audit returns no rows when there are no queries") {
     assert(ext.Similarity.annRecall(spark, emptyDir).count() == 0)
   }
+
+  test("EVERY registered query tolerates an empty corpus (registry-wide no-throw)") {
+    // the named tests above pin exact degenerate shapes for the ops
+    // where that matters; this invariant is the floor for the WHOLE
+    // surface: a fresh day / filtered-out source must never crash any
+    // query. Failures are collected and reported together so one bad
+    // operator doesn't mask the rest.
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, emptyDir).count(); None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(160)}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries throw on an empty corpus:\n  ${failures.mkString("\n  ")}")
+  }
 }
