@@ -153,10 +153,14 @@ object Multimodal {
   /** Deterministic media table derived from `documents`: payload =
     * UTF-8 text bytes (a real opaque binary column), kind/dimensions
     * derived from doc_id. This is the ingest-side contract a real
-    * pipeline would get from (path, bytes, parsed-header) triples. */
+    * pipeline would get from (path, bytes, parsed-header) triples — and
+    * a triple with NO bytes is not a media row, so null-text documents
+    * are dropped at ingest (the codec cannot seed on a null payload;
+    * every oracle mirrors the same `text IS NOT NULL` predicate). */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
     graft.Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull)
       .select(
         col("doc_id").as("media_id"),
         element_at(typedLit(Seq("image", "audio", "video")),
@@ -306,7 +310,7 @@ object Multimodal {
           CAST((doc_id % 7) * 8 + 16 AS BIGINT) AS w,
           CAST((doc_id % 5) * 8 + 16 AS BIGINT) AS h,
           text
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       seeds AS (
         SELECT media_id, kind, w, h,
           list_reduce(
@@ -357,20 +361,20 @@ object Multimodal {
          COUNT(*) AS n_media,
          CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
          CAST(MAX(((doc_id % 7) * 8 + 16) * ((doc_id % 5) * 8 + 16)) AS BIGINT) AS max_pixels
-         FROM documents GROUP BY 1 ORDER BY 1""",
+         FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1""",
     "x22_media_frame_sample" ->
       """SELECT doc_id AS media_id,
          CAST(ceil(((doc_id % 11) * 4 + 4) / 2.0) AS BIGINT) AS n_sampled_frames
-         FROM documents WHERE doc_id % 3 = 2 ORDER BY 1""",
+         FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL ORDER BY 1""",
     // payload = UTF-8 bytes of text (bijective), so text groups ≡ payload groups
     "x39_media_dedup" ->
       """SELECT MIN(doc_id) AS media_id, COUNT(*) AS n_copies
-         FROM documents GROUP BY text ORDER BY media_id""",
+         FROM documents WHERE text IS NOT NULL GROUP BY text ORDER BY media_id""",
     "x84_audio_frames" -> s"""
       WITH a AS (SELECT doc_id AS media_id,
           CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
           CAST(16000 AS BIGINT) AS sample_rate
-        FROM documents WHERE doc_id % 3 = 1)
+        FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL)
       SELECT media_id, n_samples, sample_rate,
         CASE WHEN n_samples >= $FrameWindow
              THEN 1 + (n_samples - $FrameWindow) // $FrameHop
@@ -380,7 +384,7 @@ object Multimodal {
     "x81_media_tiles" -> s"""
       WITH m AS (SELECT doc_id AS media_id,
           (doc_id % 7) * 8 + 16 AS width, (doc_id % 5) * 8 + 16 AS height
-        FROM documents WHERE doc_id % 3 = 0),
+        FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL),
       t AS (SELECT media_id, width, height,
           (width + ${TileSize - 1}) // $TileSize AS tiles_x,
           (height + ${TileSize - 1}) // $TileSize AS tiles_y FROM m)
