@@ -61,7 +61,12 @@ object ScaleCheck {
     "x96_dedup_canonical",
     "x98_novelty",
     "x104_cluster_source_matrix",
-    "x105_stream_incremental_agg")
+    "x105_stream_incremental_agg",
+    "x107_oov_audit",
+    "x108_importance",
+    "x109_semdedup",
+    "x110_quant_audit",
+    "x111_curriculum")
   // x80_sql_surface is excluded only because it registers the full
   // testdata catalog (registerAll) and the scale slices carry just the
   // three scaled tables; its per-doc work is the x11/x12 expression set

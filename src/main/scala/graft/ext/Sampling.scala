@@ -300,7 +300,64 @@ object Sampling {
       .orderBy("fold")
   }
 
+  /** Feature-set cap for the x108 importance scorer. Data-dependent like
+    * OovVocabSize (this corpus has ~31 distinct terms); a production DSIR
+    * run hashes n-grams into a fixed 10k-100k bucket space — still
+    * broadcast range — instead of taking corpus-frequency top-K. */
+  val DsirFeatures = 24
+
+  /** x108: importance scoring for targeted data selection — the DSIR
+    * recipe (Xie et al. 2023) with an integer-exact linear scorer in
+    * place of the log-likelihood ratio. A target domain (here: the
+    * labeled-`en` slice standing in for "trusted high-quality corpus")
+    * defines per-term ppm rates; each document scores
+    * Σ_t tf(t) · (target_ppm(t) − corpus_ppm(t)) — positive means the
+    * doc looks more like the target than the background. The log-ratio
+    * weights rank nearly identically but `ln` is not bit-specified
+    * across engines; the ppm-difference form is exactly replayable (the
+    * same portability trade tf-idf makes at x66, swapping `ln` back in
+    * is one line when no external oracle is needed).
+    *
+    * Scale shape: one cached token explode feeds (a) the per-term
+    * corpus/target counts that become the CAPPED feature table (top-K by
+    * corpus frequency, K rows, broadcast — production DSIR uses hashed
+    * n-gram buckets, same broadcast range) and (b) the scorer itself,
+    * which exploits Σ_t tf(t)·w(t) = Σ_occurrences w: broadcast-join
+    * each token occurrence to its weight (map-side, drops non-feature
+    * tokens immediately) and run ONE doc-keyed sum — no per-(doc, term)
+    * tf aggregate shuffling the whole vocabulary first; the only
+    * corpus-sized shuffle is on doc_id with map-side partials. Overflow
+    * headroom: tf ≤ doc tokens (~1e6 for a megadoc), |weight| ≤ 1e6
+    * ppm, 256 features → ≤ 2.6e14 per doc, far inside int64. */
+  def importanceScores(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val terms = docs.select(col("doc_id"), col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .cache()
+    val totals = terms.agg(count(lit(1)).as("tot_all"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tot_target"))
+    val corpusCnt = terms.groupBy("term").agg(count(lit(1)).as("n_all"))
+    val targetCnt = terms.filter(col("lang") === "en")
+      .groupBy("term").agg(count(lit(1)).as("n_target"))
+    val features = corpusCnt
+      .orderBy(desc("n_all"), col("term")).limit(DsirFeatures)
+      .join(targetCnt, Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("corpus_ppm", expr("(n_all * 1000000) div greatest(tot_all, 1)"))
+      .withColumn("target_ppm",
+        expr("(coalesce(n_target, 0) * 1000000) div greatest(tot_target, 1)"))
+      .select(col("term"), (col("target_ppm") - col("corpus_ppm")).as("weight"))
+    val scores = terms.join(broadcast(features), "term")
+      .groupBy("doc_id").agg(sum(col("weight")).as("score"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scores, Seq("doc_id"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0L)))
+      .withColumn("selected", (col("score") > 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x108_importance" -> importanceScores,
     "x102_kfold" -> kfoldAssignment,
     "x101_split_drift" -> splitTermDrift,
     "x93_sample_pps" -> ppsSample,
@@ -313,6 +370,28 @@ object Sampling {
     "x71_chunk_manifest" -> chunkManifest)
 
   val oracles: Map[String, String] = Map(
+    "x108_importance" -> s"""
+      WITH terms AS (SELECT doc_id, lang,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents),
+      totals AS (SELECT COUNT(*) AS tot_all,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tot_target
+        FROM terms),
+      ca AS (SELECT term, COUNT(*) AS n_all FROM terms GROUP BY 1),
+      ct AS (SELECT term, COUNT(*) AS n_target FROM terms WHERE lang = 'en' GROUP BY 1),
+      feats AS (
+        SELECT f.term,
+          (COALESCE(ct.n_target, 0) * 1000000 // greatest(tot_target, 1))
+            - (f.n_all * 1000000 // greatest(tot_all, 1)) AS weight
+        FROM (SELECT term, n_all FROM ca ORDER BY n_all DESC, term
+              LIMIT $DsirFeatures) f
+        LEFT JOIN ct USING (term) CROSS JOIN totals),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      sc AS (SELECT tf.doc_id, CAST(SUM(tf.tf * feats.weight) AS BIGINT) AS score
+        FROM tf JOIN feats USING (term) GROUP BY 1)
+      SELECT d.doc_id, d.lang, COALESCE(sc.score, 0) AS score,
+        CASE WHEN COALESCE(sc.score, 0) > 0 THEN 1 ELSE 0 END AS selected
+      FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""",
     "x102_kfold" -> s"""
       SELECT least(${u32Sql("doc_id")} // ${4294967296L / 5}, 4) AS fold,
         COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars

@@ -195,12 +195,17 @@ object Similarity {
   /** Quantization scale: 2^20 (see [[topKIvf]]). */
   private val QuantScale = 1048576.0
 
-  /** [[topKIvf]] with the index knobs exposed — nlist (cluster count),
-    * nprobe (clusters scanned per query), Lloyd iterations. The recall
-    * spec sweeps these; the driver query pins the defaults above. */
-  def topKIvfTuned(s: SparkSession, dir: String,
-                   nlist: Int, nprobe: Int, lloydIters: Int): DataFrame = {
-    def asDouble(c: Column): Column = transform(c, _.cast("double"))
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Shared IVF index build — quantized vectors, Lloyd centroids, final
+    * cluster assignment. Factored out of [[topKIvfTuned]] so the x109
+    * SemDeDup pass runs on the IDENTICAL index (same init, same
+    * iteration count, same tie-breaks) and the two queries cannot
+    * drift; the DuckDB side shares `ivfIndexCtes` the same way.
+    * Returns (all(vec_id, vq) cached, centroids(cluster, c) cached,
+    * index(vec_id, cluster, vq)). */
+  private def ivfBuild(s: SparkSession, dir: String,
+                       nlist: Int, lloydIters: Int): (DataFrame, DataFrame, DataFrame) = {
     val all = load(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(toDouble(col("embedding")),
@@ -243,6 +248,15 @@ object Similarity {
     // lineage is the whole Lloyd chain
     centroids = centroids.cache()
     val index = assign(centroids).select(col("vec_id"), col("cluster"), col("vq"))
+    (all, centroids, index)
+  }
+
+  /** [[topKIvf]] with the index knobs exposed — nlist (cluster count),
+    * nprobe (clusters scanned per query), Lloyd iterations. The recall
+    * spec sweeps these; the driver query pins the defaults above. */
+  def topKIvfTuned(s: SparkSession, dir: String,
+                   nlist: Int, nprobe: Int, lloydIters: Int): DataFrame = {
+    val (all, centroids, index) = ivfBuild(s, dir, nlist, lloydIters)
 
     // probe: nearest nprobe clusters per query, union their lists
     val queries = all.filter(col("vec_id") < NQueries)
@@ -270,6 +284,89 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
               round(col("cos"), 6).as("cos_sim"))
       .orderBy("query_id", "rank")
+  }
+
+  /** SemDeDup prune threshold. Data-dependent like RangeTau: this
+    * synthetic corpus is near-orthogonal (pair cosines p99 ≈ 0.29), so
+    * 0.3 prunes a measurable tail; a real embedding space sets τ at the
+    * semantic-duplicate knee (0.93-0.97 in the paper). */
+  private val SemTau = 0.3
+
+  /** x109: semantic deduplication, cluster-then-prune (SemDeDup, Abbas
+    * et al. 2023): k-means-cluster the embeddings, then inside each
+    * cluster drop every vector that has a LOWER-id neighbor at cosine
+    * ≥ τ. The embedding-space complement of the lexical near-dup family
+    * (x03-x06): paraphrases and translations land in the same cluster
+    * with high cosine while sharing few n-grams.
+    *
+    * The prune is the one-pass keep-lowest-id rule — a dropped vector
+    * can still shadow later ones (no transitive closure; deliberate: a
+    * single bounded pass, no fixpoint — the connected-components path
+    * at x43/x96 is the transitive alternative when cluster-level groups
+    * are wanted). Runs on the IDENTICAL index as x28 via [[ivfBuild]].
+    *
+    * Scale shape: pairwise work is per-cluster, Σ sᵢ² — nlist is the
+    * knob that bounds it (production sizes nlist ∝ N so sᵢ ≈ N/nlist
+    * stays fixed; the paper uses tens of thousands of clusters for
+    * LAION-scale). The pair join shuffles only (cluster, vq) — 8-byte
+    * key + the quantized vector — and AQE splits a skewed cluster the
+    * same way it splits any skewed join key. The exactness guard rides
+    * along: pair dots are bounded by the same magnitudes x28 asserts. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val (all, centroids, index) = ivfBuild(s, dir, IvfClusters, LloydIters)
+    val left = index.select(col("cluster"), col("vec_id").as("a_id"), col("vq").as("a_vq"))
+    val right = index.select(col("cluster"), col("vec_id").as("b_id"), col("vq").as("b_vq"))
+    val dropped = left.join(right, "cluster")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(asDouble(col("a_vq")), asDouble(col("b_vq"))))
+      .filter(col("cos") >= SemTau)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("kept", lit(0))
+    index.select(col("vec_id"), col("cluster"))
+      .join(dropped, Seq("vec_id"), "left")
+      .withColumn("kept", coalesce(col("kept"), lit(1)))
+      .crossJoin(broadcast(exactnessGuard(all, centroids)))
+      .filter(col("exact_ok").isNull)
+      .select(col("vec_id"), col("cluster"), col("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** x110: int8 quantization audit — the memory-4×/bandwidth-4× lever
+    * every 100 TB ANN deployment pulls, gated the way every lossy
+    * compression must be: measure the reconstruction error BEFORE
+    * serving from it. Symmetric per-vector int8: scale = max|x|,
+    * qᵢ = floor(xᵢ·127/scale + 0.5) (explicit floor(+0.5) — ROUND
+    * half-up, identical in every engine; bare `round()` ties differ:
+    * Spark HALF_UP vs DuckDB half-even), error = x − q·scale/127.
+    * Per-vector outputs only order-independent reductions (element max
+    * / element counts along the array's fixed order — no cross-row
+    * float sums, the repo's exactness convention): worst element error
+    * as integer ppm OF THE SCALE (floor of an identical double ratio on
+    * both engines — decimal `round()` is NOT portable here: these
+    * float-origin values land on decimal ties, where Spark rounds the
+    * shortest decimal representation HALF_UP and DuckDB rounds the
+    * binary value, off-by-one at whatever digit you pick), saturated
+    * count (|q| = 127), dead-zone count (q = 0, the small-component
+    * mass a coarser scale would erase). `scale` ships RAW: a float
+    * magnitude cast to double is exact, so no rounding is needed at
+    * all. One scan, all codegen array folds, no shuffle, no rebuild. */
+  def quantizationAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+      .withColumn("scale",
+        aggregate(transform(col("v"), x => abs(x)), lit(0.0), (a, x) => greatest(a, x)))
+      .withColumn("q", transform(col("v"), x =>
+        when(col("scale") > 0, floor(x * lit(127.0) / col("scale") + lit(0.5)))
+          .otherwise(lit(0.0))))
+    val maxErr = aggregate(
+      zip_with(col("v"), col("q"), (x, q) => abs(x - q * col("scale") / lit(127.0))),
+      lit(0.0), (a, x) => greatest(a, x))
+    e.select(col("vec_id"), col("label"), col("scale"),
+        when(col("scale") > 0,
+          floor(maxErr * lit(1000000.0) / col("scale"))).otherwise(lit(0L))
+          .cast("long").as("err_ppm_of_scale"),
+        size(filter(col("q"), q => abs(q) === 127.0)).cast("long").as("n_saturated"),
+        size(filter(col("q"), q => q === 0.0)).cast("long").as("n_deadzone"))
+      .orderBy("vec_id")
   }
 
   /** Runtime exactness guard (ADVICE r5): [[QuantScale]] is sized so the
@@ -340,6 +437,8 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x109_semdedup" -> semDedup,
+    "x110_quant_audit" -> quantizationAudit,
     "x100_embedding_audit" -> embeddingAudit,
     "x90_ann_recall" -> annRecall,
     "x07_sim_topk_brute" -> topKBruteForce,
@@ -372,7 +471,11 @@ object Similarity {
     * probe + re-rank mirror the Spark window tie-breaks exactly
     * ((cos, cluster DESC) for assignment, (cos DESC, cluster ASC) for
     * probing, (cos DESC, vec_id ASC) for the final rank). */
-  private lazy val ivfOracleSql: String = {
+  /** Shared CTE prefix replaying [[ivfBuild]] exactly (quantize → seed →
+    * Lloyd → final assignment, ending at `idx(vec_id, vq, cluster)`) —
+    * interpolated into BOTH the x28 probe oracle and the x109 SemDeDup
+    * oracle so the SQL index can never drift from the Scala one. */
+  private lazy val ivfIndexCtes: String = {
     val iters = (1 to LloydIters).map { i =>
       s"""s$i AS (SELECT e.vec_id, e.vq, c.cluster, ${duckCos("e.vq", "c.c")} AS cos
             FROM e CROSS JOIN c${i - 1} c),
@@ -398,7 +501,11 @@ object Similarity {
       idx AS (SELECT vec_id, vq, cluster FROM (
         SELECT vec_id, vq, cluster,
           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster DESC) AS rn
-        FROM fs) WHERE rn = 1),
+        FROM fs) WHERE rn = 1)"""
+  }
+
+  private lazy val ivfOracleSql: String =
+    s"""$ivfIndexCtes,
       q AS (SELECT vec_id AS query_id, vq AS qv FROM e WHERE vec_id < $NQueries),
       pr AS (SELECT query_id, qv, cluster FROM (
         SELECT q.query_id, q.qv, c.cluster,
@@ -412,10 +519,34 @@ object Similarity {
         FROM cand)
       SELECT query_id, rank, vec_id AS neighbor_id, ROUND(cos, 6) AS cos_sim
       FROM ranked WHERE rank <= $K ORDER BY query_id, rank"""
-  }
 
   private val baseOracles: Map[String, String] = Map(
     "x28_sim_topk_ivf" -> ivfOracleSql,
+    "x109_semdedup" -> s"""
+      $ivfIndexCtes,
+      drops AS (SELECT DISTINCT b.vec_id
+        FROM idx a JOIN idx b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE ${duckCos("a.vq", "b.vq")} >= $SemTau)
+      SELECT i.vec_id, i.cluster,
+        CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+      FROM idx i LEFT JOIN drops d ON i.vec_id = d.vec_id
+      ORDER BY i.vec_id""",
+    "x110_quant_audit" -> """
+      WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      sc AS (SELECT vec_id, label, v,
+          list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale FROM e),
+      qz AS (SELECT *, list_transform(v, x ->
+          CASE WHEN scale > 0 THEN floor(x * 127 / scale + 0.5) ELSE 0.0 END) AS q
+        FROM sc)
+      SELECT vec_id, label, scale,
+        CASE WHEN scale > 0 THEN CAST(floor(
+          list_aggregate(list_transform(list_zip(v, q),
+            p -> abs(p[1] - p[2] * scale / 127)), 'max') * 1000000 / scale)
+          AS BIGINT) ELSE 0 END AS err_ppm_of_scale,
+        CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_saturated,
+        CAST(len(list_filter(q, x -> x = 0)) AS BIGINT) AS n_deadzone
+      FROM qz ORDER BY vec_id""",
     "x08_sim_topk_lsh" -> s"""
       WITH pl(b, p) AS (VALUES $planeValues),
       e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -520,7 +520,43 @@ object TextAnalysis {
       .orderBy("decile")
   }
 
+  /** Frozen-vocabulary size for the x107 OOV audit. Data-dependent the
+    * same way RangeTau is: this synthetic corpus draws from ~31 distinct
+    * terms, so 20 leaves a measurable OOV tail; a real tokenizer audit
+    * would load its actual vocab (32k-256k entries — still broadcast
+    * range) instead of deriving one from corpus frequency. */
+  val OovVocabSize = 20
+
+  /** x107: out-of-vocabulary audit — token coverage of a FROZEN
+    * vocabulary per (lang, source), in integer ppm. The tokenizer-fit
+    * question every pretraining corpus must answer before training: a
+    * slice whose OOV rate is high will fragment into byte-fallback
+    * tokens (fertility blow-up, wasted context) — x45 measures the
+    * fertility symptom, this measures the vocabulary cause.
+    *
+    * Scale shape: the vocab is a capped top-K aggregate (map-side
+    * combined, K rows out) and then BROADCAST against the token stream
+    * — real vocabs are ≤256k entries, comfortably broadcast range; the
+    * token stream is never shuffled on the token itself, only on the
+    * (lang, source) rollup key. Integer ppm (`div`) keeps the ratio
+    * exact on both engines. */
+  def oovAudit(s: SparkSession, dir: String): DataFrame = {
+    val terms = load(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val vocab = terms.groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("term")).limit(OovVocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    terms.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_ppm", expr("(oov_tokens * 1000000) div n_tokens"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x107_oov_audit" -> oovAudit,
     "x103_quality_drift" -> qualityDrift,
     "x99_vocab_growth" -> vocabGrowth,
     "x98_novelty" -> noveltyScores,
@@ -606,6 +642,20 @@ object TextAnalysis {
     * engines split trimmed text on \s+; ratios are raw double divisions
     * (no rounding → no decimal-tie divergence). */
   val oracles: Map[String, String] = Map(
+    "x107_oov_audit" -> s"""
+      WITH terms AS (SELECT lang, source,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents),
+      v AS (SELECT term, 1 AS in_vocab FROM (
+        SELECT term, COUNT(*) AS n FROM terms GROUP BY 1
+        ORDER BY n DESC, term LIMIT $OovVocabSize))
+      SELECT lang, source, COUNT(*) AS n_tokens,
+        CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS oov_tokens,
+        CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          * 1000000 // COUNT(*) AS oov_ppm
+      FROM terms LEFT JOIN v USING (term)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "x103_quality_drift" -> """
       WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
       qb AS (

@@ -117,7 +117,44 @@ object GlobalOrder {
       .orderBy("shard")
   }
 
+  /** x111: interleaved curriculum manifest — the exact global training
+    * order for quality-descending curriculum WITH source diversity.
+    * Naive quality ordering (x88) emits long same-source runs (one
+    * crawl's docs cluster at similar quality), and a training window
+    * that sees one source for millions of steps is a distribution
+    * shift, not a curriculum. The fix is the standard interleave: band
+    * quality into deciles, rank docs WITHIN (band, source) by quality,
+    * then emit bands best-first, round-robin across sources inside each
+    * band (all sources' rank-1 docs, then all rank-2, …).
+    *
+    * Total order: (band desc, slot, source) — unique because slot is a
+    * per-(band, source) row_number. The global position comes from
+    * [[globalRowNumber]], never a global sort: the bucket refines
+    * (band, slot) so per-bucket partitions hold ~64 slots of one band
+    * across all sources (the cap keeps the bucket space ≤ 2^20 per
+    * band; a corpus overflowing it — 67M docs per band-source — just
+    * coarsens the tail buckets, it never loses exactness). The slot
+    * window itself partitions by (band, source) — strata, not the
+    * corpus. */
+  def curriculumManifest(s: SparkSession, dir: String): DataFrame = {
+    val qs = qualitySignals(col("text"))
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), qs.getField("quality").as("q"))
+      .withColumn("band", floor(col("q") / 10).cast("long"))
+    val slotW = Window.partitionBy(col("band"), col("source"))
+      .orderBy(desc("q"), col("doc_id"))
+    val ranked = docs.withColumn("slot", row_number().over(slotW).cast("long"))
+    globalRowNumber(ranked,
+        (lit(10L) - col("band")) * lit(1L << 20)
+          + least(shiftright(col("slot"), 6), lit((1L << 20) - 1)),
+        Seq(col("band").desc, col("slot").asc, col("source").asc),
+        "position")
+      .select(col("position"), col("doc_id"), col("band"), col("source"))
+      .orderBy("position")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x111_curriculum" -> curriculumManifest,
     "x88_global_rank" -> qualityRank,
     "x89_shard_manifest" -> shardManifest)
 
@@ -144,6 +181,20 @@ object GlobalOrder {
         FROM base)"""
 
   val oracles: Map[String, String] = Map(
+    "x111_curriculum" -> s"""
+      WITH $qualityCte,
+      banded AS (
+        SELECT doc_id, source, q, CAST(floor(q / 10) AS BIGINT) AS band
+        FROM scored),
+      slotted AS (
+        SELECT doc_id, source, band,
+          CAST(row_number() OVER (PARTITION BY band, source
+            ORDER BY q DESC, doc_id) AS BIGINT) AS slot
+        FROM banded)
+      SELECT CAST(row_number() OVER (ORDER BY band DESC, slot, source)
+          AS BIGINT) AS position,
+        doc_id, band, source
+      FROM slotted ORDER BY position""",
     "x88_global_rank" -> s"""
       WITH $qualityCte
       SELECT doc_id, q AS quality,

@@ -309,4 +309,47 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-50 planned as a global sort")
     assert(!p.contains("CartesianProduct"), "drift audit degenerated to a cartesian")
   }
+
+  test("OOV audit broadcasts the frozen vocab; tokens shuffle only on the rollup key") {
+    val p = plan(graft.ext.TextAnalysis.oovAudit(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "vocab join not broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "vocab top-K planned as a global sort")
+    assert(!p.contains("SortMergeJoin"), "token stream shuffled on the token")
+  }
+
+  test("importance scorer broadcasts the capped feature table and the totals") {
+    val p = plan(graft.ext.Sampling.importanceScores(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "feature table not broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "feature cap planned as a global sort")
+    assert(!p.contains("CartesianProduct"), "scorer degenerated to a cartesian")
+  }
+
+  test("semdedup pairs are a hash join on the cluster key, never a product") {
+    val p = plan(graft.ext.Similarity.semDedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), "pair generation degenerated to a product")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "cluster pair join is not a keyed join")
+  }
+
+  test("quantization audit is one scan, no shuffle, no join") {
+    val p = plan(graft.ext.Similarity.quantizationAudit(spark, sfDir))
+    // the display orderBy's range partitioning is the only exchange —
+    // no hash shuffle anywhere (formatted mode puts the partitioning on
+    // the Exchange node's Arguments line)
+    assert(!p.contains("hashpartitioning"),
+      s"audit hash-shuffles before the display sort:\n$p")
+    assert(!p.contains("Join"), "audit should not join anything")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1,
+      s"more than the single display-sort exchange:\n$p")
+  }
+
+  test("curriculum manifest windows are stratum- or bucket-partitioned, never global") {
+    val p = graft.ops.GlobalOrder.curriculumManifest(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windows = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("row_number")).toSeq
+    assert(windows.nonEmpty, "expected row_number windows in the plan")
+    assert(windows.forall(l => l.contains("__go_bucket") || l.contains("band")),
+      s"a corpus-scale window lost its partitioning:\n${windows.mkString("\n")}")
+  }
 }

@@ -300,4 +300,20 @@ class CorpusAuditSpec extends SparkSpec {
              r.getDouble(2) <= r.getDouble(4) + 0.01, "mean outside [min, max]")
     }
   }
+
+  test("oov audit: token mass conserved, ppm bounded, frozen vocab leaves a tail") {
+    val out = TextAnalysis.oovAudit(spark, sfDir).cache()
+    assert(out.filter(col("oov_tokens") > col("n_tokens")).count() == 0)
+    assert(out.filter(col("oov_ppm") < 0 || col("oov_ppm") > 1000000).count() == 0)
+    // every whitespace token of the corpus lands in exactly one slice
+    val direct = graft.Tables.load(spark, sfDir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .count()
+    assert(out.agg(sum("n_tokens")).head().getLong(0) == direct,
+      "token mass differs from a direct tokenize-and-count")
+    // this corpus has more distinct terms than OovVocabSize, so the
+    // frozen vocab MUST leave out-of-vocabulary mass somewhere
+    assert(out.agg(sum("oov_tokens")).head().getLong(0) > 0)
+    out.unpersist()
+  }
 }

@@ -166,4 +166,23 @@ class SamplingSpec extends SparkSpec {
       assert(r.getDouble(4) > 0 && r.getDouble(4) <= 100.0)
     }
   }
+
+  test("importance scoring: one score per doc, selection rule exact, target favored") {
+    val out = Sampling.importanceScores(spark, sfDir).cache()
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    assert(out.count() == docs.count(), "every document scores exactly once")
+    assert(out.select("doc_id").distinct().count() == out.count())
+    // selected is literally (score > 0) — no drifting second definition
+    assert(out.filter(col("selected") =!=
+      when(col("score") > 0, 1).otherwise(0)).count() == 0)
+    // the scorer exists to pull the target domain upward: the labeled-en
+    // slice must out-score the background in aggregate (by construction —
+    // its own term rates define the positive weights)
+    val en = out.filter(col("lang") === "en")
+      .agg(avg(col("score"))).head().getDouble(0)
+    val rest = out.filter(col("lang") =!= "en")
+      .agg(avg(col("score"))).head().getDouble(0)
+    assert(en > rest, s"target slice does not out-score background: $en <= $rest")
+    out.unpersist()
+  }
 }

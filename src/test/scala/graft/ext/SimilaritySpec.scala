@@ -110,4 +110,32 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Int]("label1") < r.getAs[Int]("label2"))
     }
   }
+
+  test("semdedup: every vector audited once, keep-first rule holds per cluster") {
+    val out = Similarity.semDedup(spark, sfDir).cache()
+    val n = graft.Tables.load(spark, sfDir, "embeddings").count()
+    assert(out.count() == n, "audit must cover the whole table")
+    assert(out.select("vec_id").distinct().count() == n)
+    assert(out.filter(col("kept") =!= 0 && col("kept") =!= 1).count() == 0)
+    // keep-lowest-id: the smallest vec_id in each cluster has no lower-id
+    // neighbor by construction, so it can never be dropped
+    val minDropped = out.groupBy("cluster").agg(min("vec_id").as("vec_id"))
+      .join(out, Seq("vec_id")).filter(col("kept") === 0)
+    assert(minDropped.count() == 0, "cluster-minimum vector was dropped")
+    out.unpersist()
+  }
+
+  test("quantization audit: half-step error bound, max element saturates") {
+    val out = Similarity.quantizationAudit(spark, sfDir).cache()
+    // symmetric round-to-nearest can miss by at most scale/254 —
+    // 1e6/254 = 3937 ppm; a violation means the quantizer is broken
+    assert(out.filter(col("err_ppm_of_scale") > 3937).count() == 0,
+      "reconstruction error exceeds the half-step bound")
+    // the max-|x| element maps to exactly ±127 whenever scale > 0
+    assert(out.filter(col("scale") > 0 && col("n_saturated") < 1).count() == 0)
+    assert(out.filter(col("n_saturated") + col("n_deadzone") > 64).count() == 0,
+      "more flagged elements than dimensions")
+    assert(out.filter(col("scale") < 0).count() == 0)
+    out.unpersist()
+  }
 }

@@ -84,4 +84,32 @@ class GlobalOrderSpec extends SparkSpec {
     val maxDoc = shards.map(_.getLong(4)).max
     assert(totals.max - totals.min <= maxDoc)
   }
+
+  test("curriculum manifest: bijective positions, bands best-first, slots interleave") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = GlobalOrder.curriculumManifest(spark, dir).orderBy("position").collect()
+    val docs = graft.Tables.load(spark, dir, "documents")
+    assert(rows.length == docs.count(), "manifest must cover the corpus")
+    // positions are exactly 1..N — the bucketed rank produced no gap/dup
+    assert(rows.map(_.getAs[Long]("position")).sameElements(1L to rows.length),
+      "positions are not a bijection onto 1..N")
+    // quality bands emit best-first (non-increasing along the order)
+    val bands = rows.map(_.getAs[Long]("band"))
+    assert(bands.zip(bands.tail).forall { case (a, b) => a >= b },
+      "a lower band precedes a higher one")
+    // inside a band, the round-robin emits whole slot-waves in order:
+    // each source's docs appear in slot order, and slot never decreases
+    // along the band (all rank-1 docs precede all rank-2 docs)
+    rows.groupBy(_.getAs[Long]("band")).foreach { case (_, band) =>
+      val inOrder = band.sortBy(_.getAs[Long]("position"))
+      // reconstruct each doc's slot: running per-source counter
+      val seen = scala.collection.mutable.Map[String, Long]()
+      val slots = inOrder.map { r =>
+        val src = r.getAs[String]("source")
+        val s = seen.getOrElse(src, 0L) + 1; seen(src) = s; s
+      }
+      assert(slots.zip(slots.tail).forall { case (a, b) => a <= b },
+        "slot decreased inside a band — sources are not interleaved")
+    }
+  }
 }
