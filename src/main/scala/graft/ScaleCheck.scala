@@ -66,7 +66,9 @@ object ScaleCheck {
     "x108_importance",
     "x109_semdedup",
     "x110_quant_audit",
-    "x111_curriculum")
+    "x111_curriculum",
+    "x112_dedup_recall_audit",
+    "x113_mix_plan")
   // x80_sql_surface is excluded only because it registers the full
   // testdata catalog (registerAll) and the scale slices carry just the
   // three scaled tables; its per-doc work is the x11/x12 expression set

@@ -366,6 +366,64 @@ object Dedup {
       .orderBy("bin")
   }
 
+  /** Sample size for the x112 recall audit: the 256 documents with the
+    * smallest u32(doc_id) — FIXED-SIZE, not fixed-rate, because the
+    * audit's all-pairs ground truth is n²/2 on the sample and a
+    * percentage sample re-creates the quadratic cost the audit exists
+    * to police (ScaleCheck measured the 20%-rate form at 19.9× cost for
+    * 10× docs; a constant sample is ~1×). A recall ESTIMATE does not
+    * need to grow with the corpus — only its confidence interval does,
+    * and that is a knob, not a rate. Hash-ordered top-k keeps selection
+    * deterministic and plan-cheap (TakeOrdered, never a global sort). */
+  private val RecallSampleSize = 256
+
+  /** x112: LSH recall audit — the trust gate the lexical near-dup
+    * family needs, exactly as x90 is for the ANN index: on a
+    * deterministic fixed-size document sample, compute the EXACT
+    * all-pairs ground truth (every pair at jaccard ≥ τ) and measure
+    * what fraction
+    * the capped LSH pipeline (x03's identical machinery via
+    * [[minhashCandidates]]) actually surfaces. Banding tuning (x106
+    * picks τ) and the hot-bucket cap both trade recall for cost; this
+    * measures what they traded, per corpus, in integer ppm.
+    *
+    * Identical-shingle-set pairs count as found by construction —
+    * x03's O(n) same-set path surfaces them without the band join, so
+    * only DISTINCT-set pairs test the LSH itself.
+    *
+    * Scale shape: the ground truth is all-pairs ON THE FIXED-SIZE
+    * SAMPLE ONLY — the sample side broadcasts (BroadcastNestedLoopJoin,
+    * the x90 brute-force shape), the corpus never self-joins uncapped.
+    * The audit rides the same cached sketch frame as x03, so the
+    * marginal cost is the constant sample pair scan plus one tiny left
+    * join. */
+  def minhashRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val (docs, withJaccard) = minhashCandidates(s, dir)
+    val samp = docs
+      .withColumn("__h", graft.ext.Sampling.u32(col("doc_id")))
+      .orderBy(col("__h"), col("doc_id")).limit(RecallSampleSize)
+    val ta = samp.select(col("doc_id").as("id1"),
+      col("shingles").as("sh1"), col("setkey").as("sk1"))
+    val tb = samp.select(col("doc_id").as("id2"),
+      col("shingles").as("sh2"), col("setkey").as("sk2"))
+    val truth = tb.join(broadcast(ta), col("id1") < col("id2"))
+      .withColumn("j", jaccard(col("sh1"), col("sh2")))
+      .filter(col("j") >= MinhashTau)
+    val found = withJaccard.filter(col("jaccard") >= MinhashTau)
+      .select(col("id1"), col("id2"), lit(1).as("lsh_hit"))
+    val hits = truth.join(found, Seq("id1", "id2"), "left")
+      .withColumn("hit",
+        when(col("sk1") === col("sk2") || col("lsh_hit").isNotNull, 1L)
+          .otherwise(0L))
+    hits.agg(count(lit(1)).as("n_true_pairs"),
+        coalesce(sum("hit"), lit(0L)).as("n_found_pairs"))
+      .crossJoin(broadcast(samp.agg(count(lit(1)).as("n_sample_docs"))))
+      .withColumn("recall_ppm",
+        expr("(n_found_pairs * 1000000) div greatest(n_true_pairs, 1)"))
+      .select(col("n_sample_docs"), col("n_true_pairs"),
+        col("n_found_pairs"), col("recall_ppm"))
+  }
+
   /** Pair-generation buckets larger than this are dropped: a 16-bit
     * band value shared by hundreds of documents is not discriminative
     * evidence of similarity, just signature clustering — and its m²/2
@@ -609,6 +667,7 @@ object Dedup {
     "x26_dedup_approx_stats" -> approxDedupStats,
     "x03_dedup_minhash" -> minhashNearDups,
     "x106_minhash_threshold_sweep" -> minhashThresholdSweep,
+    "x112_dedup_recall_audit" -> minhashRecallAudit,
     "x04_dedup_simhash" -> simhashNearDups,
     "x05_dedup_ngram_jaccard" -> ngramJaccardNearDups,
     "x06_dedup_embedding" -> embeddingNearDups,
@@ -746,6 +805,27 @@ object Dedup {
         CAST(floor(j * 20) AS BIGINT) / 20.0 AS tau_lo,
         COUNT(*) AS n_pairs
       FROM jac GROUP BY 1, 2 ORDER BY 1""",
+    "x112_dedup_recall_audit" -> s"""
+      WITH $minhashPairsSql,
+      samp AS (SELECT doc_id, hs, setkey FROM sets
+        ORDER BY ${graft.ext.Sampling.u32Sql("doc_id")}, doc_id
+        LIMIT $RecallSampleSize),
+      truth AS (SELECT a.doc_id AS id1, b2.doc_id AS id2,
+          a.setkey AS sk1, b2.setkey AS sk2
+        FROM samp a JOIN samp b2 ON a.doc_id < b2.doc_id
+        WHERE CAST(len(list_intersect(a.hs, b2.hs)) AS DOUBLE)
+          / greatest(len(a.hs) + len(b2.hs) - len(list_intersect(a.hs, b2.hs)), 1)
+          >= $MinhashTau),
+      vf AS (SELECT id1, id2 FROM jac WHERE j >= $MinhashTau),
+      hits AS (SELECT t.id1,
+          CASE WHEN t.sk1 = t.sk2 OR v.id1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM truth t LEFT JOIN vf v ON t.id1 = v.id1 AND t.id2 = v.id2)
+      SELECT (SELECT COUNT(*) FROM samp) AS n_sample_docs,
+        COUNT(*) AS n_true_pairs,
+        CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_found_pairs,
+        CAST(COALESCE(SUM(hit), 0) AS BIGINT) * 1000000
+          // greatest(COUNT(*), 1) AS recall_ppm
+      FROM hits""",
     "x06_dedup_embedding" -> s"""
       WITH pl(b, p) AS (VALUES $planeValues),
       e AS (SELECT vec_id AS doc_id,

@@ -356,7 +356,51 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** x113 mix-plan constants: the token budget the mix must fill and
+    * the oversampling ceiling (epochs) a scarce source may repeat —
+    * the standard pretraining-mix guardrail (scarce high-quality
+    * sources repeat a few epochs; nothing repeats unboundedly). */
+  val MixBudgetTokens = 60000L
+  val MixEpochCap = 4L
+
+  /** x113: pretraining mixture plan — turn target mixture weights plus
+    * per-source token supply into a concrete, guardrailed allocation.
+    * For each source: requested = budget·weight, granted = min(request,
+    * supply·epoch-cap), oversampling factor in integer milli-epochs,
+    * and the UNMET shortfall reported as a column rather than silently
+    * redistributed (the no-silent-caps rule: a mix that cannot be
+    * satisfied should say so, loudly, before training starts). Weights
+    * here are uniform-across-sources (the rebalance default); swapping
+    * in a curated weight table is a broadcast join on `source`.
+    *
+    * Scale shape: one corpus scan → per-source token sums (map-side
+    * partials), then pure integer arithmetic on a sources-sized frame
+    * with the 1-row source count broadcast. Nothing here grows with
+    * corpus size except the single aggregate. */
+  def mixturePlan(s: SparkSession, dir: String): DataFrame = {
+    val perSource = graft.Tables.load(s, dir, "documents")
+      .groupBy("source")
+      .agg(coalesce(sum(tokenCount(col("text")).cast("long")), lit(0L))
+        .as("supply_tokens"))
+    perSource
+      .crossJoin(broadcast(perSource.agg(count(lit(1)).as("n_sources"))))
+      .withColumn("weight_ppm", expr("1000000 div n_sources"))
+      .withColumn("requested_tokens",
+        expr(s"($MixBudgetTokens * weight_ppm) div 1000000"))
+      .withColumn("granted_tokens",
+        least(col("requested_tokens"), col("supply_tokens") * lit(MixEpochCap)))
+      .withColumn("epochs_milli",
+        expr("(granted_tokens * 1000) div greatest(supply_tokens, 1)"))
+      .withColumn("shortfall_tokens",
+        col("requested_tokens") - col("granted_tokens"))
+      .select(col("source"), col("supply_tokens"), col("weight_ppm"),
+        col("requested_tokens"), col("granted_tokens"),
+        col("epochs_milli"), col("shortfall_tokens"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x113_mix_plan" -> mixturePlan,
     "x108_importance" -> importanceScores,
     "x102_kfold" -> kfoldAssignment,
     "x101_split_drift" -> splitTermDrift,
@@ -370,6 +414,25 @@ object Sampling {
     "x71_chunk_manifest" -> chunkManifest)
 
   val oracles: Map[String, String] = Map(
+    "x113_mix_plan" -> s"""
+      WITH ps AS (SELECT source,
+          CAST(COALESCE(SUM(len(string_split_regex(trim(text), '\\s+'))), 0)
+            AS BIGINT) AS supply_tokens
+        FROM documents GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_sources FROM ps),
+      base AS (SELECT source, supply_tokens,
+          1000000 // n_sources AS weight_ppm FROM ps CROSS JOIN n),
+      req AS (SELECT *,
+          ($MixBudgetTokens * weight_ppm) // 1000000 AS requested_tokens
+        FROM base),
+      g AS (SELECT *,
+          least(requested_tokens, supply_tokens * $MixEpochCap) AS granted_tokens
+        FROM req)
+      SELECT source, supply_tokens, weight_ppm, requested_tokens,
+        granted_tokens,
+        (granted_tokens * 1000) // greatest(supply_tokens, 1) AS epochs_milli,
+        requested_tokens - granted_tokens AS shortfall_tokens
+      FROM g ORDER BY source""",
     "x108_importance" -> s"""
       WITH terms AS (SELECT doc_id, lang,
           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term

@@ -292,6 +292,24 @@ object Similarity {
     * semantic-duplicate knee (0.93-0.97 in the paper). */
   private val SemTau = 0.3
 
+  /** x109 quantizer density: SemDeDup needs its OWN nlist — denser
+    * than x28's recall-tuned 8, because pairwise prune cost is
+    * Σ sᵢ² and cluster size s ≈ N/nlist is the whole cost model.
+    * Production sizes nlist ∝ N so s stays ~constant and the prune is
+    * linear (the paper runs tens of thousands of clusters at
+    * LAION-scale); 64 here ≈ N/80 at the gate volume. ScaleCheck
+    * measured the nlist=8 form at 9.9× cost for 10× docs — exactly the
+    * quadratic cliff this constant avoids. */
+  private val SemClusters = 64
+
+  /** Oversized-cluster guard for x109: a degenerate quantizer (all
+    * vectors in one cell — dead encoder, all-zero embeddings) would
+    * re-create the quadratic prune no nlist can fix. Clusters above
+    * this size skip pruning and say so IN THE DELIVERABLE (`capped`
+    * column) — the no-silent-caps rule, carried in the output itself
+    * rather than a log line, so the oracle replays it too. */
+  private val SemClusterCap = 512L
+
   /** x109: semantic deduplication, cluster-then-prune (SemDeDup, Abbas
     * et al. 2023): k-means-cluster the embeddings, then inside each
     * cluster drop every vector that has a LOWER-id neighbor at cosine
@@ -303,19 +321,23 @@ object Similarity {
     * can still shadow later ones (no transitive closure; deliberate: a
     * single bounded pass, no fixpoint — the connected-components path
     * at x43/x96 is the transitive alternative when cluster-level groups
-    * are wanted). Runs on the IDENTICAL index as x28 via [[ivfBuild]].
+    * are wanted). Runs on the same [[ivfBuild]] machinery as x28 with
+    * its own density ([[SemClusters]]).
     *
-    * Scale shape: pairwise work is per-cluster, Σ sᵢ² — nlist is the
-    * knob that bounds it (production sizes nlist ∝ N so sᵢ ≈ N/nlist
-    * stays fixed; the paper uses tens of thousands of clusters for
-    * LAION-scale). The pair join shuffles only (cluster, vq) — 8-byte
-    * key + the quantized vector — and AQE splits a skewed cluster the
-    * same way it splits any skewed join key. The exactness guard rides
-    * along: pair dots are bounded by the same magnitudes x28 asserts. */
+    * Scale shape: pairwise work is per-cluster Σ sᵢ², bounded by
+    * [[SemClusters]] (sizing) and [[SemClusterCap]] (degenerate-cluster
+    * guard, reported in-band). The pair join shuffles only
+    * (cluster, vq); AQE splits a skewed cluster like any skewed join
+    * key. The exactness guard rides along: pair dots are bounded by the
+    * same magnitudes x28 asserts. */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
-    val (all, centroids, index) = ivfBuild(s, dir, IvfClusters, LloydIters)
-    val left = index.select(col("cluster"), col("vec_id").as("a_id"), col("vq").as("a_vq"))
-    val right = index.select(col("cluster"), col("vec_id").as("b_id"), col("vq").as("b_vq"))
+    val (all, centroids, index) = ivfBuild(s, dir, SemClusters, LloydIters)
+    // nlist-row frame: every downstream consumer broadcasts it
+    val sizes = index.groupBy("cluster").agg(count(lit(1)).as("csz"))
+    val cold = index.join(broadcast(sizes), "cluster")
+      .filter(col("csz") <= SemClusterCap)
+    val left = cold.select(col("cluster"), col("vec_id").as("a_id"), col("vq").as("a_vq"))
+    val right = cold.select(col("cluster"), col("vec_id").as("b_id"), col("vq").as("b_vq"))
     val dropped = left.join(right, "cluster")
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos", cosine(asDouble(col("a_vq")), asDouble(col("b_vq"))))
@@ -323,11 +345,13 @@ object Similarity {
       .select(col("b_id").as("vec_id")).distinct()
       .withColumn("kept", lit(0))
     index.select(col("vec_id"), col("cluster"))
+      .join(broadcast(sizes), "cluster")
       .join(dropped, Seq("vec_id"), "left")
       .withColumn("kept", coalesce(col("kept"), lit(1)))
+      .withColumn("capped", (col("csz") > SemClusterCap).cast("int"))
       .crossJoin(broadcast(exactnessGuard(all, centroids)))
       .filter(col("exact_ok").isNull)
-      .select(col("vec_id"), col("cluster"), col("kept"))
+      .select(col("vec_id"), col("cluster"), col("kept"), col("capped"))
       .orderBy("vec_id")
   }
 
@@ -474,8 +498,9 @@ object Similarity {
   /** Shared CTE prefix replaying [[ivfBuild]] exactly (quantize → seed →
     * Lloyd → final assignment, ending at `idx(vec_id, vq, cluster)`) —
     * interpolated into BOTH the x28 probe oracle and the x109 SemDeDup
-    * oracle so the SQL index can never drift from the Scala one. */
-  private lazy val ivfIndexCtes: String = {
+    * oracle (each with its own nlist) so the SQL index can never drift
+    * from the Scala one. */
+  private def ivfIndexCtes(nlist: Int): String = {
     val iters = (1 to LloydIters).map { i =>
       s"""s$i AS (SELECT e.vec_id, e.vq, c.cluster, ${duckCos("e.vq", "c.c")} AS cos
             FROM e CROSS JOIN c${i - 1} c),
@@ -493,7 +518,7 @@ object Similarity {
         FROM embeddings),
       hs AS (SELECT vec_id, ${graft.ext.Sampling.u32Sql("vec_id")} AS h FROM embeddings),
       init AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS cluster
-        FROM hs ORDER BY h LIMIT $IvfClusters),
+        FROM hs ORDER BY h LIMIT $nlist),
       c0 AS (SELECT i.cluster, e.vq AS c FROM init i JOIN e USING (vec_id)),
       $iters,
       fs AS (SELECT e.vec_id, e.vq, c.cluster, ${duckCos("e.vq", "c.c")} AS cos
@@ -505,7 +530,7 @@ object Similarity {
   }
 
   private lazy val ivfOracleSql: String =
-    s"""$ivfIndexCtes,
+    s"""${ivfIndexCtes(IvfClusters)},
       q AS (SELECT vec_id AS query_id, vq AS qv FROM e WHERE vec_id < $NQueries),
       pr AS (SELECT query_id, qv, cluster FROM (
         SELECT q.query_id, q.qv, c.cluster,
@@ -523,13 +548,18 @@ object Similarity {
   private val baseOracles: Map[String, String] = Map(
     "x28_sim_topk_ivf" -> ivfOracleSql,
     "x109_semdedup" -> s"""
-      $ivfIndexCtes,
+      ${ivfIndexCtes(SemClusters)},
+      csz AS (SELECT cluster, COUNT(*) AS n FROM idx GROUP BY 1),
+      cold AS (SELECT i.* FROM idx i JOIN csz USING (cluster)
+        WHERE csz.n <= $SemClusterCap),
       drops AS (SELECT DISTINCT b.vec_id
-        FROM idx a JOIN idx b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        FROM cold a JOIN cold b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         WHERE ${duckCos("a.vq", "b.vq")} >= $SemTau)
       SELECT i.vec_id, i.cluster,
-        CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
-      FROM idx i LEFT JOIN drops d ON i.vec_id = d.vec_id
+        CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept,
+        CASE WHEN csz.n > $SemClusterCap THEN 1 ELSE 0 END AS capped
+      FROM idx i JOIN csz USING (cluster)
+      LEFT JOIN drops d ON i.vec_id = d.vec_id
       ORDER BY i.vec_id""",
     "x110_quant_audit" -> """
       WITH e AS (SELECT vec_id, label,

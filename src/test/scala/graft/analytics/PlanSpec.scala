@@ -343,6 +343,14 @@ class PlanSpec extends SparkSpec {
       s"more than the single display-sort exchange:\n$p")
   }
 
+  test("dedup recall audit broadcasts the sample (no unkeyed join over the corpus)") {
+    val p = plan(graft.ext.Dedup.minhashRecallAudit(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      "sample all-pairs degenerated to an unbroadcast product")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "sample side not broadcast")
+  }
+
   test("curriculum manifest windows are stratum- or bucket-partitioned, never global") {
     val p = graft.ops.GlobalOrder.curriculumManifest(spark, sfDir)
       .queryExecution.executedPlan.toString

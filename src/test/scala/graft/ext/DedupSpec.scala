@@ -99,4 +99,21 @@ class DedupSpec extends SparkSpec {
     val sweepAbove = rows.filter(_.getLong(0) >= 16).map(_.getLong(2)).sum
     assert(sweepAbove >= 0) // shape check; exact tie-out is the oracle's job
   }
+
+  test("recall audit: one summary row, found bounded by truth, ppm consistent") {
+    val r = Dedup.minhashRecallAudit(spark, sfDir).collect()
+    assert(r.length == 1, "audit is a single summary row")
+    val row = r.head
+    val nTrue = row.getAs[Long]("n_true_pairs")
+    val nFound = row.getAs[Long]("n_found_pairs")
+    val ppm = row.getAs[Long]("recall_ppm")
+    assert(nFound >= 0 && nFound <= nTrue, "found pairs exceed ground truth")
+    assert(ppm >= 0 && ppm <= 1000000)
+    assert(ppm == nFound * 1000000 / math.max(nTrue, 1), "ppm not the exact ratio")
+    // the 20% hash sample must actually select documents on this corpus
+    assert(row.getAs[Long]("n_sample_docs") > 0)
+    // this corpus is duplicate-rich: the sample must contain true pairs,
+    // otherwise the audit measures nothing (recall of an empty set)
+    assert(nTrue > 0, "no ground-truth pairs in the sample — audit is vacuous here")
+  }
 }

@@ -185,4 +185,25 @@ class SamplingSpec extends SparkSpec {
     assert(en > rest, s"target slice does not out-score background: $en <= $rest")
     out.unpersist()
   }
+
+  test("mixture plan: guardrails hold and the arithmetic is self-consistent") {
+    val rows = Sampling.mixturePlan(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val budget = Sampling.MixBudgetTokens
+    rows.foreach { r =>
+      val supply = r.getAs[Long]("supply_tokens")
+      val req = r.getAs[Long]("requested_tokens")
+      val granted = r.getAs[Long]("granted_tokens")
+      val epochs = r.getAs[Long]("epochs_milli")
+      assert(granted <= req, "granted more than requested")
+      assert(granted <= supply * Sampling.MixEpochCap, "epoch cap violated")
+      assert(epochs <= Sampling.MixEpochCap * 1000, "milli-epochs exceed the cap")
+      assert(r.getAs[Long]("shortfall_tokens") == req - granted)
+      assert(req <= budget, "one source requested more than the whole budget")
+    }
+    // uniform weights: requests are equal across sources (integer div)
+    assert(rows.map(_.getAs[Long]("requested_tokens")).distinct.length == 1)
+    // total grant never exceeds the budget
+    assert(rows.map(_.getAs[Long]("granted_tokens")).sum <= budget)
+  }
 }

@@ -122,6 +122,10 @@ class SimilaritySpec extends SparkSpec {
     val minDropped = out.groupBy("cluster").agg(min("vec_id").as("vec_id"))
       .join(out, Seq("vec_id")).filter(col("kept") === 0)
     assert(minDropped.count() == 0, "cluster-minimum vector was dropped")
+    // the degenerate-cluster guard must not fire on a healthy corpus,
+    // and a capped cluster can never drop anything (prune skipped)
+    assert(out.filter(col("capped") === 1).count() == 0)
+    assert(out.filter(col("capped") === 1 && col("kept") === 0).count() == 0)
     out.unpersist()
   }
 
