@@ -68,7 +68,8 @@ object ScaleCheck {
     "x110_quant_audit",
     "x111_curriculum",
     "x112_dedup_recall_audit",
-    "x113_mix_plan")
+    "x113_mix_plan",
+    "x114_outlier_audit")
   // x80_sql_surface is excluded only because it registers the full
   // testdata catalog (registerAll) and the scale slices carry just the
   // three scaled tables; its per-doc work is the x11/x12 expression set

@@ -393,6 +393,58 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** x114 outlier rule: negative cosine to your OWN label centroid —
+    * the vector points away from its label's mass, the cleanest
+    * "likely mislabeled / encoder glitch" signal (p5 of this corpus's
+    * own-centroid cosines is −0.05, so τ=0 flags a meaningful tail;
+    * a tight production embedding space would sit near 0.5+). */
+  private val OutlierTau = 0.0
+
+  /** x114: label-coherence outlier audit — for every label, how many
+    * vectors contradict their own label centroid, and which vector is
+    * worst. The embedding-QA table next to x100 (norms): x100 catches
+    * dead encoders, this catches MISLABELED rows and mode collapse
+    * before they poison centroid classifiers (x09) or hard-negative
+    * mining (x65).
+    *
+    * Engine-portable end-to-end by the x28 recipe: vectors quantize to
+    * integers (floor · 2^20), centroids are element-wise integer MEANS
+    * (exact sum, one `div`), every cosine is then identical IEEE
+    * arithmetic in both engines — which is what lets the worst-vector
+    * argmin be computed as an exact equality join on min_cs rather than
+    * an engine-specific arg_min. Scale shape: one broadcast of the
+    * label-count centroid frame, one scan for cosines, two label-keyed
+    * aggregates; the exactness guard rides along on the same bounds
+    * x28 asserts. */
+  def outlierAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(toDouble(col("embedding")),
+          x => floor(x * lit(QuantScale)).cast("long")).as("vq"))
+    val cents = e.groupBy("label")
+      .agg(graft.functions.VectorAgg.vectorSumLong(col("vq")).as("csum"),
+           count(lit(1)).as("n"))
+      .select(col("label"),
+        transform(col("csum"), x => call_function("div", x, col("n"))).as("c"))
+    val scored = e.join(broadcast(cents), "label")
+      .withColumn("cs", cosine(asDouble(col("vq")), asDouble(col("c"))))
+      .crossJoin(broadcast(exactnessGuard(
+        e.select(col("vec_id"), col("vq")), cents.select(col("label").as("cluster"), col("c")))))
+      .filter(col("exact_ok").isNull)
+    val agg = scored.groupBy("label").agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when(col("cs") < OutlierTau, 1L).otherwise(0L)).as("n_outliers"),
+      min("cs").as("min_cs"))
+    val worst = scored
+      .join(broadcast(agg.select(col("label"), col("min_cs"))), Seq("label"))
+      .filter(col("cs") === col("min_cs"))
+      .groupBy("label").agg(min("vec_id").as("worst_vec_id"))
+    agg.join(worst, Seq("label"))
+      .select(col("label"), col("n_vecs"), col("n_outliers"),
+        round(col("min_cs"), 6).as("worst_cos"), col("worst_vec_id"))
+      .orderBy("label")
+  }
+
   /** Runtime exactness guard (ADVICE r5): [[QuantScale]] is sized so the
     * CONSERVATIVE worst-case dot product (dim · max|vq|² · clusterSize)
     * sits at the 2^53 double-mantissa edge with zero headroom — a larger
@@ -463,6 +515,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x109_semdedup" -> semDedup,
     "x110_quant_audit" -> quantizationAudit,
+    "x114_outlier_audit" -> outlierAudit,
     "x100_embedding_audit" -> embeddingAudit,
     "x90_ann_recall" -> annRecall,
     "x07_sim_topk_brute" -> topKBruteForce,
@@ -561,6 +614,27 @@ object Similarity {
       FROM idx i JOIN csz USING (cluster)
       LEFT JOIN drops d ON i.vec_id = d.vec_id
       ORDER BY i.vec_id""",
+    "x114_outlier_audit" -> s"""
+      WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT)) AS vq
+        FROM embeddings),
+      ex AS (SELECT label, generate_subscripts(vq, 1) AS pos, unnest(vq) AS x FROM e),
+      cent AS (SELECT label, pos, SUM(x) // COUNT(*) AS x FROM ex GROUP BY 1, 2),
+      cl AS (SELECT label, list(x ORDER BY pos) AS c FROM cent GROUP BY 1),
+      cos AS (SELECT e.vec_id, e.label, ${duckCos("e.vq", "cl.c")} AS cs
+        FROM e JOIN cl USING (label)),
+      agg AS (SELECT label, COUNT(*) AS n_vecs,
+          CAST(SUM(CASE WHEN cs < $OutlierTau THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_outliers,
+          MIN(cs) AS min_cs
+        FROM cos GROUP BY 1),
+      worst AS (SELECT c.label, MIN(c.vec_id) AS worst_vec_id
+        FROM cos c JOIN agg a ON c.label = a.label AND c.cs = a.min_cs
+        GROUP BY 1)
+      SELECT a.label, a.n_vecs, a.n_outliers,
+        ROUND(a.min_cs, 6) AS worst_cos, w.worst_vec_id
+      FROM agg a JOIN worst w ON a.label = w.label
+      ORDER BY a.label""",
     "x110_quant_audit" -> """
       WITH e AS (SELECT vec_id, label,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

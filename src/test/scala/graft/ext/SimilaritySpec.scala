@@ -129,6 +129,22 @@ class SimilaritySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("outlier audit: labels cover the table, worst vector really is worst") {
+    val out = Similarity.outlierAudit(spark, sfDir).cache()
+    val n = graft.Tables.load(spark, sfDir, "embeddings").count()
+    assert(out.agg(sum("n_vecs")).head().getLong(0) == n, "labels must cover the table")
+    assert(out.filter(col("n_outliers") > col("n_vecs")).count() == 0)
+    assert(out.filter(col("worst_cos") < -1.0 || col("worst_cos") > 1.0).count() == 0)
+    // the worst vector's cosine is the label minimum by construction;
+    // its id must belong to the label it is reported under
+    val ids = out.select(col("worst_vec_id").as("vec_id"), col("label").as("rep_label"))
+    val mismatched = graft.Tables.load(spark, sfDir, "embeddings")
+      .join(ids, Seq("vec_id"))
+      .filter(col("label") =!= col("rep_label"))
+    assert(mismatched.count() == 0, "worst vector reported under a foreign label")
+    out.unpersist()
+  }
+
   test("quantization audit: half-step error bound, max element saturates") {
     val out = Similarity.quantizationAudit(spark, sfDir).cache()
     // symmetric round-to-nearest can miss by at most scale/254 —
