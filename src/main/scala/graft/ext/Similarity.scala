@@ -205,27 +205,44 @@ object Similarity {
     * Returns (all(vec_id, vq) cached, centroids(cluster, c) cached,
     * index(vec_id, cluster, vq)). */
   private def ivfBuild(s: SparkSession, dir: String,
-                       nlist: Int, lloydIters: Int): (DataFrame, DataFrame, DataFrame) = {
+                       nlist: Int, lloydIters: Int,
+                       trainLimit: Option[Int] = None): (DataFrame, DataFrame, DataFrame) = {
     val all = load(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(toDouble(col("embedding")),
           x => floor(x * lit(QuantScale)).cast("long")).as("vq"))
       .cache()
 
+    // Optional sample-trained quantizer (the faiss-standard shortcut):
+    // Lloyd iterates over a FIXED-SIZE hash-ordered sample, so training
+    // cost is constant in the corpus and only the single final
+    // assignment scans everything. Deterministic (smallest-u32 top-k,
+    // a TakeOrdered) and oracle-replayable like every other sample in
+    // the tree. None = train on the full table (x28's tuned behavior).
+    val train = trainLimit match {
+      case Some(n) => all
+        .withColumn("__h", graft.ext.Sampling.u32(col("vec_id")))
+        .orderBy(col("__h"), col("vec_id")).limit(n)
+        .select(col("vec_id"), col("vq")).cache()
+      case None => all
+    }
+
     // hash-seeded init: the nlist vectors with smallest u32(id)
-    var centroids = all
+    var centroids = train
       .withColumn("h", graft.ext.Sampling.u32(col("vec_id")))
       .orderBy("h").limit(nlist)
       .withColumn("cluster", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("h")).cast("long"))
       .select(col("cluster"), col("vq").as("c"))
 
-    def assign(cents: DataFrame): DataFrame =
-      all.join(broadcast(cents))
+    def assignOver(base: DataFrame)(cents: DataFrame): DataFrame =
+      base.join(broadcast(cents))
         .withColumn("cos", cosine(asDouble(col("vq")), asDouble(col("c"))))
         .groupBy(col("vec_id"))
         .agg(max_by(col("cluster"), struct(col("cos"), col("cluster"))).as("cluster"),
              first(col("vq"), ignoreNulls = true).as("vq"))
+    val assignTrain = assignOver(train) _
+    val assign = assignOver(all) _
 
     // Lloyd: assign → recompute centroid as the element-wise integer
     // MEAN: exact integer sum (order-independent), then ONE truncating
@@ -237,7 +254,7 @@ object Similarity {
     // is scale-invariant, so the mean ranks like the sum it replaces;
     // the truncation is a sub-ulp direction nudge on a COARSE quantizer.
     (1 to lloydIters).foreach { _ =>
-      centroids = assign(centroids).groupBy(col("cluster"))
+      centroids = assignTrain(centroids).groupBy(col("cluster"))
         .agg(graft.functions.VectorAgg.vectorSumLong(col("vq")).as("csum"),
              count(lit(1)).as("n"))
         .select(col("cluster"),
@@ -302,6 +319,14 @@ object Similarity {
     * quadratic cliff this constant avoids. */
   private val SemClusters = 64
 
+  /** x109 quantizer training sample: Lloyd iterates over the 1024
+    * smallest-u32 vectors instead of the corpus (the faiss-standard
+    * sample-trained quantizer) — training cost is CONSTANT in corpus
+    * size and only the single final assignment scans everything. x28
+    * keeps full-corpus training (its recall constants were swept
+    * against it); the machinery is the same ivfBuild, parameterized. */
+  private val SemTrainSample = 1024
+
   /** Oversized-cluster guard for x109: a degenerate quantizer (all
     * vectors in one cell — dead encoder, all-zero embeddings) would
     * re-create the quadratic prune no nlist can fix. Clusters above
@@ -331,7 +356,15 @@ object Similarity {
     * key. The exactness guard rides along: pair dots are bounded by the
     * same magnitudes x28 asserts. */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
-    val (all, centroids, index) = ivfBuild(s, dir, SemClusters, LloydIters)
+    val (all, centroids, index0) =
+      ivfBuild(s, dir, SemClusters, LloydIters, Some(SemTrainSample))
+    // THREE consumers read the assignment (sizes, the pair join's cold
+    // side, the final audit rows) and its lineage is the whole Lloyd
+    // chain — cache it rather than running the 64-centroid assign pass
+    // three times. The query's floor is the sequential Lloyd barrier
+    // chain itself (~10 small stages), not data volume — see the flat
+    // ScaleCheck ratio.
+    val index = index0.cache()
     // nlist-row frame: every downstream consumer broadcasts it
     val sizes = index.groupBy("cluster").agg(count(lit(1)).as("csz"))
     val cold = index.join(broadcast(sizes), "cluster")
@@ -553,10 +586,10 @@ object Similarity {
     * interpolated into BOTH the x28 probe oracle and the x109 SemDeDup
     * oracle (each with its own nlist) so the SQL index can never drift
     * from the Scala one. */
-  private def ivfIndexCtes(nlist: Int): String = {
+  private def ivfIndexCtes(nlist: Int, trainLimit: Option[Int] = None): String = {
     val iters = (1 to LloydIters).map { i =>
       s"""s$i AS (SELECT e.vec_id, e.vq, c.cluster, ${duckCos("e.vq", "c.c")} AS cos
-            FROM e CROSS JOIN c${i - 1} c),
+            FROM tr e CROSS JOIN c${i - 1} c),
          a$i AS (SELECT vec_id, vq, cluster FROM (
             SELECT vec_id, vq, cluster,
               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster DESC) AS rn
@@ -566,10 +599,16 @@ object Similarity {
             GROUP BY 1, 2),
          c$i AS (SELECT cluster, list(x ORDER BY pos) AS c FROM u$i GROUP BY 1)"""
     }.mkString(",\n")
+    val trainSql = trainLimit match {
+      case Some(n) => s"""SELECT vec_id, vq FROM e
+        ORDER BY ${graft.ext.Sampling.u32Sql("vec_id")}, vec_id LIMIT $n"""
+      case None => "SELECT vec_id, vq FROM e"
+    }
     s"""WITH e AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT)) AS vq
         FROM embeddings),
-      hs AS (SELECT vec_id, ${graft.ext.Sampling.u32Sql("vec_id")} AS h FROM embeddings),
+      tr AS ($trainSql),
+      hs AS (SELECT vec_id, ${graft.ext.Sampling.u32Sql("vec_id")} AS h FROM tr),
       init AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS cluster
         FROM hs ORDER BY h LIMIT $nlist),
       c0 AS (SELECT i.cluster, e.vq AS c FROM init i JOIN e USING (vec_id)),
@@ -601,7 +640,7 @@ object Similarity {
   private val baseOracles: Map[String, String] = Map(
     "x28_sim_topk_ivf" -> ivfOracleSql,
     "x109_semdedup" -> s"""
-      ${ivfIndexCtes(SemClusters)},
+      ${ivfIndexCtes(SemClusters, Some(SemTrainSample))},
       csz AS (SELECT cluster, COUNT(*) AS n FROM idx GROUP BY 1),
       cold AS (SELECT i.* FROM idx i JOIN csz USING (cluster)
         WHERE csz.n <= $SemClusterCap),
