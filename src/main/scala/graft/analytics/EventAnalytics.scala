@@ -359,7 +359,44 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** SCD2 temporal-dimension construction from the event log: each
+    * user's latest event type is treated as their current state, and
+    * the history is compacted into validity intervals
+    * [valid_from, valid_to) with the open interval flagged current —
+    * the slowly-changing-dimension type-2 table a warehouse maintains
+    * so training-data joins can ask "what was this user's state AT
+    * time t" (the as-of joins x23/x29 consume exactly this shape).
+    *
+    * Two per-user windows: lag() collapses consecutive same-state
+    * events (the SCD2 no-op-update rule), lead() closes each interval
+    * at the next change. Both ride ONE (user_id)-keyed sort-shuffle —
+    * Catalyst evaluates same-partitioning windows on one exchange.
+    * Per-user history is bounded in any real dimension feed; a bot key
+    * with millions of events would need the x94 skew report + a
+    * coarser pre-compaction (e.g. per-day last-state first), same
+    * mitigation family as x61. Interval edges order by (ts, event_id)
+    * — full-precision microseconds plus a unique tiebreak, so the
+    * compaction is deterministic in any engine; only the OUTPUT
+    * rendering truncates to seconds. */
+  def scd2StateIntervals(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = load(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("state"),
+              col("ts"), col("event_id"))
+      .withColumn("prev_state", lag(col("state"), 1).over(w))
+      .filter(col("prev_state").isNull || col("state") =!= col("prev_state"))
+    changes
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("state"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("valid_to_ts").isNull.cast("int").as("is_current"))
+      .orderBy("user_id", "valid_from", "state")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x117_scd2_intervals" -> scd2StateIntervals,
     "x92_daily_spine" -> dailySpine,
     "x69_event_gaps" -> interArrivalStats,
     "x61_event_sequences" -> topEventSequences,
@@ -380,6 +417,26 @@ object EventAnalytics {
     "x18_events_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "x117_scd2_intervals" -> """
+      WITH ordered AS (
+        SELECT user_id, event_type AS state, ts, event_id,
+          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev_state
+        FROM events),
+      changes AS (
+        SELECT user_id, state, ts, event_id FROM ordered
+        WHERE prev_state IS NULL OR state <> prev_state),
+      iv AS (
+        SELECT user_id, state, ts,
+          LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS valid_to_ts
+        FROM changes)
+      SELECT user_id, state,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        CAST(CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END AS INTEGER)
+          AS is_current
+      FROM iv ORDER BY user_id, valid_from, state""",
     "x92_daily_spine" -> """
       WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
       spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),

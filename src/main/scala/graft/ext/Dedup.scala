@@ -661,7 +661,51 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-document duplicated-SPAN mass — the span-level counterpart of
+    * doc-level dedup (x01/x03): what fraction of each source's token
+    * mass sits inside a word 8-gram that also appears in at least one
+    * OTHER document. Doc-level dedup misses boilerplate that rides
+    * inside otherwise-distinct pages (headers, license blocks, templated
+    * paragraphs); this is the audit that says how much of the corpus a
+    * span-level pass (Lee et al.-style substring dedup) would touch, per
+    * source, before committing to the expensive rewrite.
+    *
+    * Shape (reference: main.py has no span analytics — extension op):
+    * scan → per-row positional shingles (compiled expression) → md5-
+    * prefix 60-bit gram key at the scan, so every exchange carries
+    * (8-byte key, ids), never gram text → ONE (doc,gram)-keyed count
+    * aggregate (map-side combinable; also the distinct-set frame) →
+    * gram-keyed doc-frequency aggregate over it → gram-keyed join back
+    * (AQE-skew-splittable; a window over the gram partition would put
+    * every occurrence of a boilerplate gram on one task) → doc rollup →
+    * source rollup. All counts integer; ppm via integer div — exact in
+    * any engine. 60-bit collision across ~1e6 distinct grams at sf0.1:
+    * p ≈ 4e-7, the same portability trade x03/x04 document. */
+  def spanDedupAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextExpressions.wordShinglePositional
+    val perDocGram = load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(wordShinglePositional(col("text"), 8)).as("sh"))
+      .select(col("doc_id"), col("source"),
+        expr("conv(substr(md5(sh.gram), 1, 15), 16, 10)").cast("long").as("g"))
+      .groupBy("doc_id", "source", "g").agg(count(lit(1)).as("c"))
+    val docFreq = perDocGram.groupBy("g").agg(count(lit(1)).as("ndocs"))
+    val perDoc = perDocGram.join(docFreq, Seq("g"))
+      .groupBy("doc_id", "source")
+      .agg(sum("c").as("n_spans"),
+           coalesce(sum(when(col("ndocs") >= 2, col("c"))), lit(0L)).as("dup_spans"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_spans").cast("long").as("total_spans"),
+           sum("dup_spans").cast("long").as("dup_spans"),
+           expr("sum(dup_spans) * 1000000L div sum(n_spans)").as("dup_span_ppm"),
+           sum(when(col("dup_spans") * 2 >= col("n_spans"), 1L).otherwise(0L))
+             .cast("long").as("n_docs_flagged"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x115_span_dedup" -> spanDedupAudit,
     "x01_dedup_exact" -> exactDedup,
     "x02_dedup_stats" -> exactDedupStats,
     "x26_dedup_approx_stats" -> approxDedupStats,
@@ -765,6 +809,26 @@ object Dedup {
       ORDER BY d.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "x115_span_dedup" -> """
+      WITH toks AS (SELECT doc_id, source,
+          string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      idx AS (SELECT doc_id, source, t,
+          unnest(range(1, greatest(len(t)-7, 1)+1)) AS i FROM toks),
+      occ AS (SELECT doc_id, source,
+          CAST(concat('0x', substr(md5(array_to_string(t[i:i+7], ' ')),1,15)) AS BIGINT) AS g
+        FROM idx),
+      pg AS (SELECT doc_id, source, g, COUNT(*) AS c FROM occ GROUP BY 1, 2, 3),
+      nd AS (SELECT g, COUNT(*) AS ndocs FROM pg GROUP BY 1),
+      perdoc AS (SELECT doc_id, source, SUM(c) AS n_spans,
+          COALESCE(SUM(CASE WHEN ndocs >= 2 THEN c END), 0) AS dup_spans
+        FROM pg JOIN nd USING (g) GROUP BY 1, 2)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+        CAST(SUM(dup_spans) AS BIGINT) AS dup_spans,
+        CAST(SUM(dup_spans) * 1000000 // SUM(n_spans) AS BIGINT) AS dup_span_ppm,
+        CAST(SUM(CASE WHEN dup_spans * 2 >= n_spans THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_docs_flagged
+      FROM perdoc GROUP BY source ORDER BY source""",
     "x78_cms_heavy_hitters" -> s"""
       WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
         FROM documents),

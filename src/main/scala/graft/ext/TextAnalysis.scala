@@ -555,7 +555,42 @@ object TextAnalysis {
       .orderBy("lang", "source")
   }
 
+  /** T5-style span-corruption MASK PLAN: for every document, the
+    * deterministic set of token spans a denoising-pretraining pass
+    * would replace with sentinels — 15% noise density, mean span 3,
+    * the T5 defaults. The plan (not the rewritten text) is the
+    * deliverable: a manifest the tokenize/pack stage applies, exactly
+    * like x33/x71 are applied downstream.
+    *
+    * Placement must be deterministic AND non-overlapping without
+    * sequential driver logic, so the token axis is cut into n_spans
+    * equal segments and each span lands inside its own segment at a
+    * seeded offset — start = lo + h(doc_id, span_idx) mod slack, h =
+    * the md5-prefix integer hash (house portable-hash idiom, x03/x78).
+    * Segments are ≥ ~20 tokens at 15%/3 by construction, so the slack
+    * is always nonnegative (smallest masked doc: 7 tokens, 1 span of
+    * 1). Pure per-row arithmetic + one explode — scan-speed, zero
+    * shuffles; every number is integer-exact in any engine. */
+  def maskPlan(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("n_masked", expr("n_tokens * 15 div 100"))
+      .filter(col("n_masked") >= 1)
+      .withColumn("n_spans", expr("(n_masked + 2) div 3"))
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"), col("n_spans"),
+        explode(sequence(lit(0L), col("n_spans") - 1)).as("span_idx"))
+      .withColumn("lo", expr("span_idx * n_tokens div n_spans"))
+      .withColumn("hi", expr("(span_idx + 1) * n_tokens div n_spans"))
+      .withColumn("span_len",
+        expr("CASE WHEN span_idx = n_spans - 1 THEN n_masked - 3 * (n_spans - 1) ELSE 3L END"))
+      .withColumn("start_tok",
+        expr("""lo + CAST(conv(substr(md5(concat(doc_id, ':', span_idx)), 1, 15), 16, 10)
+                AS BIGINT) % (hi - lo - span_len + 1)"""))
+      .select(col("doc_id"), col("span_idx"), col("start_tok"), col("span_len"))
+      .orderBy("doc_id", "span_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x118_mask_plan" -> maskPlan,
     "x107_oov_audit" -> oovAudit,
     "x103_quality_drift" -> qualityDrift,
     "x99_vocab_growth" -> vocabGrowth,
@@ -642,6 +677,33 @@ object TextAnalysis {
     * engines split trimmed text on \s+; ratios are raw double divisions
     * (no rounding → no decimal-tie divergence). */
   val oracles: Map[String, String] = Map(
+    "x118_mask_plan" -> """
+      WITH d AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      p AS (
+        SELECT doc_id, n_tokens, n_tokens * 15 // 100 AS n_masked FROM d),
+      p2 AS (
+        SELECT doc_id, n_tokens, n_masked, (n_masked + 2) // 3 AS n_spans
+        FROM p WHERE n_masked >= 1),
+      sp AS (
+        SELECT doc_id, n_tokens, n_masked, n_spans,
+          unnest(range(0, n_spans)) AS span_idx
+        FROM p2),
+      geo AS (
+        SELECT doc_id, span_idx,
+          span_idx * n_tokens // n_spans AS lo,
+          (span_idx + 1) * n_tokens // n_spans AS hi,
+          CASE WHEN span_idx = n_spans - 1
+               THEN n_masked - 3 * (n_spans - 1) ELSE 3 END AS span_len
+        FROM sp)
+      SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+        CAST(lo + CAST(concat('0x',
+            substr(md5(concat(doc_id, ':', span_idx)), 1, 15)) AS BIGINT)
+          % (hi - lo - span_len + 1) AS BIGINT) AS start_tok,
+        CAST(span_len AS BIGINT) AS span_len
+      FROM geo ORDER BY doc_id, span_idx""",
     "x107_oov_audit" -> s"""
       WITH terms AS (SELECT lang, source,
           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term

@@ -391,6 +391,30 @@ object EventStreams {
       .orderBy("event_id")
   }
 
+  /** Driver-checked query: stream-static enrichment replay — the events
+    * file stream left-joined to the static customer dimension through
+    * [[enrichWithStatic]] (Catalyst broadcasts the dim into every
+    * micro-batch; zero stream-side state, so the enrich step runs at
+    * ingest throughput at any corpus size), then rolled up per
+    * (market segment, event type). Complete-mode groupBy so the bounded
+    * replay emits the final table; value mass in exact integer cents
+    * (the x105 convention) so the rollup is engine-exact. The left join
+    * + UNKNOWN fill keeps events with no dimension row — dropping them
+    * silently is the classic enrich-join data-loss bug. */
+  def enrichReplay(s: SparkSession, dir: String): DataFrame = {
+    val dim = graft.Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val enriched = enrichWithStatic(fromParquetDir(s, dir), dim)
+      .withColumn("segment", coalesce(col("segment"), lit("UNKNOWN")))
+    val agg = enriched.groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(round(col("value") * 100, 0).cast("long")).cast("long").as("total_cents"))
+    runToMemory(agg,
+        s"stream_enrich_${java.util.UUID.randomUUID.toString.replace("-", "")}",
+        OutputMode.Complete())
+      .orderBy("segment", "event_type")
+  }
+
   /** Driver-checked query: bounded replay of the document stream
     * through the ingest-time curation gate. Stateless append — every
     * passing document emits exactly once; the oracle is the batch
@@ -550,6 +574,7 @@ object EventStreams {
     "x91_stream_idempotent_sink" -> idempotentSinkReplay,
     "x82_stream_top_types" -> windowTopTypesReplay,
     "x72_stream_curation" -> curationReplay,
+    "x116_stream_enrich" -> enrichReplay,
     "x19_stream_tumbling" -> tumblingReplay,
     "x44_stream_sessions" -> sessionReplay,
     "x54_stream_sessions_stateful" -> statefulSessionReplay,
@@ -557,6 +582,12 @@ object EventStreams {
     "x68_stream_dedup" -> dedupReplay)
 
   val oracles: Map[String, String] = Map(
+    "x116_stream_enrich" -> """
+      SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment, e.event_type,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "x105_stream_incremental_agg" -> """
       SELECT event_type, COUNT(*) AS n_events,
         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents

@@ -92,4 +92,30 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("p95") - p95e) < 50.0, s"$et p95 off")
     }
   }
+
+  test("SCD2 intervals: one open interval per user, compacted, chained") {
+    val out = EventAnalytics.scd2StateIntervals(spark, sfDir).cache()
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val nUsers = ev.select("user_id").distinct().count()
+    // exactly one current (open) interval per user
+    assert(out.filter(col("is_current") === 1).count() == nUsers)
+    assert(out.groupBy("user_id")
+      .agg(sum("is_current").as("n_open"))
+      .filter(col("n_open") =!= 1).count() == 0)
+    // compaction: row count equals the independent state-change count
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val nChanges = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("event_type") =!= col("prev")).count()
+    assert(out.count() == nChanges)
+    // chaining: within a user, every non-current interval's valid_to is
+    // some interval's valid_from (the history has no holes)
+    val holes = out.filter(col("is_current") === 0).alias("a")
+      .join(out.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.valid_to") === col("b.valid_from"), "left_anti")
+    assert(holes.count() == 0)
+    out.unpersist()
+  }
 }

@@ -316,4 +316,34 @@ class CorpusAuditSpec extends SparkSpec {
     assert(out.agg(sum("oov_tokens")).head().getLong(0) > 0)
     out.unpersist()
   }
+
+  test("mask plan: spans in bounds, non-overlapping, 15% mass, deterministic") {
+    import graft.functions.TextFunctions.tokenCount
+    val out = TextAnalysis.maskPlan(spark, sfDir).cache()
+    val toks = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+    val joined = out.join(toks, "doc_id").cache()
+    // every span sits inside its document's token axis
+    assert(joined.filter(col("start_tok") < 0 ||
+      col("start_tok") + col("span_len") > col("n_tokens")).count() == 0)
+    assert(joined.filter(col("span_len") < 1 || col("span_len") > 3).count() == 0)
+    // spans never overlap: ordered by start within a doc, each span ends
+    // before the next begins
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("start_tok")
+    val overlaps = out
+      .withColumn("next_start", lead(col("start_tok"), 1).over(w))
+      .filter(col("next_start").isNotNull &&
+        col("start_tok") + col("span_len") > col("next_start"))
+    assert(overlaps.count() == 0)
+    // masked mass per doc is exactly n_tokens * 15 div 100
+    val badMass = joined.groupBy("doc_id", "n_tokens")
+      .agg(sum("span_len").as("masked"))
+      .filter(col("masked") =!= expr("n_tokens * 15 div 100"))
+    assert(badMass.count() == 0)
+    // same plan on a second evaluation — seeded, no RNG state
+    assert(out.collect().toSeq ==
+      TextAnalysis.maskPlan(spark, sfDir).collect().toSeq)
+    joined.unpersist(); out.unpersist()
+  }
 }

@@ -46,6 +46,30 @@ class DedupSpec extends SparkSpec {
     if (hasDups) assert(out.agg(sum("n_near_dups")).collect()(0).getLong(0) > 0)
   }
 
+  test("spanDedupAudit: span mass conserved, dup <= total, exact-dup docs flagged") {
+    import graft.functions.TextExpressions.wordShinglePositional
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val out = Dedup.spanDedupAudit(spark, sfDir).cache()
+    // total span mass equals the independent positional-shingle count
+    val expectedSpans = docs
+      .select(size(wordShinglePositional(col("text"), 8)).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(out.agg(sum("total_spans")).collect()(0).getLong(0) == expectedSpans)
+    assert(out.filter(col("dup_spans") > col("total_spans")).count() == 0)
+    // a doc whose full text appears in >= 2 docs has every span duplicated,
+    // so it MUST count as flagged (dup mass >= 50%)
+    // coalesce: a corpus slice with no exact dups sums over zero rows
+    val nExactDupDocs = docs.groupBy("text").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).agg(coalesce(sum("n"), lit(0L)))
+      .collect()(0).getLong(0)
+    assert(out.agg(sum("n_docs_flagged")).collect()(0).getLong(0) >= nExactDupDocs)
+    // ppm is the exact integer ratio of the row's own columns
+    val badPpm = out.filter(
+      col("dup_span_ppm") =!= expr("dup_spans * 1000000L div total_spans")).count()
+    assert(badPpm == 0)
+    out.unpersist()
+  }
+
   test("embeddingNearDups summary covers all vectors") {
     val out = Dedup.embeddingNearDups(spark, sfDir)
     assert(out.count() == graft.Tables.load(spark, sfDir, "embeddings").count())

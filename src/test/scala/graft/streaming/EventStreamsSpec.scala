@@ -98,6 +98,22 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.filter(col("user_id") === 9L).collect()(0).getAs[String]("user_name") == null)
   }
 
+  test("enrichReplay matches the batch join+rollup twin exactly") {
+    val out = EventStreams.enrichReplay(spark, sfDir)
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val dim = graft.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val batch = ev.join(dim, Seq("user_id"), "left")
+      .withColumn("segment", coalesce(col("segment"), lit("UNKNOWN")))
+      .groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(round(col("value") * 100, 0).cast("long")).cast("long").as("total_cents"))
+      .orderBy("segment", "event_type")
+    assert(out.collect().toSeq == batch.collect().toSeq)
+    // enrichment must not invent or drop events
+    assert(out.agg(sum("n_events")).collect()(0).getLong(0) == ev.count())
+  }
+
   test("streaming blocklist filter drops blocked users with no stream state") {
     import spark.implicits._
     val blocked = Seq(1L).toDF("user_id")
