@@ -680,7 +680,15 @@ object Dedup {
     * every occurrence of a boilerplate gram on one task) → doc rollup →
     * source rollup. All counts integer; ppm via integer div — exact in
     * any engine. 60-bit collision across ~1e6 distinct grams at sf0.1:
-    * p ≈ 4e-7, the same portability trade x03/x04 document. */
+    * p ≈ 4e-7, the same portability trade x03/x04 document.
+    *
+    * The (doc,gram) aggregate feeds TWO consumers (doc-frequency and
+    * the join probe), so its shingle lineage runs twice — caching it
+    * was measured SLOWER on the 10× rig (t10 3.99 s cached vs 3.46 s
+    * recomputed: materializing the widest frame costs more than a
+    * second scan-speed pass). At cluster scale the same logic applies
+    * while the re-scan stays CPU-bound; flip to .persist(DISK_ONLY)
+    * only when input IO, not CPU, is the measured bottleneck. */
   def spanDedupAudit(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextExpressions.wordShinglePositional
     val perDocGram = load(s, dir, "documents")
