@@ -265,6 +265,34 @@ object EventStreams {
       .drop("p_user_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join: every view, matched to the
+    * same user's purchases within the following hour OR emitted
+    * null-extended once the watermark proves no purchase can still
+    * arrive — the "which impressions never converted" feed, produced
+    * incrementally instead of by a nightly batch anti-join. Same
+    * watermark + interval bounds as [[viewToPurchaseJoin]], so state
+    * stays GC'd; the OUTER result adds no state, only an
+    * eviction-time emission. An unmatched view emits exactly when its
+    * join horizon (view_ts + 1 h) falls behind the watermark — which
+    * makes the boundary REPLAYABLE: after a bounded stream the final
+    * watermark is max(ts) − 1 h, so the emitted-null set is exactly
+    * {unmatched views: view_ts + 1 h < max(ts) − 1 h}, and views
+    * landing inside the final horizon stay undecided (state that would
+    * emit had the stream continued) — the oracle encodes precisely
+    * that cutoff. */
+  def viewToPurchaseLeftOuter(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+              col("ts").as("purchase_ts"), col("value"))
+    v.join(p, expr(
+      """user_id = p_user_id AND
+         purchase_ts >= view_ts AND
+         purchase_ts <= view_ts + INTERVAL 1 HOUR"""), "left_outer")
+      .drop("p_user_id")
+  }
+
   /** Streaming blocklist filter: drop every event from a blocked user —
     * the curation removal pass applied at ingest time instead of in a
     * batch sweep. Stream-static left-anti join: the static blocklist
@@ -363,6 +391,26 @@ object EventStreams {
       ev.filter(col("event_type") === "purchase"))
     runToMemory(joined,
         s"stream_vp_${java.util.UUID.randomUUID.toString.replace("-", "")}")
+      .select(col("view_id"), col("user_id"),
+              date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+              col("purchase_id"),
+              date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+              col("value"))
+      .orderBy("view_id", "purchase_id")
+  }
+
+  /** Driver-checked query: bounded replay of the LEFT OUTER
+    * view→purchase interval join. Matched rows carry the purchase;
+    * never-converted views arrive null-extended once the final
+    * watermark (max ts − 1 h) passes their join horizon — see
+    * [[viewToPurchaseLeftOuter]] for why that boundary is exact. */
+  def viewPurchaseOuterReplay(s: SparkSession, dir: String): DataFrame = {
+    val ev = fromParquetDir(s, dir)
+    val joined = viewToPurchaseLeftOuter(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"))
+    runToMemory(joined,
+        s"stream_vpo_${java.util.UUID.randomUUID.toString.replace("-", "")}")
       .select(col("view_id"), col("user_id"),
               date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
               col("purchase_id"),
@@ -579,6 +627,7 @@ object EventStreams {
     "x44_stream_sessions" -> sessionReplay,
     "x54_stream_sessions_stateful" -> statefulSessionReplay,
     "x57_stream_view_purchase" -> viewPurchaseReplay,
+    "x119_stream_left_outer" -> viewPurchaseOuterReplay,
     "x68_stream_dedup" -> dedupReplay)
 
   val oracles: Map[String, String] = Map(
@@ -639,6 +688,38 @@ object EventStreams {
         ON v.user_id = p.user_id
         AND v.event_type = 'view' AND p.event_type = 'purchase'
         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      ORDER BY view_id, purchase_id""",
+    // x119: matched rows = the x57 inner join; null-extended rows = the
+    // unmatched views whose join horizon (view_ts + 1 h) fell behind the
+    // FINAL watermark (max ts - 1 h) — the exact set a bounded replay's
+    // state eviction emits (see viewToPurchaseLeftOuter scaladoc)
+    "x119_stream_left_outer" -> """
+      WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+        FROM events WHERE event_type = 'view'),
+      p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value
+        FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT v.view_id, v.user_id, v.view_ts,
+          p.purchase_id, p.purchase_ts, p.value
+        FROM v JOIN p ON v.user_id = p.user_id
+          AND p.purchase_ts >= v.view_ts
+          AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR),
+      wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+      unm AS (SELECT v.view_id, v.user_id, v.view_ts,
+          CAST(NULL AS BIGINT) AS purchase_id,
+          CAST(NULL AS TIMESTAMP) AS purchase_ts,
+          CAST(NULL AS DOUBLE) AS value
+        FROM v, wm
+        WHERE NOT EXISTS (SELECT 1 FROM p
+            WHERE p.user_id = v.user_id
+              AND p.purchase_ts >= v.view_ts
+              AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR)
+          AND v.view_ts + INTERVAL 1 HOUR < wm.w)
+      SELECT view_id, user_id,
+        strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        purchase_id,
+        strftime(purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        value
+      FROM (SELECT * FROM m UNION ALL SELECT * FROM unm)
       ORDER BY view_id, purchase_id""",
     "x54_stream_sessions_stateful" -> """
       WITH flagged AS (

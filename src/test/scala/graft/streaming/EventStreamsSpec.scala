@@ -163,6 +163,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("view_id") == 1L && rows(0).getAs[Long]("purchase_id") == 10L)
   }
 
+  test("left-outer interval join: matched rows + decided-unmatched nulls only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vs = MemoryStream[EventStreams.Event]
+    val ps = MemoryStream[EventStreams.Event]
+    val joined = EventStreams.viewToPurchaseLeftOuter(vs.toDF(), ps.toDF())
+    val q = joined.writeStream.format("memory").queryName("t_ssoj")
+      .outputMode(OutputMode.Append()).start()
+    vs.addData(Seq(
+      EventStreams.Event(1L, 1L, "view", ts("2024-01-01 10:00:00"), 0.0), // converts
+      EventStreams.Event(2L, 2L, "view", ts("2024-01-01 10:00:00"), 0.0), // never converts, decided
+      EventStreams.Event(3L, 3L, "view", ts("2024-01-01 21:30:00"), 0.0))) // undecided at final wm
+    ps.addData(Seq(
+      EventStreams.Event(10L, 1L, "purchase", ts("2024-01-01 10:30:00"), 5.0),
+      // sentinel purchase far ahead: drives BOTH watermarks to 22:00-1h,
+      // past view 2's 11:00 horizon but not past view 3's 22:30 horizon
+      EventStreams.Event(11L, 9L, "purchase", ts("2024-01-01 22:00:00"), 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_ssoj").collect()
+      .map(r => (r.getAs[Long]("view_id"), Option(r.getAs[Any]("purchase_id"))))
+      .toSet
+    assert(rows == Set((1L, Some(10L)), (2L, None)),
+      s"expected matched view 1 + evicted-unmatched view 2 only, got $rows")
+  }
+
   test("file-stream source over testdata events matches batch row count") {
     val stream = EventStreams.fromParquetDir(spark, sfDir)
     assert(stream.isStreaming)
