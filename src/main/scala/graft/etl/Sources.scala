@@ -247,12 +247,71 @@ object Sources {
       .orderBy("doc_id")
   }
 
+  /** Write orders + customer as BUCKETED tables (16 buckets on the join
+    * key, bucket-sorted) and return their catalog names — the co-located
+    * join layout. Bucketing is THE shuffle-elimination lever for a
+    * repeatedly-joined fact/dim pair at 100 TB: both sides hash-cluster
+    * into the same bucket scheme at WRITE time, so every later join on
+    * that key reads matching buckets directly — zero Exchange on either
+    * side, proven by the plan-asserting spec (SourcesSpec, broadcast
+    * disabled so sort-merge must carry it). External tables on the
+    * per-run scratch root; names keyed by the input dir (same
+    * concurrent-corpora contract as x95). */
+  def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val ordersT = s"graft_bucketed_orders_$key"
+    val custT = s"graft_bucketed_customer_$key"
+    graft.Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(16, "o_custkey").sortBy("o_custkey")
+      .option("path", roundtripRoot.resolve(ordersT).toString)
+      .saveAsTable(ordersT)
+    graft.Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(16, "c_custkey").sortBy("c_custkey")
+      .option("path", roundtripRoot.resolve(custT).toString)
+      .saveAsTable(custT)
+    (ordersT, custT)
+  }
+
+  /** The co-located join over [[bucketedTables]], factored so the spec
+    * plan-asserts exactly the frame the query runs. */
+  def bucketedJoinFrame(s: SparkSession, ordersT: String, custT: String): DataFrame =
+    s.table(ordersT)
+      .join(s.table(custT), col("o_custkey") === col("c_custkey"))
+
+  /** Driver-checked query: revenue rollup per market segment over the
+    * bucketed co-located join. The layout is the deliverable (the
+    * rollup proves the bucketed copy is content-identical to the
+    * source tables — any bucketing/write defect is a hash mismatch);
+    * money in exact integer cents (x105 convention). */
+  def bucketedJoinRollup(s: SparkSession, dir: String): DataFrame = {
+    val (ordersT, custT) = bucketedTables(s, dir)
+    bucketedJoinFrame(s, ordersT, custT)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("long")
+             .as("total_cents"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x120_bucketed_join" -> bucketedJoinRollup,
     "x95_schema_evolution" -> schemaEvolutionRoundtrip,
     "x70_jsonl_roundtrip" -> jsonlRoundtrip,
     "x85_orc_roundtrip" -> orcRoundtrip)
 
   val oracles: Map[String, String] = Map(
+    // the bucketed copy must be content-identical to the source tables,
+    // so the oracle is the plain logical join — layout is invisible
+    "x120_bucketed_join" -> """
+      SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+          AS total_cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1 ORDER BY 1""",
     // split mirrors the Scala midpoint: lo + (hi-lo) // 2, integer div
     "x95_schema_evolution" -> """
       WITH b AS (SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) // 2

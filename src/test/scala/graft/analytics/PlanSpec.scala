@@ -360,4 +360,25 @@ class PlanSpec extends SparkSpec {
     assert(windows.forall(l => l.contains("__go_bucket") || l.contains("band")),
       s"a corpus-scale window lost its partitioning:\n${windows.mkString("\n")}")
   }
+
+  test("bucketed join is co-located: zero exchanges with broadcast disabled") {
+    val (ordersT, custT) = graft.etl.Sources.bucketedTables(spark, sfDir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the sort-merge path: with broadcast on, a tiny dim would hide
+    // whether the bucket layout actually carries the join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = graft.etl.Sources.bucketedJoinFrame(spark, ordersT, custT)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange"),
+        s"bucketed join still shuffles — bucket spec not picked up:\n$p")
+      // and the result is the plain logical join's result
+      assert(j.count() ==
+        graft.Tables.load(spark, sfDir, "orders")
+          .join(graft.Tables.load(spark, sfDir, "customer"),
+            org.apache.spark.sql.functions.col("o_custkey") ===
+              org.apache.spark.sql.functions.col("c_custkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
