@@ -297,13 +297,71 @@ object Sources {
       .orderBy("c_mktsegment")
   }
 
+  /** The WAP audit record for one export frame: row count, a
+    * commutative per-row content checksum (xor-fold of the md5-prefix
+    * 60-bit row hash — order/partition independent, overflow-free, and
+    * rebuildable by any engine), and the char mass. concat_ws skips
+    * NULLs identically in Spark and DuckDB. */
+  private def wapAudit(df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+      expr("""bit_xor(CAST(conv(substr(md5(
+          concat_ws('|', doc_id, lang, source, n_chars)), 1, 15), 16, 10) AS BIGINT))""")
+        .as("content_xor"),
+      sum("n_chars").cast("long").as("total_chars"))
+
+  /** Write-Audit-Publish export: the production batch-publish protocol.
+    * Stage the export under a non-live path, AUDIT the staged copy by
+    * re-reading it through the format and comparing its full audit
+    * record (count + content checksum + mass) against the source frame
+    * — any write corruption aborts BEFORE anything goes live — then
+    * publish with one atomic directory rename, so downstream readers
+    * see the old export or the complete new one, never a partial write.
+    * The driver query emits the audit record recomputed from the
+    * PUBLISHED location (the whole stage→audit→rename→re-read path is
+    * what the oracle hash-checks against the source table). At 100 TB
+    * the same shape holds: audits are one aggregate over the staged
+    * files, and the publish step is a metadata operation (rename /
+    * catalog pointer swap), never a data copy. */
+  def publishAuditExport(s: SparkSession, dir: String): DataFrame = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val stage = roundtripRoot.resolve(s"wap_stage_$key")
+    val fin = roundtripRoot.resolve(s"wap_final_$key")
+    val export = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    export.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val staged = wapAudit(s.read.parquet(stage.toString)).head()
+    val source = wapAudit(export).head()
+    if (staged != source)
+      throw new IllegalStateException(
+        s"WAP audit failed — staged $staged != source $source; publish aborted")
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
+    }
+    rm(fin.toFile)
+    java.nio.file.Files.move(stage, fin,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    wapAudit(s.read.parquet(fin.toString))
+      .withColumn("published", lit(true))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x121_publish_audit" -> publishAuditExport,
     "x120_bucketed_join" -> bucketedJoinRollup,
     "x95_schema_evolution" -> schemaEvolutionRoundtrip,
     "x70_jsonl_roundtrip" -> jsonlRoundtrip,
     "x85_orc_roundtrip" -> orcRoundtrip)
 
   val oracles: Map[String, String] = Map(
+    // the published export must be content-identical to the source
+    // table — count, xor-fold checksum, and mass all rebuilt by DuckDB
+    "x121_publish_audit" -> """
+      SELECT COUNT(*) AS n_rows,
+        CAST(bit_xor(CAST(concat('0x', substr(md5(
+            concat_ws('|', doc_id, lang, source, n_chars)), 1, 15)) AS BIGINT))
+          AS BIGINT) AS content_xor,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        TRUE AS published
+      FROM documents""",
     // the bucketed copy must be content-identical to the source tables,
     // so the oracle is the plain logical join — layout is invisible
     "x120_bucketed_join" -> """

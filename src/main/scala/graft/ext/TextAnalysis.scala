@@ -572,7 +572,13 @@ object TextAnalysis {
     * 1). Pure per-row arithmetic + one explode — scan-speed, zero
     * shuffles; every number is integer-exact in any engine. */
   def maskPlan(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents")
+    maskPlanFor(load(s, dir, "documents"))
+
+  /** Frame-level mask planner (docs needs doc_id + text) — factored so
+    * the property spec drives the SAME pipeline over generated
+    * corpora. */
+  def maskPlanFor(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
       .withColumn("n_masked", expr("n_tokens * 15 div 100"))
       .filter(col("n_masked") >= 1)

@@ -335,4 +335,35 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("mask plan invariants hold for arbitrary corpora (bounds, 15% mass, no overlap)") {
+    val corpusGen = Gen.nonEmptyListOf(Gen.zip(Gen.posNum[Long], textGen))
+      .map(_.distinctBy(_._1))
+    forAll(corpusGen) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val toks = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val plan = graft.ext.TextAnalysis.maskPlanFor(docs)
+        .join(toks, "doc_id").collect()
+      // per-span: inside the doc, len in [1, 3]
+      plan.foreach { r =>
+        val (start, len, n) = (r.getAs[Long]("start_tok"),
+          r.getAs[Long]("span_len"), r.getAs[Long]("n_tokens"))
+        assert(start >= 0 && start + len <= n, s"span out of bounds: $r")
+        assert(len >= 1 && len <= 3, s"span length out of band: $r")
+      }
+      // per-doc: exact 15% mass and strictly ordered non-overlapping spans
+      plan.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, spans) =>
+        val sorted = spans.sortBy(_.getAs[Long]("span_idx"))
+        val n = sorted.head.getAs[Long]("n_tokens")
+        assert(sorted.map(_.getAs[Long]("span_len")).sum == n * 15 / 100)
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a.getAs[Long]("start_tok") + a.getAs[Long]("span_len") <=
+              b.getAs[Long]("start_tok"), "overlapping spans")
+          case _ => ()
+        }
+      }
+    }
+  }
 }

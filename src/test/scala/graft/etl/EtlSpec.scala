@@ -336,4 +336,18 @@ class EtlSpec extends SparkSpec {
     assert(messages(thrown).exists(m => m != null && m.toLowerCase.contains("malformed")),
       s"FAILFAST threw, but not for a malformed record: ${thrown.getMessage}")
   }
+
+  test("WAP publish: audit record matches the source table; re-publish is idempotent") {
+    import org.apache.spark.sql.functions._
+    val out1 = Sources.publishAuditExport(spark, sfDir).collect()
+    assert(out1.length == 1 && out1(0).getAs[Boolean]("published"))
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    assert(out1(0).getAs[Long]("n_rows") == docs.count())
+    assert(out1(0).getAs[Long]("total_chars") ==
+      docs.agg(sum("n_chars")).head().getLong(0))
+    // publish again: stage → audit → atomic swap must succeed over an
+    // existing live export and produce the identical audit record
+    val out2 = Sources.publishAuditExport(spark, sfDir).collect()
+    assert(out1.toSeq == out2.toSeq, "re-publish changed the audit record")
+  }
 }
