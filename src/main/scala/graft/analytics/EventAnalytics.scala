@@ -378,25 +378,58 @@ object EventAnalytics {
     * — full-precision microseconds plus a unique tiebreak, so the
     * compaction is deterministic in any engine; only the OUTPUT
     * rendering truncates to seconds. */
-  def scd2StateIntervals(s: SparkSession, dir: String): DataFrame = {
+  def scd2StateIntervals(s: SparkSession, dir: String): DataFrame =
+    scd2Raw(s, dir)
+      .select(col("user_id"), col("state"),
+        date_format(col("valid_from_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("valid_to_ts").isNull.cast("int").as("is_current"))
+      .orderBy("user_id", "valid_from", "state")
+
+  /** Full-precision SCD2 intervals (microsecond bounds) — the frame
+    * x117 renders and the point-in-time join (x122) consumes. */
+  def scd2Raw(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts", "event_id")
-    val changes = load(s, dir, "events")
+    load(s, dir, "events")
       .select(col("user_id"), col("event_type").as("state"),
               col("ts"), col("event_id"))
       .withColumn("prev_state", lag(col("state"), 1).over(w))
       .filter(col("prev_state").isNull || col("state") =!= col("prev_state"))
-    changes
       .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
       .select(col("user_id"), col("state"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
-        date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
-        col("valid_to_ts").isNull.cast("int").as("is_current"))
-      .orderBy("user_id", "valid_from", "state")
+        col("ts").as("valid_from_ts"), col("valid_to_ts"))
+  }
+
+  /** Point-in-time attribution over the SCD2 table: every event joined
+    * to the ONE validity interval covering its timestamp — "what state
+    * was this user in when they did X", the lookup a feature store /
+    * training-set assembler must get right to avoid time-travel
+    * leakage. Equi-key (user_id) sort-merge join with the interval
+    * containment as a residual condition — never a product; per-user
+    * interval lists are the bounded SCD2 history. The containment is
+    * half-open ([from, to)) on full-precision microseconds, so exactly
+    * one interval matches each event (the change event itself lands in
+    * the interval it opens) — asserted by the spec, and the rollup is
+    * engine-exact integer counts. */
+  def pitAttribution(s: SparkSession, dir: String): DataFrame = {
+    val iv = scd2Raw(s, dir)
+      .select(col("user_id").as("iv_user"), col("state"),
+        col("valid_from_ts"), col("valid_to_ts"))
+    load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .join(iv,
+        col("user_id") === col("iv_user") &&
+        col("ts") >= col("valid_from_ts") &&
+        (col("valid_to_ts").isNull || col("ts") < col("valid_to_ts")))
+      .groupBy(col("state"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("state", "event_type")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x117_scd2_intervals" -> scd2StateIntervals,
+    "x122_pit_attribution" -> pitAttribution,
     "x92_daily_spine" -> dailySpine,
     "x69_event_gaps" -> interArrivalStats,
     "x61_event_sequences" -> topEventSequences,
@@ -437,6 +470,26 @@ object EventAnalytics {
         CAST(CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END AS INTEGER)
           AS is_current
       FROM iv ORDER BY user_id, valid_from, state""",
+    "x122_pit_attribution" -> """
+      WITH ordered AS (
+        SELECT user_id, event_type AS state, ts, event_id,
+          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev_state
+        FROM events),
+      changes AS (
+        SELECT user_id, state, ts, event_id FROM ordered
+        WHERE prev_state IS NULL OR state <> prev_state),
+      iv AS (
+        SELECT user_id, state, ts AS valid_from_ts,
+          LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS valid_to_ts
+        FROM changes)
+      SELECT iv.state, e.event_type, COUNT(*) AS n_events
+      FROM events e JOIN iv
+        ON e.user_id = iv.user_id
+        AND e.ts >= iv.valid_from_ts
+        AND (iv.valid_to_ts IS NULL OR e.ts < iv.valid_to_ts)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "x92_daily_spine" -> """
       WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
       spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),

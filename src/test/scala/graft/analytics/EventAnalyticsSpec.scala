@@ -118,4 +118,16 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(holes.count() == 0)
     out.unpersist()
   }
+
+  test("point-in-time attribution covers every event exactly once") {
+    val out = EventAnalytics.pitAttribution(spark, sfDir)
+    val total = out.agg(sum("n_events")).head().getLong(0)
+    // the half-open containment means each event matches ONE interval —
+    // double-counting or dropped events both break this equality
+    assert(total == graft.Tables.load(spark, sfDir, "events").count())
+    // the event that OPENS an interval lands in it: the diagonal
+    // (state == event_type) is populated for every observed event type
+    val diag = out.filter(col("state") === col("event_type")).count()
+    assert(diag == out.select("event_type").distinct().count())
+  }
 }
