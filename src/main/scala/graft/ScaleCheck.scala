@@ -72,7 +72,9 @@ object ScaleCheck {
     "x114_outlier_audit",
     "x115_span_dedup",
     "x117_scd2_intervals",
-    "x118_mask_plan")
+    "x118_mask_plan",
+    "x121_publish_audit",
+    "x122_pit_attribution")
   // x116_stream_enrich is excluded like x80: it reads the customer dim,
   // which the scale slices don't carry. Its volume-driven work (events
   // scan + Complete-mode rollup) is exactly x105's measured shape; the
