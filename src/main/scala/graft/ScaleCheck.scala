@@ -71,14 +71,12 @@ object ScaleCheck {
     "x113_mix_plan",
     "x114_outlier_audit",
     "x115_span_dedup",
+    "x116_stream_enrich",
     "x117_scd2_intervals",
     "x118_mask_plan",
+    "x120_bucketed_join",
     "x121_publish_audit",
     "x122_pit_attribution")
-  // x116_stream_enrich is excluded like x80: it reads the customer dim,
-  // which the scale slices don't carry. Its volume-driven work (events
-  // scan + Complete-mode rollup) is exactly x105's measured shape; the
-  // dim side is a broadcast whose cost is independent of stream volume.
   // x80_sql_surface is excluded only because it registers the full
   // testdata catalog (registerAll) and the scale slices carry just the
   // three scaled tables; its per-doc work is the x11/x12 expression set

@@ -240,6 +240,30 @@ object DataGen {
 
   /** Write a documents/events/embeddings slice shaped like the driver's
     * testdata at `mult`× the sf0.1 volumes. */
+  /** Customer-dimension slice: one row per user id the events slice can
+    * reference (the dim grows with the user base, not the event
+    * volume), segment + balance hash-derived like everything else.
+    * Carries only the columns the measured queries read. */
+  def customersLike(spark: SparkSession, nUsers: Long): DataFrame =
+    spark.range(0, nUsers).toDF("c_custkey")
+      .withColumn("c_name", concat(lit("Customer#"), col("c_custkey")))
+      .withColumn("c_nationkey",
+        pmod(xxhash64(col("c_custkey"), lit(11)), lit(25L)).cast("int"))
+      .withColumn("c_acctbal", uniformMoney(col("c_custkey"), 12, -999.99, 9999.99))
+      .withColumn("c_mktsegment", pick(col("c_custkey"), 13,
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")))
+
+  /** Orders-fact slice for the bucketed-join rig: ~10 orders per user,
+    * keyed into the same custkey domain as [[customersLike]]. */
+  def ordersLike(spark: SparkSession, n: Long, nUsers: Long): DataFrame =
+    spark.range(0, n).toDF("o_orderkey")
+      .withColumn("o_custkey", uniformLong(col("o_orderkey"), 14, 0, nUsers - 1))
+      .withColumn("o_orderstatus", pick(col("o_orderkey"), 15, Seq("O", "F", "P")))
+      .withColumn("o_totalprice", uniformMoney(col("o_orderkey"), 16, 1.0, 100000.0))
+      .withColumn("o_orderdate", to_date(lit("2024-01-01")))
+      .withColumn("o_orderpriority", pick(col("o_orderkey"), 17,
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")))
+
   def writeScaleSlice(spark: SparkSession, dir: String, mult: Int): Unit = {
     documentsLike(spark, 5000L * mult)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -247,5 +271,12 @@ object DataGen {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     embeddingsLike(spark, 2000L * mult)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // static-ish dims: grow with the user base so the dim-reading
+    // operators (x116 stream enrich, x120 bucketed join) are measurable
+    // on the rig instead of named exclusions
+    customersLike(spark, 1500L * mult)
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    ordersLike(spark, 15000L * mult, 1500L * mult)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
   }
 }
