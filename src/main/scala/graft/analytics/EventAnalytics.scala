@@ -388,10 +388,16 @@ object EventAnalytics {
 
   /** Full-precision SCD2 intervals (microsecond bounds) — the frame
     * x117 renders and the point-in-time join (x122) consumes. */
-  def scd2Raw(s: SparkSession, dir: String): DataFrame = {
+  def scd2Raw(s: SparkSession, dir: String): DataFrame =
+    scd2RawFor(load(s, dir, "events"))
+
+  /** Frame-level SCD2 builder (events needs user_id, event_type, ts,
+    * event_id) — factored so the property spec drives the SAME pipeline
+    * over generated event frames. */
+  def scd2RawFor(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts", "event_id")
-    load(s, dir, "events")
+    events
       .select(col("user_id"), col("event_type").as("state"),
               col("ts"), col("event_id"))
       .withColumn("prev_state", lag(col("state"), 1).over(w))

@@ -336,6 +336,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SCD2 intervals partition each user's timeline for arbitrary event logs") {
+    val eventGen = for {
+      n <- Gen.chooseNum(1, 60)
+      rows <- Gen.listOfN(n, Gen.zip(
+        Gen.chooseNum(1L, 5L),                       // user_id (forces collisions)
+        Gen.oneOf("a", "b", "c"),                    // event_type
+        Gen.chooseNum(0L, 1000L)))                   // seconds offset
+    } yield rows.zipWithIndex.map { case ((u, t, s), i) =>
+      (i.toLong, u, t, new java.sql.Timestamp(1700000000000L + s * 1000L))
+    }
+    forAll(eventGen) { rows =>
+      val ev = rows.toDF("event_id", "user_id", "event_type", "ts")
+      val iv = graft.analytics.EventAnalytics.scd2RawFor(ev).collect()
+      iv.groupBy(_.getAs[Long]("user_id")).foreach { case (u, spans) =>
+        val sorted = spans.sortBy(_.getAs[java.sql.Timestamp]("valid_from_ts").getTime)
+        // exactly one open interval, and it is the LAST one
+        assert(sorted.count(_.isNullAt(3)) == 1 && sorted.last.isNullAt(3),
+          s"user $u open-interval invariant broken")
+        // chained: each interval closes exactly where the next opens
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a.getAs[java.sql.Timestamp]("valid_to_ts") ==
+              b.getAs[java.sql.Timestamp]("valid_from_ts"),
+              s"user $u has a hole or overlap")
+          case _ => ()
+        }
+        // compacted: no two adjacent intervals share a state
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a.getAs[String]("state") != b.getAs[String]("state"),
+              s"user $u has an uncompacted no-op interval")
+          case _ => ()
+        }
+      }
+      // every user with events has at least one interval
+      assert(iv.map(_.getAs[Long]("user_id")).toSet ==
+        rows.map(_._2).toSet)
+    }
+  }
+
   test("mask plan invariants hold for arbitrary corpora (bounds, 15% mass, no overlap)") {
     val corpusGen = Gen.nonEmptyListOf(Gen.zip(Gen.posNum[Long], textGen))
       .map(_.distinctBy(_._1))
