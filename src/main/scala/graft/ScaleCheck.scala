@@ -76,7 +76,8 @@ object ScaleCheck {
     "x118_mask_plan",
     "x120_bucketed_join",
     "x121_publish_audit",
-    "x122_pit_attribution")
+    "x122_pit_attribution",
+    "x123_curation_fused")
   // x80_sql_surface is excluded only because it registers the full
   // testdata catalog (registerAll) and the scale slices carry just the
   // three scaled tables; its per-doc work is the x11/x12 expression set

@@ -637,16 +637,25 @@ object Similarity {
       SELECT query_id, rank, vec_id AS neighbor_id, ROUND(cos, 6) AS cos_sim
       FROM ranked WHERE rank <= $K ORDER BY query_id, rank"""
 
-  private val baseOracles: Map[String, String] = Map(
-    "x28_sim_topk_ivf" -> ivfOracleSql,
-    "x109_semdedup" -> s"""
+  /** Shared DuckDB CTE chain ending in `sem_keep(vec_id)` — the x109
+    * semantic keep list, factored so compositions (x123) replay the
+    * IDENTICAL clustering + prune in SQL instead of a copy that can
+    * drift (same no-drift contract as `ivfIndexCtes`/`CurationGateSql`). */
+  private[graft] lazy val semKeepCtes: String = s"""
       ${ivfIndexCtes(SemClusters, Some(SemTrainSample))},
       csz AS (SELECT cluster, COUNT(*) AS n FROM idx GROUP BY 1),
       cold AS (SELECT i.* FROM idx i JOIN csz USING (cluster)
         WHERE csz.n <= $SemClusterCap),
       drops AS (SELECT DISTINCT b.vec_id
         FROM cold a JOIN cold b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        WHERE ${duckCos("a.vq", "b.vq")} >= $SemTau)
+        WHERE ${duckCos("a.vq", "b.vq")} >= $SemTau),
+      sem_keep AS (SELECT i.vec_id FROM idx i
+        LEFT JOIN drops d ON i.vec_id = d.vec_id WHERE d.vec_id IS NULL)"""
+
+  private val baseOracles: Map[String, String] = Map(
+    "x28_sim_topk_ivf" -> ivfOracleSql,
+    "x109_semdedup" -> s"""
+      $semKeepCtes
       SELECT i.vec_id, i.cluster,
         CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept,
         CASE WHEN csz.n > $SemClusterCap THEN 1 ELSE 0 END AS capped

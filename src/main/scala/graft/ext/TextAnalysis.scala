@@ -595,7 +595,35 @@ object TextAnalysis {
       .select(col("doc_id"), col("span_idx"), col("start_tok"), col("span_len"))
       .orderBy("doc_id", "span_idx")
 
+  /** Fused curation: the multi-signal keep decision a production
+    * pretraining pass actually makes — language gate ∩ quality gate ∩
+    * exact-dedup survivor ∩ SEMANTIC-dedup keep (x109's SemDeDup list,
+    * joined on the doc's embedding id) — rolled up per source. Each
+    * family keeps its own factored machinery (the compiled text gates,
+    * the hash-first dedup, the shared x109 clustering), so the fusion
+    * is three joins, not re-implementations; the oracle composes the
+    * same factored CTE chains (`semKeepCtes` + `CurationGateSql`), so
+    * neither engine's composition can drift from its parts. */
+  def curationFused(s: SparkSession, dir: String): DataFrame = {
+    val semKeep = Similarity.semDedup(s, dir)
+      .filter(col("kept") === 1).select(col("vec_id").as("doc_id"))
+    val gated = load(s, dir, "documents")
+      .filter(langId(col("text")) === "en")
+      .filter(qualityScore(col("text")) >= 50.0)
+    val surviving = gated
+      .groupBy(xxhash64(col("text")).as("h1"), md5(col("text")).as("h2"))
+      .agg(min(col("doc_id")).as("doc_id"),
+           min_by(col("source"), col("doc_id")).as("source"),
+           min_by(col("n_chars"), col("doc_id")).as("n_chars"))
+    surviving.join(semKeep, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+           sum("n_chars").cast("long").as("kept_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x123_curation_fused" -> curationFused,
     "x118_mask_plan" -> maskPlan,
     "x107_oov_audit" -> oovAudit,
     "x103_quality_drift" -> qualityDrift,
@@ -683,6 +711,22 @@ object TextAnalysis {
     * engines split trimmed text on \s+; ratios are raw double divisions
     * (no rounding → no decimal-tie divergence). */
   val oracles: Map[String, String] = Map(
+    "x123_curation_fused" -> s"""
+      ${Similarity.semKeepCtes},
+      $CurationGateSql,
+      kept AS (
+        SELECT d.doc_id, d.source, d.n_chars, d.text
+        FROM documents d
+        JOIN lang_pred lp ON d.doc_id = lp.doc_id AND lp.rn = 1 AND lp.predicted = 'en'
+        JOIN quality qu ON d.doc_id = qu.doc_id AND qu.q >= 50.0),
+      surviving AS (
+        SELECT MIN(doc_id) AS doc_id, arg_min(source, doc_id) AS source,
+          arg_min(n_chars, doc_id) AS n_chars
+        FROM kept GROUP BY text)
+      SELECT s.source, COUNT(*) AS n_kept,
+        CAST(SUM(s.n_chars) AS BIGINT) AS kept_chars
+      FROM surviving s JOIN sem_keep k ON s.doc_id = k.vec_id
+      GROUP BY 1 ORDER BY 1""",
     "x118_mask_plan" -> """
       WITH d AS (
         SELECT doc_id,

@@ -317,6 +317,20 @@ class CorpusAuditSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("fused curation never keeps more than any of its component gates") {
+    val fused = TextAnalysis.curationFused(spark, sfDir).cache()
+    // per source, the fusion is a subset of the text-only pipeline (x27)
+    val x27 = TextAnalysis.curationPipeline(spark, sfDir)
+      .select(col("source"), col("n_kept").as("n_x27"))
+    val over = fused.join(x27, "source").filter(col("n_kept") > col("n_x27"))
+    assert(over.count() == 0, "fusion kept docs the text gates rejected")
+    // and bounded by the semantic keep list size
+    val semKept = Similarity.semDedup(spark, sfDir)
+      .filter(col("kept") === 1).count()
+    assert(fused.agg(coalesce(sum("n_kept"), lit(0L))).head().getLong(0) <= semKept)
+    fused.unpersist()
+  }
+
   test("mask plan: spans in bounds, non-overlapping, 15% mass, deterministic") {
     import graft.functions.TextFunctions.tokenCount
     val out = TextAnalysis.maskPlan(spark, sfDir).cache()
