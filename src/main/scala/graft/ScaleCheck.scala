@@ -77,7 +77,8 @@ object ScaleCheck {
     "x120_bucketed_join",
     "x121_publish_audit",
     "x122_pit_attribution",
-    "x123_curation_fused")
+    "x123_curation_fused",
+    "x124_dedup_incremental_near")
   // x80_sql_surface is excluded only because it registers the full
   // testdata catalog (registerAll) and the scale slices carry just the
   // three scaled tables; its per-doc work is the x11/x12 expression set

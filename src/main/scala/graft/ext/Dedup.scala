@@ -332,6 +332,46 @@ object Dedup {
     (docs, withJaccard)
   }
 
+  /** Incremental NEAR-dup screening: the new batch (odd doc_ids — the
+    * x55 incremental convention) checked against the accepted snapshot
+    * (even ids) through the SHARED x03 candidate machinery — the
+    * continuous-ingestion question "is this incoming document a
+    * near-copy of anything we already accepted", answered without an
+    * all-pairs pass. Only cross-side (batch × snapshot) candidate
+    * pairs count; batch-internal near-dups are the next snapshot's
+    * problem (and x03's job). Identical shingle SETS across the side
+    * line (excluded from LSH candidates by design and counted
+    * arithmetically, like x03's n_same) join on the set key. At
+    * production scale the snapshot's band table is a persisted index
+    * the batch's bands probe; here both sides derive from one corpus
+    * scan, which keeps the oracle exact while the plan shape — banded
+    * bucket join, never batch × snapshot — is the deployed one.
+    * Output per batch doc: snapshot candidates and verified snapshot
+    * near-dups (exact Jaccard ≥ τ, or identical set). */
+  def incrementalNearDups(s: SparkSession, dir: String): DataFrame = {
+    val (docs, withJaccard) = minhashCandidates(s, dir)
+    val cross = withJaccard.filter(col("id1") % 2 =!= col("id2") % 2)
+      .withColumn("batch_id",
+        when(col("id1") % 2 === 1, col("id1")).otherwise(col("id2")))
+    val cand = cross.groupBy(col("batch_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_cand"))
+    val near = cross.filter(col("jaccard") >= MinhashTau)
+      .groupBy(col("batch_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_near"))
+    val snapSets = docs.filter(col("doc_id") % 2 === 0)
+      .groupBy("setkey").agg(count(lit(1)).as("n_same_snap"))
+    docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("setkey"))
+      .join(snapSets, Seq("setkey"), "left")
+      .join(cand, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("n_cand"), lit(0L)) + coalesce(col("n_same_snap"), lit(0L)))
+          .as("n_candidates"),
+        (coalesce(col("n_near"), lit(0L)) + coalesce(col("n_same_snap"), lit(0L)))
+          .as("n_near_dups"))
+      .orderBy("doc_id")
+  }
+
   def minhashNearDups(s: SparkSession, dir: String): DataFrame = {
     val (docs, withJaccard) = minhashCandidates(s, dir)
     val sameSet = docs.groupBy("setkey").agg(count(lit(1)).as("g"))
@@ -713,6 +753,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x124_dedup_incremental_near" -> incrementalNearDups,
     "x115_span_dedup" -> spanDedupAudit,
     "x01_dedup_exact" -> exactDedup,
     "x02_dedup_stats" -> exactDedupStats,
@@ -817,6 +858,27 @@ object Dedup {
       ORDER BY d.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    // shared minhashPairsSql chain; only cross-side pairs count, and
+    // identical sets across the side line join on the set key (the
+    // x03 n_same convention applied to the batch/snapshot split)
+    "x124_dedup_incremental_near" -> s"""
+      WITH $minhashPairsSql,
+      crossp AS (SELECT CASE WHEN id1 % 2 = 1 THEN id1 ELSE id2 END AS doc_id, j
+        FROM jac WHERE (id1 % 2) <> (id2 % 2)),
+      cand AS (SELECT doc_id, COUNT(*) AS n FROM crossp GROUP BY 1),
+      near AS (SELECT doc_id, COUNT(*) AS n FROM crossp
+        WHERE j >= $MinhashTau GROUP BY 1),
+      snap AS (SELECT setkey, COUNT(*) AS n FROM sets
+        WHERE doc_id % 2 = 0 GROUP BY 1),
+      batch AS (SELECT doc_id, setkey FROM sets WHERE doc_id % 2 = 1)
+      SELECT b.doc_id,
+        CAST(COALESCE(c.n, 0) + COALESCE(sp.n, 0) AS BIGINT) AS n_candidates,
+        CAST(COALESCE(nr.n, 0) + COALESCE(sp.n, 0) AS BIGINT) AS n_near_dups
+      FROM batch b
+      LEFT JOIN snap sp ON b.setkey = sp.setkey
+      LEFT JOIN cand c ON b.doc_id = c.doc_id
+      LEFT JOIN near nr ON b.doc_id = nr.doc_id
+      ORDER BY b.doc_id""",
     "x115_span_dedup" -> """
       WITH toks AS (SELECT doc_id, source,
           string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

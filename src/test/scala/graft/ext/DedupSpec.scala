@@ -70,6 +70,23 @@ class DedupSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("incremental near-dup: one row per batch doc; snapshot copies are flagged") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val out = Dedup.incrementalNearDups(spark, sfDir).cache()
+    assert(out.count() == docs.filter(col("doc_id") % 2 === 1).count())
+    assert(out.filter(col("n_near_dups") > col("n_candidates")).count() == 0)
+    // an odd (batch) doc whose exact text exists on the even (snapshot)
+    // side MUST surface as a near-dup — the screening's whole point
+    val crossDup = docs.filter(col("doc_id") % 2 === 1).alias("b")
+      .join(docs.filter(col("doc_id") % 2 === 0).alias("s"),
+        col("b.text") === col("s.text"))
+      .select(col("b.doc_id").as("doc_id")).distinct()
+    val missed = crossDup.join(out.filter(col("n_near_dups") >= 1), Seq("doc_id"),
+      "left_anti").count()
+    assert(missed == 0, s"$missed cross-side exact copies not flagged")
+    out.unpersist()
+  }
+
   test("embeddingNearDups summary covers all vectors") {
     val out = Dedup.embeddingNearDups(spark, sfDir)
     assert(out.count() == graft.Tables.load(spark, sfDir, "embeddings").count())
