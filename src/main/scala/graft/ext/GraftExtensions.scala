@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // custom physical operator: AsOfJoinPlan → AsOfJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
 
+    // hash-first COUNT(DISTINCT <string>) — the x01 identity contract
+    // as an automatic optimization (see HashFirstDistinctRule)
+    ext.injectOptimizerRule(_ => graft.plans.HashFirstDistinctRule)
+
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[VectorExpressions.DotProduct].getName, "graft_dot"),

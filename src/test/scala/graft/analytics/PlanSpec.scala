@@ -361,6 +361,23 @@ class PlanSpec extends SparkSpec {
       s"a corpus-scale window lost its partitioning:\n${windows.mkString("\n")}")
   }
 
+  test("COUNT(DISTINCT string) rewrites to the 24-byte hash pair (hash-first rule)") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val q = docs.agg(org.apache.spark.sql.functions.count_distinct(
+      org.apache.spark.sql.functions.col("text")).as("n"))
+    val p = q.queryExecution.optimizedPlan.toString
+    assert(p.contains("xxhash64") && p.contains("md5"),
+      s"hash-first distinct rule did not fire:\n$p")
+    // value unchanged: compare against a groupBy shape the rule can't touch
+    val expected = docs.groupBy("text").count().count()
+    assert(q.head().getLong(0) == expected)
+    // non-string distinct counts are left alone
+    val pLong = docs.agg(org.apache.spark.sql.functions.count_distinct(
+        org.apache.spark.sql.functions.col("doc_id")))
+      .queryExecution.optimizedPlan.toString
+    assert(!pLong.contains("xxhash64"), "rule must not touch non-string distincts")
+  }
+
   test("bucketed join is co-located: zero exchanges with broadcast disabled") {
     val (ordersT, custT) = graft.etl.Sources.bucketedTables(spark, sfDir)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
