@@ -314,8 +314,11 @@ object Sources {
     * re-reading it through the format and comparing its full audit
     * record (count + content checksum + mass) against the source frame
     * — any write corruption aborts BEFORE anything goes live — then
-    * publish with one atomic directory rename, so downstream readers
-    * see the old export or the complete new one, never a partial write.
+    * publish with the rename-aside protocol ([[publishDir]]): the live
+    * export is moved aside, never deleted, until the new one is in
+    * place, so downstream readers can always reach the old export or
+    * the complete new one across every crash point, never a partial
+    * write and never a lost export.
     * The driver query emits the audit record recomputed from the
     * PUBLISHED location (the whole stage→audit→rename→re-read path is
     * what the oracle hash-checks against the source table). At 100 TB
@@ -334,14 +337,50 @@ object Sources {
     if (staged != source)
       throw new IllegalStateException(
         s"WAP audit failed — staged $staged != source $source; publish aborted")
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
-    }
-    rm(fin.toFile)
-    java.nio.file.Files.move(stage, fin,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    publishDir(stage, fin)
     wapAudit(s.read.parquet(fin.toString))
       .withColumn("published", lit(true))
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree); f.delete(); ()
+  }
+
+  /** Crash-safe publish step of the WAP protocol: promote `stage` to the
+    * live path `fin` with the rename-aside dance, so a COMPLETE export is
+    * readable at `fin` across every failure point. Order of operations:
+    *   1. clear any `<fin>_old` residue from a prior crashed publish;
+    *   2. move the live export aside (`fin` → `<fin>_old`) — NOT delete;
+    *   3. move `stage` into place; if this fails, roll `<fin>_old` back
+    *      to `fin` and rethrow — the old export stays live;
+    *   4. only after the new export is in place, delete `<fin>_old`.
+    * A crash between 2 and 3 leaves the complete old export at
+    * `<fin>_old` (step 1 of the next run would clear it, so recovery
+    * must roll it back first — done here before step 1 when `fin` is
+    * absent but `<fin>_old` exists). The `move` parameter exists so the
+    * spec can inject a failure at the promotion step and prove the old
+    * export survives. */
+  private[graft] def publishDir(stage: java.nio.file.Path, fin: java.nio.file.Path,
+      move: (java.nio.file.Path, java.nio.file.Path) => Unit =
+        (a, b) => { java.nio.file.Files.move(a, b,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE); () }): Unit = {
+    import java.nio.file.Files
+    val old = fin.resolveSibling(fin.getFileName.toString + "_old")
+    // crash recovery: a previous publish died between rename-aside and
+    // promotion — the aside copy IS the live export; restore it first
+    if (!Files.exists(fin) && Files.exists(old))
+      Files.move(old, fin, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    rmTree(old.toFile)
+    val hadLive = Files.exists(fin)
+    if (hadLive) Files.move(fin, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try move(stage, fin)
+    catch {
+      case e: Throwable =>
+        if (hadLive) Files.move(old, fin,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        throw e
+    }
+    if (hadLive) rmTree(old.toFile)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -350,4 +350,38 @@ class EtlSpec extends SparkSpec {
     val out2 = Sources.publishAuditExport(spark, sfDir).collect()
     assert(out1.toSeq == out2.toSeq, "re-publish changed the audit record")
   }
+
+  test("WAP publish is crash-safe: a failed promotion never loses the live export") {
+    import java.nio.file.{Files, Path}
+    def mkExport(root: Path, name: String, content: String): Path = {
+      val d = root.resolve(name); Files.createDirectories(d)
+      Files.write(d.resolve("part-00000"), content.getBytes("UTF-8")); d
+    }
+    def readExport(d: Path): String =
+      new String(Files.readAllBytes(d.resolve("part-00000")), "UTF-8")
+    val root = Files.createTempDirectory("wap_crash")
+    val fin = root.resolve("live")
+    mkExport(root, "live", "OLD")
+    // 1) promotion fails mid-publish: the complete OLD export must
+    //    still be readable at the live path afterwards
+    val stage1 = mkExport(root, "stage1", "NEW1")
+    intercept[java.io.IOException] {
+      Sources.publishDir(stage1, fin,
+        move = (_, _) => throw new java.io.IOException("injected move failure"))
+    }
+    assert(Files.exists(fin), "failed publish deleted the live export")
+    assert(readExport(fin) == "OLD", "failed publish corrupted the live export")
+    // 2) simulated crash BETWEEN rename-aside and promotion: live is
+    //    gone but live_old holds the complete export; the next publish
+    //    must recover it (and then complete normally)
+    Files.move(fin, root.resolve("live_old"))
+    val stage2 = mkExport(root, "stage2", "NEW2")
+    Sources.publishDir(stage2, fin)
+    assert(readExport(fin) == "NEW2")
+    assert(!Files.exists(root.resolve("live_old")), "aside copy not cleaned up")
+    // 3) normal publish over a live export replaces it completely
+    val stage3 = mkExport(root, "stage3", "NEW3")
+    Sources.publishDir(stage3, fin)
+    assert(readExport(fin) == "NEW3")
+  }
 }
