@@ -115,6 +115,10 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           note(name, "failed", (System.nanoTime() - qT0) / 1e9)
         } finally {
+          // free the query's scoped caches — 143 queries' sketched
+          // frames would otherwise accrete in this one session (runs
+          // after the drain above, which wants the warm lineage)
+          CacheScope.release()
           watchdog.cancel()
           spark.sparkContext.clearJobGroup()
         }

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.CacheScope.ScopedCacheOps
 import graft.Tables.load
 
 /** Benchmark decontamination and blocklist filtering — the two removal
@@ -174,7 +175,7 @@ object Contamination {
     val grams = load(s, dir, "documents")
       .select(col("doc_id"), h.as("h"),
         explode(graft.functions.TextExpressions.wordShingleStrings(col("text"), 8)).as("gram"))
-      .cache()
+      .scopedCache()
     val trainGrams = grams.filter(col("h") < lit(3865470566L))
       .select("gram").distinct()
     val testGrams = grams.filter(col("h") >= lit(4080218931L))

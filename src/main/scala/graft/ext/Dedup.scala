@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.CacheScope.ScopedCacheOps
 import graft.Tables.load
 import graft.functions.TextFunctions._
 import graft.functions.Sketches._
@@ -154,7 +155,7 @@ object Dedup {
     val tf = load(s, dir, "documents")
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("exact_n"))
-      .cache()
+      .scopedCache()
     val probes = tf.orderBy(desc("exact_n"), col("token")).limit(20)
     val counters = tf
       .select(col("token"), col("exact_n"),
@@ -202,7 +203,7 @@ object Dedup {
       .select(col("p.sa").as("sa"), col("p.sb").as("sb"))
     // ≤ S + C(S,2) rows; cached so the totals/shared branches and the two
     // broadcasts below share one computation of the full aggregate
-    val agg = tagged.groupBy("sa", "sb").agg(count(lit(1)).as("n")).cache()
+    val agg = tagged.groupBy("sa", "sb").agg(count(lit(1)).as("n")).scopedCache()
     val counts = agg.filter(col("sb").isNull).select(col("sa").as("source"), col("n"))
     val shared = agg.filter(col("sb").isNotNull)
       .select(col("sa").as("source_a"), col("sb").as("source_b"), col("n").as("n_shared"))
@@ -294,7 +295,7 @@ object Dedup {
     val docs = load(s, dir, "documents")
       .select(col("doc_id"), portableShingleHashes(col("text"), 3).as("shingles"))
       .withColumn("setkey", xxhash64(array_sort(col("shingles"))))
-      .cache()
+      .scopedCache()
     val sigs = docs.select(col("doc_id"), col("setkey"), col("shingles"),
       minhashSignature(col("shingles"), MinhashK).as("sig"))
 
@@ -308,7 +309,7 @@ object Dedup {
       .select(col("doc_id"), col("setkey"), col("bk.band").as("band"), col("bk.key").as("key"))
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
-      .cache()
+      .scopedCache()
     val cold = sized.filter(col("bsz") <= SimhashBucketCap)
     reportCapLoss("minhash LSH",
       sized.filter(col("bsz") > SimhashBucketCap)
@@ -531,7 +532,7 @@ object Dedup {
     // the band fn) for the 64-bit Spark-internal-hash variant
     val docs = load(s, dir, "documents")
       .select(col("doc_id"), simhashPortable(tokens(col("text"))).as("sim"))
-      .cache()
+      .scopedCache()
 
     // degenerate identical-signature groups, counted without pairs
     val sameSim = docs.groupBy("sim").agg(count(lit(1)).as("g"))
@@ -591,7 +592,7 @@ object Dedup {
       .withColumn("setkey", xxhash64(array_sort(col("grams"))))
       .withColumn("block", md5(concat_ws(",",
         transform(slice(array_sort(col("grams")), 1, 4), x => x.cast("string")))))
-      .cache()
+      .scopedCache()
 
     val sameSet = docs.groupBy("setkey").agg(count(lit(1)).as("g"))
     val sameCounts = docs.join(sameSet, "setkey")
@@ -644,7 +645,7 @@ object Dedup {
       .select(col("vec_id").as("doc_id"), toDouble(col("embedding")).as("v"))
       .withColumn("bits", hyperplaneBits(col("v"), Planes))
       .withColumn("veckey", xxhash64(col("v")))
-      .cache()
+      .scopedCache()
 
     val sameVec = embs.groupBy("veckey").agg(count(lit(1)).as("g"))
     val sameCounts = embs.join(sameVec, "veckey")

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.CacheScope.ScopedCacheOps
 import graft.Tables.load
 import graft.functions.TextFunctions._
 
@@ -333,7 +334,7 @@ object Sampling {
     val docs = load(s, dir, "documents")
     val terms = docs.select(col("doc_id"), col("lang"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-      .cache()
+      .scopedCache()
     val totals = terms.agg(count(lit(1)).as("tot_all"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tot_target"))
     val corpusCnt = terms.groupBy("term").agg(count(lit(1)).as("n_all"))
