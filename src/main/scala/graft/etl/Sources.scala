@@ -168,6 +168,11 @@ object Sources {
     * else would break or poison the round-trip gate), reused across
     * bench reps within a run (Overwrite — no per-rep leak), removed on
     * JVM exit. */
+  /** Path under the per-JVM scratch root for cross-query staged
+    * artifacts (x109's published keep-list, read by x123). */
+  private[graft] def scratchPath(name: String): java.nio.file.Path =
+    roundtripRoot.resolve(name)
+
   private lazy val roundtripRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_roundtrip_")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {

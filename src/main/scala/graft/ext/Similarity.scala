@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.CacheScope.ScopedCacheOps
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.load
 import graft.functions.Sketches._
@@ -92,7 +93,7 @@ object Similarity {
     val banded = all.select(col("vec_id"), col("v"),
         explode(bitBandStringKeys(col("bits"), Bands, BitsPerBand)).as("bk"))
       .select(col("vec_id"), col("v"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .cache()
+      .scopedCache()
     val queries = banded.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("band"), col("key"))
 
@@ -211,7 +212,7 @@ object Similarity {
       .select(col("vec_id"),
         transform(toDouble(col("embedding")),
           x => floor(x * lit(QuantScale)).cast("long")).as("vq"))
-      .cache()
+      .scopedCache()
 
     // Optional sample-trained quantizer (the faiss-standard shortcut):
     // Lloyd iterates over a FIXED-SIZE hash-ordered sample, so training
@@ -223,7 +224,7 @@ object Similarity {
       case Some(n) => all
         .withColumn("__h", graft.ext.Sampling.u32(col("vec_id")))
         .orderBy(col("__h"), col("vec_id")).limit(n)
-        .select(col("vec_id"), col("vq")).cache()
+        .select(col("vec_id"), col("vq")).scopedCache()
       case None => all
     }
 
@@ -263,7 +264,7 @@ object Similarity {
     // nlist rows; cached because three consumers re-derive it (index
     // assignment, query probing, the exactness guard below) and its
     // lineage is the whole Lloyd chain
-    centroids = centroids.cache()
+    centroids = centroids.scopedCache()
     val index = assign(centroids).select(col("vec_id"), col("cluster"), col("vq"))
     (all, centroids, index)
   }
@@ -309,15 +310,30 @@ object Similarity {
     * semantic-duplicate knee (0.93-0.97 in the paper). */
   private val SemTau = 0.3
 
-  /** x109 quantizer density: SemDeDup needs its OWN nlist — denser
-    * than x28's recall-tuned 8, because pairwise prune cost is
-    * Σ sᵢ² and cluster size s ≈ N/nlist is the whole cost model.
-    * Production sizes nlist ∝ N so s stays ~constant and the prune is
-    * linear (the paper runs tens of thousands of clusters at
-    * LAION-scale); 64 here ≈ N/80 at the gate volume. ScaleCheck
-    * measured the nlist=8 form at 9.9× cost for 10× docs — exactly the
-    * quadratic cliff this constant avoids. */
-  private val SemClusters = 64
+  /** x109 quantizer density floor and scaling divisor: SemDeDup needs
+    * its OWN nlist — denser than x28's recall-tuned 8, because pairwise
+    * prune cost is Σ sᵢ² and cluster size s ≈ N/nlist is the whole cost
+    * model. nlist AUTOSCALES as max(floor, N / divisor) from a cheap
+    * corpus count ([[semNlist]]), so s stays ~[[SemClustersDiv]] vectors
+    * at any volume and the prune is linear in N — the paper's shape
+    * (tens of thousands of clusters at LAION-scale). ScaleCheck measured
+    * the fixed nlist=8 form at 9.9× cost for 10× docs — exactly the
+    * quadratic cliff the scaling avoids; the old fixed 64 hit the same
+    * cliff one decade later. At every driver SF (≤ 5120 vectors) the
+    * formula floors at 64, so the gate results are unchanged; the DuckDB
+    * oracle computes the SAME expression ([[semNlistSql]]) so the two
+    * engines can never disagree on the cluster count. */
+  private val SemClustersFloor = 64
+  private val SemClustersDiv = 80
+
+  /** Scala-side autoscaled nlist (one metadata-cheap count). */
+  private def semNlist(s: SparkSession, dir: String): Int =
+    math.max(SemClustersFloor,
+      (load(s, dir, "embeddings").count() / SemClustersDiv).toInt)
+
+  /** The identical computation in DuckDB for the oracle CTEs. */
+  private def semNlistSql: String =
+    s"GREATEST($SemClustersFloor, (SELECT COUNT(*) FROM embeddings) // $SemClustersDiv)"
 
   /** x109 quantizer training sample: Lloyd iterates over the 1024
     * smallest-u32 vectors instead of the corpus (the faiss-standard
@@ -347,24 +363,72 @@ object Similarity {
     * single bounded pass, no fixpoint — the connected-components path
     * at x43/x96 is the transitive alternative when cluster-level groups
     * are wanted). Runs on the same [[ivfBuild]] machinery as x28 with
-    * its own density ([[SemClusters]]).
+    * its own autoscaled density ([[semNlist]]).
     *
     * Scale shape: pairwise work is per-cluster Σ sᵢ², bounded by
-    * [[SemClusters]] (sizing) and [[SemClusterCap]] (degenerate-cluster
+    * [[semNlist]] (sizing) and [[SemClusterCap]] (degenerate-cluster
     * guard, reported in-band). The pair join shuffles only
     * (cluster, vq); AQE splits a skewed cluster like any skewed join
     * key. The exactness guard rides along: pair dots are bounded by the
-    * same magnitudes x28 asserts. */
-  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    * same magnitudes x28 asserts.
+    *
+    * The query MATERIALIZES its result through the x121 WAP path
+    * (stage → audit → atomic publish) and returns a read of the
+    * published copy: the keep-list is the artifact a production
+    * curation pass consumes repeatedly, so it is published once and
+    * every later consumer in the JVM ([[semKeepList]] — x123) reads
+    * the export instead of re-paying the IVF pass. */
+  def semDedup(s: SparkSession, dir: String): DataFrame =
+    buildAndPublishKeepList(s, dir).orderBy("vec_id")
+
+  /** Published x109 keep-list registry: corpus dir → published path,
+    * scoped to this JVM (the scratch root is per-run). */
+  private val publishedKeepLists =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** The x109 keep-list for composition (x123): the published copy if
+    * this JVM already built one for `dir`, else build-and-publish. The
+    * suite therefore pays the IVF pass once, not once per consumer —
+    * the 100 TB shape, where the keep-list is a curated table other
+    * pipelines join against, not a subquery they re-run. */
+  private[graft] def semKeepList(s: SparkSession, dir: String): DataFrame =
+    Option(publishedKeepLists.get(dir)) match {
+      case Some(p) => s.read.parquet(p.toString)
+      case None    => buildAndPublishKeepList(s, dir)
+    }
+
+  private def buildAndPublishKeepList(s: SparkSession, dir: String): DataFrame =
+    publishedKeepLists.synchronized {
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val stage = graft.etl.Sources.scratchPath(s"semdedup_stage_$key")
+      val fin = graft.etl.Sources.scratchPath(s"semdedup_keep_$key")
+      semDedupCompute(s, dir)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage.toString)
+      // WAP audit before publish: the keep-list carries exactly one row
+      // per corpus vector, so a count mismatch means a corrupt write
+      val staged = s.read.parquet(stage.toString).count()
+      val expected = load(s, dir, "embeddings").count()
+      if (staged != expected)
+        throw new IllegalStateException(
+          s"semdedup keep-list audit failed — staged $staged rows != corpus $expected; publish aborted")
+      graft.etl.Sources.publishDir(stage, fin)
+      publishedKeepLists.put(dir, fin)
+      s.read.parquet(fin.toString)
+    }
+
+  /** The actual SemDeDup computation (private[graft] so the plan spec
+    * asserts THIS frame's join shape — the public [[semDedup]] returns
+    * a scan of the published copy, whose plan is just read+sort). */
+  private[graft] def semDedupCompute(s: SparkSession, dir: String): DataFrame = {
     val (all, centroids, index0) =
-      ivfBuild(s, dir, SemClusters, LloydIters, Some(SemTrainSample))
+      ivfBuild(s, dir, semNlist(s, dir), LloydIters, Some(SemTrainSample))
     // THREE consumers read the assignment (sizes, the pair join's cold
     // side, the final audit rows) and its lineage is the whole Lloyd
     // chain — cache it rather than running the 64-centroid assign pass
     // three times. The query's floor is the sequential Lloyd barrier
     // chain itself (~10 small stages), not data volume — see the flat
     // ScaleCheck ratio.
-    val index = index0.cache()
+    val index = index0.scopedCache()
     // nlist-row frame: every downstream consumer broadcasts it
     val sizes = index.groupBy("cluster").agg(count(lit(1)).as("csz"))
     val cold = index.join(broadcast(sizes), "cluster")
@@ -384,8 +448,9 @@ object Similarity {
       .withColumn("capped", (col("csz") > SemClusterCap).cast("int"))
       .crossJoin(broadcast(exactnessGuard(all, centroids)))
       .filter(col("exact_ok").isNull)
+      // no sort before the write: the published parquet is unordered
+      // (consumers sort or join as they need, like any published table)
       .select(col("vec_id"), col("cluster"), col("kept"), col("capped"))
-      .orderBy("vec_id")
   }
 
   /** x110: int8 quantization audit — the memory-4×/bandwidth-4× lever
@@ -586,7 +651,7 @@ object Similarity {
     * interpolated into BOTH the x28 probe oracle and the x109 SemDeDup
     * oracle (each with its own nlist) so the SQL index can never drift
     * from the Scala one. */
-  private def ivfIndexCtes(nlist: Int, trainLimit: Option[Int] = None): String = {
+  private def ivfIndexCtes(nlistSql: String, trainLimit: Option[Int] = None): String = {
     val iters = (1 to LloydIters).map { i =>
       s"""s$i AS (SELECT e.vec_id, e.vq, c.cluster, ${duckCos("e.vq", "c.c")} AS cos
             FROM tr e CROSS JOIN c${i - 1} c),
@@ -609,8 +674,10 @@ object Similarity {
         FROM embeddings),
       tr AS ($trainSql),
       hs AS (SELECT vec_id, ${graft.ext.Sampling.u32Sql("vec_id")} AS h FROM tr),
-      init AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS cluster
-        FROM hs ORDER BY h LIMIT $nlist),
+      nl AS (SELECT $nlistSql AS nlist),
+      init AS (SELECT vec_id, cluster FROM (
+          SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS cluster
+          FROM hs) CROSS JOIN nl WHERE cluster <= nl.nlist),
       c0 AS (SELECT i.cluster, e.vq AS c FROM init i JOIN e USING (vec_id)),
       $iters,
       fs AS (SELECT e.vec_id, e.vq, c.cluster, ${duckCos("e.vq", "c.c")} AS cos
@@ -622,7 +689,7 @@ object Similarity {
   }
 
   private lazy val ivfOracleSql: String =
-    s"""${ivfIndexCtes(IvfClusters)},
+    s"""${ivfIndexCtes(IvfClusters.toString)},
       q AS (SELECT vec_id AS query_id, vq AS qv FROM e WHERE vec_id < $NQueries),
       pr AS (SELECT query_id, qv, cluster FROM (
         SELECT q.query_id, q.qv, c.cluster,
@@ -642,7 +709,7 @@ object Similarity {
     * IDENTICAL clustering + prune in SQL instead of a copy that can
     * drift (same no-drift contract as `ivfIndexCtes`/`CurationGateSql`). */
   private[graft] lazy val semKeepCtes: String = s"""
-      ${ivfIndexCtes(SemClusters, Some(SemTrainSample))},
+      ${ivfIndexCtes(semNlistSql, Some(SemTrainSample))},
       csz AS (SELECT cluster, COUNT(*) AS n FROM idx GROUP BY 1),
       cold AS (SELECT i.* FROM idx i JOIN csz USING (cluster)
         WHERE csz.n <= $SemClusterCap),

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.CacheScope.ScopedCacheOps
 import graft.Tables.load
 import graft.functions.TextFunctions._
 
@@ -83,7 +84,7 @@ object TextAnalysis {
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .cache()
+      .scopedCache()
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
@@ -275,7 +276,7 @@ object TextAnalysis {
       .select(explode(arrays_zip(col("a"), col("b"))).as("bi"))
       .select(col("bi.a").as("w1"), col("bi.b").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .cache()
+      .scopedCache()
     val contexts = bigrams.groupBy("w1").agg(sum("c12").as("c1"))
     val topContexts = contexts
       .orderBy(col("c1").desc, col("w1")).limit(20)
@@ -310,7 +311,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
-      .cache()
+      .scopedCache()
     val banded = tf.groupBy("token").agg(count(lit(1)).as("df"))
       .filter(col("df") >= PostingsDfMin && col("df") <= PostingsDfMax)
     tf.join(banded, Seq("token"))
@@ -418,7 +419,7 @@ object TextAnalysis {
     val eligible = docs.withColumn("src_cum", sum("n_tokens").over(srcW))
       .filter(col("src_cum") <= lit(SourceCapTokens))
       .withColumn("qb", floor(col("q") * lit(10)).cast("long"))
-      .cache()
+      .scopedCache()
     val bw = Window.orderBy(desc("qb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // ≤1001 rows — the running sum's single partition is over the
@@ -603,9 +604,14 @@ object TextAnalysis {
     * the hash-first dedup, the shared x109 clustering), so the fusion
     * is three joins, not re-implementations; the oracle composes the
     * same factored CTE chains (`semKeepCtes` + `CurationGateSql`), so
-    * neither engine's composition can drift from its parts. */
+    * neither engine's composition can drift from its parts. The keep
+    * list comes from [[Similarity.semKeepList]] — the copy x109
+    * PUBLISHED through the WAP path when it ran (or a fresh
+    * build-and-publish if it hasn't) — so a suite run pays the IVF
+    * clustering once, not twice; at 100 TB the keep-list is exactly
+    * such a published table every curation pass joins against. */
   def curationFused(s: SparkSession, dir: String): DataFrame = {
-    val semKeep = Similarity.semDedup(s, dir)
+    val semKeep = Similarity.semKeepList(s, dir)
       .filter(col("kept") === 1).select(col("vec_id").as("doc_id"))
     val gated = load(s, dir, "documents")
       .filter(langId(col("text")) === "en")

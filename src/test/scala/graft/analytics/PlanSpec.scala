@@ -325,7 +325,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("semdedup pairs are a hash join on the cluster key, never a product") {
-    val p = plan(graft.ext.Similarity.semDedup(spark, sfDir))
+    // assert the COMPUTE frame: the public semDedup returns a scan of
+    // the WAP-published copy (plan = read + sort, no joins by design)
+    val p = plan(graft.ext.Similarity.semDedupCompute(spark, sfDir))
     assert(!p.contains("CartesianProduct"), "pair generation degenerated to a product")
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
       "cluster pair join is not a keyed join")
