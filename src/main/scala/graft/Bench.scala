@@ -51,21 +51,37 @@ object Bench {
     val suiteT0 = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - suiteT0) / 1e9
 
-    val done = new java.util.concurrent.ConcurrentLinkedQueue[(String, (Double, Double))]()
+    // Rep-major accumulators: per query, the list of (ok, seconds) runs
+    // so far. Populated pass-by-pass; reads are snapshot-safe for the
+    // shutdown hook (synchronized on `acc`).
+    val acc = new scala.collection.mutable.LinkedHashMap[
+      String, scala.collection.mutable.ArrayBuffer[(Boolean, Double)]]()
     val skipped = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
     def emit(partial: Boolean): Unit = if (printed.compareAndSet(false, true)) {
       import scala.jdk.CollectionConverters._
-      val results = done.asScala.toSeq
+      val results = acc.synchronized {
+        acc.toSeq.map { case (k, ts) =>
+          // a failed rep finishes fast — stats over SUCCESSFUL reps only, so
+          // a transient failure can't masquerade as a great time; if every
+          // rep failed, report the max elapsed (visibly odd, never flattering)
+          val succ = ts.collect { case (true, dt) => dt }
+          val pool = if (succ.nonEmpty) succ.toSeq else Seq(ts.map(_._2).max)
+          (k, pool.min, pool.max, ts.length)
+        }
+      }
       // "queries" stays min-of-N (the low-noise estimator for deterministic
       // work on a noisy VM); "spreads" publishes each query's [min, max]
-      // across reps so a reader can tell VM weather from a real regression
-      // without re-running (PERF.md documents 2-8x single-run swings).
-      val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }
+      // across reps and "reps_done" the per-query rep count, so a reader
+      // can tell VM weather (and deadline degradation) from a real
+      // regression without re-running (PERF.md documents 2-8x swings).
+      val qs = results.map { case (k, mn, _, _) => "\"" + k + "\":" + mn }
         .mkString("{", ",", "}")
-      val spreads = results.map { case (k, (mn, mx)) => s"\"" + k + "\":[" + mn + "," + mx + "]" }
+      val spreads = results.map { case (k, mn, mx, _) => "\"" + k + "\":[" + mn + "," + mx + "]" }
         .mkString("{", ",", "}")
-      val total = results.map(_._2._1).sum
+      val repsDone = results.map { case (k, _, _, n) => "\"" + k + "\":" + n }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).sum
       val skippedJson = skipped.asScala.toSeq.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       // provenance (round-7/8 ADVICE): the artifact names the commit
@@ -77,60 +93,71 @@ object Bench {
         p.waitFor(); if (out.matches("[0-9a-f]{6,}")) out else "unknown"
       }.getOrElse("unknown")
       val date = java.time.LocalDate.now().toString
-      val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"partial":$partial,"skipped":$skippedJson,"queries":$qs,"spreads":$spreads,"sf":"$sfDir","meta":{"commit":"$commit","date":"$date","generator":"graft.Bench"}}"""
-      println(line)
-      System.out.flush()
-      // The round-6/7 perf evidence was lost to stdout tail-capture
-      // truncation TWICE (BENCH_r06/r07 "parsed": null with rc=0) — a
-      // file copy survives any tail size. Best-effort: never let a
-      // read-only cwd kill the stdout contract.
+      val meta = s"""{"commit":"$commit","date":"$date","generator":"graft.Bench"}"""
       val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+      // Full per-query record goes to the FILE; stdout carries only
+      // totals + meta + a pointer. The 143-query stdout line (~12 KB)
+      // exceeded the driver's 2000-char captured tail two rounds running
+      // (BENCH_r09/r10 "parsed": null), losing the per-query record when
+      // the file was later clobbered — the compact line below always fits.
+      val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"partial":$partial,"skipped":$skippedJson,"queries":$qs,"spreads":$spreads,"reps_done":$repsDone,"sf":"$sfDir","meta":$meta}"""
       scala.util.Try(java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(outPath), line + "\n"))
+        java.nio.file.Paths.get(outPath), fileLine + "\n"))
+      val minReps = if (results.isEmpty) 0 else results.map(_._4).min
+      val stdoutLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"min_reps_done":$minReps,"n_queries":${results.length},"partial":$partial,"skipped":$skippedJson,"detail":"$outPath","sf":"$sfDir","meta":$meta}"""
+      println(stdoutLine)
+      System.out.flush()
     }
     // If an external `timeout` TERMs the JVM mid-suite, shutdown hooks
     // still run — publish whatever finished so the driver parses a
     // partial line instead of nothing (round-5 failure mode).
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit(partial = true)))
 
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      if (elapsed() > deadlineSec) { skipped.add(name) }
-      else {
-        val repsNow = if (elapsed() > 0.4 * deadlineSec) 1 else reps
-        // Per-query wall cap: round 6 lost 84 of 106 timings when ONE
-        // weather-hit query's three reps ate the whole 1200 s budget (the
-        // deadline was only consulted between queries). Re-check between
-        // reps and stop a query once it has consumed deadline/10 — a
-        // partial spread beats starving every query after it.
-        val queryCapSec = deadlineSec / 10
-        val queryT0 = System.nanoTime()
-        def queryElapsed(): Double = (System.nanoTime() - queryT0) / 1e9
-        val times = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Double)]
-        var rep = 0
-        while (rep < repsNow &&
-               (rep == 0 || (queryElapsed() < queryCapSec && elapsed() < deadlineSec))) {
-          val t0 = System.nanoTime()
-          // noop sink: materializes EVERY output column (count() would let
-          // Catalyst prune the projections we're trying to measure)
-          val ok =
-            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-            catch { case _: Throwable => false }
-          val dt = (System.nanoTime() - t0) / 1e9
-          // several queries cache sketched frames internally; dropping them
-          // keeps each rep (and each query) independent of what ran before
-          spark.catalog.clearCache()
-          times += ((ok, dt))
-          rep += 1
-        }
-        // a failed rep finishes fast — stats over SUCCESSFUL reps only, so a
-        // transient failure can't masquerade as a great time; if every rep
-        // failed, report the max elapsed (visibly odd, never flattering)
-        val succ = times.collect { case (true, dt) => dt }
-        val pool = if (succ.nonEmpty) succ else Seq(times.map(_._2).max)
-        done.add(name -> ((pool.min, pool.max)))
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      // noop sink: materializes EVERY output column (count() would let
+      // Catalyst prune the projections we're trying to measure)
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // several queries cache sketched frames internally (scoped via
+      // CacheScope); a BLOCKING release keeps each rep (and each query)
+      // independent of what ran before — the old async clearCache left
+      // x109's blocks draining into x110's timing. clearCache stays as
+      // the backstop for anything cached outside the scope.
+      graft.CacheScope.release()
+      spark.catalog.clearCache()
+      acc.synchronized {
+        acc.getOrElseUpdate(name,
+          scala.collection.mutable.ArrayBuffer.empty[(Boolean, Double)]) += ((ok, dt))
       }
+    }
+    // REP-MAJOR looping (round-9/10 verdict): pass 1 runs every query
+    // once, then passes 2..reps re-run the whole suite as budget allows.
+    // Deadline pressure therefore costs extra REPS roughly uniformly,
+    // never the pass-1 MEASUREMENT of the lexicographic tail — the
+    // query-major version zeroed exactly that tail on a slow host and
+    // manufactured the 301 s round-9 artifact. Per-run cap: a query
+    // whose pass-1 time already exceeds deadline/10 keeps its one
+    // measurement and is excluded from later passes, so one weather-hit
+    // query can't eat the budget of the remaining suite (round-6 mode).
+    val queryCapSec = deadlineSec / 10
+    var pass = 0
+    while (pass < reps && elapsed() < deadlineSec) {
+      suite.foreach { case (name, fn) =>
+        val ranBefore = acc.synchronized(acc.contains(name))
+        val minSoFar = acc.synchronized(
+          acc.get(name).map(_.map(_._2).min).getOrElse(0.0))
+        if (pass == 0) {
+          if (elapsed() > deadlineSec) skipped.add(name) else runOnce(name, fn)
+        } else if (ranBefore && minSoFar < queryCapSec && elapsed() < deadlineSec) {
+          runOnce(name, fn)
+        }
+      }
+      pass += 1
     }
     emit(partial = false)
     spark.stop()
