@@ -372,9 +372,9 @@ object EventAnalytics {
     * at the next change. Both ride ONE (user_id)-keyed sort-shuffle —
     * Catalyst evaluates same-partitioning windows on one exchange.
     * Per-user history is bounded in any real dimension feed; a bot key
-    * with millions of events would need the x94 skew report + a
-    * coarser pre-compaction (e.g. per-day last-state first), same
-    * mitigation family as x61. Interval edges order by (ts, event_id)
+    * with millions of events takes the x94 skew report +
+    * [[scd2RawSkewHardenedFor]] (bucketed pre-compaction, exactly
+    * equivalent output), same mitigation family as x61. Interval edges order by (ts, event_id)
     * — full-precision microseconds plus a unique tiebreak, so the
     * compaction is deterministic in any engine; only the OUTPUT
     * rendering truncates to seconds. */
@@ -400,6 +400,45 @@ object EventAnalytics {
     events
       .select(col("user_id"), col("event_type").as("state"),
               col("ts"), col("event_id"))
+      .withColumn("prev_state", lag(col("state"), 1).over(w))
+      .filter(col("prev_state").isNull || col("state") =!= col("prev_state"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("state"),
+        col("ts").as("valid_from_ts"), col("valid_to_ts"))
+  }
+
+  /** Skew-hardened [[scd2RawFor]] — EXACTLY equivalent output
+    * (property-tested row-for-row), different shuffle shape for bot
+    * keys. Consecutive-same-state collapse is hierarchical: phase 1
+    * collapses within (user_id, day) buckets — the hot user's millions
+    * of rows split across as many partitions as days, so no single
+    * window partition holds the whole key — and phase 2 re-collapses
+    * the per-bucket survivors across bucket boundaries on the plain
+    * (user_id) window, which now only carries CHANGE rows. Collapse is
+    * associative (dropping a row only depends on its immediate
+    * predecessor in (ts, event_id) order, and phase 1 preserves each
+    * bucket's first row), so the phase-2 frame has exactly the plain
+    * builder's change set, and lead() closes identical intervals.
+    *
+    * Cost trade: two keyed exchanges instead of one, so the PLAIN
+    * builder stays the default for dimension-shaped feeds (bounded
+    * per-user history — x117/x122); this variant is the documented
+    * mitigation when the x94 skew report flags an event-log key whose
+    * raw history exceeds one executor's window buffer. Its residual
+    * bound: a key alternating state EVERY event keeps all its rows
+    * through phase 1 — but then the SCD2 OUTPUT is that size too, and
+    * no builder can beat its own result cardinality. */
+  def scd2RawSkewHardenedFor(events: DataFrame): DataFrame = {
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("event_type").as("state"),
+              col("ts"), col("event_id"))
+      .withColumn("bucket", to_date(col("ts")))
+      .withColumn("prev_state", lag(col("state"), 1).over(wBucket))
+      .filter(col("prev_state").isNull || col("state") =!= col("prev_state"))
       .withColumn("prev_state", lag(col("state"), 1).over(w))
       .filter(col("prev_state").isNull || col("state") =!= col("prev_state"))
       .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))

@@ -350,7 +350,14 @@ class PropertySpec extends SparkSpec {
       val ev = rows.toDF("event_id", "user_id", "event_type", "ts")
       val iv = graft.analytics.EventAnalytics.scd2RawFor(ev).collect()
       iv.groupBy(_.getAs[Long]("user_id")).foreach { case (u, spans) =>
-        val sorted = spans.sortBy(_.getAs[java.sql.Timestamp]("valid_from_ts").getTime)
+        // (valid_from_ts, valid_to_ts nulls-LAST): generated logs can
+        // hold zero-width intervals (two changes at one timestamp), and
+        // a from-only sort could place the open interval before its
+        // zero-width twin and flip the chaining assertion spuriously
+        val sorted = spans.sortBy(r => (
+          r.getAs[java.sql.Timestamp]("valid_from_ts").getTime,
+          if (r.isNullAt(3)) Long.MaxValue
+          else r.getAs[java.sql.Timestamp]("valid_to_ts").getTime))
         // exactly one open interval, and it is the LAST one
         assert(sorted.count(_.isNullAt(3)) == 1 && sorted.last.isNullAt(3),
           s"user $u open-interval invariant broken")
@@ -374,6 +381,53 @@ class PropertySpec extends SparkSpec {
       assert(iv.map(_.getAs[Long]("user_id")).toSet ==
         rows.map(_._2).toSet)
     }
+  }
+
+  test("skew-hardened SCD2 builder is row-for-row identical to the plain builder") {
+    val eventGen = for {
+      n <- Gen.chooseNum(1, 80)
+      rows <- Gen.listOfN(n, Gen.zip(
+        Gen.chooseNum(1L, 4L),                       // user_id (forces collisions)
+        Gen.oneOf("a", "b", "c"),                    // event_type
+        Gen.chooseNum(0L, 5L),                       // day offset (forces bucket edges)
+        Gen.chooseNum(0L, 86400L)))                  // seconds within day
+    } yield rows.zipWithIndex.map { case ((u, t, d, sec), i) =>
+      (i.toLong, u, t,
+        new java.sql.Timestamp(1700000000000L + (d * 86400L + sec) * 1000L))
+    }
+    forAll(eventGen) { rows =>
+      val ev = rows.toDF("event_id", "user_id", "event_type", "ts")
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .orderBy("user_id", "valid_from_ts", "state").collect().toSeq
+      assert(canon(graft.analytics.EventAnalytics.scd2RawSkewHardenedFor(ev)) ==
+        canon(graft.analytics.EventAnalytics.scd2RawFor(ev)),
+        "pre-compacted SCD2 diverged from the plain builder")
+    }
+  }
+
+  test("skew-hardened SCD2 compacts a 100k-event single hot user in bounded time") {
+    // one bot key, 100k events over ~2 years, mostly same-state runs —
+    // the shape the (user_id, day) pre-compaction exists for; the plain
+    // builder puts all 100k rows in ONE window partition
+    val n = 100000
+    val ev = spark.range(n).toDF("event_id")
+      .withColumn("user_id", lit(7L))
+      // 20 events/day; state changes every ~50 events → ~2k intervals
+      .withColumn("ts", expr(
+        "timestamp_seconds(1700000000 + event_id * 4320)"))
+      .withColumn("event_type", expr(
+        "CASE (event_id div 50) % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END"))
+    val t0 = System.nanoTime()
+    val iv = graft.analytics.EventAnalytics.scd2RawSkewHardenedFor(ev)
+    val nIv = iv.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(nIv == n / 50, s"expected ${n / 50} intervals, got $nIv")
+    // generous bound: the point is "did not degenerate", not a benchmark
+    assert(secs < 120.0, s"hot-key SCD2 took ${secs}s")
+    // and the result matches the plain builder on the same frame
+    assert(iv.orderBy("valid_from_ts").collect().toSeq ==
+      graft.analytics.EventAnalytics.scd2RawFor(ev)
+        .orderBy("valid_from_ts").collect().toSeq)
   }
 
   test("mask plan invariants hold for arbitrary corpora (bounds, 15% mass, no overlap)") {
