@@ -691,8 +691,14 @@ object EventStreams {
       ORDER BY view_id, purchase_id""",
     // x119: matched rows = the x57 inner join; null-extended rows = the
     // unmatched views whose join horizon (view_ts + 1 h) fell behind the
-    // FINAL watermark (max ts - 1 h) — the exact set a bounded replay's
-    // state eviction emits (see viewToPurchaseLeftOuter scaladoc)
+    // FINAL watermark — the exact set a bounded replay's state eviction
+    // emits (see viewToPurchaseLeftOuter scaladoc). The watermark
+    // truncates max(ts) to MILLISECONDS before subtracting the delay,
+    // because that is Spark's arithmetic (EventTimeStats tracks event
+    // time in ms, flooring away sub-ms micros) — without the truncation
+    // a max(ts) carrying 1-999 µs puts any view whose horizon lands in
+    // that sub-ms window on the wrong side of the eviction boundary
+    // (boundary-value spec: EventStreamsSpec "watermark truncates...")
     "x119_stream_left_outer" -> """
       WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
         FROM events WHERE event_type = 'view'),
@@ -703,7 +709,8 @@ object EventStreams {
         FROM v JOIN p ON v.user_id = p.user_id
           AND p.purchase_ts >= v.view_ts
           AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR),
-      wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+      wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS w
+        FROM events),
       unm AS (SELECT v.view_id, v.user_id, v.view_ts,
           CAST(NULL AS BIGINT) AS purchase_id,
           CAST(NULL AS TIMESTAMP) AS purchase_ts,

@@ -189,6 +189,48 @@ class EventStreamsSpec extends SparkSpec {
       s"expected matched view 1 + evicted-unmatched view 2 only, got $rows")
   }
 
+  test("watermark truncates event time to milliseconds before the eviction compare") {
+    // Boundary-value check for the x119 oracle's date_trunc('milliseconds'):
+    // Spark's EventTimeStats floors event time to ms, so a max(ts) with
+    // sub-ms micros must NOT push the watermark past a horizon that a
+    // full-precision max(ts) - 1h would clear. View horizon = 11:00:00
+    // exactly; sentinel at 12:00:00.000500 → Spark watermark =
+    // floor_ms(12:00:00.000500) - 1h = 11:00:00, NOT < horizon → view
+    // stays undecided. A sentinel one ms later (12:00:00.001500 →
+    // watermark 11:00:00.001) DOES evict it.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def run(sentinelTs: String): Set[(Long, Option[Any])] = {
+      val vs = MemoryStream[EventStreams.Event]
+      val ps = MemoryStream[EventStreams.Event]
+      val joined = EventStreams.viewToPurchaseLeftOuter(vs.toDF(), ps.toDF())
+      val name = s"t_wm_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      // the global watermark is the MIN over both streams' watermarks,
+      // so both sides carry the same sentinel timestamp
+      vs.addData(Seq(
+        EventStreams.Event(1L, 1L, "view", ts("2024-01-01 10:00:00"), 0.0),
+        EventStreams.Event(99L, 8L, "view",
+          java.sql.Timestamp.valueOf(sentinelTs), 0.0)))
+      ps.addData(Seq(
+        EventStreams.Event(10L, 9L, "purchase",
+          java.sql.Timestamp.valueOf(sentinelTs), 1.0)))
+      q.processAllAvailable()
+      // second batch: watermark advances from the PREVIOUS batch's max
+      vs.addData(Seq.empty[EventStreams.Event]); q.processAllAvailable()
+      q.stop()
+      val out = spark.table(name).collect()
+        .map(r => (r.getAs[Long]("view_id"), Option(r.getAs[Any]("purchase_id")))).toSet
+      spark.catalog.dropTempView(name)
+      out
+    }
+    assert(run("2024-01-01 12:00:00.000500") == Set.empty,
+      "sub-ms micros must floor away: watermark 11:00:00 is not past the 11:00:00 horizon")
+    assert(run("2024-01-01 12:00:00.001500") == Set((1L, None)),
+      "one whole ms past the horizon must evict the unmatched view")
+  }
+
   test("file-stream source over testdata events matches batch row count") {
     val stream = EventStreams.fromParquetDir(spark, sfDir)
     assert(stream.isStreaming)
