@@ -80,9 +80,10 @@ object ScaleCheck {
     "x123_curation_fused",
     "x124_dedup_incremental_near")
   // x80_sql_surface is excluded only because it registers the full
-  // testdata catalog (registerAll) and the scale slices carry just the
-  // three scaled tables; its per-doc work is the x11/x12 expression set
-  // already covered above.
+  // testdata catalog (registerAll) and the scale slices carry just five
+  // scaled tables (documents/events/embeddings + the customer/orders
+  // dims); its per-doc work is the x11/x12 expression set already
+  // covered above.
 
   def main(args: Array[String]): Unit = {
     val workDir = args.headOption.getOrElse("/root/repo/tmp/scalecheck")
@@ -129,7 +130,8 @@ object ScaleCheck {
     }
 
     // suite mode: every query that RUNS on the 1× slice (the slice has
-    // only the three scaled tables; relational queries fail their scan
+    // the five scaled tables — documents/events/embeddings/customer/
+    // orders; queries over the other relational tables fail their scan
     // and are excluded BY NAME — a probe run, not a hand-kept list, so
     // new queries join the measured set automatically)
     val (suiteSet, probedOut) =

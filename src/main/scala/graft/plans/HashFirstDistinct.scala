@@ -29,9 +29,20 @@ import org.apache.spark.sql.types.StringType
   * end-to-end by the driver gate: x02/x26 run `count(distinct text)`
   * through this rule and still hash-match DuckDB's un-rewritten
   * COUNT(DISTINCT text).
+  *
+  * Opt-out: `SET spark.graft.hashFirstDistinct.enabled=false` disables
+  * the rewrite per session — default ON (the driver and every registry
+  * query run with it), but an ad-hoc session doing forensic exact
+  * counting can decline the 2^-192 probabilistic identity without
+  * dropping the whole extension. Read per-apply from the session's
+  * SQLConf, so a `SET` takes effect on the next query, no restart.
   */
 object HashFirstDistinctRule extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  val EnabledKey = "spark.graft.hashFirstDistinct.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+    else plan.transform {
     case agg: Aggregate =>
       agg.transformExpressions {
         case ae @ AggregateExpression(Count(Seq(e)), _, true, _, _)
