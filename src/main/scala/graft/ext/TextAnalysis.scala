@@ -290,6 +290,59 @@ object TextAnalysis {
       .orderBy("w1", "rank")
   }
 
+  /** x125: model-based fluency filter (the CCNet idea, Wenzek et al.
+    * 2020: score every document under a language model trained over a
+    * corpus and gate on the score; CCNet uses a KenLM 5-gram
+    * perplexity, here the corpus bigram LM the x47 machinery builds).
+    * Per-bigram transition probability P(w2|w1) = c12/c1 rides as the
+    * INTEGER per-mille floor(c12·1000/c1), and the per-doc score is
+    * the occurrence-weighted integer mean — exact, portable arithmetic
+    * end-to-end (true log-space perplexity would hang the gate on
+    * libm's last-ulp ln() differences; a monotone fluency score ranks
+    * documents identically for a threshold gate). Deciles come from
+    * the bucketed exact global rank (ops.GlobalOrder — no
+    * single-partition window; the integer score IS the bucket key);
+    * keep = everything above the bottom decile.
+    *
+    * Scale shape: doc-side bigrams pre-aggregate per (doc_id, w1, w2)
+    * with map-side combine, so the LM scoring join shuffles distinct
+    * doc-bigram rows, never raw token mass; the LM tables are
+    * vocab-bounded aggregates (the doc-bigram frame is scopedCached —
+    * the LM build and the scoring join both read it). Self-scored like
+    * x98's novelty (every doc bigram exists in its own corpus LM, so
+    * the join is inner and total); a production filter swaps the LM
+    * side for a reference-corpus table and left-joins with an OOV
+    * floor. Docs under 2 tokens have no bigrams and are not scored
+    * (mirrored by the oracle). */
+  def perplexityFilter(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val n = greatest(size(t) - 1, lit(0))
+    val docBigrams = load(s, dir, "documents")
+      .select(col("doc_id"), slice(t, lit(1), n).as("a"), slice(t, lit(2), n).as("b"))
+      .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("bi"))
+      .select(col("doc_id"), col("bi.a").as("w1"), col("bi.b").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+      .scopedCache()
+    val bigrams = docBigrams.groupBy("w1", "w2").agg(sum("m").as("c12"))
+    val contexts = bigrams.groupBy("w1").agg(sum("c12").as("c1"))
+    val scored = docBigrams
+      .join(bigrams, Seq("w1", "w2"))
+      .join(contexts, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(sum("m").cast("long").as("n_bigrams"),
+           sum(expr("m * (c12 * 1000 div c1)")).cast("long").as("mass"))
+      .withColumn("fluency_permille", expr("mass div n_bigrams"))
+    val total = scored.agg(count(lit(1)).as("__n"))
+    graft.ops.GlobalOrder.globalRowNumber(scored,
+        col("fluency_permille"),
+        Seq(col("fluency_permille").asc, col("doc_id").asc))
+      .crossJoin(broadcast(total))
+      .withColumn("decile", expr("(global_rank - 1) * 10 div __n + 1"))
+      .select(col("doc_id"), col("n_bigrams"), col("fluency_permille"),
+        col("decile"), (col("decile") > 1).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Term document frequency for [[invertedIndex]] postings: a token
     * this common is a stopword (not discriminative), this rare is
     * noise. The band is what bounds the index size at corpus scale. */
@@ -642,6 +695,7 @@ object TextAnalysis {
     "x45_tokenizer_fertility" -> tokenizerFertility,
     "x46_quality_percentiles" -> qualityPercentiles,
     "x47_bigram_lm" -> bigramLm,
+    "x125_perplexity_filter" -> perplexityFilter,
     "x48_inverted_index" -> invertedIndex,
     "x37_text_redaction" -> piiRedaction,
     "x38_text_repetition" -> repetitionStats,
@@ -918,6 +972,27 @@ object TextAnalysis {
       SELECT w1, CAST(rank AS BIGINT) AS rank, w2, CAST(c12 AS BIGINT) AS c12, c1,
         CAST(c12 AS DOUBLE) / c1 AS p
       FROM ranked WHERE rank <= 5 ORDER BY w1, rank""",
+    "x125_perplexity_filter" -> """
+      WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 0)+1)) AS i FROM toks),
+      bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM idx),
+      dbi AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS m FROM bi GROUP BY 1, 2, 3),
+      bigrams AS (SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c12 FROM dbi GROUP BY 1, 2),
+      contexts AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bigrams GROUP BY 1),
+      scored AS (SELECT d.doc_id,
+          CAST(SUM(d.m) AS BIGINT) AS n_bigrams,
+          CAST(SUM(d.m * (b.c12 * 1000 // c.c1)) AS BIGINT) AS mass
+        FROM dbi d JOIN bigrams b USING (w1, w2) JOIN contexts c USING (w1)
+        GROUP BY 1),
+      fl AS (SELECT doc_id, n_bigrams, mass // n_bigrams AS fluency_permille FROM scored),
+      rk AS (SELECT doc_id, n_bigrams, fluency_permille,
+          row_number() OVER (ORDER BY fluency_permille, doc_id) AS r,
+          COUNT(*) OVER () AS nn FROM fl)
+      SELECT doc_id, n_bigrams, CAST(fluency_permille AS BIGINT) AS fluency_permille,
+        CAST((r - 1) * 10 // nn + 1 AS BIGINT) AS decile,
+        CAST(CASE WHEN (r - 1) * 10 // nn + 1 > 1 THEN 1 ELSE 0 END AS INT) AS keep
+      FROM rk ORDER BY doc_id""",
     "x48_inverted_index" -> """
       WITH tf AS (
         SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM (

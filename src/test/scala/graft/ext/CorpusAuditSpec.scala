@@ -40,6 +40,32 @@ class CorpusAuditSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("perplexity filter: scores bounded, deciles balanced, bottom decile dropped") {
+    val out = TextAnalysis.perplexityFilter(spark, sfDir).cache()
+    graft.CacheScope.release() // the query's internal scoped caches
+    val n = out.count()
+    // every scored doc has >= 1 bigram and a per-mille score in [0, 1000]
+    assert(out.filter(col("n_bigrams") < 1).count() == 0)
+    assert(out.filter(col("fluency_permille") < 0 ||
+      col("fluency_permille") > 1000).count() == 0)
+    // deciles partition the scored docs into 10 near-equal bins
+    val sizes = out.groupBy("decile").count().collect()
+      .map(r => r.getAs[Long]("decile") -> r.getAs[Long]("count")).toMap
+    assert(sizes.keySet == (1L to 10L).toSet, s"deciles present: ${sizes.keySet}")
+    assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced deciles: $sizes")
+    // keep == decile > 1, and the kept mass is exactly n minus decile 1
+    assert(out.filter((col("decile") > 1) =!= (col("keep") === 1)).count() == 0)
+    assert(out.filter(col("keep") === 1).count() == n - sizes(1L))
+    // monotonicity: every kept doc scores >= every dropped doc
+    val maxDropped = out.filter(col("keep") === 0)
+      .agg(max("fluency_permille")).head().getLong(0)
+    val minKept = out.filter(col("keep") === 1)
+      .agg(min("fluency_permille")).head().getLong(0)
+    assert(minKept >= maxDropped,
+      s"kept doc scored below a dropped doc ($minKept < $maxDropped)")
+    out.unpersist()
+  }
+
   test("inverted index: df band respected, tf positive, postings unique") {
     val out = TextAnalysis.invertedIndex(spark, sfDir).cache()
     assert(out.filter(col("df") < 5 || col("df") > 50).count() == 0)
