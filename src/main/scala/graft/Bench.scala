@@ -142,31 +142,50 @@ object Bench {
           scala.collection.mutable.ArrayBuffer.empty[(Boolean, Double)]) += ((ok, dt))
       }
     }
-    // REP-MAJOR looping (round-9/10 verdict): pass 1 runs every query
-    // once, then passes 2..reps re-run the whole suite as budget allows.
-    // Deadline pressure therefore costs extra REPS roughly uniformly,
-    // never the pass-1 MEASUREMENT of the lexicographic tail — the
-    // query-major version zeroed exactly that tail on a slow host and
-    // manufactured the 301 s round-9 artifact. Per-run cap: a query
-    // whose pass-1 time already exceeds deadline/10 keeps its one
-    // measurement and is excluded from later passes, so one weather-hit
-    // query can't eat the budget of the remaining suite (round-6 mode).
+    repMajorLoop(suite.map(_._1), reps, deadlineSec, elapsed,
+      recordedMin = name => acc.synchronized(
+        acc.get(name).map(ts => ts.map(_._2).min)),
+      runOne = name => runOnce(name, suite.toMap.apply(name)),
+      skip = name => { skipped.add(name); () })
+    emit(partial = false)
+    spark.stop()
+  }
+
+  /** REP-MAJOR scheduling policy (round-9/10 verdict), factored out of
+    * `main` so the degradation behavior is unit-tested without Spark
+    * (BenchSchedulerSpec): pass 1 runs every query once, then passes
+    * 2..reps re-run the whole suite as budget allows. Deadline pressure
+    * therefore costs extra REPS roughly uniformly, never the pass-1
+    * MEASUREMENT of the lexicographic tail — the query-major version
+    * zeroed exactly that tail on a slow host and manufactured the 301 s
+    * round-9 artifact. Per-run cap: a query whose recorded minimum
+    * already exceeds deadline/10 keeps its measurement and is excluded
+    * from later passes, so one weather-hit query can't eat the budget
+    * of the remaining suite (the round-6 failure mode).
+    *
+    * @param recordedMin the query's best recorded seconds so far, None
+    *                    if it never ran (supplied by the caller's
+    *                    accumulator so the shutdown hook sees live state)
+    * @param skip        called (pass 1 only) for queries the deadline
+    *                    prevented from EVER running */
+  private[graft] def repMajorLoop(
+      names: Seq[String], reps: Int, deadlineSec: Double,
+      elapsed: () => Double,
+      recordedMin: String => Option[Double],
+      runOne: String => Unit,
+      skip: String => Unit): Unit = {
     val queryCapSec = deadlineSec / 10
     var pass = 0
     while (pass < reps && elapsed() < deadlineSec) {
-      suite.foreach { case (name, fn) =>
-        val ranBefore = acc.synchronized(acc.contains(name))
-        val minSoFar = acc.synchronized(
-          acc.get(name).map(_.map(_._2).min).getOrElse(0.0))
+      names.foreach { name =>
         if (pass == 0) {
-          if (elapsed() > deadlineSec) skipped.add(name) else runOnce(name, fn)
-        } else if (ranBefore && minSoFar < queryCapSec && elapsed() < deadlineSec) {
-          runOnce(name, fn)
+          if (elapsed() > deadlineSec) skip(name) else runOne(name)
+        } else if (recordedMin(name).exists(_ < queryCapSec) &&
+                   elapsed() < deadlineSec) {
+          runOne(name)
         }
       }
       pass += 1
     }
-    emit(partial = false)
-    spark.stop()
   }
 }
