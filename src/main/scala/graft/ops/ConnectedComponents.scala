@@ -150,6 +150,34 @@ object ConnectedComponents {
       .orderBy("cluster")
   }
 
+  /** x126: LEAKAGE-FREE train/val/test assignment — the fix for what
+    * x79 measures. Doc-level hashing (x41) puts two near-duplicate
+    * documents in different splits with probability 2·p·(1−p), and the
+    * eval split then scores memorization, not generalization. Here the
+    * split hash keys on the near-dup CLUSTER id (x43/x96's connected
+    * components; singletons are their own cluster), so every member of
+    * a duplicate cluster lands in the SAME split and cross-split
+    * duplication is zero BY CONSTRUCTION — the spec re-runs the x79
+    * leakage measure on the edge relation and asserts exactly that.
+    * Same 90/5/5 integer u32 thresholds as x41, applied to the cluster
+    * id; output is the per-doc manifest downstream samplers consume.
+    * One CC pass + a stateless per-row hash — the split itself adds no
+    * shuffle on top of the clustering. */
+  def leakFreeSplits(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.TextExpressions.wordShingleStrings(col("text"), 8)).as("gram"))
+    val cc = labelPropagation(docs.select(col("doc_id").as("id")),
+      starEdges(grams, GramDfCap))
+    val h = graft.ext.Sampling.u32(col("cluster"))
+    cc.select(col("id").as("doc_id"), col("cluster"))
+      .withColumn("split",
+        when(h < lit(3865470566L), "train")   // 0.90 * 2^32, as x41
+          .when(h < lit(4080218931L), "val")  // 0.95 * 2^32
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   /** x104: cluster-level cross-source redundancy — which crawl sources
     * duplicate EACH OTHER, measured on near-dup clusters rather than
     * raw grams (x50's matrix counts shared vocabulary; this counts
@@ -177,12 +205,17 @@ object ConnectedComponents {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x126_leakfree_splits" -> leakFreeSplits,
     "x104_cluster_source_matrix" -> clusterSourceMatrix,
     "x96_dedup_canonical" -> canonicalDocs,
     "x43_dup_clusters" -> dupClusters)
 
-  val oracles: Map[String, String] = Map(
-    "x104_cluster_source_matrix" -> s"""
+  /** Shared DuckDB CTE prefix ending in `cc(doc_id, cluster)` — the SQL
+    * replay of grams → star edges → transitive closure → min-label
+    * components, defined ONCE and interpolated into every
+    * cluster-consuming oracle (x43/x96/x104/x126) so the four cannot
+    * drift. */
+  private val ccCtes: String = s"""
       WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
         FROM documents),
       idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-7, 1)+1)) AS i FROM toks),
@@ -199,7 +232,18 @@ object ConnectedComponents {
         SELECT doc_id, doc_id FROM documents
         UNION
         SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-      cc AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a),
+      cc AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a)"""
+
+  val oracles: Map[String, String] = Map(
+    "x126_leakfree_splits" -> s"""
+      $ccCtes
+      SELECT doc_id, cluster,
+        CASE WHEN ${graft.ext.Sampling.u32Sql("cluster")} < 3865470566 THEN 'train'
+             WHEN ${graft.ext.Sampling.u32Sql("cluster")} < 4080218931 THEN 'val'
+             ELSE 'test' END AS split
+      FROM cc ORDER BY doc_id""",
+    "x104_cluster_source_matrix" -> s"""
+      $ccCtes,
       by_src AS (
         SELECT cc.cluster, d.source, COUNT(*) AS n
         FROM cc JOIN documents d USING (doc_id)
@@ -211,23 +255,7 @@ object ConnectedComponents {
         ON x.cluster = y.cluster AND x.source < y.source
       GROUP BY 1, 2 ORDER BY 1, 2""",
     "x96_dedup_canonical" -> s"""
-      WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-        FROM documents),
-      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-7, 1)+1)) AS i FROM toks),
-      grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM idx),
-      gram_roots AS (
-        SELECT gram, MIN(doc_id) AS root FROM grams
-        GROUP BY gram HAVING COUNT(*) > 1 AND COUNT(*) <= $GramDfCap),
-      star AS (
-        SELECT r.root AS src, g.doc_id AS dst
-        FROM gram_roots r JOIN grams g USING (gram)
-        WHERE g.doc_id <> r.root),
-      edges AS (SELECT src, dst FROM star UNION SELECT dst, src FROM star),
-      reach(a, b) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-      cc AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a),
+      $ccCtes,
       qb AS (
         SELECT doc_id,
           CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
@@ -254,23 +282,7 @@ object ConnectedComponents {
       SELECT cluster, doc_id AS kept_doc_id, n_members, quality
       FROM ranked WHERE rn = 1 ORDER BY cluster""",
     "x43_dup_clusters" -> s"""
-      WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-        FROM documents),
-      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-7, 1)+1)) AS i FROM toks),
-      grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM idx),
-      gram_roots AS (
-        SELECT gram, MIN(doc_id) AS root FROM grams
-        GROUP BY gram HAVING COUNT(*) > 1 AND COUNT(*) <= $GramDfCap),
-      star AS (
-        SELECT r.root AS src, g.doc_id AS dst
-        FROM gram_roots r JOIN grams g USING (gram)
-        WHERE g.doc_id <> r.root),
-      edges AS (SELECT src, dst FROM star UNION SELECT dst, src FROM star),
-      reach(a, b) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-      cc AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a),
+      $ccCtes,
       sizes AS (SELECT cluster, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
       SELECT cc.doc_id, cc.cluster, s.cluster_size
       FROM cc JOIN sizes s USING (cluster)

@@ -96,6 +96,33 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(kept.exists(_.getLong(2) > 1), "fixture must have non-trivial clusters")
   }
 
+  test("leak-free splits: whole clusters per split, zero cross-split duplication") {
+    import org.apache.spark.sql.functions._
+    val splits = ConnectedComponents.leakFreeSplits(spark, sfDir).cache()
+    val nDocs = graft.Tables.load(spark, sfDir, "documents").count()
+    assert(splits.count() == nDocs, "every document gets a split")
+    // every cluster lands wholly in ONE split — the defining invariant
+    val fractured = splits.groupBy("cluster")
+      .agg(countDistinct("split").as("ns")).filter(col("ns") > 1)
+    assert(fractured.count() == 0, "a cluster straddles splits")
+    // zero leakage under the x79 measure: no near-dup EDGE crosses splits
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.TextExpressions.wordShingleStrings(col("text"), 8)).as("gram"))
+    val edges = ConnectedComponents.starEdges(grams, ConnectedComponents.GramDfCap)
+    val leaks = edges
+      .join(splits.select(col("doc_id").as("src"), col("split").as("s1")), "src")
+      .join(splits.select(col("doc_id").as("dst"), col("split").as("s2")), "dst")
+      .filter(col("s1") =!= col("s2"))
+    assert(leaks.count() == 0, "near-dup edge crosses a split boundary")
+    // the 90/5/5 hash thresholds hold loosely at cluster granularity
+    val frac = splits.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / nDocs).toMap
+    assert(frac("train") > 0.8 && frac("train") < 0.97, s"train fraction off: $frac")
+    assert(frac.getOrElse("val", 0.0) + frac.getOrElse("test", 0.0) > 0.03, s"holdout too small: $frac")
+    splits.unpersist()
+  }
+
   test("cluster source matrix: unordered pairs, positive counts, pair bound holds") {
     val rows = ConnectedComponents.clusterSourceMatrix(spark, sfDir).collect()
     rows.foreach { r =>
