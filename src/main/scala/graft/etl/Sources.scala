@@ -388,7 +388,60 @@ object Sources {
     if (hadLive) rmTree(old.toFile)
   }
 
+  /** Bytes of parquet data under a directory (driver-side walk — the
+    * compaction planner's input; a cluster deployment asks the
+    * FileSystem API the same question). */
+  private def parquetBytes(dir: java.nio.file.Path): Long = {
+    def walk(f: java.io.File): Long = {
+      val kids = f.listFiles()
+      if (kids == null) (if (f.getName.endsWith(".parquet") || f.getName.startsWith("part-")) f.length else 0L)
+      else kids.map(walk).sum
+    }
+    walk(dir.toFile)
+  }
+
+  /** Small-files compaction — the table-maintenance pass every
+    * long-lived 100 TB table needs: streaming/incremental appends leave
+    * thousands of KB-scale files, and scan cost becomes file-open
+    * bound (task-per-file, footer reads, listing) instead of data
+    * bound. Rewrite the directory into ⌈bytes / targetFileBytes⌉
+    * near-equal files: one read, one `repartition(n)` round-robin
+    * exchange (even file sizes, no key skew), one write — then swap
+    * the compacted copy in via the crash-safe rename-aside publish
+    * ([[publishDir]]), so concurrent readers always see a complete
+    * table. Content is untouched BY CONSTRUCTION and the driver query
+    * proves it: the oracle is the identity query on the source table.
+    * Returns the compacted file count for the spec's layout check. */
+  def compactParquetDir(s: SparkSession, src: java.nio.file.Path,
+                        targetFileBytes: Long): Int = {
+    val n = math.max(1L,
+      (parquetBytes(src) + targetFileBytes - 1) / targetFileBytes).toInt
+    val stage = src.resolveSibling(src.getFileName.toString + "_compact_stage")
+    s.read.parquet(src.toString)
+      .repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    publishDir(stage, src)
+    n
+  }
+
+  /** Driver query: fragment the documents table into 64 shard files
+    * (the incremental-append aftermath), compact back to the target
+    * size, and return the compacted table — a lossless layout
+    * round-trip under the identity oracle, same gate pattern as
+    * x70/x85. */
+  def compactionRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val frag = roundtripRoot.resolve(s"compact_$key")
+    graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .repartition(64)
+      .write.mode(SaveMode.Overwrite).parquet(frag.toString)
+    compactParquetDir(s, frag, targetFileBytes = 512L * 1024 * 1024)
+    s.read.parquet(frag.toString).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x127_compaction_roundtrip" -> compactionRoundtrip,
     "x121_publish_audit" -> publishAuditExport,
     "x120_bucketed_join" -> bucketedJoinRollup,
     "x95_schema_evolution" -> schemaEvolutionRoundtrip,
@@ -396,6 +449,11 @@ object Sources {
     "x85_orc_roundtrip" -> orcRoundtrip)
 
   val oracles: Map[String, String] = Map(
+    // compaction is pure layout: the compacted table must be
+    // content-identical to the source — identity oracle, like x70/x85
+    "x127_compaction_roundtrip" -> """
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents ORDER BY doc_id""",
     // the published export must be content-identical to the source
     // table — count, xor-fold checksum, and mass all rebuilt by DuckDB
     "x121_publish_audit" -> """

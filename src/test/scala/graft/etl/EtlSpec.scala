@@ -351,6 +351,31 @@ class EtlSpec extends SparkSpec {
     assert(out1.toSeq == out2.toSeq, "re-publish changed the audit record")
   }
 
+  test("compaction: file count matches the byte plan, content untouched") {
+    import org.apache.spark.sql.functions._
+    def partFiles(p: java.nio.file.Path): Int =
+      Option(p.toFile.listFiles()).getOrElse(Array())
+        .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    val dir = java.nio.file.Files.createTempDirectory("compact_spec").resolve("t")
+    val df = spark.range(10000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+    df.repartition(32).write.parquet(dir.toString)
+    assert(partFiles(dir) == 32, "fixture must start fragmented")
+    val before = spark.read.parquet(dir.toString)
+      .agg(sum("id"), count(lit(1))).head()
+    // tiny target → several output files; huge target → exactly one
+    val n = Sources.compactParquetDir(spark, dir, targetFileBytes = 64L * 1024)
+    assert(n > 1 && partFiles(dir) == n,
+      s"planned $n files, found ${partFiles(dir)}")
+    val mid = spark.read.parquet(dir.toString)
+      .agg(sum("id"), count(lit(1))).head()
+    assert(mid == before, "compaction changed the data")
+    val n2 = Sources.compactParquetDir(spark, dir, targetFileBytes = 1L << 40)
+    assert(n2 == 1 && partFiles(dir) == 1)
+    assert(spark.read.parquet(dir.toString)
+      .agg(sum("id"), count(lit(1))).head() == before)
+  }
+
   test("WAP publish is crash-safe: a failed promotion never loses the live export") {
     import java.nio.file.{Files, Path}
     def mkExport(root: Path, name: String, content: String): Path = {
