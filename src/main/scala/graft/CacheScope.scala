@@ -22,6 +22,12 @@ import org.apache.spark.sql.Dataset
   * query, call `CacheScope.release()`. Skipping it is safe for a
   * one-off session (Spark evicts LRU) but leaks cached blocks into
   * long-lived sessions exactly like a missing `unpersist` would.
+  * The registry is session-global, sized for ONE consumer at a time
+  * (Bench/Verify/specs are sequential): a release() issued while
+  * another thread's query is mid-flight unpersists that query's
+  * caches too — never wrong results (Spark recomputes), but the work
+  * is repaid. Concurrent consumers should serialize their
+  * consume-then-release sections.
   *
   * At 100 TB the same discipline holds, with `persist(MEMORY_AND_DISK)`
   * frames orders of magnitude smaller than the raw text (hash/signature
