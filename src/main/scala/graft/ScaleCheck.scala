@@ -80,7 +80,8 @@ object ScaleCheck {
     "x123_curation_fused",
     "x124_dedup_incremental_near",
     "x125_perplexity_filter",
-    "x126_leakfree_splits")
+    "x126_leakfree_splits",
+    "x127_compaction_roundtrip")
   // x80_sql_surface is excluded only because it registers the full
   // testdata catalog (registerAll) and the scale slices carry just five
   // scaled tables (documents/events/embeddings + the customer/orders
