@@ -95,7 +95,19 @@ object ScaleCheck {
     val suiteMode = args.length > 3 && args(3) == "suite"
     val measured =
       if (suiteMode) Nil // resolved after the slices exist (probe needs them)
-      else if (args.length > 3) Hot.filter(args(3).split(",").map(_.trim).toSet)
+      else if (args.length > 3) {
+        // fail loudly on names outside the Hot set — the intersection
+        // silently dropped a misspelled/unlisted query once (x127's
+        // first 100× attempt measured 2 of 3 asked queries with an
+        // empty `excluded`), which is exactly the silent-cap class the
+        // house rule bans
+        val asked = args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = asked -- Hot.toSet
+        require(unknown.isEmpty,
+          s"not in the ScaleCheck Hot set: ${unknown.mkString(", ")} — " +
+            "add the query to Hot (with a scale rationale) or run `suite`")
+        Hot.filter(asked)
+      }
       else Hot
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
