@@ -315,23 +315,7 @@ object TextAnalysis {
     * floor. Docs under 2 tokens have no bigrams and are not scored
     * (mirrored by the oracle). */
   def perplexityFilter(s: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
-    val n = greatest(size(t) - 1, lit(0))
-    val docBigrams = load(s, dir, "documents")
-      .select(col("doc_id"), slice(t, lit(1), n).as("a"), slice(t, lit(2), n).as("b"))
-      .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("bi"))
-      .select(col("doc_id"), col("bi.a").as("w1"), col("bi.b").as("w2"))
-      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
-      .scopedCache()
-    val bigrams = docBigrams.groupBy("w1", "w2").agg(sum("m").as("c12"))
-    val contexts = bigrams.groupBy("w1").agg(sum("c12").as("c1"))
-    val scored = docBigrams
-      .join(bigrams, Seq("w1", "w2"))
-      .join(contexts, Seq("w1"))
-      .groupBy("doc_id")
-      .agg(sum("m").cast("long").as("n_bigrams"),
-           sum(expr("m * (c12 * 1000 div c1)")).cast("long").as("mass"))
-      .withColumn("fluency_permille", expr("mass div n_bigrams"))
+    val scored = fluencyScoresFor(load(s, dir, "documents"))
     val total = scored.agg(count(lit(1)).as("__n"))
     graft.ops.GlobalOrder.globalRowNumber(scored,
         col("fluency_permille"),
@@ -341,6 +325,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("fluency_permille"),
         col("decile"), (col("decile") > 1).cast("int").as("keep"))
       .orderBy("doc_id")
+  }
+
+  /** Frame-level x125 scoring core (docs needs doc_id + text) —
+    * factored so the property spec replays the SAME pipeline over
+    * generated corpora against an independent in-memory computation.
+    * Returns (doc_id, n_bigrams, fluency_permille) for every doc with
+    * ≥ 1 bigram; all arithmetic integer-exact (see
+    * [[perplexityFilter]]). */
+  def fluencyScoresFor(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val n = greatest(size(t) - 1, lit(0))
+    val docBigrams = docs
+      .select(col("doc_id"), slice(t, lit(1), n).as("a"), slice(t, lit(2), n).as("b"))
+      .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("bi"))
+      .select(col("doc_id"), col("bi.a").as("w1"), col("bi.b").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+      .scopedCache()
+    val bigrams = docBigrams.groupBy("w1", "w2").agg(sum("m").as("c12"))
+    val contexts = bigrams.groupBy("w1").agg(sum("c12").as("c1"))
+    docBigrams
+      .join(bigrams, Seq("w1", "w2"))
+      .join(contexts, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(sum("m").cast("long").as("n_bigrams"),
+           sum(expr("m * (c12 * 1000 div c1)")).cast("long").as("mass"))
+      .withColumn("fluency_permille", expr("mass div n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("fluency_permille"))
   }
 
   /** Term document frequency for [[invertedIndex]] postings: a token

@@ -430,6 +430,38 @@ class PropertySpec extends SparkSpec {
         .orderBy("valid_from_ts").collect().toSeq)
   }
 
+  test("fluency scores equal an independent in-memory computation for arbitrary corpora") {
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val corpusGen = Gen.nonEmptyListOf(Gen.zip(
+        Gen.posNum[Long],
+        Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))))
+      .map(_.distinctBy(_._1))
+    forAll(corpusGen) { rows =>
+      val docs = rows.map { case (id, ws) => (id, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.ext.TextAnalysis.fluencyScoresFor(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("fluency_permille")))).toMap
+      graft.CacheScope.release()
+      // independent computation: plain Scala maps, integer arithmetic
+      val docBi = rows.map { case (id, ws) =>
+        id -> ws.zip(ws.drop(1)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      }.toMap
+      val c12 = docBi.values.flatten
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val c1 = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val expected = docBi.collect { case (id, bi) if bi.nonEmpty =>
+        val nBigrams = bi.values.sum
+        val mass = bi.map { case (pair, m) =>
+          m * ((c12(pair) * 1000L) / c1(pair._1))
+        }.sum
+        id -> ((nBigrams, mass / nBigrams))
+      }
+      assert(got == expected,
+        s"fluency mismatch:\n got=$got\n exp=$expected")
+    }
+  }
+
   test("mask plan invariants hold for arbitrary corpora (bounds, 15% mass, no overlap)") {
     val corpusGen = Gen.nonEmptyListOf(Gen.zip(Gen.posNum[Long], textGen))
       .map(_.distinctBy(_._1))
