@@ -324,6 +324,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "scorer degenerated to a cartesian")
   }
 
+  test("fluency scoring joins are keyed, never a product; LM tables aggregate partially") {
+    val p = plan(graft.ext.TextAnalysis.fluencyScoresFor(
+      graft.Tables.load(spark, sfDir, "documents")))
+    graft.CacheScope.release()
+    assert(!p.contains("CartesianProduct"), "LM scoring degenerated to a product")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "bigram/context joins are not keyed joins")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "doc-bigram aggregation lost its map-side combine")
+  }
+
+  test("leak-free splits consume the PUBLISHED cluster table (no clustering jobs in-plan)") {
+    // first call may build+publish; the returned frame must then be a
+    // stateless scan + hash of the published copy — recomputing the
+    // label-propagation chain per consumer is exactly what the
+    // publish-once shape removes
+    val p = plan(graft.ops.ConnectedComponents.leakFreeSplits(spark, sfDir))
+    assert(p.contains("Scan parquet"), "splits do not read the published table")
+    assert(!p.contains("Join"),
+      s"consumer plan re-derives the clustering instead of scanning it:\n$p")
+  }
+
   test("semdedup pairs are a hash join on the cluster key, never a product") {
     // assert the COMPUTE frame: the public semDedup returns a scan of
     // the WAP-published copy (plan = read + sort, no joins by design)
