@@ -310,30 +310,34 @@ object Similarity {
     * semantic-duplicate knee (0.93-0.97 in the paper). */
   private val SemTau = 0.3
 
-  /** x109 quantizer density floor and scaling divisor: SemDeDup needs
-    * its OWN nlist — denser than x28's recall-tuned 8, because pairwise
-    * prune cost is Σ sᵢ² and cluster size s ≈ N/nlist is the whole cost
-    * model. nlist AUTOSCALES as max(floor, N / divisor) from a cheap
-    * corpus count ([[semNlist]]), so s stays ~[[SemClustersDiv]] vectors
-    * at any volume and the prune is linear in N — the paper's shape
-    * (tens of thousands of clusters at LAION-scale). ScaleCheck measured
-    * the fixed nlist=8 form at 9.9× cost for 10× docs — exactly the
-    * quadratic cliff the scaling avoids; the old fixed 64 hit the same
-    * cliff one decade later. At every driver SF (≤ 5120 vectors) the
-    * formula floors at 64, so the gate results are unchanged; the DuckDB
-    * oracle computes the SAME expression ([[semNlistSql]]) so the two
-    * engines can never disagree on the cluster count. */
+  /** x109 quantizer density: SemDeDup needs its OWN nlist — denser
+    * than x28's recall-tuned 8 — and the sizing IS the cost model:
+    * the per-cluster prune pays Σ sᵢ² ≈ N·s (s = N/nlist) while the
+    * final assignment pays N·nlist cosines. A fixed nlist makes the
+    * prune quadratic (ScaleCheck caught nlist=8 at 9.9× for 10×);
+    * nlist ∝ N makes the ASSIGNMENT quadratic instead (the N/80 form
+    * measured 219 s on the 100×/200k-vector slice — N²/80 cosines).
+    * nlist AUTOSCALES as max(floor, ⌊√N⌋) ([[semNlist]]): both phases
+    * land at N^1.5, the balanced exact-assignment optimum (measured
+    * ~6× less work than N/80 at 200k vectors). The next rung — true
+    * O(N) — needs APPROXIMATE assignment (hierarchical k-means: quantize
+    * the centroids, probe a centroid bucket instead of scanning all
+    * nlist), which trades the exactness gate for speed and is the
+    * documented production path beyond ~10M vectors. At every driver SF
+    * (√N < floor) the formula floors at 64, so gate results are
+    * unchanged; the DuckDB oracle computes the SAME expression
+    * ([[semNlistSql]] — IEEE sqrt is correctly rounded in both engines)
+    * so the two can never disagree on the cluster count. */
   private val SemClustersFloor = 64
-  private val SemClustersDiv = 80
 
   /** Scala-side autoscaled nlist (one metadata-cheap count). */
   private def semNlist(s: SparkSession, dir: String): Int =
-    math.max(SemClustersFloor,
-      (load(s, dir, "embeddings").count() / SemClustersDiv).toInt)
+    math.max(SemClustersFloor.toLong,
+      math.sqrt(load(s, dir, "embeddings").count().toDouble).toLong).toInt
 
   /** The identical computation in DuckDB for the oracle CTEs. */
   private def semNlistSql: String =
-    s"GREATEST($SemClustersFloor, (SELECT COUNT(*) FROM embeddings) // $SemClustersDiv)"
+    s"GREATEST($SemClustersFloor, CAST(floor(sqrt((SELECT COUNT(*) FROM embeddings))) AS BIGINT))"
 
   /** x109 quantizer training sample: Lloyd iterates over the 1024
     * smallest-u32 vectors instead of the corpus (the faiss-standard
