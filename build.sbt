@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through verbatim instead of sbt's logger:
+// the bench driver parses a JSON summary line from a captured stdout
+// tail, and sbt's LoggedOutput prefixes every child line with "[info] "
+// — which is exactly why BENCH_r11's compact summary line failed to
+// parse ("[info] {...}" is not JSON). StdoutOutput emits the line
+// unprefixed at column 0.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
