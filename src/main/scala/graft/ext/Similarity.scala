@@ -203,11 +203,12 @@ object Similarity {
     * SemDeDup pass runs on the IDENTICAL index (same init, same
     * iteration count, same tie-breaks) and the two queries cannot
     * drift; the DuckDB side shares `ivfIndexCtes` the same way.
-    * Returns (all(vec_id, vq) cached, centroids(cluster, c) cached,
-    * index(vec_id, cluster, vq)). */
-  private def ivfBuild(s: SparkSession, dir: String,
-                       nlist: Int, lloydIters: Int,
-                       trainLimit: Option[Int] = None): (DataFrame, DataFrame, DataFrame) = {
+    * [[ivfCentroids]] returns (all(vec_id, vq) cached, centroids
+    * (cluster, c) cached); [[ivfBuild]] adds the exact final assignment
+    * index(vec_id, cluster, vq). */
+  private def ivfCentroids(s: SparkSession, dir: String,
+                           nlist: Int, lloydIters: Int,
+                           trainLimit: Option[Int] = None): (DataFrame, DataFrame) = {
     val all = load(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(toDouble(col("embedding")),
@@ -236,14 +237,7 @@ object Similarity {
         org.apache.spark.sql.expressions.Window.orderBy("h")).cast("long"))
       .select(col("cluster"), col("vq").as("c"))
 
-    def assignOver(base: DataFrame)(cents: DataFrame): DataFrame =
-      base.join(broadcast(cents))
-        .withColumn("cos", cosine(asDouble(col("vq")), asDouble(col("c"))))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cluster"), struct(col("cos"), col("cluster"))).as("cluster"),
-             first(col("vq"), ignoreNulls = true).as("vq"))
-    val assignTrain = assignOver(train) _
-    val assign = assignOver(all) _
+    val assignTrain = exactAssign(train, _: DataFrame)
 
     // Lloyd: assign → recompute centroid as the element-wise integer
     // MEAN: exact integer sum (order-independent), then ONE truncating
@@ -264,8 +258,26 @@ object Similarity {
     // nlist rows; cached because three consumers re-derive it (index
     // assignment, query probing, the exactness guard below) and its
     // lineage is the whole Lloyd chain
-    centroids = centroids.scopedCache()
-    val index = assign(centroids).select(col("vec_id"), col("cluster"), col("vq"))
+    (all, centroids.scopedCache())
+  }
+
+  /** Exact nearest-centroid assignment: every vector against every
+    * centroid (broadcast), argmax cosine, ties to the larger cluster id
+    * — N·nlist cosines. The x128 hierarchical path is the approximate
+    * alternative when nlist itself scales with the corpus. */
+  private def exactAssign(base: DataFrame, cents: DataFrame): DataFrame =
+    base.join(broadcast(cents))
+      .withColumn("cos", cosine(asDouble(col("vq")), asDouble(col("c"))))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cluster"), struct(col("cos"), col("cluster"))).as("cluster"),
+           first(col("vq"), ignoreNulls = true).as("vq"))
+
+  private def ivfBuild(s: SparkSession, dir: String,
+                       nlist: Int, lloydIters: Int,
+                       trainLimit: Option[Int] = None): (DataFrame, DataFrame, DataFrame) = {
+    val (all, centroids) = ivfCentroids(s, dir, nlist, lloydIters, trainLimit)
+    val index = exactAssign(all, centroids)
+      .select(col("vec_id"), col("cluster"), col("vq"))
     (all, centroids, index)
   }
 
@@ -457,6 +469,128 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), col("kept"), col("capped"))
   }
 
+  /** x128 coarse-probe width: how many coarse buckets a vector scans
+    * before the fine argmax. 2 (not 1) because bucket boundaries are
+    * exactly where the nearest fine centroid sits in the runner-up
+    * coarse cell — the standard multi-probe hedge; the x129 audit
+    * measures what it buys. */
+  private val SemCoarseProbes = 2
+
+  /** Coarse-level width for the hierarchical assignment: √nlist buckets
+    * over the nlist fine centroids, so per-vector work is
+    * √nlist + probes·√nlist instead of nlist. With nlist = √N that is
+    * N^(1/4)-per-vector — O(N^1.25) total vs the exact path's N^1.5. */
+  private def semNcoarse(nlist: Int): Int =
+    math.ceil(math.sqrt(nlist.toDouble)).toInt
+
+  /** Hierarchical (two-level) APPROXIMATE cluster assignment — the
+    * documented O(N)-regime SemDeDup rung beyond ~10M vectors
+    * ([[SemClustersFloor]] scaladoc): the nlist fine centroids are
+    * themselves bucketed under ⌈√nlist⌉ coarse seeds (the smallest-u32
+    * fine centroids — same deterministic seeding rule as the quantizer
+    * init), a vector scans only the coarse seeds, probes its top
+    * [[SemCoarseProbes]] coarse buckets, and takes the fine argmax
+    * INSIDE those buckets. Exactness gate intact: every cosine is the
+    * same integer-quantized arithmetic, so the DuckDB oracle replays
+    * the probe exactly — what is approximate is WHICH centroids get
+    * scanned, never the arithmetic.
+    *
+    * Scale shape: the only shuffles are the compact (vec_id, ccl, ccos)
+    * probe window — vq deliberately stays OUT of that exchange (64
+    * longs × ncoarse copies per vector would dominate it) and rejoins
+    * by vec_id — and the map-side-combined final argmax. Both are
+    * linear in N; centroid frames ride broadcast.
+    *
+    * Returns (vec_id, acluster, acos); a vector whose probed buckets
+    * hold no fine centroid (possible only when a seed's own bucket is
+    * emptied by duplicate-centroid ties) is absent — callers LEFT-join
+    * and surface the count ([[semAssignAudit]] `n_unassigned`). */
+  private[graft] def semAssignApproxFrame(all: DataFrame, centroids: DataFrame,
+                                          ncoarse: Int): DataFrame = {
+    val seeds = centroids
+      .withColumn("h", graft.ext.Sampling.u32(col("cluster")))
+      .orderBy(col("h"), col("cluster")).limit(ncoarse)
+      .select(col("cluster").as("ccl"), col("c").as("cc"))
+    // fine centroid → coarse bucket: argmax cos, ties to the larger ccl
+    val f2c = centroids.join(broadcast(seeds))
+      .withColumn("fcos", cosine(asDouble(col("c")), asDouble(col("cc"))))
+      .groupBy(col("cluster"))
+      .agg(max_by(col("ccl"), struct(col("fcos"), col("ccl"))).as("ccl"),
+           first(col("c"), ignoreNulls = true).as("c"))
+      .withColumnRenamed("cluster", "fcl")
+    // vector → top-w coarse buckets (compact rows through the window)
+    val probeW = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("ccl"))
+    val topc = all.join(broadcast(seeds))
+      .select(col("vec_id"), col("ccl"),
+        cosine(asDouble(col("vq")), asDouble(col("cc"))).as("ccos"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= SemCoarseProbes)
+      .select(col("vec_id"), col("ccl"))
+    // fine argmax inside the probed buckets only
+    all.join(topc, Seq("vec_id"))
+      .join(broadcast(f2c), Seq("ccl"))
+      .select(col("vec_id"), col("fcl"),
+        cosine(asDouble(col("vq")), asDouble(col("c"))).as("acos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("fcl"), struct(col("acos"), col("fcl"))).as("acluster"),
+           max(col("acos")).as("acos"))
+  }
+
+  /** x128: the approximate-assignment production path as a standalone
+    * deliverable — per-vector (vec_id, cluster) via the hierarchical
+    * probe, NULL for the (rare) unassignable case. Estimate-only by
+    * design: x109's gate keeps the exact assignment; this is what a
+    * >10M-vector corpus runs instead, and x129 is the trust query that
+    * says how far the two sit apart. ScaleCheck measures THIS query for
+    * the ~linear-assignment claim. */
+  def semAssignApprox(s: SparkSession, dir: String): DataFrame = {
+    val nlist = semNlist(s, dir)
+    val (all, centroids) = ivfCentroids(s, dir, nlist, LloydIters, Some(SemTrainSample))
+    val approx = semAssignApproxFrame(all, centroids, semNcoarse(nlist))
+    all.select(col("vec_id"))
+      .join(approx, Seq("vec_id"), "left")
+      .crossJoin(broadcast(exactnessGuard(all, centroids)))
+      .filter(col("exact_ok").isNull)
+      .select(col("vec_id"), col("acluster").as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  /** x129: agreement audit for the x128 approximate assignment — the
+    * trust query of the x26/x90 family (production estimate + audited
+    * gate): run BOTH assignments, report how often the probe lands on
+    * the exact argmax cluster and, when it misses, how much cosine it
+    * gave up. One row, all integers (per-mille / ppm via floor — both
+    * engines compute the identical IEEE subtraction first):
+    * agreement floor is asserted in spec, and regret is bounded-exact
+    * (ppm ≤ 2e6 per vector, summed well inside 2^53). Deliberately
+    * carries the exact path's N·nlist cost — it IS the reference
+    * computation, run on samples at production scale (the x90 shape). */
+  def semAssignAudit(s: SparkSession, dir: String): DataFrame = {
+    val nlist = semNlist(s, dir)
+    val (all, centroids) = ivfCentroids(s, dir, nlist, LloydIters, Some(SemTrainSample))
+    val approx = semAssignApproxFrame(all, centroids, semNcoarse(nlist))
+    val exact = all.join(broadcast(centroids))
+      .withColumn("cos", cosine(asDouble(col("vq")), asDouble(col("c"))))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cluster"), struct(col("cos"), col("cluster"))).as("ecluster"),
+           max(col("cos")).as("ecos"))
+    val regret = when(col("acluster").isNotNull && col("acluster") =!= col("ecluster"),
+      floor((col("ecos") - col("acos")) * lit(1e6)).cast("long")).otherwise(lit(0L))
+    exact.join(approx, Seq("vec_id"), "left")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("acluster").isNull, 1L).otherwise(0L)).as("n_unassigned"),
+        sum(when(col("acluster") === col("ecluster"), 1L).otherwise(0L)).as("n_agree"),
+        max(regret).as("max_regret_ppm"),
+        sum(regret).as("sum_regret_ppm"))
+      .withColumn("agree_pm",
+        call_function("div", col("n_agree") * lit(1000L), col("n_vecs")))
+      .crossJoin(broadcast(exactnessGuard(all, centroids)))
+      .filter(col("exact_ok").isNull)
+      .select(col("n_vecs"), col("n_unassigned"), col("n_agree"),
+        col("agree_pm"), col("max_regret_ppm"), col("sum_regret_ppm"))
+  }
+
   /** x110: int8 quantization audit — the memory-4×/bandwidth-4× lever
     * every 100 TB ANN deployment pulls, gated the way every lossy
     * compression must be: measure the reconstruction error BEFORE
@@ -616,6 +750,8 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x109_semdedup" -> semDedup,
+    "x128_sem_assign_approx" -> semAssignApprox,
+    "x129_sem_assign_audit" -> semAssignAudit,
     "x110_quant_audit" -> quantizationAudit,
     "x114_outlier_audit" -> outlierAudit,
     "x100_embedding_audit" -> embeddingAudit,
@@ -723,8 +859,59 @@ object Similarity {
       sem_keep AS (SELECT i.vec_id FROM idx i
         LEFT JOIN drops d ON i.vec_id = d.vec_id WHERE d.vec_id IS NULL)"""
 
+  /** Shared DuckDB CTE chain replaying [[semAssignApproxFrame]] exactly
+    * (coarse seeds → fine→coarse buckets → vector probe → fine argmax),
+    * ending at `ap(vec_id, acluster, acos)` — interpolated into BOTH the
+    * x128 production oracle and the x129 audit oracle so the SQL probe
+    * can never drift from the Scala one (the ivfIndexCtes contract). */
+  private lazy val semApproxCtes: String = s"""
+      ${ivfIndexCtes(semNlistSql, Some(SemTrainSample))},
+      ncl AS (SELECT CAST(ceil(sqrt(CAST(nlist AS DOUBLE))) AS BIGINT) AS nc FROM nl),
+      sds AS (SELECT cluster AS ccl, c AS cc FROM (
+          SELECT cluster, c,
+            ROW_NUMBER() OVER (ORDER BY ${graft.ext.Sampling.u32Sql("cluster")}, cluster) AS rn
+          FROM c$LloydIters) CROSS JOIN ncl WHERE rn <= ncl.nc),
+      f2c AS (SELECT fcl, ccl, c FROM (
+          SELECT f.cluster AS fcl, s.ccl, f.c,
+            ROW_NUMBER() OVER (PARTITION BY f.cluster
+              ORDER BY ${duckCos("f.c", "s.cc")} DESC, s.ccl DESC) AS rn
+          FROM c$LloydIters f CROSS JOIN sds s) WHERE rn = 1),
+      vc AS (SELECT vec_id, ccl FROM (
+          SELECT e.vec_id, s.ccl,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${duckCos("e.vq", "s.cc")} DESC, s.ccl) AS pr
+          FROM e CROSS JOIN sds s) WHERE pr <= $SemCoarseProbes),
+      ap AS (SELECT vec_id, fcl AS acluster, cos AS acos FROM (
+          SELECT v.vec_id, f.fcl, ${duckCos("e2.vq", "f.c")} AS cos,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id
+              ORDER BY ${duckCos("e2.vq", "f.c")} DESC, f.fcl DESC) AS rn
+          FROM vc v JOIN e e2 USING (vec_id) JOIN f2c f USING (ccl)) WHERE rn = 1)"""
+
   private val baseOracles: Map[String, String] = Map(
     "x28_sim_topk_ivf" -> ivfOracleSql,
+    "x128_sem_assign_approx" -> s"""
+      $semApproxCtes
+      SELECT e.vec_id, ap.acluster AS cluster
+      FROM e LEFT JOIN ap USING (vec_id) ORDER BY e.vec_id""",
+    "x129_sem_assign_audit" -> s"""
+      $semApproxCtes,
+      ex AS (SELECT vec_id, cluster AS ecluster, cos AS ecos FROM (
+          SELECT vec_id, cluster, cos,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster DESC) AS rn
+          FROM fs) WHERE rn = 1),
+      j AS (SELECT ex.vec_id, ecluster, ecos, acluster, acos
+        FROM ex LEFT JOIN ap USING (vec_id))
+      SELECT COUNT(*) AS n_vecs,
+        CAST(SUM(CASE WHEN acluster IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unassigned,
+        CAST(SUM(CASE WHEN acluster = ecluster THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        (CAST(SUM(CASE WHEN acluster = ecluster THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+          // COUNT(*) AS agree_pm,
+        MAX(CASE WHEN acluster IS NOT NULL AND acluster <> ecluster
+          THEN CAST(floor((ecos - acos) * 1000000) AS BIGINT) ELSE 0 END) AS max_regret_ppm,
+        CAST(SUM(CASE WHEN acluster IS NOT NULL AND acluster <> ecluster
+          THEN CAST(floor((ecos - acos) * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT)
+          AS sum_regret_ppm
+      FROM j""",
     "x109_semdedup" -> s"""
       $semKeepCtes
       SELECT i.vec_id, i.cluster,

@@ -129,6 +129,44 @@ class SimilaritySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("approximate assignment: full coverage, deterministic, audited agreement floor") {
+    val n = graft.Tables.load(spark, sfDir, "embeddings").count()
+    val a1 = Similarity.semAssignApprox(spark, sfDir).collect()
+    val a2 = Similarity.semAssignApprox(spark, sfDir).collect()
+    assert(a1.sameElements(a2), "approximate assignment not deterministic")
+    assert(a1.length == n, "every vector must appear exactly once")
+    assert(a1.map(_.getAs[Long]("vec_id")).distinct.length == n)
+    // on this corpus every probe finds a candidate (audit n_unassigned=0)
+    assert(a1.forall(!_.isNullAt(1)), "unexpected unassigned vector")
+
+    val audit = Similarity.semAssignAudit(spark, sfDir).head()
+    val (nv, nu, na) = (audit.getAs[Long]("n_vecs"),
+      audit.getAs[Long]("n_unassigned"), audit.getAs[Long]("n_agree"))
+    assert(nv == n && nu == 0L && na <= nv)
+    assert(audit.getAs[Long]("agree_pm") == na * 1000 / nv)
+    assert(audit.getAs[Long]("max_regret_ppm") >= 0)
+    assert(audit.getAs[Long]("sum_regret_ppm") >= audit.getAs[Long]("max_regret_ppm"))
+    // agreement floor: deterministic (seeded everything, total-order
+    // tie-breaks), measured 590‰ (sf0.001) / 606‰ (sf0.01). This
+    // synthetic corpus is near-orthogonal, so the coarse argmax is
+    // weakly determined and ~0.6 is the honest ceiling (same reason the
+    // x90 LSH recall caps near 0.6 here) — a clustered real embedding
+    // space probes into far fewer boundary cases. 500 = majority floor
+    // with margin below both measurements.
+    assert(audit.getAs[Long]("agree_pm") >= 500,
+      s"agreement ${audit.getAs[Long]("agree_pm")}‰ below the 500‰ floor")
+
+    // cross-check the audit against an independent join of the two
+    // production paths: x128's approx cluster vs x109's exact cluster
+    val approx = Similarity.semAssignApprox(spark, sfDir)
+      .select(col("vec_id"), col("cluster").as("acl"))
+    val exact = Similarity.semDedup(spark, sfDir)
+      .select(col("vec_id"), col("cluster").as("ecl"))
+    val agreeIndep = approx.join(exact, "vec_id")
+      .filter(col("acl") === col("ecl")).count()
+    assert(agreeIndep == na, s"audit n_agree $na != independent recount $agreeIndep")
+  }
+
   test("outlier audit: labels cover the table, worst vector really is worst") {
     val out = Similarity.outlierAudit(spark, sfDir).cache()
     val n = graft.Tables.load(spark, sfDir, "embeddings").count()
