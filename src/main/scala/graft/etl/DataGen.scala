@@ -260,9 +260,82 @@ object DataGen {
       .withColumn("o_custkey", uniformLong(col("o_orderkey"), 14, 0, nUsers - 1))
       .withColumn("o_orderstatus", pick(col("o_orderkey"), 15, Seq("O", "F", "P")))
       .withColumn("o_totalprice", uniformMoney(col("o_orderkey"), 16, 1.0, 100000.0))
-      .withColumn("o_orderdate", to_date(lit("2024-01-01")))
+      // spread over 2024 (driver schema is TIMESTAMP): date-grouped
+      // plans (q01 month truncation) keep realistic group counts
+      .withColumn("o_orderdate", timestamp_micros(
+        lit(java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L)
+          + pmod(xxhash64(col("o_orderkey"), lit(18)), lit(365L * 24 * 3600 * 1000000L))))
       .withColumn("o_orderpriority", pick(col("o_orderkey"), 17,
         Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")))
+
+  // ---- Relational q-series twins (round-11 verdict item 3) ----
+  // Same schemas as the driver's TPC-H-ish tables, so the join-heaviest
+  // plans in the suite (q03/q13/q14/q16/q19 and the full x80 catalog)
+  // get the same 10×/100× scale evidence the x-series has. Volumes are
+  // sf0.01-proportioned per mult (lineitem 60k×, 4 lines/order,
+  // 30 lines/part) — what matters for the ratio is that 1× and mult×
+  // come from the SAME generator.
+
+  /** Static geography dims — genuinely constant at any scale (TPC-H
+    * semantics: 5 regions, 25 nations). Generated, not copied from the
+    * driver testdata, so the slice stays self-contained. */
+  def regionsLike(spark: SparkSession): DataFrame = {
+    val names = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+    spark.range(0, names.length).toDF("k")
+      .select(col("k").cast("int").as("r_regionkey"),
+        element_at(typedLit(names), col("k").cast("int") + 1).as("r_name"))
+  }
+
+  def nationsLike(spark: SparkSession): DataFrame =
+    spark.range(0, 25).toDF("k")
+      .select(col("k").cast("int").as("n_nationkey"),
+        concat(lit("NATION#"), col("k")).as("n_name"),
+        pmod(col("k"), lit(5L)).cast("int").as("n_regionkey"))
+
+  def suppliersLike(spark: SparkSession, n: Long): DataFrame =
+    spark.range(0, n).toDF("s_suppkey")
+      .withColumn("s_name", concat(lit("Supplier#"), col("s_suppkey")))
+      .withColumn("s_nationkey",
+        pmod(xxhash64(col("s_suppkey"), lit(21)), lit(25L)).cast("int"))
+      .withColumn("s_acctbal", uniformMoney(col("s_suppkey"), 22, -999.99, 9999.99))
+
+  /** Parts dim: brand cardinality fixed at 25 (brands don't multiply
+    * with catalog size), type/size/price hash-drawn like the driver's. */
+  def partsLike(spark: SparkSession, n: Long): DataFrame =
+    spark.range(0, n).toDF("p_partkey")
+      .withColumn("p_name", concat(lit("Part#"), col("p_partkey")))
+      .withColumn("p_brand", concat(lit("Brand#"),
+        pmod(xxhash64(col("p_partkey"), lit(23)), lit(25L))))
+      .withColumn("p_type", pick(col("p_partkey"), 24, Seq(
+        "STANDARD BRASS", "STANDARD STEEL", "SMALL COPPER", "SMALL NICKEL",
+        "MEDIUM TIN", "MEDIUM BRASS", "LARGE STEEL", "LARGE COPPER",
+        "ECONOMY TIN", "ECONOMY NICKEL", "PROMO BRASS", "PROMO STEEL")))
+      .withColumn("p_size",
+        uniformLong(col("p_partkey"), 25, 1, 50).cast("int"))
+      .withColumn("p_retailprice", uniformMoney(col("p_partkey"), 26, 900.0, 2000.0))
+
+  /** Lineitem fact: ~4 lines/order, keys drawn into the same domains as
+    * [[ordersLike]]/[[partsLike]]/[[suppliersLike]], ship timestamps
+    * spread over 2024 so date-grouped plans keep realistic key counts. */
+  def lineitemLike(spark: SparkSession, n: Long, nOrders: Long,
+                   nParts: Long, nSuppliers: Long): DataFrame =
+    spark.range(0, n).toDF("k")
+      .select(
+        uniformLong(col("k"), 31, 0, nOrders - 1).as("l_orderkey"),
+        uniformLong(col("k"), 32, 0, nParts - 1).as("l_partkey"),
+        uniformLong(col("k"), 33, 0, nSuppliers - 1).as("l_suppkey"),
+        (pmod(xxhash64(col("k"), lit(34)), lit(7L)) + 1).cast("int").as("l_linenumber"),
+        uniformLong(col("k"), 35, 1, 50).cast("double").as("l_quantity"),
+        uniformMoney(col("k"), 36, 1000.0, 100000.0).as("l_extendedprice"),
+        uniformMoney(col("k"), 37, 0.0, 0.10).as("l_discount"),
+        uniformMoney(col("k"), 38, 0.0, 0.08).as("l_tax"),
+        pick(col("k"), 39, Seq("R", "A", "N")).as("l_returnflag"),
+        pick(col("k"), 40, Seq("O", "F")).as("l_linestatus"),
+        timestamp_micros(
+          lit(java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L)
+            + pmod(xxhash64(col("k"), lit(41)), lit(365L * 24 * 3600 * 1000000L)))
+          .as("l_shipdate"))
+      .drop("k")
 
   def writeScaleSlice(spark: SparkSession, dir: String, mult: Int): Unit = {
     documentsLike(spark, 5000L * mult)
@@ -278,5 +351,17 @@ object DataGen {
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     ordersLike(spark, 15000L * mult, 1500L * mult)
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // full relational catalog: the q-series (and x77/x80) join these
+    regionsLike(spark)
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    nationsLike(spark)
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    suppliersLike(spark, 100L * mult)
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    partsLike(spark, 2000L * mult)
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    lineitemLike(spark, 60000L * mult, nOrders = 15000L * mult,
+        nParts = 2000L * mult, nSuppliers = 100L * mult)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
   }
 }
