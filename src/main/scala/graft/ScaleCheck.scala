@@ -86,7 +86,9 @@ object ScaleCheck {
     // carries the exact N·nlist reference computation (it is the trust
     // gate), so its ratio is expected to track x109's N^1.5, not x128's
     "x128_sem_assign_approx",
-    "x129_sem_assign_audit")
+    "x129_sem_assign_audit",
+    "x130_compaction_incremental",
+    "x131_fluency_external")
   // Since round 12 the slices carry the FULL catalog (documents/events/
   // embeddings plus region/nation/supplier/customer/part/orders/
   // lineitem), so the relational q-series and x77/x80 join the suite-

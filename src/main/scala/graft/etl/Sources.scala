@@ -173,6 +173,18 @@ object Sources {
   private[graft] def scratchPath(name: String): java.nio.file.Path =
     roundtripRoot.resolve(name)
 
+  /** Collision-resistant scratch key for a corpus dir (ADVICE r11): the
+    * old Integer.toHexString(dir.hashCode) could map two different dirs
+    * in one JVM to the SAME scratch path on a 32-bit collision, and the
+    * publish registries (keyed by the full dir string) would then serve
+    * one dir's data for the other. SHA-256 prefix of the full path —
+    * 64 bits of digest makes an accidental collision astronomically
+    * unlikely rather than birthday-likely at ~2^16 dirs. */
+  private[graft] def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
+
   private lazy val roundtripRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_roundtrip_")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -234,7 +246,7 @@ object Sources {
     // scratch keyed by the input dir (same contract as the streaming
     // sink replay): concurrent calls on different corpora must not
     // share generation paths
-    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val key = dirKey(dir)
     val gen1 = roundtripRoot.resolve(s"evol_${key}_gen1").toString
     val gen2 = roundtripRoot.resolve(s"evol_${key}_gen2").toString
     val b = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head()
@@ -263,7 +275,7 @@ object Sources {
     * per-run scratch root; names keyed by the input dir (same
     * concurrent-corpora contract as x95). */
   def bucketedTables(s: SparkSession, dir: String): (String, String) = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val key = dirKey(dir)
     val ordersT = s"graft_bucketed_orders_$key"
     val custT = s"graft_bucketed_customer_$key"
     graft.Tables.load(s, dir, "orders")
@@ -331,7 +343,7 @@ object Sources {
     * files, and the publish step is a metadata operation (rename /
     * catalog pointer swap), never a data copy. */
   def publishAuditExport(s: SparkSession, dir: String): DataFrame = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val key = dirKey(dir)
     val stage = roundtripRoot.resolve(s"wap_stage_$key")
     val fin = roundtripRoot.resolve(s"wap_final_$key")
     val export = graft.Tables.load(s, dir, "documents")
@@ -388,17 +400,33 @@ object Sources {
     if (hadLive) rmTree(old.toFile)
   }
 
-  /** Bytes of parquet data under a directory (driver-side walk — the
-    * compaction planner's input; a cluster deployment asks the
-    * FileSystem API the same question). */
-  private def parquetBytes(dir: java.nio.file.Path): Long = {
-    def walk(f: java.io.File): Long = {
-      val kids = f.listFiles()
-      if (kids == null) (if (f.getName.endsWith(".parquet") || f.getName.startsWith("part-")) f.length else 0L)
-      else kids.map(walk).sum
+  /** Data files under a parquet directory as (path, bytes), asked of the
+    * Hadoop FileSystem API (round-11 verdict item 8) — the same listing
+    * any FileSystem implementation answers (HDFS, S3A, local), so the
+    * compaction planner is not married to java.io. Hidden files
+    * (`_SUCCESS`, `.crc`, staging residue) are excluded the same way
+    * Spark's own scan excludes them. */
+  private def dataFiles(s: SparkSession, dir: java.nio.file.Path): Seq[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir.toUri)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith("."))
+          buf += ((st.getPath.toString, st.getLen))
+      }
+      buf.toSeq
     }
-    walk(dir.toFile)
   }
+
+  /** Bytes of parquet data under a directory — the compaction planner's
+    * input, summed from the [[dataFiles]] FileSystem listing. */
+  private def parquetBytes(s: SparkSession, dir: java.nio.file.Path): Long =
+    dataFiles(s, dir).map(_._2).sum
 
   /** Small-files compaction — the table-maintenance pass every
     * long-lived 100 TB table needs: streaming/incremental appends leave
@@ -408,18 +436,66 @@ object Sources {
     * near-equal files: one read, one `repartition(n)` round-robin
     * exchange (even file sizes, no key skew), one write — then swap
     * the compacted copy in via the crash-safe rename-aside publish
-    * ([[publishDir]]), so concurrent readers always see a complete
-    * table. Content is untouched BY CONSTRUCTION and the driver query
-    * proves it: the oracle is the identity query on the source table.
+    * ([[publishDir]]): no crash point loses the export or leaves a
+    * partial one readable, though a concurrent reader can catch the
+    * brief between-renames window where the path is absent — a true
+    * atomic swap needs symlink/manifest indirection, which is exactly
+    * the transactional commit a table format supplies at production
+    * scale (ADVICE r11). Content is untouched BY CONSTRUCTION and the
+    * driver query proves it: the oracle is the identity query on the
+    * source table.
     * Returns the compacted file count for the spec's layout check. */
   def compactParquetDir(s: SparkSession, src: java.nio.file.Path,
                         targetFileBytes: Long): Int = {
     val n = math.max(1L,
-      (parquetBytes(src) + targetFileBytes - 1) / targetFileBytes).toInt
+      (parquetBytes(s, src) + targetFileBytes - 1) / targetFileBytes).toInt
     val stage = src.resolveSibling(src.getFileName.toString + "_compact_stage")
     s.read.parquet(src.toString)
       .repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    publishDir(stage, src)
+    n
+  }
+
+  /** Incremental small-files compaction (round-11 verdict item 4):
+    * x127 rewrites the WHOLE directory, which is the right first pass
+    * but the wrong steady-state maintenance job — on a table where 99%
+    * of bytes already sit in compliant files, rewriting them over and
+    * over is unbounded write amplification. This pass:
+    *   1. lists the directory's data files ([[dataFiles]], FileSystem
+    *      API) and splits them at `smallFloorBytes`;
+    *   2. if fewer than two small files exist, does NOTHING (returns 0
+    *      — a repeated run is a no-op, which the spec asserts);
+    *   3. reads ONLY the small files, round-robins them into
+    *      ⌈smallBytes / targetFileBytes⌉ staged files;
+    *   4. brings every compliant file into the staged dir as a HARD
+    *      LINK — a metadata operation, zero bytes copied, and the
+    *      original file NAMES survive (spec-asserted);
+    *   5. swaps the staged dir in via the crash-safe [[publishDir]].
+    * Write amplification is therefore bounded by the small-file bytes,
+    * never the table. The link step is the local-FS stand-in for what
+    * a table format's rewrite-data-files commit does on an object
+    * store (re-point the manifest at the same large data files);
+    * [[publishDir]]'s crash-safety analysis carries over unchanged
+    * because the publish unit is still one directory swap.
+    * Returns the number of NEW files written (0 = no-op). */
+  def compactSmallFiles(s: SparkSession, src: java.nio.file.Path,
+                        targetFileBytes: Long, smallFloorBytes: Long): Int = {
+    import java.nio.file.{Files, Paths}
+    val (smalls, compliant) = dataFiles(s, src).partition(_._2 < smallFloorBytes)
+    if (smalls.length < 2) return 0
+    val stage = src.resolveSibling(src.getFileName.toString + "_compact_stage")
+    rmTree(stage.toFile)
+    val smallBytes = smalls.map(_._2).sum
+    val n = math.max(1L,
+      (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    s.read.parquet(smalls.map(_._1): _*)
+      .repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    compliant.foreach { case (uri, _) =>
+      val f = Paths.get(java.net.URI.create(uri))
+      Files.createLink(stage.resolve(f.getFileName.toString), f)
+    }
     publishDir(stage, src)
     n
   }
@@ -430,7 +506,7 @@ object Sources {
     * round-trip under the identity oracle, same gate pattern as
     * x70/x85. */
   def compactionRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val key = dirKey(dir)
     val frag = roundtripRoot.resolve(s"compact_$key")
     graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
@@ -440,7 +516,28 @@ object Sources {
     s.read.parquet(frag.toString).orderBy("doc_id")
   }
 
+  /** x130 driver query: build the steady-state layout an append-heavy
+    * table actually has — one compliant file carrying ~90% of the rows
+    * plus a 48-file shower of tiny appends — then run the INCREMENTAL
+    * pass. The identity oracle proves content; the spec proves the
+    * layout contract (compliant file's name survives, small names are
+    * gone, and a second pass is a no-op). */
+  def incrementalCompactionRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val frag = roundtripRoot.resolve(s"compact_incr_${dirKey(dir)}")
+    rmTree(frag.toFile)
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(frag.toString)
+    docs.filter(pmod(col("doc_id"), lit(10L)) === 0).repartition(48)
+      .write.mode(SaveMode.Append).parquet(frag.toString)
+    compactSmallFiles(s, frag,
+      targetFileBytes = 512L * 1024 * 1024, smallFloorBytes = 8192L)
+    s.read.parquet(frag.toString).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x130_compaction_incremental" -> incrementalCompactionRoundtrip,
     "x127_compaction_roundtrip" -> compactionRoundtrip,
     "x121_publish_audit" -> publishAuditExport,
     "x120_bucketed_join" -> bucketedJoinRollup,
@@ -452,6 +549,10 @@ object Sources {
     // compaction is pure layout: the compacted table must be
     // content-identical to the source — identity oracle, like x70/x85
     "x127_compaction_roundtrip" -> """
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents ORDER BY doc_id""",
+    // incremental compaction is pure layout too — identity oracle
+    "x130_compaction_incremental" -> """
       SELECT doc_id, text, lang, source, n_chars
       FROM documents ORDER BY doc_id""",
     // the published export must be content-identical to the source

@@ -415,7 +415,7 @@ object Similarity {
 
   private def buildAndPublishKeepList(s: SparkSession, dir: String): DataFrame =
     publishedKeepLists.synchronized {
-      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val key = graft.etl.Sources.dirKey(dir)
       val stage = graft.etl.Sources.scratchPath(s"semdedup_stage_$key")
       val fin = graft.etl.Sources.scratchPath(s"semdedup_keep_$key")
       semDedupCompute(s, dir)

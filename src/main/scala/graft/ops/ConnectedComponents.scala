@@ -127,7 +127,7 @@ object ConnectedComponents {
       val cc = labelPropagation(docs.select(col("doc_id").as("id")),
           starEdges(grams, GramDfCap))
         .select(col("id").as("doc_id"), col("cluster"))
-      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val key = graft.etl.Sources.dirKey(dir)
       val stage = graft.etl.Sources.scratchPath(s"cc_stage_$key")
       val fin = graft.etl.Sources.scratchPath(s"cc_clusters_$key")
       cc.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage.toString)

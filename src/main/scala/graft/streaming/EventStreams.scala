@@ -546,7 +546,7 @@ object EventStreams {
     // (stale batch_id dirs from a larger earlier run would leak into
     // the reread — exactly what a real job avoids by giving each
     // dataset its own sink root)
-    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val key = graft.etl.Sources.dirKey(dir)
     val staged = sinkReplayRoot.resolve(s"src_$key").toString
     val out = sinkReplayRoot.resolve(s"out_$key").toString
     graft.Tables.load(s, dir, "events").repartition(4)
@@ -578,7 +578,7 @@ object EventStreams {
     * built — the poor-man's snapshot isolation a real table format
     * provides natively. */
   def incrementalAggReplay(s: SparkSession, dir: String): DataFrame = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val key = graft.etl.Sources.dirKey(dir)
     val staged = sinkReplayRoot.resolve(s"agg_src_$key").toString
     val stateRoot = sinkReplayRoot.resolve(s"agg_state_$key")
     graft.Tables.load(s, dir, "events")

@@ -397,8 +397,13 @@ class PropertySpec extends SparkSpec {
     }
     forAll(eventGen) { rows =>
       val ev = rows.toDF("event_id", "user_id", "event_type", "ts")
+      // valid_to_ts joins the canon key (ADVICE r11): a user flipping
+      // a→b→a at one timestamp yields two rows equal on the first three
+      // keys but different valid_to_ts, and without it the tie order
+      // could differ between the two plans and flake the equality
       def canon(df: org.apache.spark.sql.DataFrame) = df
-        .orderBy("user_id", "valid_from_ts", "state").collect().toSeq
+        .orderBy(col("user_id"), col("valid_from_ts"), col("state"),
+          col("valid_to_ts").asc_nulls_last).collect().toSeq
       assert(canon(graft.analytics.EventAnalytics.scd2RawSkewHardenedFor(ev)) ==
         canon(graft.analytics.EventAnalytics.scd2RawFor(ev)),
         "pre-compacted SCD2 diverged from the plain builder")

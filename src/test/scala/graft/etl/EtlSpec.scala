@@ -376,6 +376,46 @@ class EtlSpec extends SparkSpec {
       .agg(sum("id"), count(lit(1))).head() == before)
   }
 
+  test("incremental compaction: rewrites only small files, compliant names survive, re-run is a no-op") {
+    import org.apache.spark.sql.functions._
+    def parts(p: java.nio.file.Path): Set[String] =
+      Option(p.toFile.listFiles()).getOrElse(Array())
+        .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+        .map(_.getName).toSet
+    val dir = java.nio.file.Files.createTempDirectory("compact_incr_spec").resolve("t")
+    val df = spark.range(20000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+    // one compliant file (~90% of rows) + 24 tiny append files
+    df.filter(col("id") % 10 =!= 0).coalesce(1).write.parquet(dir.toString)
+    df.filter(col("id") % 10 === 0).repartition(24)
+      .write.mode("append").parquet(dir.toString)
+    val beforeNames = parts(dir)
+    val bigs = Option(dir.toFile.listFiles()).getOrElse(Array())
+      .filter(f => beforeNames(f.getName) && f.length >= 8192).map(_.getName).toSet
+    val smalls = beforeNames -- bigs
+    assert(bigs.nonEmpty && smalls.size >= 24, "fixture must be mixed-layout")
+    val before = spark.read.parquet(dir.toString)
+      .agg(sum("id"), count(lit(1))).head()
+
+    val n = Sources.compactSmallFiles(spark, dir,
+      targetFileBytes = 1L << 30, smallFloorBytes = 8192L)
+    assert(n == 1, s"expected one merged file, planned $n")
+    val afterNames = parts(dir)
+    // the compliant files were NOT rewritten — same names, linked over
+    assert(bigs.subsetOf(afterNames), "a compliant file was rewritten or lost")
+    assert((smalls & afterNames).isEmpty, "a small file survived compaction")
+    assert(afterNames.size == bigs.size + n)
+    assert(spark.read.parquet(dir.toString)
+      .agg(sum("id"), count(lit(1))).head() == before, "compaction changed the data")
+
+    // bounded write amplification: a second pass finds < 2 small files
+    // and must touch NOTHING (0 new files, identical directory listing)
+    val n2 = Sources.compactSmallFiles(spark, dir,
+      targetFileBytes = 1L << 30, smallFloorBytes = 8192L)
+    assert(n2 == 0, "re-run of incremental compaction was not a no-op")
+    assert(parts(dir) == afterNames, "no-op pass changed the layout")
+  }
+
   test("WAP publish is crash-safe: a failed promotion never loses the live export") {
     import java.nio.file.{Files, Path}
     def mkExport(root: Path, name: String, content: String): Path = {
