@@ -354,6 +354,68 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("fluency_permille"))
   }
 
+  /** OOV floor for [[externalFluencyFilter]], in per-mille: a bigram
+    * the reference LM never saw scores 1‰, not 0 — rare, not
+    * impossible (the Laplace-flavored floor CCNet's KenLM gets from
+    * its backoff smoothing). Integer so the whole score stays exact. */
+  private val OovFloorPermille = 1L
+
+  /** x131: the PRODUCTION shape of the x125 fluency filter (round-11
+    * verdict item 6) — score corpus A under an EXTERNAL reference LM
+    * trained on corpus B, the way CCNet scores a crawl snapshot under
+    * a Wikipedia-trained model. x125 self-scores (inner join, total by
+    * construction); here the scored side LEFT-joins the LM tables and
+    * every transition the reference model never saw takes the
+    * [[OovFloorPermille]] floor, with the OOV occurrence count carried
+    * in the deliverable (`n_oov`) so a drifting corpus is visible, not
+    * silently floored. The A/B split is doc_id parity — deterministic,
+    * oracle-trivial, and disjoint so no document scores under a model
+    * that saw it.
+    *
+    * Scale shape identical to x125: per-(doc,bigram) pre-aggregation
+    * with map-side combine is the only token-mass shuffle; the LM
+    * tables stay vocab-bounded aggregates; the left joins ride the
+    * same distinct doc-bigram rows. */
+  def externalFluencyFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    externalFluencyScoresFor(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
+      .orderBy("doc_id")
+  }
+
+  /** Frame-level x131 core (both frames need doc_id + text), factored
+    * for the spec like [[fluencyScoresFor]]. Returns (doc_id,
+    * n_bigrams, n_oov, fluency_permille) for every scored doc with
+    * ≥ 1 bigram; `n_oov` counts bigram OCCURRENCES whose (w1,w2) the
+    * LM corpus lacks — a context-only miss (w1 known, pair unseen)
+    * is OOV too, exactly like an unseen-word transition. */
+  def externalFluencyScoresFor(docs: DataFrame, lmDocs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val n = greatest(size(t) - 1, lit(0))
+    def docBigramsOf(d: DataFrame) = d
+      .select(col("doc_id"), slice(t, lit(1), n).as("a"), slice(t, lit(2), n).as("b"))
+      .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("bi"))
+      .select(col("doc_id"), col("bi.a").as("w1"), col("bi.b").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+    val lmBigrams = docBigramsOf(lmDocs)
+      .groupBy("w1", "w2").agg(sum("m").as("c12"))
+    val lmContexts = lmBigrams.groupBy("w1").agg(sum("c12").as("c1"))
+    docBigramsOf(docs)
+      .join(lmBigrams, Seq("w1", "w2"), "left")
+      .join(lmContexts, Seq("w1"), "left")
+      // c12 non-null implies c1 non-null (c1 aggregates the same table)
+      .withColumn("p", when(col("c12").isNotNull,
+        expr("c12 * 1000 div c1")).otherwise(lit(OovFloorPermille)))
+      .groupBy("doc_id")
+      .agg(sum("m").cast("long").as("n_bigrams"),
+           sum(when(col("c12").isNull, col("m")).otherwise(lit(0L)))
+             .cast("long").as("n_oov"),
+           sum(col("m") * col("p")).cast("long").as("mass"))
+      .withColumn("fluency_permille", expr("mass div n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"), col("fluency_permille"))
+  }
+
   /** Term document frequency for [[invertedIndex]] postings: a token
     * this common is a stopword (not discriminative), this rare is
     * noise. The band is what bounds the index size at corpus scale. */
@@ -707,6 +769,7 @@ object TextAnalysis {
     "x46_quality_percentiles" -> qualityPercentiles,
     "x47_bigram_lm" -> bigramLm,
     "x125_perplexity_filter" -> perplexityFilter,
+    "x131_fluency_external" -> externalFluencyFilter,
     "x48_inverted_index" -> invertedIndex,
     "x37_text_redaction" -> piiRedaction,
     "x38_text_repetition" -> repetitionStats,
@@ -1004,6 +1067,28 @@ object TextAnalysis {
         CAST((r - 1) * 10 // nn + 1 AS BIGINT) AS decile,
         CAST(CASE WHEN (r - 1) * 10 // nn + 1 > 1 THEN 1 ELSE 0 END AS INT) AS keep
       FROM rk ORDER BY doc_id""",
+    "x131_fluency_external" -> s"""
+      WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 0)+1)) AS i FROM toks),
+      bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM idx),
+      dbi AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS m FROM bi GROUP BY 1, 2, 3),
+      lm_bigrams AS (SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c12
+        FROM dbi WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+      lm_contexts AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+        FROM lm_bigrams GROUP BY 1),
+      scored AS (SELECT d.doc_id,
+          CAST(SUM(d.m) AS BIGINT) AS n_bigrams,
+          CAST(SUM(CASE WHEN b.c12 IS NULL THEN d.m ELSE 0 END) AS BIGINT) AS n_oov,
+          CAST(SUM(d.m * (CASE WHEN b.c12 IS NOT NULL
+            THEN b.c12 * 1000 // c.c1 ELSE $OovFloorPermille END)) AS BIGINT) AS mass
+        FROM dbi d
+        LEFT JOIN lm_bigrams b USING (w1, w2)
+        LEFT JOIN lm_contexts c USING (w1)
+        WHERE d.doc_id % 2 = 0
+        GROUP BY 1)
+      SELECT doc_id, n_bigrams, n_oov, mass // n_bigrams AS fluency_permille
+      FROM scored ORDER BY doc_id""",
     "x48_inverted_index" -> """
       WITH tf AS (
         SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM (

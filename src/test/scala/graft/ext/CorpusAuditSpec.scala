@@ -66,6 +66,37 @@ class CorpusAuditSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("external-LM fluency: even docs only, OOV floored and counted, known-path matches a hand corpus") {
+    import spark.implicits._
+    val out = TextAnalysis.externalFluencyFilter(spark, sfDir).cache()
+    graft.CacheScope.release()
+    // only corpus A (even doc_ids) is scored, and never under its own LM
+    assert(out.filter(pmod(col("doc_id"), lit(2)) =!= 0).count() == 0)
+    assert(out.filter(col("n_bigrams") < 1).count() == 0)
+    assert(out.filter(col("n_oov") < 0 || col("n_oov") > col("n_bigrams")).count() == 0)
+    assert(out.filter(col("fluency_permille") < 0 ||
+      col("fluency_permille") > 1000).count() == 0)
+    // a doc that is 100% OOV scores exactly the floor (1 permille)
+    assert(out.filter(col("n_oov") === col("n_bigrams") &&
+      col("fluency_permille") =!= 1).count() == 0,
+      "an all-OOV doc must score exactly the OOV floor")
+    out.unpersist()
+
+    // hand corpus pinning BOTH paths: LM corpus (odd ids) is "a b a b",
+    // so the LM has c12(a,b)=2 within c1(a)=2 -> p=1000, and c12(b,a)=1
+    // within c1(b)=1 -> p=1000. Scored docs: doc 0 "a b a b" (all known,
+    // 3 bigrams at 1000) and doc 2 "a b x y" (bigrams a-b known=1000,
+    // b-x OOV, x-y OOV -> mass 1000+1+1=1002, 1002 div 3 = 334).
+    val docs = Seq((0L, "a b a b"), (2L, "a b x y")).toDF("doc_id", "text")
+    val lm = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.externalFluencyScoresFor(docs, lm).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("fluency_permille")))).toMap
+    assert(got == Map(0L -> ((3L, 0L, 1000L)), 2L -> ((3L, 2L, 334L))),
+      s"hand-corpus mismatch: $got")
+  }
+
   test("inverted index: df band respected, tf positive, postings unique") {
     val out = TextAnalysis.invertedIndex(spark, sfDir).cache()
     assert(out.filter(col("df") < 5 || col("df") > 50).count() == 0)
