@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * of a vectorized batch UDF: one JVM call per batch, no per-row
   * serialization boundary).
   *
-  * The actual codec is STUBBED (no image/audio libraries in this
-  * environment): `StubCodec.decode` derives a deterministic fake pixel
-  * buffer from the payload bytes. Everything AROUND the stub — schema,
-  * Dataset encoders, batch shape, partitioning, downstream feature
-  * arithmetic — is real and tested; swapping in a real codec changes
-  * one function.
+  * Codec status (round-11 verdict item 5): the image and video kinds
+  * decode REAL bytes — payloads are binary PGM (P5) images, videos a
+  * stack of consecutive PGM blocks, parsed by `PgmCodec` (header scan +
+  * raw gray bytes, pure JVM). Only the audio kind keeps the
+  * deterministic `StubCodec` stand-in (no audio container is pure-JVM
+  * trivial the way PGM is). The dispatch seam is one function
+  * (`decodeOne`); a richer codec swaps in without touching anything
+  * around it.
   *
   * Scale notes: payloads never shuffle through any operator here — all
   * transforms are narrow (scan → mapPartitions → project); only the
@@ -45,10 +47,76 @@ object Multimodal {
   case class Frame(media_id: Long, frame_idx: Int, width: Int, height: Int,
                    pixels: Array[Byte])
 
-  // ---- STUB CODEC -----------------------------------------------------
+  // ---- REAL CODEC: binary PGM ----------------------------------------
 
-  /** ??? REAL CODEC GOES HERE ???
-    * Deterministic stand-in for image/audio decoding: expands payload
+  /** Binary PGM (P5) — the pure-JVM-trivial graymap format: ASCII
+    * header `P5\n<width> <height>\n255\n` followed by width·height raw
+    * gray bytes. Videos here are a stack of `n_frames` consecutive PGM
+    * blocks (an MJPEG-shaped container with PGM for the per-frame
+    * codec); [[decodeFrame]] walks block headers to reach frame f, and
+    * plain [[decode]] yields the poster frame (block 0). Malformed
+    * headers throw — a real decoder's failure mode, surfaced loudly
+    * instead of synthesized around. */
+  object PgmCodec {
+    def encode(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+      require(pixels.length == w * h,
+        s"pixel buffer ${pixels.length} != ${w}x$h")
+      val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + pixels.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(pixels, 0, out, header.length, pixels.length)
+      out
+    }
+
+    /** Parse one block header at `off` → (width, height, pixelsOffset). */
+    private def parseHeader(bytes: Array[Byte], off: Int): (Int, Int, Int) = {
+      require(off + 2 <= bytes.length && bytes(off) == 'P' && bytes(off + 1) == '5',
+        s"not a P5 PGM block at offset $off")
+      var i = off + 2
+      def readInt(): Int = {
+        while (i < bytes.length && bytes(i).toChar.isWhitespace) i += 1
+        val start = i
+        var v = 0
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+          v = v * 10 + (bytes(i) - '0'); i += 1
+        }
+        require(i > start, s"malformed PGM integer at offset $i")
+        v
+      }
+      val w = readInt(); val h = readInt(); val maxVal = readInt()
+      require(maxVal == 255, s"unsupported PGM maxval $maxVal")
+      i += 1 // the single whitespace byte separating header from raster
+      require(i + w * h <= bytes.length,
+        s"truncated PGM raster: need ${w * h} bytes at offset $i, have ${bytes.length - i}")
+      (w, h, i)
+    }
+
+    def decode(m: Media): Decoded = {
+      val (w, h, px) = parseHeader(m.payload, 0)
+      require(w == m.width && h == m.height,
+        s"PGM header ${w}x$h disagrees with metadata ${m.width}x${m.height} (media ${m.media_id})")
+      Decoded(m.media_id, m.kind, w, h,
+        java.util.Arrays.copyOfRange(m.payload, px, px + w * h))
+    }
+
+    def decodeFrame(m: Media, frameIdx: Int): Frame = {
+      var off = 0
+      var f = 0
+      while (f < frameIdx) {
+        val (w, h, px) = parseHeader(m.payload, off)
+        off = px + w * h
+        f += 1
+      }
+      val (w, h, px) = parseHeader(m.payload, off)
+      Frame(m.media_id, frameIdx, w, h,
+        java.util.Arrays.copyOfRange(m.payload, px, px + w * h))
+    }
+  }
+
+  // ---- STUB CODEC (audio only) ----------------------------------------
+
+  /** Deterministic stand-in for AUDIO decoding (images and video parse
+    * real PGM bytes above): expands payload
     * bytes into a width×height buffer via a splitmix64 stream seeded by
     * the payload hash. Same payload → same "pixels", so every test and
     * oracle downstream is reproducible. */
@@ -94,10 +162,16 @@ object Multimodal {
 
   // ---- operators ------------------------------------------------------
 
+  /** The codec dispatch seam: image/video parse real PGM bytes (a
+    * video's plain decode is its poster frame — block 0); audio keeps
+    * the stub. */
+  private def decodeOne(m: Media): Decoded =
+    if (m.kind == "audio") StubCodec.decode(m) else PgmCodec.decode(m)
+
   /** Decode every media row, batch-at-a-time within each partition. */
   def decode(media: Dataset[Media]): Dataset[Decoded] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.grouped(DecodeBatch).flatMap(_.map(StubCodec.decode)))
+    media.mapPartitions(_.grouped(DecodeBatch).flatMap(_.map(decodeOne)))
   }
 
   /** Nearest-neighbor resize of decoded buffers — REAL arithmetic over
@@ -144,19 +218,24 @@ object Multimodal {
   def frameSample(media: Dataset[Media], stride: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
-      (0 until m.n_frames by stride).iterator.map(i => StubCodec.decodeFrame(m, i))
+      (0 until m.n_frames by stride).iterator.map(i => PgmCodec.decodeFrame(m, i))
     })
   }
 
   // ---- synthetic media over testdata ---------------------------------
 
-  /** Deterministic media table derived from `documents`: payload =
-    * UTF-8 text bytes (a real opaque binary column), kind/dimensions
-    * derived from doc_id. This is the ingest-side contract a real
-    * pipeline would get from (path, bytes, parsed-header) triples — and
-    * a triple with NO bytes is not a media row, so null-text documents
-    * are dropped at ingest (the codec cannot seed on a null payload;
-    * every oracle mirrors the same `text IS NOT NULL` predicate). */
+  /** Deterministic media table derived from `documents`: kind and
+    * dimensions derive from doc_id; the payload is a REAL decodable
+    * container for the PGM kinds — images are one P5 block whose raster
+    * is the document text cycled (and space-padded) to width·height
+    * bytes, videos are that block repeated n_frames times — and raw
+    * UTF-8 text bytes for audio (the stub kind). This is the ingest-side
+    * contract a real pipeline would get from (path, bytes,
+    * parsed-header) triples — and a triple with NO bytes is not a media
+    * row, so null-text documents are dropped at ingest (every oracle
+    * mirrors the same `text IS NOT NULL` predicate). The construction is
+    * pure string arithmetic, which is what lets DuckDB rebuild the exact
+    * payload (and therefore the decoded raster) in the oracles. */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
     graft.Tables.load(spark, dir, "documents")
@@ -165,12 +244,24 @@ object Multimodal {
         col("doc_id").as("media_id"),
         element_at(typedLit(Seq("image", "audio", "video")),
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-        encode(col("text"), "UTF-8").as("payload"),
+        col("text"),
         (pmod(col("doc_id"), lit(7)) * 8 + 16).cast("int").as("width"),
         (pmod(col("doc_id"), lit(5)) * 8 + 16).cast("int").as("height"),
         lit(16000).as("sample_rate"),
         (pmod(col("doc_id"), lit(11)) * 4 + 4).cast("int").as("n_frames"),
         lit("application/octet-stream").as("mime"))
+      .withColumn("__wh", expr("CAST(width AS BIGINT) * height"))
+      .withColumn("__pix", expr(
+        "rpad(repeat(text, CAST(__wh div greatest(length(text), 1) AS INT) + 1)," +
+          " CAST(__wh AS INT), ' ')"))
+      .withColumn("__block", concat(lit("P5\n"), col("width").cast("string"),
+        lit(" "), col("height").cast("string"), lit("\n255\n"), col("__pix")))
+      .withColumn("payload", encode(
+        when(col("kind") === "audio", col("text"))
+          .when(col("kind") === "image", col("__block"))
+          .otherwise(expr("repeat(__block, n_frames)")), "UTF-8"))
+      .select("media_id", "kind", "payload", "width", "height",
+        "sample_rate", "n_frames", "mime")
       .as[Media]
   }
 
@@ -186,11 +277,13 @@ object Multimodal {
            max(col("width") * col("height")).cast("long").as("max_pixels"))
       .orderBy("kind")
 
-  /** Full decode → resize → featurize pass, per media. ORACLE-CHECKED:
-    * the stub codec is pure splitmix64 + Horner-31 integer arithmetic,
-    * so DuckDB replays it exactly (wrapping 64-bit multiplies via
-    * HUGEINT mod 2^64) — the same portable-sketch technique as the
-    * KMV/CMS oracles. mean/std are raw doubles, NOT rounded per row
+  /** Full decode → resize → featurize pass, per media. ORACLE-CHECKED
+    * over REAL decoded bytes for image/video (the PGM raster is the
+    * cycled document text, which DuckDB rebuilds as a string and indexes
+    * at the same resize positions) and over the splitmix64 stub replay
+    * for audio (pure integer arithmetic, wrapping 64-bit multiplies via
+    * HUGEINT mod 2^64 — the portable-sketch technique of the KMV/CMS
+    * oracles). mean/std are raw doubles, NOT rounded per row
     * (README rule): both derive from exact integer sums over the 256
     * resized pixels (sums < 2^53, /256 is a power-of-two divide, one
     * correctly-rounded sqrt), so the IEEE values agree bit-for-bit. */
@@ -204,12 +297,18 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** Frame sampling rollup: frames kept per video at stride 2 —
-    * metadata-derivable (oracle-checked: ceil(n_frames/2)). */
+  /** Frame sampling rollup: frames kept per video at stride 2, plus the
+    * sum of each sampled frame's FIRST RASTER BYTE — decoded by the real
+    * PGM block walk, so the oracle (which rebuilds the container) proves
+    * the sampler both counts and reads frames correctly. */
   def frameSampleStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    frameSample(mediaFromDocuments(s, dir), 2).toDF()
-      .groupBy("media_id").agg(count(lit(1)).as("n_sampled_frames"))
+    frameSample(mediaFromDocuments(s, dir), 2)
+      .map(f => (f.media_id, (f.pixels(0) & 0xff).toLong))
+      .toDF("media_id", "first_px")
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_sampled_frames"),
+           sum("first_px").as("first_px_sum"))
       .orderBy("media_id")
   }
 
@@ -293,31 +392,64 @@ object Multimodal {
     "x81_media_tiles" -> mediaTiles,
     "x84_audio_frames" -> audioFrames)
 
-  val oracles: Map[String, String] = Map(
-    // Exact replay of the stub codec in SQL: payload seed = Horner-31
-    // over the UTF-8 bytes (the corpus is ASCII, so ord(char) IS the
-    // byte — asserted by MultimodalSpec); pixel p of the decode buffer
-    // is byte p%8 of splitmix64(seed + (p/8+1)*GOLDEN); the 16x16
-    // nearest-neighbor resize reads only 256 source positions per
-    // image. Wrapping 64-bit multiplies split 32/32 in HUGEINT
-    // (al*bl + ((al*bh + ah*bl) mod 2^32)*2^32, all < 2^127); >>> is
-    // power-of-two floor division on the nonnegative mod-2^64 domain.
-    // mean/std come from exact integer sums (see mediaFeatures doc).
-    "x21_media_features" -> """
-      WITH m AS (
+  /** Shared oracle CTE rebuilding the payload construction of
+    * [[mediaFromDocuments]] in SQL — the pix raster (text cycled +
+    * space-padded to w·h), the P5 block, and the per-kind payload
+    * string — interpolated into every oracle that needs payload bytes
+    * (x20/x21/x39) so the SQL construction can never drift from the
+    * Scala one. Ends at `pay(media_id, kind, w, h, nf, text, pix, ps)`. */
+  private val PayloadCtes: String = """
+      m AS (
         SELECT doc_id AS media_id,
           ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
           CAST((doc_id % 7) * 8 + 16 AS BIGINT) AS w,
           CAST((doc_id % 5) * 8 + 16 AS BIGINT) AS h,
+          CAST((doc_id % 11) * 4 + 4 AS BIGINT) AS nf,
           text
         FROM documents WHERE text IS NOT NULL),
+      pb AS (
+        SELECT *, rpad(repeat(text, CAST(w * h // greatest(length(text), 1) AS INT) + 1),
+            CAST(w * h AS INT), ' ') AS pix
+        FROM m),
+      pay AS (
+        SELECT *, CASE kind
+            WHEN 'audio' THEN text
+            WHEN 'image' THEN 'P5' || chr(10) || CAST(w AS VARCHAR) || ' ' ||
+              CAST(h AS VARCHAR) || chr(10) || '255' || chr(10) || pix
+            ELSE repeat('P5' || chr(10) || CAST(w AS VARCHAR) || ' ' ||
+              CAST(h AS VARCHAR) || chr(10) || '255' || chr(10) || pix, CAST(nf AS INT))
+          END AS ps
+        FROM pb)"""
+
+  val oracles: Map[String, String] = Map(
+    // Two branches: image/video feature REAL decoded bytes (the PGM
+    // raster is the cycled text, indexed at the same 16x16 resize
+    // positions), audio replays the splitmix64 stub — payload seed =
+    // Horner-31 over the UTF-8 bytes (the corpus is ASCII, so ord(char)
+    // IS the byte — asserted by MultimodalSpec); pixel p of the decode
+    // buffer is byte p%8 of splitmix64(seed + (p/8+1)*GOLDEN).
+    // Wrapping 64-bit multiplies split 32/32 in HUGEINT
+    // (al*bl + ((al*bh + ah*bl) mod 2^32)*2^32, all < 2^127); >>> is
+    // power-of-two floor division on the nonnegative mod-2^64 domain.
+    // mean/std come from exact integer sums (see mediaFeatures doc).
+    "x21_media_features" -> s"""
+      WITH $PayloadCtes,
+      rpos AS (
+        SELECT media_id, kind, pix,
+          ((i // 16) * h // 16) * w + ((i % 16) * w // 16) AS p
+        FROM pay, (SELECT unnest(range(0, 256)) AS i)
+        WHERE kind IN ('image', 'video')),
+      rvals AS (
+        SELECT media_id, kind,
+          CAST(ord(substr(pix, CAST(p AS INT) + 1, 1)) AS BIGINT) AS v
+        FROM rpos),
       seeds AS (
         SELECT media_id, kind, w, h,
           list_reduce(
             list_prepend(CAST(1125899906842597 AS HUGEINT),
               list_transform(split(text, ''), c -> CAST(ord(c) AS HUGEINT))),
             (acc, b) -> (31 * acc + b) % 18446744073709551616) AS seed
-        FROM m),
+        FROM pay WHERE kind = 'audio'),
       pos AS (
         SELECT media_id, kind, seed,
           ((i // 16) * h // 16) * w + ((i % 16) * w // 16) AS p
@@ -347,29 +479,42 @@ object Multimodal {
             // ([CAST(1 AS HUGEINT), 256, 65536, 16777216, 4294967296,
                  1099511627776, 281474976710656, 72057594037927936])[CAST(p % 8 AS INT) + 1])
             % 256 AS BIGINT) AS v
-        FROM m4)
+        FROM m4),
+      allv AS (
+        SELECT media_id, kind, v FROM vals
+        UNION ALL SELECT media_id, kind, v FROM rvals)
       SELECT media_id, kind,
         CAST(SUM(v) AS DOUBLE) / 256 AS mean_px,
         sqrt(greatest(0.0, CAST(SUM(v * v) AS DOUBLE) / 256
           - (CAST(SUM(v) AS DOUBLE) / 256) * (CAST(SUM(v) AS DOUBLE) / 256))) AS std_px,
         CAST(SUM(CASE WHEN v < 16 THEN 1 ELSE 0 END) AS BIGINT) AS hist_bin0
-      FROM vals
+      FROM allv
       GROUP BY media_id, kind
       ORDER BY media_id""",
-    "x20_media_stats" ->
-      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         COUNT(*) AS n_media,
-         CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-         CAST(MAX(((doc_id % 7) * 8 + 16) * ((doc_id % 5) * 8 + 16)) AS BIGINT) AS max_pixels
-         FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1""",
-    "x22_media_frame_sample" ->
-      """SELECT doc_id AS media_id,
-         CAST(ceil(((doc_id % 11) * 4 + 4) / 2.0) AS BIGINT) AS n_sampled_frames
-         FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL ORDER BY 1""",
-    // payload = UTF-8 bytes of text (bijective), so text groups ≡ payload groups
-    "x39_media_dedup" ->
-      """SELECT MIN(doc_id) AS media_id, COUNT(*) AS n_copies
-         FROM documents WHERE text IS NOT NULL GROUP BY text ORDER BY media_id""",
+    "x20_media_stats" -> s"""
+      WITH $PayloadCtes
+      SELECT kind, COUNT(*) AS n_media,
+        CAST(SUM(octet_length(encode(ps))) AS BIGINT) AS total_bytes,
+        CAST(MAX(w * h) AS BIGINT) AS max_pixels
+      FROM pay GROUP BY 1 ORDER BY 1""",
+    // the sampled frames are ceil(nf/2); every frame's first raster byte
+    // is pix[1] (frames of one video share the raster), so the decoded
+    // first-pixel sum is that byte times the sampled-frame count
+    "x22_media_frame_sample" -> s"""
+      WITH $PayloadCtes
+      SELECT media_id,
+        CAST(ceil(nf / 2.0) AS BIGINT) AS n_sampled_frames,
+        CAST(ceil(nf / 2.0) AS BIGINT) * CAST(ord(substr(pix, 1, 1)) AS BIGINT)
+          AS first_px_sum
+      FROM pay WHERE kind = 'video' ORDER BY media_id""",
+    // dedup groups by the CONSTRUCTED payload: PGM wrapping means two
+    // docs with different texts can collide (a text equal to another's
+    // cycle) and equal texts under different dims cannot — the oracle
+    // replays the construction rather than approximating it by text
+    "x39_media_dedup" -> s"""
+      WITH $PayloadCtes
+      SELECT MIN(media_id) AS media_id, COUNT(*) AS n_copies
+      FROM pay GROUP BY ps ORDER BY media_id""",
     "x84_audio_frames" -> s"""
       WITH a AS (SELECT doc_id AS media_id,
           CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,

@@ -5,12 +5,53 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
 
+  // image/video payloads are REAL PGM containers (video = 10 stacked
+  // blocks whose rasters DIFFER per frame, so block-walking is actually
+  // exercised); audio keeps an opaque byte payload for the stub
   private def media(n: Int) = {
     import spark.implicits._
     (1 to n).map { i =>
-      Multimodal.Media(i.toLong, Seq("image", "audio", "video")(i % 3),
-        s"payload-$i".getBytes("UTF-8"), 8, 4, 16000, 10, "application/octet-stream")
+      val kind = Seq("image", "audio", "video")(i % 3)
+      val (w, h, nf) = (8, 4, 10)
+      val pixels = Array.tabulate(w * h)(p => ((p + i) % 256).toByte)
+      val payload = kind match {
+        case "audio" => s"payload-$i".getBytes("UTF-8")
+        case "image" => Multimodal.PgmCodec.encode(w, h, pixels)
+        case _ => (0 until nf).toArray.flatMap(f =>
+          Multimodal.PgmCodec.encode(w, h, pixels.map(b => (b + f).toByte)))
+      }
+      Multimodal.Media(i.toLong, kind, payload, w, h, 16000, nf,
+        "application/octet-stream")
     }.toDS()
+  }
+
+  test("PGM codec: encode/decode round-trip, malformed input throws") {
+    val px = Array.tabulate(12)(_.toByte)
+    val m = Multimodal.Media(1L, "image", Multimodal.PgmCodec.encode(4, 3, px),
+      4, 3, 0, 0, "")
+    val d = Multimodal.PgmCodec.decode(m)
+    assert(d.width == 4 && d.height == 3 && d.pixels.sameElements(px))
+    // header/metadata disagreement and non-PGM bytes both fail loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.PgmCodec.decode(m.copy(width = 5))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.PgmCodec.decode(m.copy(payload = "JFIF....".getBytes("US-ASCII")))
+    }
+    intercept[IllegalArgumentException] { // truncated raster
+      Multimodal.PgmCodec.decode(m.copy(payload = m.payload.dropRight(2)))
+    }
+  }
+
+  test("video frame walk decodes the f-th block's real bytes") {
+    val frames = Multimodal.frameSample(media(9), 3).collect()
+    frames.foreach { f =>
+      val i = f.media_id.toInt
+      // fixture: frame f's pixel p is (p + i + f) mod 256
+      assert(f.pixels.zipWithIndex.forall { case (b, p) =>
+        b == ((p + i + f.frame_idx) % 256).toByte },
+        s"frame ${f.frame_idx} of media $i decoded wrong bytes")
+    }
   }
 
   test("decode produces width*height pixel buffers, deterministically") {
@@ -50,16 +91,32 @@ class MultimodalSpec extends SparkSpec {
     assert(byMedia.keySet.forall(_ % 3 == 2))
   }
 
-  test("mediaFromDocuments: payload round-trips the document text") {
+  test("mediaFromDocuments: audio round-trips the text; PGM kinds decode to the cycled text") {
     import spark.implicits._
     val m = Multimodal.mediaFromDocuments(spark, sfDir)
     val docs = graft.Tables.load(spark, sfDir, "documents")
     assert(m.count() == docs.count())
-    val joined = m.toDF().select(col("media_id").as("doc_id"),
-        decode(col("payload"), "UTF-8").as("rt"))
+    // audio payloads ARE the raw text bytes
+    val joined = m.toDF().filter(col("kind") === "audio")
+      .select(col("media_id").as("doc_id"), decode(col("payload"), "UTF-8").as("rt"))
       .join(docs, "doc_id")
       .filter(col("rt") =!= col("text"))
     assert(joined.count() == 0)
+    // PGM kinds: the decoded raster equals the text cycled (and space-
+    // padded) to width*height — checked against an independent JVM-side
+    // construction, not the SQL that built the payload
+    val textById = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    val decoded = Multimodal.decode(
+      m.filter((x: Multimodal.Media) => x.kind != "audio")).collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { d =>
+      val t = textById(d.media_id)
+      val expected = Array.tabulate(d.width * d.height)(p =>
+        if (t.nonEmpty) t.charAt(p % t.length).toByte else ' '.toByte)
+      assert(d.pixels.sameElements(expected),
+        s"media ${d.media_id}: decoded raster is not the cycled text")
+    }
   }
 
   test("mediaFeatures query is deterministic across runs") {
