@@ -355,6 +355,18 @@ class PlanSpec extends SparkSpec {
       "cluster pair join is not a keyed join")
   }
 
+  test("approximate assignment broadcasts both centroid frames, never a product") {
+    // the coarse-seed scan and the in-bucket fine argmax both join
+    // against nlist-bounded frames — they must ride broadcast (the
+    // corpus-side never shuffles for them); the probe window is the
+    // only vec-keyed exchange and carries compact rows by construction
+    val p = plan(graft.ext.Similarity.semAssignApprox(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      s"assignment degenerated to an unbroadcast product:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "centroid frames do not ride broadcast")
+  }
+
   test("quantization audit is one scan, no shuffle, no join") {
     val p = plan(graft.ext.Similarity.quantizationAudit(spark, sfDir))
     // the display orderBy's range partitioning is the only exchange —
