@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
 
-  // image/video payloads are REAL PGM containers (video = 10 stacked
-  // blocks whose rasters DIFFER per frame, so block-walking is actually
-  // exercised); audio keeps an opaque byte payload for the stub
+  // ALL payloads are REAL containers: image/video are PGM (video = 10
+  // stacked blocks whose rasters DIFFER per frame, so block-walking is
+  // actually exercised); audio is a RIFF/WAVE container whose samples
+  // are the bytes of "payload-$i"
   private def media(n: Int) = {
     import spark.implicits._
     (1 to n).map { i =>
@@ -15,7 +16,8 @@ class MultimodalSpec extends SparkSpec {
       val (w, h, nf) = (8, 4, 10)
       val pixels = Array.tabulate(w * h)(p => ((p + i) % 256).toByte)
       val payload = kind match {
-        case "audio" => s"payload-$i".getBytes("UTF-8")
+        case "audio" =>
+          Multimodal.WavCodec.encode(16000, s"payload-$i".getBytes("UTF-8"))
         case "image" => Multimodal.PgmCodec.encode(w, h, pixels)
         case _ => (0 until nf).toArray.flatMap(f =>
           Multimodal.PgmCodec.encode(w, h, pixels.map(b => (b + f).toByte)))
@@ -40,6 +42,49 @@ class MultimodalSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { // truncated raster
       Multimodal.PgmCodec.decode(m.copy(payload = m.payload.dropRight(2)))
+    }
+  }
+
+  test("WAV codec: round-trip, chunk walk skips foreign chunks, bad input throws") {
+    val samples = Array.tabulate(300)(i => (i % 251).toByte)
+    val wav = Multimodal.WavCodec.encode(16000, samples)
+    val m = Multimodal.Media(1L, "audio", wav, 0, 0, 16000, 0, "")
+    val d = Multimodal.WavCodec.decode(m)
+    assert(d.width == 300 && d.height == 1 && d.pixels.sameElements(samples))
+
+    // a real container may carry LIST/cue/... chunks before `data`; the
+    // walk must skip them by declared size WITH word alignment (odd
+    // payload → 1 pad byte)
+    val junk = Array[Byte]('j', 'u', 'n', 'k', 'y') // odd-size chunk body
+    val b = java.nio.ByteBuffer.allocate(wav.length + 8 + junk.length + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(wav, 0, 36)                               // RIFF..fmt chunk
+    b.put("LIST".getBytes("US-ASCII")).putInt(junk.length).put(junk).put(0.toByte)
+    b.put(wav, 36, wav.length - 36)                 // data chunk
+    val withJunk = b.array()
+    val d2 = Multimodal.WavCodec.decode(m.copy(payload = withJunk))
+    assert(d2.pixels.sameElements(samples), "chunk walk mis-skipped the LIST chunk")
+
+    // failure modes a real decoder must surface loudly
+    intercept[IllegalArgumentException] { // not RIFF
+      Multimodal.WavCodec.decode(m.copy(payload = "OggS....".getBytes("US-ASCII")))
+    }
+    intercept[IllegalArgumentException] { // truncated data chunk
+      Multimodal.WavCodec.decode(m.copy(payload = wav.dropRight(5)))
+    }
+    intercept[IllegalArgumentException] { // metadata sample-rate mismatch
+      Multimodal.WavCodec.decode(m.copy(sample_rate = 44100))
+    }
+    intercept[IllegalArgumentException] { // stereo/16-bit rejected
+      val st = wav.clone(); st(22) = 2 // channels field
+      Multimodal.WavCodec.decode(m.copy(payload = st))
+    }
+    intercept[IllegalArgumentException] { // data before fmt
+      val noFmt = java.nio.ByteBuffer.allocate(12 + 8 + samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      noFmt.put(wav, 0, 12).put("data".getBytes("US-ASCII"))
+        .putInt(samples.length).put(samples)
+      Multimodal.WavCodec.decode(m.copy(payload = noFmt.array()))
     }
   }
 
@@ -75,7 +120,10 @@ class MultimodalSpec extends SparkSpec {
   test("features: histogram sums to pixel count; std non-negative") {
     val f = Multimodal.extractFeatures(Multimodal.decode(media(10))).collect()
     f.foreach { x =>
-      assert(x.histogram.sum == 8 * 4)
+      // PGM kinds decode to the 8x4 raster; audio to its sample count
+      // (fixture samples are "payload-$i", 9 or 10 bytes)
+      val expected = if (x.kind == "audio") s"payload-${x.media_id}".length else 8 * 4
+      assert(x.histogram.sum == expected)
       assert(x.std >= 0 && x.mean >= 0 && x.mean <= 255)
     }
   }
@@ -96,17 +144,23 @@ class MultimodalSpec extends SparkSpec {
     val m = Multimodal.mediaFromDocuments(spark, sfDir)
     val docs = graft.Tables.load(spark, sfDir, "documents")
     assert(m.count() == docs.count())
-    // audio payloads ARE the raw text bytes
-    val joined = m.toDF().filter(col("kind") === "audio")
-      .select(col("media_id").as("doc_id"), decode(col("payload"), "UTF-8").as("rt"))
-      .join(docs, "doc_id")
-      .filter(col("rt") =!= col("text"))
-    assert(joined.count() == 0)
+    // audio payloads are REAL WAV containers whose decoded samples are
+    // the text bytes — and the column-expression construction must agree
+    // byte-for-byte with the JVM-side canonical encoder
+    val textById = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    val audio = m.filter((x: Multimodal.Media) => x.kind == "audio").collect()
+    assert(audio.nonEmpty)
+    audio.foreach { a =>
+      val bytes = textById(a.media_id).getBytes("UTF-8")
+      assert(a.payload.sameElements(Multimodal.WavCodec.encode(16000, bytes)),
+        s"media ${a.media_id}: columnar WAV construction != canonical encoder")
+      assert(Multimodal.WavCodec.decode(a).pixels.sameElements(bytes),
+        s"media ${a.media_id}: decoded samples are not the text bytes")
+    }
     // PGM kinds: the decoded raster equals the text cycled (and space-
     // padded) to width*height — checked against an independent JVM-side
     // construction, not the SQL that built the payload
-    val textById = docs.select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
     val decoded = Multimodal.decode(
       m.filter((x: Multimodal.Media) => x.kind != "audio")).collect()
     assert(decoded.nonEmpty)
@@ -158,10 +212,10 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("x21 oracle precondition: corpus is ASCII (payload byte == codepoint)") {
-    // the DuckDB replay of the stub codec hashes ord(char) per character;
-    // that equals the UTF-8 payload byte only while the corpus is ASCII —
-    // if the testdata ever grows multi-byte chars this must fail loudly
-    // (and the oracle switch to a real byte extractor)
+    // the DuckDB oracles index decoded buffers via ord(char) per
+    // character; that equals the UTF-8 payload byte only while the
+    // corpus is ASCII — if the testdata ever grows multi-byte chars this
+    // must fail loudly (and the oracle switch to a real byte extractor)
     val nonAscii = graft.Tables.load(spark, sfDir, "documents")
       .filter(col("text").rlike("[^\\x00-\\x7f]")).count()
     assert(nonAscii == 0, s"$nonAscii documents contain non-ASCII text")
