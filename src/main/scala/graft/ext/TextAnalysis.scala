@@ -404,9 +404,13 @@ object TextAnalysis {
     docBigramsOf(docs)
       .join(lmBigrams, Seq("w1", "w2"), "left")
       .join(lmContexts, Seq("w1"), "left")
-      // c12 non-null implies c1 non-null (c1 aggregates the same table)
+      // c12 non-null implies c1 non-null (c1 aggregates the same table).
+      // Seen branch floored at the OOV floor: integer div scores a
+      // seen-but-rarer-than-1-in-1000 transition 0 ‰, which would rank
+      // it BELOW an unseen one — monotonicity demands observed ≥ floor.
       .withColumn("p", when(col("c12").isNotNull,
-        expr("c12 * 1000 div c1")).otherwise(lit(OovFloorPermille)))
+        greatest(expr("c12 * 1000 div c1"), lit(OovFloorPermille)))
+        .otherwise(lit(OovFloorPermille)))
       .groupBy("doc_id")
       .agg(sum("m").cast("long").as("n_bigrams"),
            sum(when(col("c12").isNull, col("m")).otherwise(lit(0L)))
@@ -1081,7 +1085,8 @@ object TextAnalysis {
           CAST(SUM(d.m) AS BIGINT) AS n_bigrams,
           CAST(SUM(CASE WHEN b.c12 IS NULL THEN d.m ELSE 0 END) AS BIGINT) AS n_oov,
           CAST(SUM(d.m * (CASE WHEN b.c12 IS NOT NULL
-            THEN b.c12 * 1000 // c.c1 ELSE $OovFloorPermille END)) AS BIGINT) AS mass
+            THEN greatest(b.c12 * 1000 // c.c1, $OovFloorPermille)
+            ELSE $OovFloorPermille END)) AS BIGINT) AS mass
         FROM dbi d
         LEFT JOIN lm_bigrams b USING (w1, w2)
         LEFT JOIN lm_contexts c USING (w1)

@@ -97,6 +97,25 @@ class CorpusAuditSpec extends SparkSpec {
       s"hand-corpus mismatch: $got")
   }
 
+  test("external-LM fluency: a seen-but-rare bigram never scores below the OOV floor") {
+    import spark.implicits._
+    // LM corpus: "a c" 1500 times then "a b" once -> c12(a,b)=1 within
+    // c1(a)=1501, so the un-floored integer estimate 1000*1 div 1501 = 0
+    // would rank an OBSERVED transition below an unseen one. The fix
+    // floors the seen branch at the same 1 permille the OOV branch gets.
+    val lm = Seq((1L, ("a c " * 1500) + "a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "a b"), // seen-but-rare: n_oov=0, floored to 1 permille
+      (2L, "a q")  // unseen: n_oov=1, the floor itself
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.externalFluencyScoresFor(docs, lm).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("fluency_permille")))).toMap
+    assert(got == Map(0L -> ((1L, 0L, 1L)), 2L -> ((1L, 1L, 1L))),
+      s"seen-rare floor mismatch: $got")
+  }
+
   test("inverted index: df band respected, tf positive, postings unique") {
     val out = TextAnalysis.invertedIndex(spark, sfDir).cache()
     assert(out.filter(col("df") < 5 || col("df") > 50).count() == 0)
