@@ -492,12 +492,225 @@ object Sources {
     s.read.parquet(smalls.map(_._1): _*)
       .repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    // Compliant files come over as hard links ONLY on the local FS —
+    // createLink on an HDFS/S3A URI would throw after the small-file
+    // rewrite already ran (ADVICE r12). Non-file schemes fall back to a
+    // FileSystem-API copy (correct everywhere, but it moves bytes); the
+    // zero-copy path for object stores is the manifest re-point
+    // ([[manifestCompactSmallFiles]]).
     compliant.foreach { case (uri, _) =>
-      val f = Paths.get(java.net.URI.create(uri))
-      Files.createLink(stage.resolve(f.getFileName.toString), f)
+      val u = java.net.URI.create(uri)
+      if (u.getScheme == null || u.getScheme == "file") {
+        val f = Paths.get(u)
+        Files.createLink(stage.resolve(f.getFileName.toString), f)
+      } else {
+        val conf = s.sparkContext.hadoopConfiguration
+        val from = new org.apache.hadoop.fs.Path(u)
+        val to = new org.apache.hadoop.fs.Path(stage.resolve(from.getName).toUri)
+        org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(conf), from,
+          to.getFileSystem(conf), to, false, conf)
+      }
     }
     publishDir(stage, src)
     n
+  }
+
+  // ----- Manifest-indirection table layout (x132, verdict r12 item 3) --
+  //
+  // The directory-swap publish above is crash-safe but NOT reader-atomic
+  // (a reader can catch the between-renames window), and the hard-link
+  // step in [[compactSmallFiles]] is a local-FS stand-in. This layout is
+  // the named next rung — the transactional core every production table
+  // format (Iceberg/Delta) builds on:
+  //
+  //   <root>/data/w-<n>/part-*.parquet   immutable data files; every
+  //                                      write lands in a FRESH subdir,
+  //                                      no name is ever reused
+  //   <root>/_manifests/m-<v>.txt        one data-file URI per line —
+  //                                      the complete file set of
+  //                                      version v, immutable
+  //   <root>/_current                    one line: the live manifest
+  //                                      name. The ONLY mutable object.
+  //
+  // Commit = write the new manifest (a new immutable object), then swap
+  // the one-line pointer with an atomic overwrite-rename
+  // (FileContext.rename(OVERWRITE) — atomic on HDFS and POSIX; on an
+  // object store the same one-object commit is a conditional PUT /
+  // putIfMatch on `_current`, which is exactly how Delta commits work
+  // on S3). A reader resolves `_current` ONCE and then reads only
+  // immutable objects, so it sees exactly the old file set or exactly
+  // the new one — never a partial mix, and never an absent path.
+  // Everything goes through the Hadoop FileSystem API: no links, no
+  // directory renames, object-store compatible by construction.
+
+  private def fsOf(s: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def manifestRoot(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_manifests")
+  private def currentPtr(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_current")
+
+  private def writeSmall(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, text: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Live (version, dataFileURIs) of a manifest table, resolved through
+    * the `_current` pointer. The resolve is ONE read of ONE immutable
+    * name; everything after it is immutable, which is the whole
+    * reader-atomicity argument. */
+  private[graft] def currentManifest(s: SparkSession,
+      root: org.apache.hadoop.fs.Path): (Long, Seq[String]) = {
+    val fs = fsOf(s, root)
+    if (!fs.exists(currentPtr(root))) return (0L, Nil)
+    val name = readSmall(fs, currentPtr(root)).trim
+    val v = name.stripPrefix("m-").stripSuffix(".txt").toLong
+    val body = readSmall(fs, new org.apache.hadoop.fs.Path(manifestRoot(root), name))
+    (v, body.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
+  }
+
+  /** Commit `files` as version `v`: write the immutable manifest, then
+    * atomically re-point `_current` at it (write-aside + OVERWRITE
+    * rename — the pointer is never absent and never partial). */
+  private[graft] def manifestCommit(s: SparkSession,
+      root: org.apache.hadoop.fs.Path, v: Long, files: Seq[String]): Unit = {
+    val fs = fsOf(s, root)
+    val name = s"m-$v.txt"
+    writeSmall(fs, new org.apache.hadoop.fs.Path(manifestRoot(root), name),
+      files.mkString("", "\n", "\n"))
+    val tmp = new org.apache.hadoop.fs.Path(root, s"_current.tmp-$v")
+    writeSmall(fs, tmp, name + "\n")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      root.toUri, s.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, currentPtr(root),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** List the data files a just-finished Spark write left under `dir`
+    * (hidden `_SUCCESS`/`.crc` excluded), as URIs for the manifest. */
+  private def writtenFiles(s: SparkSession,
+      dir: org.apache.hadoop.fs.Path): Seq[String] = {
+    val fs = fsOf(s, dir)
+    val it = fs.listFiles(dir, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) buf += st.getPath.toString
+    }
+    buf.toSeq.sorted
+  }
+
+  /** Append `df` to a manifest table: write into a FRESH `data/w-<v>`
+    * subdir (immutable, never-reused names), then commit old files ++
+    * new files as the next version. Returns the committed version. */
+  private[graft] def manifestAppend(s: SparkSession,
+      root: org.apache.hadoop.fs.Path, df: DataFrame, shards: Int): Long = {
+    val (v, old) = currentManifest(s, root)
+    val w = new org.apache.hadoop.fs.Path(root, s"data/w-${v + 1}")
+    df.repartition(shards).write.mode(SaveMode.Overwrite).parquet(w.toString)
+    manifestCommit(s, root, v + 1, old ++ writtenFiles(s, w))
+    v + 1
+  }
+
+  /** Read a manifest table: resolve the live file set once, scan it. */
+  private[graft] def manifestRead(s: SparkSession,
+      root: org.apache.hadoop.fs.Path): DataFrame = {
+    val (_, files) = currentManifest(s, root)
+    s.read.parquet(files: _*)
+  }
+
+  /** Incremental small-files compaction over the MANIFEST layout — the
+    * object-store-ready sibling of [[compactSmallFiles]]:
+    *   1. resolve the live file set, split at `smallFloorBytes`;
+    *   2. <2 smalls → no-op (repeated runs converge, spec-asserted);
+    *   3. rewrite ONLY the small files into `data/w-<v+1>` (bounded
+    *      write amplification, same argument as x130);
+    *   4. commit compliant ++ rewritten as version v+1 — the compliant
+    *      files are RE-POINTED, not linked or copied: zero bytes moved,
+    *      works on any FileSystem scheme;
+    *   5. old small files stay on disk for readers of version v until
+    *      [[manifestVacuum]] reclaims them — reader atomicity is never
+    *      traded for space.
+    * `beforeCommit` lets the spec interpose a concurrent reader between
+    * the rewrite and the pointer swap, proving mid-compaction reads
+    * resolve to exactly the old version. Returns files written (0 =
+    * no-op). */
+  private[graft] def manifestCompactSmallFiles(s: SparkSession,
+      root: org.apache.hadoop.fs.Path, targetFileBytes: Long,
+      smallFloorBytes: Long, beforeCommit: () => Unit = () => ()): Int = {
+    val fs = fsOf(s, root)
+    val (v, files) = currentManifest(s, root)
+    val sized = files.map(f => (f,
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen))
+    val (smalls, compliant) = sized.partition(_._2 < smallFloorBytes)
+    if (smalls.length < 2) return 0
+    val smallBytes = smalls.map(_._2).sum
+    val n = math.max(1L,
+      (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val w = new org.apache.hadoop.fs.Path(root, s"data/w-${v + 1}")
+    s.read.parquet(smalls.map(_._1): _*)
+      .repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(w.toString)
+    beforeCommit()
+    manifestCommit(s, root, v + 1, compliant.map(_._1) ++ writtenFiles(s, w))
+    n
+  }
+
+  /** Reclaim data files no manifest version ≤ live references… in a
+    * multi-reader deployment, after a grace period; here: delete every
+    * data file the LIVE manifest does not reference, plus stale
+    * manifests. Returns files deleted. */
+  private[graft] def manifestVacuum(s: SparkSession,
+      root: org.apache.hadoop.fs.Path): Int = {
+    val fs = fsOf(s, root)
+    val (v, live) = currentManifest(s, root)
+    val keep = live.toSet
+    var removed = 0
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    if (fs.exists(dataDir)) {
+      val it = fs.listFiles(dataDir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (!keep(st.getPath.toString)) { fs.delete(st.getPath, false); removed += 1 }
+      }
+    }
+    val mdir = manifestRoot(root)
+    if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
+      if (st.getPath.getName != s"m-$v.txt") { fs.delete(st.getPath, false); removed += 1 }
+    }
+    removed
+  }
+
+  /** x132 driver query: the x130 fixture (one compliant file carrying
+    * ~90% of the rows + a 48-file append shower) built ON the manifest
+    * layout, compacted with the reader-atomic pass, vacuumed, and read
+    * back through the manifest. Identity oracle proves content; the
+    * spec proves the atomicity contract (mid-compaction reader sees
+    * exactly the old set, post-commit exactly the new, vacuum leaves
+    * only live files). */
+  def manifestCompactionRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(
+      roundtripRoot.resolve(s"manifest_${dirKey(dir)}").toUri)
+    fsOf(s, root).delete(root, true)
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    manifestAppend(s, root, docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0), 1)
+    manifestAppend(s, root, docs.filter(pmod(col("doc_id"), lit(10L)) === 0), 48)
+    manifestCompactSmallFiles(s, root,
+      targetFileBytes = 512L * 1024 * 1024, smallFloorBytes = 8192L)
+    manifestVacuum(s, root)
+    manifestRead(s, root).orderBy("doc_id")
   }
 
   /** Driver query: fragment the documents table into 64 shard files
@@ -537,6 +750,7 @@ object Sources {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x132_manifest_compaction" -> manifestCompactionRoundtrip,
     "x130_compaction_incremental" -> incrementalCompactionRoundtrip,
     "x127_compaction_roundtrip" -> compactionRoundtrip,
     "x121_publish_audit" -> publishAuditExport,
@@ -553,6 +767,10 @@ object Sources {
       FROM documents ORDER BY doc_id""",
     // incremental compaction is pure layout too — identity oracle
     "x130_compaction_incremental" -> """
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents ORDER BY doc_id""",
+    // manifest-indirection compaction is pure layout — identity oracle
+    "x132_manifest_compaction" -> """
       SELECT doc_id, text, lang, source, n_chars
       FROM documents ORDER BY doc_id""",
     // the published export must be content-identical to the source

@@ -449,4 +449,77 @@ class EtlSpec extends SparkSpec {
     Sources.publishDir(stage3, fin)
     assert(readExport(fin) == "NEW3")
   }
+
+  test("manifest compaction is reader-atomic: mid-compaction reads resolve exactly the old version") {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_spec").resolve("t").toUri)
+    val df = spark.range(20000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+    // one compliant file (~90% of rows) + 24 tiny appends, committed as
+    // two manifest versions
+    val v1 = Sources.manifestAppend(spark, root, df.filter(col("id") % 10 =!= 0), 1)
+    val v2 = Sources.manifestAppend(spark, root, df.filter(col("id") % 10 === 0), 24)
+    assert(v1 == 1 && v2 == 2)
+    val (_, beforeFiles) = Sources.currentManifest(spark, root)
+    assert(beforeFiles.length == 25, s"fixture: ${beforeFiles.length} files")
+    val before = Sources.manifestRead(spark, root)
+      .agg(sum("id"), count(lit(1))).head()
+
+    // the compliant file by URI (re-point contract checks it survives)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bigs = beforeFiles.filter(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen >= 8192).toSet
+    assert(bigs.nonEmpty && beforeFiles.length - bigs.size == 24)
+
+    // interpose a reader BETWEEN the small-file rewrite and the pointer
+    // swap: it must resolve exactly the old version — same file list,
+    // same content — even though the new data files already exist
+    var midChecked = false
+    val n = Sources.manifestCompactSmallFiles(spark, root,
+      targetFileBytes = 1L << 30, smallFloorBytes = 8192L,
+      beforeCommit = () => {
+        val (mv, midFiles) = Sources.currentManifest(spark, root)
+        assert(mv == v2 && midFiles == beforeFiles,
+          "mid-compaction reader saw a file set other than the old version")
+        assert(Sources.manifestRead(spark, root)
+          .agg(sum("id"), count(lit(1))).head() == before)
+        midChecked = true
+      })
+    assert(n == 1 && midChecked)
+
+    // post-commit: version bumped, compliant file RE-POINTED (same URI,
+    // zero bytes moved), smalls gone from the manifest, content intact
+    val (v3, afterFiles) = Sources.currentManifest(spark, root)
+    assert(v3 == v2 + 1)
+    assert(bigs.subsetOf(afterFiles.toSet), "compliant file was not re-pointed")
+    assert(afterFiles.length == bigs.size + n)
+    assert(Sources.manifestRead(spark, root)
+      .agg(sum("id"), count(lit(1))).head() == before)
+
+    // old small files are still on disk until vacuum (an old-version
+    // reader mid-flight can still finish); vacuum then leaves exactly
+    // the live set under data/
+    val preVacuum = beforeFiles.filterNot(afterFiles.contains)
+    assert(preVacuum.forall(f => fs.exists(new org.apache.hadoop.fs.Path(f))),
+      "commit deleted files a concurrent old-version reader may need")
+    assert(Sources.manifestVacuum(spark, root) > 0)
+    val onDisk = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root, "data"), true)
+      val b = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (!p.getName.startsWith("_") && !p.getName.startsWith(".")) b += p.toString
+      }
+      b.toSet
+    }
+    assert(onDisk == afterFiles.toSet, "vacuum left orphans or ate live files")
+    assert(Sources.manifestRead(spark, root)
+      .agg(sum("id"), count(lit(1))).head() == before)
+
+    // converged: a second pass is a no-op and changes nothing
+    assert(Sources.manifestCompactSmallFiles(spark, root,
+      targetFileBytes = 1L << 30, smallFloorBytes = 8192L) == 0)
+    assert(Sources.currentManifest(spark, root)._2 == afterFiles)
+  }
 }
