@@ -87,20 +87,7 @@ object Similarity {
     * oracle replays candidate generation exactly, not just a recall
     * bound. */
   def topKLsh(s: SparkSession, dir: String): DataFrame = {
-    val all = embs(s, dir).withColumn("bits", hyperplaneBits(col("v"), Planes))
-    // cached: the query side below re-reads this frame — without the
-    // cache the 64 hyperplane projections per vector run twice
-    val banded = all.select(col("vec_id"), col("v"),
-        explode(bitBandStringKeys(col("bits"), Bands, BitsPerBand)).as("bk"))
-      .select(col("vec_id"), col("v"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .scopedCache()
-    val queries = banded.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("band"), col("key"))
-
-    val candidates = banded.join(queries,
-        Seq("band", "key")).filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
-      .dropDuplicates("query_id", "vec_id")
+    val candidates = lshCandidatePairs(s, dir)
       .withColumn("cos", cosine(col("qv"), col("v")))
 
     val w = Window.partitionBy(col("query_id"))
@@ -111,6 +98,35 @@ object Similarity {
               round(col("cos"), 6).as("cos_sim"))
       .orderBy("query_id", "rank")
   }
+
+  /** x08's candidate generation, factored so the scale harness can
+    * weigh it: banded hash both sides, bucket-collision join, distinct
+    * (query, candidate) pairs. */
+  private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir).withColumn("bits", hyperplaneBits(col("v"), Planes))
+    // cached: the query side below re-reads this frame — without the
+    // cache the 64 hyperplane projections per vector run twice
+    val banded = all.select(col("vec_id"), col("v"),
+        explode(bitBandStringKeys(col("bits"), Bands, BitsPerBand)).as("bk"))
+      .select(col("vec_id"), col("v"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .scopedCache()
+    val queries = banded.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("band"), col("key"))
+    banded.join(queries, Seq("band", "key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+      .dropDuplicates("query_id", "vec_id")
+  }
+
+  /** Exact candidate mass of x08's LSH bucketing on `dir` — the
+    * quantity that explains its scale ratio: |Q| is FIXED (NQueries),
+    * so candidates grow ∝ corpus size by design and the query's
+    * runtime is linear with a deliberately generous recall constant.
+    * The scale artifact embeds this count for both slices (verdict r12
+    * item 8) so the 100× reading carries its own defense in-band
+    * instead of in PERF.md prose. */
+  def lshCandidateMass(s: SparkSession, dir: String): Long =
+    lshCandidatePairs(s, dir).count()
 
   /** Hard-negative mining: for each query vector, the top-k most
     * SIMILAR candidates with a DIFFERENT label — the contrastive-
