@@ -522,7 +522,8 @@ object Similarity {
     * emptied by duplicate-centroid ties) is absent — callers LEFT-join
     * and surface the count ([[semAssignAudit]] `n_unassigned`). */
   private[graft] def semAssignApproxFrame(all: DataFrame, centroids: DataFrame,
-                                          ncoarse: Int): DataFrame = {
+                                          ncoarse: Int,
+                                          probes: Int = SemCoarseProbes): DataFrame = {
     val seeds = centroids
       .withColumn("h", graft.ext.Sampling.u32(col("cluster")))
       .orderBy(col("h"), col("cluster")).limit(ncoarse)
@@ -540,16 +541,18 @@ object Similarity {
       .select(col("vec_id"), col("ccl"),
         cosine(asDouble(col("vq")), asDouble(col("cc"))).as("ccos"))
       .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= SemCoarseProbes)
+      .filter(col("pr") <= probes)
       .select(col("vec_id"), col("ccl"))
-    // fine argmax inside the probed buckets only
+    // fine argmax inside the probed buckets only; n_cand counts the
+    // fine cosines this vector paid — the cost axis of the x133 sweep
     all.join(topc, Seq("vec_id"))
       .join(broadcast(f2c), Seq("ccl"))
       .select(col("vec_id"), col("fcl"),
         cosine(asDouble(col("vq")), asDouble(col("c"))).as("acos"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("fcl"), struct(col("acos"), col("fcl"))).as("acluster"),
-           max(col("acos")).as("acos"))
+           max(col("acos")).as("acos"),
+           count(lit(1)).as("n_cand"))
   }
 
   /** x128: the approximate-assignment production path as a standalone
@@ -605,6 +608,52 @@ object Similarity {
       .filter(col("exact_ok").isNull)
       .select(col("n_vecs"), col("n_unassigned"), col("n_agree"),
         col("agree_pm"), col("max_regret_ppm"), col("sum_regret_ppm"))
+  }
+
+  /** Probe widths the x133 frontier sweep measures. 1/2/3 brackets the
+    * committed [[SemCoarseProbes]] = 2 default on both sides. */
+  private val SweepProbeWidths = Seq(1, 2, 3)
+
+  /** x133: probe-width frontier sweep for the x128 hierarchical
+    * assignment — the x106 pattern (measure the knob's whole frontier
+    * BEFORE committing a default) applied to [[SemCoarseProbes]]. Per
+    * width w ∈ {1,2,3}: agreement with the exact argmax (‰), the
+    * fine-cosine mass paid (`n_fine_cos` — the cost axis; coarse
+    * cosines are width-independent), and the total cosine regret of
+    * the misses. Agreement is PROVABLY monotone in w — the top-w probe
+    * sets are nested and the fine argmax over a candidate superset
+    * containing the exact winner IS the exact winner (identical
+    * (cos, cluster) tie-break on both paths) — so the sweep shows the
+    * marginal agreement each extra probe buys against its linear
+    * cosine cost; SimilaritySpec asserts the monotonicity. The exact
+    * side is computed once and cached; each width re-probes only. */
+  def semProbeSweep(s: SparkSession, dir: String): DataFrame = {
+    val nlist = semNlist(s, dir)
+    val (all, centroids) = ivfCentroids(s, dir, nlist, LloydIters, Some(SemTrainSample))
+    val exact = all.join(broadcast(centroids))
+      .withColumn("cos", cosine(asDouble(col("vq")), asDouble(col("c"))))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cluster"), struct(col("cos"), col("cluster"))).as("ecluster"),
+           max(col("cos")).as("ecos"))
+      .scopedCache()
+    val regret = when(col("acluster").isNotNull && col("acluster") =!= col("ecluster"),
+      floor((col("ecos") - col("acos")) * lit(1e6)).cast("long")).otherwise(lit(0L))
+    SweepProbeWidths.map { w =>
+      exact.join(semAssignApproxFrame(all, centroids, semNcoarse(nlist), w),
+          Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_vecs"),
+             sum(when(col("acluster") === col("ecluster"), 1L).otherwise(0L)).as("n_agree"),
+             sum(coalesce(col("n_cand"), lit(0L))).as("n_fine_cos"),
+             sum(regret).as("sum_regret_ppm"))
+        .withColumn("probes", lit(w.toLong))
+    }.reduce(_.unionByName(_))
+      .withColumn("agree_pm",
+        call_function("div", col("n_agree") * lit(1000L), col("n_vecs")))
+      .crossJoin(broadcast(exactnessGuard(all, centroids)))
+      .filter(col("exact_ok").isNull)
+      .select(col("probes"), col("n_vecs"), col("n_agree"), col("agree_pm"),
+        col("n_fine_cos"), col("sum_regret_ppm"))
+      .orderBy("probes")
   }
 
   /** x110: int8 quantization audit — the memory-4×/bandwidth-4× lever
@@ -768,6 +817,7 @@ object Similarity {
     "x109_semdedup" -> semDedup,
     "x128_sem_assign_approx" -> semAssignApprox,
     "x129_sem_assign_audit" -> semAssignAudit,
+    "x133_sem_probe_sweep" -> semProbeSweep,
     "x110_quant_audit" -> quantizationAudit,
     "x114_outlier_audit" -> outlierAudit,
     "x100_embedding_audit" -> embeddingAudit,
@@ -875,12 +925,12 @@ object Similarity {
       sem_keep AS (SELECT i.vec_id FROM idx i
         LEFT JOIN drops d ON i.vec_id = d.vec_id WHERE d.vec_id IS NULL)"""
 
-  /** Shared DuckDB CTE chain replaying [[semAssignApproxFrame]] exactly
-    * (coarse seeds → fine→coarse buckets → vector probe → fine argmax),
-    * ending at `ap(vec_id, acluster, acos)` — interpolated into BOTH the
-    * x128 production oracle and the x129 audit oracle so the SQL probe
-    * can never drift from the Scala one (the ivfIndexCtes contract). */
-  private lazy val semApproxCtes: String = s"""
+  /** Shared DuckDB CTE prefix for the hierarchical-assignment replays
+    * (coarse seeds → fine→coarse buckets), ending at `f2c(fcl, ccl, c)`
+    * — interpolated into the x128/x129 chain AND each width of the
+    * x133 sweep so the SQL probe can never drift from the Scala one
+    * (the ivfIndexCtes contract). */
+  private lazy val semApproxPrefixCtes: String = s"""
       ${ivfIndexCtes(semNlistSql, Some(SemTrainSample))},
       ncl AS (SELECT CAST(ceil(sqrt(CAST(nlist AS DOUBLE))) AS BIGINT) AS nc FROM nl),
       sds AS (SELECT cluster AS ccl, c AS cc FROM (
@@ -891,17 +941,31 @@ object Similarity {
           SELECT f.cluster AS fcl, s.ccl, f.c,
             ROW_NUMBER() OVER (PARTITION BY f.cluster
               ORDER BY ${duckCos("f.c", "s.cc")} DESC, s.ccl DESC) AS rn
-          FROM c$LloydIters f CROSS JOIN sds s) WHERE rn = 1),
-      vc AS (SELECT vec_id, ccl FROM (
+          FROM c$LloydIters f CROSS JOIN sds s) WHERE rn = 1)"""
+
+  /** One probe width's CTE block (vector probe → candidate cosines →
+    * fine argmax): `vc$sfx` / `cand$sfx` / `ap$sfx(vec_id, acluster,
+    * acos)`. `cand$sfx` is kept as a named CTE so the sweep can count
+    * the fine-cosine mass the width paid. */
+  private def semProbeCtes(probes: Int, sfx: String): String = s"""
+      vc$sfx AS (SELECT vec_id, ccl FROM (
           SELECT e.vec_id, s.ccl,
             ROW_NUMBER() OVER (PARTITION BY e.vec_id
               ORDER BY ${duckCos("e.vq", "s.cc")} DESC, s.ccl) AS pr
-          FROM e CROSS JOIN sds s) WHERE pr <= $SemCoarseProbes),
-      ap AS (SELECT vec_id, fcl AS acluster, cos AS acos FROM (
-          SELECT v.vec_id, f.fcl, ${duckCos("e2.vq", "f.c")} AS cos,
-            ROW_NUMBER() OVER (PARTITION BY v.vec_id
-              ORDER BY ${duckCos("e2.vq", "f.c")} DESC, f.fcl DESC) AS rn
-          FROM vc v JOIN e e2 USING (vec_id) JOIN f2c f USING (ccl)) WHERE rn = 1)"""
+          FROM e CROSS JOIN sds s) WHERE pr <= $probes),
+      cand$sfx AS (SELECT v.vec_id, f.fcl, ${duckCos("e2.vq", "f.c")} AS cos
+          FROM vc$sfx v JOIN e e2 USING (vec_id) JOIN f2c f USING (ccl)),
+      ap$sfx AS (SELECT vec_id, fcl AS acluster, cos AS acos FROM (
+          SELECT vec_id, fcl, cos,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, fcl DESC) AS rn
+          FROM cand$sfx) WHERE rn = 1)"""
+
+  /** The x128/x129 chain: prefix + the committed default width, ending
+    * at `ap(vec_id, acluster, acos)`. */
+  private lazy val semApproxCtes: String =
+    s"""$semApproxPrefixCtes,
+      ${semProbeCtes(SemCoarseProbes, "")}"""
 
   private val baseOracles: Map[String, String] = Map(
     "x28_sim_topk_ivf" -> ivfOracleSql,
@@ -928,6 +992,25 @@ object Similarity {
           THEN CAST(floor((ecos - acos) * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT)
           AS sum_regret_ppm
       FROM j""",
+    "x133_sem_probe_sweep" -> s"""
+      $semApproxPrefixCtes,
+      ex AS (SELECT vec_id, cluster AS ecluster, cos AS ecos FROM (
+          SELECT vec_id, cluster, cos,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster DESC) AS rn
+          FROM fs) WHERE rn = 1),
+      ${SweepProbeWidths.map(w => semProbeCtes(w, w.toString)).mkString(",\n")},
+      ${SweepProbeWidths.map(w => s"""r$w AS (
+        SELECT CAST($w AS BIGINT) AS probes, COUNT(*) AS n_vecs,
+          CAST(SUM(CASE WHEN acluster = ecluster THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+          (SELECT COUNT(*) FROM cand$w) AS n_fine_cos,
+          CAST(SUM(CASE WHEN acluster IS NOT NULL AND acluster <> ecluster
+            THEN CAST(floor((ecos - acos) * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT)
+            AS sum_regret_ppm
+        FROM ex LEFT JOIN ap$w USING (vec_id))""").mkString(",\n")}
+      ${SweepProbeWidths.map(w =>
+        s"""SELECT probes, n_vecs, n_agree, (n_agree * 1000) // n_vecs AS agree_pm,
+           n_fine_cos, sum_regret_ppm FROM r$w""").mkString(" UNION ALL ")}
+      ORDER BY probes""",
     "x109_semdedup" -> s"""
       $semKeepCtes
       SELECT i.vec_id, i.cluster,

@@ -167,6 +167,30 @@ class SimilaritySpec extends SparkSpec {
     assert(agreeIndep == na, s"audit n_agree $na != independent recount $agreeIndep")
   }
 
+  test("probe-width sweep: agreement and cosine mass monotone in width") {
+    val rows = Similarity.semProbeSweep(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("probes")).toSeq == Seq(1L, 2L, 3L))
+    val n = graft.Tables.load(spark, sfDir, "embeddings").count()
+    assert(rows.forall(_.getAs[Long]("n_vecs") == n))
+    // nested probe sets + identical tie-breaks make agreement provably
+    // non-decreasing in width (semProbeSweep scaladoc); the fine-cosine
+    // mass strictly grows because every extra probed bucket is non-empty
+    // on this corpus
+    val agree = rows.map(_.getAs[Long]("n_agree"))
+    val mass = rows.map(_.getAs[Long]("n_fine_cos"))
+    val regret = rows.map(_.getAs[Long]("sum_regret_ppm"))
+    assert(agree.zip(agree.tail).forall { case (a, b) => a <= b },
+      s"agreement not monotone in probe width: ${agree.toSeq}")
+    assert(mass.zip(mass.tail).forall { case (a, b) => a < b },
+      s"fine-cosine mass not increasing: ${mass.toSeq}")
+    assert(regret.zip(regret.tail).forall { case (a, b) => a >= b },
+      s"regret not non-increasing: ${regret.toSeq}")
+    // the committed default (probes=2) must sit on the measured frontier
+    // at-or-above the audited 500-permille majority floor
+    val w2 = rows.find(_.getAs[Long]("probes") == 2L).get
+    assert(w2.getAs[Long]("agree_pm") >= 500)
+  }
+
   test("outlier audit: labels cover the table, worst vector really is worst") {
     val out = Similarity.outlierAudit(spark, sfDir).cache()
     val n = graft.Tables.load(spark, sfDir, "embeddings").count()
