@@ -94,6 +94,15 @@ object Multimodal {
       val (w, h, px) = parseHeader(m.payload, 0)
       require(w == m.width && h == m.height,
         s"PGM header ${w}x$h disagrees with metadata ${m.width}x${m.height} (media ${m.media_id})")
+      // EXACT length check, not just "long enough": an over-long raster
+      // (e.g. char-length vs byte-length drift in an upstream non-ASCII
+      // construction) must fail loudly at decode time, not surface only
+      // as oracle drift. Videos are n_frames identical blocks, so the
+      // exact expectation is blockLen·n_frames.
+      val blockLen = px.toLong + w.toLong * h
+      val expected = if (m.kind == "video") blockLen * m.n_frames else blockLen
+      require(m.payload.length == expected,
+        s"PGM payload ${m.payload.length} B != expected $expected B (media ${m.media_id})")
       Decoded(m.media_id, m.kind, w, h,
         java.util.Arrays.copyOfRange(m.payload, px, px + w * h))
     }
@@ -114,31 +123,52 @@ object Multimodal {
 
   // ---- REAL CODEC: RIFF/WAVE PCM --------------------------------------
 
-  /** RIFF/WAVE, PCM unsigned-8-bit mono — the pure-JVM-trivial audio
-    * container: `RIFF <size> WAVE`, then little-endian chunks. The
-    * decoder is a real chunk WALK, not a fixed 44-byte slice: unknown
-    * chunks (LIST/INFO/cue…) are skipped by their declared size with
-    * word alignment, `fmt ` is validated (PCM, mono, 8-bit — anything
-    * else throws, a real decoder's failure mode), and `data` yields the
-    * sample bytes. The decoded buffer is shaped (n_samples, 1) — audio
-    * is a 1-D signal, so downstream resize = nearest-neighbor
-    * DOWNSAMPLING along the sample axis, which is exactly what a
-    * feature-extraction stage does to a waveform. */
+  /** RIFF/WAVE, PCM mono, 8- or 16-bit — the two widths real speech
+    * corpora actually ship (u8 is the offset-binary legacy width; s16le
+    * is what every modern recorder emits). The decoder is a real chunk
+    * WALK, not a fixed 44-byte slice: unknown chunks (LIST/INFO/cue…)
+    * are skipped by their declared size with word alignment, `fmt ` is
+    * validated (PCM, mono, 8 or 16 bit — anything else throws, a real
+    * decoder's failure mode), and `data` yields the samples. Both
+    * widths decode into the u8 feature space via the standard PCM width
+    * conversion (u8 v ↔ s16 (v−128)·256; narrowing is s ↦ (s>>8)+128),
+    * so downstream resize/featurize see one representation. The decoded
+    * buffer is shaped (n_samples, 1) — audio is a 1-D signal, so
+    * downstream resize = nearest-neighbor DOWNSAMPLING along the sample
+    * axis, which is exactly what a feature-extraction stage does to a
+    * waveform. */
   object WavCodec {
     private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+    /** Canonical 44-byte PCM mono WAV header for `dataBytes` bytes of
+      * sample data at the given width. */
+    private def header(b: java.nio.ByteBuffer, sampleRate: Int,
+                       bits: Int, dataBytes: Int): Unit = {
+      val align = bits / 8
+      b.put("RIFF".getBytes(Ascii)).putInt(36 + dataBytes)
+        .put("WAVE".getBytes(Ascii))
+      b.put("fmt ".getBytes(Ascii)).putInt(16)
+        .putShort(1).putShort(1)                          // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * align)    // byte rate
+        .putShort(align.toShort).putShort(bits.toShort)   // align, bits
+      b.put("data".getBytes(Ascii)).putInt(dataBytes)
+    }
 
     /** Canonical 44-byte-header PCM u8 mono WAV around `samples`. */
     def encode(sampleRate: Int, samples: Array[Byte]): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(44 + samples.length)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      b.put("RIFF".getBytes(Ascii)).putInt(36 + samples.length)
-        .put("WAVE".getBytes(Ascii))
-      b.put("fmt ".getBytes(Ascii)).putInt(16)
-        .putShort(1).putShort(1)                 // PCM, mono
-        .putInt(sampleRate).putInt(sampleRate)   // byte rate = rate·1ch·1B
-        .putShort(1).putShort(8)                 // block align, bits/sample
-      b.put("data".getBytes(Ascii)).putInt(samples.length)
+      header(b, sampleRate, 8, samples.length)
       b.put(samples)
+      b.array()
+    }
+
+    /** Canonical 44-byte-header PCM s16le mono WAV around `samples`. */
+    def encodeS16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      header(b, sampleRate, 16, samples.length * 2)
+      samples.foreach(b.putShort)
       b.array()
     }
 
@@ -153,8 +183,9 @@ object Multimodal {
       b.getInt() // declared RIFF size; the buffer bound is authoritative
       require(tag() == "WAVE", s"RIFF but not WAVE (media ${m.media_id})")
       var sampleRate = -1
-      var samples: Array[Byte] = null
-      while (samples == null && b.remaining() >= 8) {
+      var sampleBits = -1
+      var raw: Array[Byte] = null
+      while (raw == null && b.remaining() >= 8) {
         val id = tag()
         val size = b.getInt()
         require(size >= 0 && size <= b.remaining(),
@@ -168,22 +199,41 @@ object Multimodal {
             sampleRate = b.getInt()
             b.getInt(); b.getShort() // byte rate, block align
             val bits = b.getShort()
-            require(audioFormat == 1 && channels == 1 && bits == 8,
+            require(audioFormat == 1 && channels == 1 && (bits == 8 || bits == 16),
               s"unsupported WAV encoding fmt=$audioFormat ch=$channels " +
                 s"bits=$bits (media ${m.media_id})")
+            sampleBits = bits
             b.position(start + size + (size & 1)) // chunks are word-aligned
           case "data" =>
             require(sampleRate > 0, s"'data' before 'fmt ' (media ${m.media_id})")
-            samples = new Array[Byte](size)
-            b.get(samples)
+            raw = new Array[Byte](size)
+            b.get(raw)
           case _ =>
             b.position(b.position() + size + (size & 1))
         }
       }
-      require(samples != null, s"no 'data' chunk (media ${m.media_id})")
+      require(raw != null, s"no 'data' chunk (media ${m.media_id})")
       require(sampleRate == m.sample_rate,
         s"WAV sample rate $sampleRate disagrees with metadata " +
           s"${m.sample_rate} (media ${m.media_id})")
+      // narrow to the shared u8 feature space: u8 passes through, s16le
+      // takes the standard (s >> 8) + 128 offset-binary conversion —
+      // exact inverse of u8→s16 widening ((v-128)·256), so mixed-width
+      // corpora decode to identical buffers for identical signals
+      val samples =
+        if (sampleBits == 8) raw
+        else {
+          require(raw.length % 2 == 0,
+            s"odd s16 data size ${raw.length} B (media ${m.media_id})")
+          val out = new Array[Byte](raw.length / 2)
+          var i = 0
+          while (i < out.length) {
+            val s = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+            out(i) = ((s >> 8) + 128).toByte
+            i += 1
+          }
+          out
+        }
       Decoded(m.media_id, m.kind, samples.length, 1, samples)
     }
   }
@@ -275,7 +325,11 @@ object Multimodal {
     * document text cycled (and space-padded) to width·height bytes,
     * videos that block repeated n_frames times. Audio: a RIFF/WAVE
     * container (canonical 44-byte header, two length-dependent LE size
-    * fields) whose PCM-u8 samples are the UTF-8 text bytes. This is the
+    * fields) whose PCM samples carry the UTF-8 text bytes — u8 directly
+    * for media_id ≡ 1 (mod 6), s16le (each byte widened by the standard
+    * (b−128)·256 conversion) for ≡ 4 (mod 6), so the corpus mixes both
+    * real-world sample widths and both decode back to the same text
+    * bytes. This is the
     * ingest-side contract a real pipeline would get from (path, bytes,
     * parsed-header) triples — and a triple with NO bytes is not a media
     * row, so null-text documents are dropped at ingest (every oracle
@@ -287,13 +341,26 @@ object Multimodal {
     * metadata-only queries (x81/x84 never build a container). */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
-    // canonical empty-payload header: bytes 0-3 "RIFF", 4-7 riff size
-    // (36+n, variable), 8-39 "WAVE"+fmt chunk+"data", 40-43 data size (n)
+    // canonical empty-payload headers: bytes 0-3 "RIFF", 4-7 riff size
+    // (36+data, variable), 8-39 "WAVE"+fmt chunk+"data", 40-43 data size
     val hdr = WavCodec.encode(16000, Array.emptyByteArray)
+    val hdr16 = WavCodec.encodeS16(16000, Array.emptyShortArray)
     val textBytes = encode(col("text"), "UTF-8")
     val nBytes = octet_length(textBytes)
     val wav = concat(lit(hdr.slice(0, 4)), le4(nBytes + 36),
       lit(hdr.slice(8, 40)), le4(nBytes), textBytes)
+    // s16le data chunk: text byte b widens to sample (b-128)·256 — the
+    // standard u8→s16 PCM conversion — whose LE bytes are [0x00, b^0x80].
+    // Columnar spelling: split the payload hex into byte pairs, emit
+    // "00" + (first nibble XOR 8) + second nibble per pair (the XOR is a
+    // 16-char translate; works for ALL byte values, not just ASCII).
+    val s16data = unhex(array_join(
+      transform(expr("regexp_extract_all(hex(encode(text, 'UTF-8')), '..', 0)"),
+        p => concat(lit("00"),
+          translate(substring(p, 1, 1), "0123456789ABCDEF", "89ABCDEF01234567"),
+          substring(p, 2, 1))), ""))
+    val wav16 = concat(lit(hdr16.slice(0, 4)), le4(nBytes * 2 + 36),
+      lit(hdr16.slice(8, 40)), le4(nBytes * 2), s16data)
     graft.Tables.load(spark, dir, "documents")
       .filter(col("text").isNotNull)
       .select(
@@ -313,7 +380,11 @@ object Multimodal {
       .withColumn("__block", concat(lit("P5\n"), col("width").cast("string"),
         lit(" "), col("height").cast("string"), lit("\n255\n"), col("__pix")))
       .withColumn("payload",
-        when(col("kind") === "audio", wav)
+        // audio rows split by width: media_id ≡ 1 (mod 6) ships u8,
+        // ≡ 4 (mod 6) ships s16le — a mixed-width corpus, like real
+        // ingest directories mix recorder formats
+        when(col("kind") === "audio" && pmod(col("media_id"), lit(6)) === 4, wav16)
+          .when(col("kind") === "audio", wav)
           .when(col("kind") === "image", encode(col("__block"), "UTF-8"))
           .otherwise(encode(expr("repeat(__block, n_frames)"), "UTF-8")))
       .select("media_id", "kind", "payload", "width", "height",
@@ -487,10 +558,14 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     // Two branches, both over REAL decoded bytes: image/video index the
     // rebuilt PGM raster (the cycled text) at the 16x16 resize
-    // positions; audio indexes the text itself — the WAV data chunk IS
-    // the UTF-8 text bytes, decoded shape (n,1), so resize position
+    // positions; audio indexes the text itself — the decoded buffer IS
+    // the UTF-8 text bytes for BOTH sample widths (u8 carries them
+    // directly; s16 widens then the decoder's (s>>8)+128 narrows back,
+    // an exact round trip), decoded shape (n,1), so resize position
     // (x,y) samples source byte x*n//16 (the corpus is ASCII, so
-    // ord(char) IS the byte — asserted by MultimodalSpec).
+    // ord(char) IS the byte — asserted by MultimodalSpec). An
+    // empty-but-non-null text decodes to zero samples → the resize
+    // zero-fill guard yields v=0, mirrored by the CASE in avals.
     // mean/std come from exact integer sums (see mediaFeatures doc).
     "x21_media_features" -> s"""
       WITH $PayloadCtes,
@@ -510,7 +585,8 @@ object Multimodal {
         WHERE kind = 'audio'),
       avals AS (
         SELECT media_id, kind,
-          CAST(ord(substr(text, CAST(p AS INT) + 1, 1)) AS BIGINT) AS v
+          CAST(CASE WHEN length(text) = 0 THEN 0
+               ELSE ord(substr(text, CAST(p AS INT) + 1, 1)) END AS BIGINT) AS v
         FROM apos),
       allv AS (
         SELECT media_id, kind, v FROM avals
@@ -523,11 +599,13 @@ object Multimodal {
       FROM allv
       GROUP BY media_id, kind
       ORDER BY media_id""",
-    // audio payload bytes = canonical 44-byte WAV header + text bytes
+    // audio payload bytes = canonical 44-byte WAV header + data chunk:
+    // 1 byte per sample for the u8 rows (media_id ≡ 1 mod 6), 2 for s16
     "x20_media_stats" -> s"""
       WITH $PayloadCtes
       SELECT kind, COUNT(*) AS n_media,
-        CAST(SUM(CASE WHEN kind = 'audio' THEN 44 + octet_length(encode(ps))
+        CAST(SUM(CASE WHEN kind = 'audio' THEN 44 + octet_length(encode(ps)) *
+                        (CASE WHEN media_id % 6 = 4 THEN 2 ELSE 1 END)
                       ELSE octet_length(encode(ps)) END) AS BIGINT) AS total_bytes,
         CAST(MAX(w * h) AS BIGINT) AS max_pixels
       FROM pay GROUP BY 1 ORDER BY 1""",
@@ -545,15 +623,18 @@ object Multimodal {
     // docs with different texts can collide (a text equal to another's
     // cycle) and equal texts under different dims cannot — the oracle
     // replays the construction rather than approximating it by text.
-    // The WAV header is fully determined by the text length, so within
-    // audio payload-equality <=> text-equality, and no WAV byte string
-    // can equal a PGM one ('RIFF' vs 'P5' magics) — the 'RIFF*' prefix
-    // mirrors exactly that equivalence structure.
+    // The WAV header is fully determined by the text length and sample
+    // width, so within one width payload-equality <=> text-equality,
+    // u8 and s16 payloads of the SAME text always differ (different
+    // fmt + data bytes), and no WAV byte string can equal a PGM one
+    // ('RIFF' vs 'P5' magics) — the 'RIFF<width>*' prefix mirrors
+    // exactly that equivalence structure.
     "x39_media_dedup" -> s"""
       WITH $PayloadCtes
       SELECT MIN(media_id) AS media_id, COUNT(*) AS n_copies
       FROM pay
-      GROUP BY CASE WHEN kind = 'audio' THEN 'RIFF*' || ps ELSE ps END
+      GROUP BY CASE WHEN kind = 'audio'
+        THEN 'RIFF' || CAST(media_id % 6 AS VARCHAR) || '*' || ps ELSE ps END
       ORDER BY media_id""",
     "x84_audio_frames" -> s"""
       WITH a AS (SELECT doc_id AS media_id,

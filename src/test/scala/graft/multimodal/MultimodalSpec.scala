@@ -8,7 +8,9 @@ class MultimodalSpec extends SparkSpec {
   // ALL payloads are REAL containers: image/video are PGM (video = 10
   // stacked blocks whose rasters DIFFER per frame, so block-walking is
   // actually exercised); audio is a RIFF/WAVE container whose samples
-  // are the bytes of "payload-$i"
+  // are the bytes of "payload-$i" — u8 for odd i, s16le (each byte
+  // widened by (b−128)·256) for even i, so the mixed-width decode path
+  // runs through every downstream fixture consumer
   private def media(n: Int) = {
     import spark.implicits._
     (1 to n).map { i =>
@@ -16,6 +18,9 @@ class MultimodalSpec extends SparkSpec {
       val (w, h, nf) = (8, 4, 10)
       val pixels = Array.tabulate(w * h)(p => ((p + i) % 256).toByte)
       val payload = kind match {
+        case "audio" if i % 2 == 0 =>
+          Multimodal.WavCodec.encodeS16(16000, s"payload-$i".getBytes("UTF-8")
+            .map(b => (((b & 0xff) - 128) << 8).toShort))
         case "audio" =>
           Multimodal.WavCodec.encode(16000, s"payload-$i".getBytes("UTF-8"))
         case "image" => Multimodal.PgmCodec.encode(w, h, pixels)
@@ -75,9 +80,13 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // metadata sample-rate mismatch
       Multimodal.WavCodec.decode(m.copy(sample_rate = 44100))
     }
-    intercept[IllegalArgumentException] { // stereo/16-bit rejected
+    intercept[IllegalArgumentException] { // stereo rejected
       val st = wav.clone(); st(22) = 2 // channels field
       Multimodal.WavCodec.decode(m.copy(payload = st))
+    }
+    intercept[IllegalArgumentException] { // 24-bit rejected
+      val wide = wav.clone(); wide(34) = 24 // bits/sample field
+      Multimodal.WavCodec.decode(m.copy(payload = wide))
     }
     intercept[IllegalArgumentException] { // data before fmt
       val noFmt = java.nio.ByteBuffer.allocate(12 + 8 + samples.length)
@@ -86,6 +95,51 @@ class MultimodalSpec extends SparkSpec {
         .putInt(samples.length).put(samples)
       Multimodal.WavCodec.decode(m.copy(payload = noFmt.array()))
     }
+  }
+
+  test("WAV codec s16le: hand-built container narrows to u8 exactly, odd data throws") {
+    // hand-built samples covering the conversion edges: full-scale
+    // negative/positive, zero, and values that are NOT exact u8
+    // multiples (the >>8 truncation toward -inf is the defined result)
+    val shorts = Array[Short](-32768, -256, -1, 0, 255, 256, 1000, 32767)
+    val wav = Multimodal.WavCodec.encodeS16(16000, shorts)
+    val m = Multimodal.Media(2L, "audio", wav, 0, 0, 16000, 0, "")
+    val d = Multimodal.WavCodec.decode(m)
+    assert(d.width == shorts.length && d.height == 1)
+    val expected = shorts.map(s => ((s >> 8) + 128).toByte)
+    assert(d.pixels.sameElements(expected),
+      s"s16→u8 narrowing wrong: got ${d.pixels.toSeq}, want ${expected.toSeq}")
+
+    // byte-level layout: 16-bit fmt fields and LE sample order
+    assert(wav(34) == 16, "bits/sample field")
+    assert(wav(32) == 2, "block align field")
+    assert((wav(44) & 0xff) == 0 && (wav(45) & 0xff) == 0x80, "-32768 LE bytes")
+
+    // the u8→s16→u8 round trip is exact for widened u8 signals
+    val u8 = "mixed width corpus".getBytes("UTF-8")
+    val widened = u8.map(b => (((b & 0xff) - 128) << 8).toShort)
+    val rt = Multimodal.WavCodec.decode(
+      m.copy(payload = Multimodal.WavCodec.encodeS16(16000, widened)))
+    assert(rt.pixels.sameElements(u8), "u8→s16→u8 round trip drifted")
+
+    // an odd-size s16 data chunk is a torn container — must throw; the
+    // same byte string under bits=8 walks fine, so the check is real
+    val odd = java.nio.ByteBuffer.allocate(44 + 3)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    odd.put(wav, 0, 40).putInt(3).put(Array[Byte](1, 2, 3))
+    intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.decode(m.copy(payload = odd.array()))
+    }
+
+    // foreign chunks are skipped on the s16 path too
+    val junk = Array[Byte]('x', 'y', 'z')
+    val b = java.nio.ByteBuffer.allocate(wav.length + 8 + junk.length + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(wav, 0, 36)
+    b.put("LIST".getBytes("US-ASCII")).putInt(junk.length).put(junk).put(0.toByte)
+    b.put(wav, 36, wav.length - 36)
+    val d2 = Multimodal.WavCodec.decode(m.copy(payload = b.array()))
+    assert(d2.pixels.sameElements(expected), "chunk walk mis-skipped on s16")
   }
 
   test("video frame walk decodes the f-th block's real bytes") {
@@ -151,9 +205,17 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
     val audio = m.filter((x: Multimodal.Media) => x.kind == "audio").collect()
     assert(audio.nonEmpty)
+    // the corpus must actually mix both sample widths
+    assert(audio.exists(_.media_id % 6 == 1), "no u8 audio in corpus")
+    assert(audio.exists(_.media_id % 6 == 4), "no s16 audio in corpus")
     audio.foreach { a =>
       val bytes = textById(a.media_id).getBytes("UTF-8")
-      assert(a.payload.sameElements(Multimodal.WavCodec.encode(16000, bytes)),
+      val canonical =
+        if (a.media_id % 6 == 4)
+          Multimodal.WavCodec.encodeS16(16000,
+            bytes.map(b => (((b & 0xff) - 128) << 8).toShort))
+        else Multimodal.WavCodec.encode(16000, bytes)
+      assert(a.payload.sameElements(canonical),
         s"media ${a.media_id}: columnar WAV construction != canonical encoder")
       assert(Multimodal.WavCodec.decode(a).pixels.sameElements(bytes),
         s"media ${a.media_id}: decoded samples are not the text bytes")
