@@ -260,11 +260,17 @@ object DataGen {
       .withColumn("o_custkey", uniformLong(col("o_orderkey"), 14, 0, nUsers - 1))
       .withColumn("o_orderstatus", pick(col("o_orderkey"), 15, Seq("O", "F", "P")))
       .withColumn("o_totalprice", uniformMoney(col("o_orderkey"), 16, 1.0, 100000.0))
-      // spread over 2024 (driver schema is TIMESTAMP): date-grouped
-      // plans (q01 month truncation) keep realistic group counts
+      // spread over the DRIVER's 1995→2001-11 window (driver schema is
+      // TIMESTAMP), not an arbitrary year: the suite's date predicates
+      // (q11 o_orderdate > 2001-01-01, q15 l_shipdate <= 2000-01-01)
+      // must intersect the generated range the way they intersect the
+      // real testdata, or the scale rig measures scan-plus-empty-
+      // aggregate for every date-filtered plan (round-12 ADVICE).
+      // Date-grouped plans (q01 month truncation) also keep realistic
+      // group counts (~83 months).
       .withColumn("o_orderdate", timestamp_micros(
-        lit(java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L)
-          + pmod(xxhash64(col("o_orderkey"), lit(18)), lit(365L * 24 * 3600 * 1000000L))))
+        lit(java.time.Instant.parse("1995-01-01T00:00:00Z").toEpochMilli * 1000L)
+          + pmod(xxhash64(col("o_orderkey"), lit(18)), lit(2496L * 24 * 3600 * 1000000L))))
       .withColumn("o_orderpriority", pick(col("o_orderkey"), 17,
         Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")))
 
@@ -316,7 +322,9 @@ object DataGen {
 
   /** Lineitem fact: ~4 lines/order, keys drawn into the same domains as
     * [[ordersLike]]/[[partsLike]]/[[suppliersLike]], ship timestamps
-    * spread over 2024 so date-grouped plans keep realistic key counts. */
+    * spread over the driver's 1995→2001-11 window (see [[ordersLike]] —
+    * the suite's l_shipdate <= 2000-01-01 predicate keeps ~5/6 of rows
+    * at every scale, as it does on the real testdata). */
   def lineitemLike(spark: SparkSession, n: Long, nOrders: Long,
                    nParts: Long, nSuppliers: Long): DataFrame =
     spark.range(0, n).toDF("k")
@@ -332,8 +340,8 @@ object DataGen {
         pick(col("k"), 39, Seq("R", "A", "N")).as("l_returnflag"),
         pick(col("k"), 40, Seq("O", "F")).as("l_linestatus"),
         timestamp_micros(
-          lit(java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L)
-            + pmod(xxhash64(col("k"), lit(41)), lit(365L * 24 * 3600 * 1000000L)))
+          lit(java.time.Instant.parse("1995-01-01T00:00:00Z").toEpochMilli * 1000L)
+            + pmod(xxhash64(col("k"), lit(41)), lit(2496L * 24 * 3600 * 1000000L)))
           .as("l_shipdate"))
       .drop("k")
 

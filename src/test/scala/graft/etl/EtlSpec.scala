@@ -148,6 +148,20 @@ class EtlSpec extends SparkSpec {
     assert(perOrder.filter(col("count") < 1 || col("count") > 5).count() == 0)
   }
 
+  test("scale-slice dates intersect the suite's date predicates") {
+    // round-12 ADVICE: the q-series scale twins must exercise the same
+    // selectivity regime as the real testdata — a date predicate that
+    // keeps nothing (or everything) turns a scale ratio into
+    // scan-plus-empty-aggregate. Both suite predicates must cut the
+    // generated range PROPERLY on both sides.
+    val li = DataGen.lineitemLike(spark, 2000, 500, 100, 10)
+    val kept = li.filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp")).count()
+    assert(kept > 0 && kept < 2000, s"l_shipdate predicate degenerate: kept $kept of 2000")
+    val o = DataGen.ordersLike(spark, 1000, 100)
+    val tail = o.filter(col("o_orderdate") > lit("2001-01-01").cast("timestamp")).count()
+    assert(tail > 0 && tail < 1000, s"o_orderdate predicate degenerate: kept $tail of 1000")
+  }
+
   test("date-partitioned writes prune partitions on filtered reads") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
