@@ -88,7 +88,12 @@ object ScaleCheck {
     "x128_sem_assign_approx",
     "x129_sem_assign_audit",
     "x130_compaction_incremental",
-    "x131_fluency_external")
+    "x131_fluency_external",
+    // x133 sweeps the x128 probe widths AND carries the exact reference
+    // argmax once (cached, reused across widths) — expect its ratio to
+    // track x129's exact-path growth, with the width sweep's extra
+    // probes adding only ~linear cosine mass on top
+    "x133_sem_probe_sweep")
   // Since round 12 the slices carry the FULL catalog (documents/events/
   // embeddings plus region/nation/supplier/customer/part/orders/
   // lineitem), so the relational q-series and x77/x80 join the suite-

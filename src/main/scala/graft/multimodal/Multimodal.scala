@@ -334,8 +334,10 @@ object Multimodal {
     * parsed-header) triples — and a triple with NO bytes is not a media
     * row, so null-text documents are dropped at ingest (every oracle
     * mirrors the same `text IS NOT NULL` predicate). The construction is
-    * pure column arithmetic — string for the PGM kinds, fixed binary
-    * literals + hex byte-swaps for the WAV header — which is what lets
+    * pure column arithmetic — hex-expansion byte cycling for the PGM
+    * kinds (exact w·h raster BYTES even on multi-byte UTF-8 text),
+    * fixed binary literals + hex byte-swaps for the WAV header — which
+    * is what lets
     * DuckDB rebuild the payload (and therefore the decoded buffer) in
     * the oracles, and lets Catalyst prune `payload` entirely out of the
     * metadata-only queries (x81/x84 never build a container). */
@@ -374,19 +376,28 @@ object Multimodal {
         (pmod(col("doc_id"), lit(11)) * 4 + 4).cast("int").as("n_frames"),
         lit("application/octet-stream").as("mime"))
       .withColumn("__wh", expr("CAST(width AS BIGINT) * height"))
-      .withColumn("__pix", expr(
-        "rpad(repeat(text, CAST(__wh div greatest(length(text), 1) AS INT) + 1)," +
-          " CAST(__wh AS INT), ' ')"))
-      .withColumn("__block", concat(lit("P5\n"), col("width").cast("string"),
-        lit(" "), col("height").cast("string"), lit("\n255\n"), col("__pix")))
+      // BYTE-level raster cycle+pad, built in the hex expansion (2 hex
+      // chars per byte, so the w·h-byte cut always lands on a byte
+      // boundary and '20' pads with spaces): a multi-byte UTF-8 corpus
+      // still yields EXACTLY w·h raster bytes — PgmCodec.decode asserts
+      // the payload length exactly, and a char-counted raster would be
+      // over-long on any non-ASCII text (the adversarial corpus floor).
+      .withColumn("__hx", hex(encode(col("text"), "UTF-8")))
+      .withColumn("__pixhex", expr(
+        "rpad(substring(repeat(__hx, CAST(__wh div greatest(octet_length(text), 1) AS INT) + 1)," +
+          " 1, CAST(__wh * 2 AS INT)), CAST(__wh * 2 AS INT), '20')"))
+      .withColumn("__blockhex", concat(
+        hex(encode(concat(lit("P5\n"), col("width").cast("string"),
+          lit(" "), col("height").cast("string"), lit("\n255\n")), "UTF-8")),
+        col("__pixhex")))
       .withColumn("payload",
         // audio rows split by width: media_id ≡ 1 (mod 6) ships u8,
         // ≡ 4 (mod 6) ships s16le — a mixed-width corpus, like real
         // ingest directories mix recorder formats
         when(col("kind") === "audio" && pmod(col("media_id"), lit(6)) === 4, wav16)
           .when(col("kind") === "audio", wav)
-          .when(col("kind") === "image", encode(col("__block"), "UTF-8"))
-          .otherwise(encode(expr("repeat(__block, n_frames)"), "UTF-8")))
+          .when(col("kind") === "image", unhex(col("__blockhex")))
+          .otherwise(unhex(expr("repeat(__blockhex, n_frames)"))))
       .select("media_id", "kind", "payload", "width", "height",
         "sample_rate", "n_frames", "mime")
       .as[Media]
