@@ -630,6 +630,44 @@ object Sources {
     s.read.parquet(files: _*)
   }
 
+  /** File set of an ARBITRARY retained version — the time-travel
+    * resolve. Same immutability argument as the live read: the manifest
+    * named m-<v>.txt never changes after commit, so a version read is
+    * exactly the file set that version committed, or a loud error if
+    * the version fell out of the vacuum retention window. */
+  private[graft] def manifestFilesAt(s: SparkSession,
+      root: org.apache.hadoop.fs.Path, v: Long): Seq[String] = {
+    val fs = fsOf(s, root)
+    val p = new org.apache.hadoop.fs.Path(manifestRoot(root), s"m-$v.txt")
+    require(fs.exists(p),
+      s"manifest version $v not retained at $root (vacuumed or never committed)")
+    readSmall(fs, p).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Time-travel read: scan exactly the file set version `v` committed.
+    * Usable for any version inside the vacuum retention window —
+    * compaction does not break it (old versions keep referencing the
+    * pre-compaction files, which vacuum retains while the version is
+    * inside the window). */
+  private[graft] def manifestReadAt(s: SparkSession,
+      root: org.apache.hadoop.fs.Path, v: Long): DataFrame =
+    s.read.parquet(manifestFilesAt(s, root, v): _*)
+
+  /** Incremental consumption via manifest diff: scan ONLY the files
+    * version `vTo` added relative to `vFrom` — the file-level CDC a
+    * downstream pipeline uses to process appends without rescanning
+    * the table (cost ∝ delta, not table size). NOTE the append-only
+    * contract: across a COMPACTION boundary the added files are the
+    * rewritten ones, whose rows the consumer has already seen — diff
+    * consumers poll append versions (the caller knows its own commits);
+    * Iceberg draws the same line (incremental scan over appends). */
+  private[graft] def manifestReadDiff(s: SparkSession,
+      root: org.apache.hadoop.fs.Path, vFrom: Long, vTo: Long): DataFrame = {
+    val before = manifestFilesAt(s, root, vFrom).toSet
+    val added = manifestFilesAt(s, root, vTo).filterNot(before)
+    if (added.isEmpty) s.emptyDataFrame else s.read.parquet(added: _*)
+  }
+
   /** Incremental small-files compaction over the MANIFEST layout — the
     * object-store-ready sibling of [[compactSmallFiles]]:
     *   1. resolve the live file set, split at `smallFloorBytes`;
@@ -667,15 +705,23 @@ object Sources {
     n
   }
 
-  /** Reclaim data files no manifest version ≤ live references… in a
-    * multi-reader deployment, after a grace period; here: delete every
-    * data file the LIVE manifest does not reference, plus stale
-    * manifests. Returns files deleted. */
+  /** Reclaim data files outside the retention window: keep the last
+    * `retainVersions` manifests (so time-travel reads and in-flight
+    * diff consumers inside the window stay valid — in a multi-reader
+    * deployment this is the grace period) and every data file any kept
+    * manifest references; delete the rest. retainVersions = 1 keeps the
+    * live version only. Returns files deleted. */
   private[graft] def manifestVacuum(s: SparkSession,
-      root: org.apache.hadoop.fs.Path): Int = {
+      root: org.apache.hadoop.fs.Path, retainVersions: Int = 1): Int = {
     val fs = fsOf(s, root)
-    val (v, live) = currentManifest(s, root)
-    val keep = live.toSet
+    val (v, _) = currentManifest(s, root)
+    val keptVersions = (math.max(1L, v - retainVersions + 1) to v).toSet
+    val keep = keptVersions.flatMap { kv =>
+      val p = new org.apache.hadoop.fs.Path(manifestRoot(root), s"m-$kv.txt")
+      if (fs.exists(p))
+        readSmall(fs, p).linesIterator.map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty[String]
+    }
     var removed = 0
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     if (fs.exists(dataDir)) {
@@ -687,7 +733,10 @@ object Sources {
     }
     val mdir = manifestRoot(root)
     if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
-      if (st.getPath.getName != s"m-$v.txt") { fs.delete(st.getPath, false); removed += 1 }
+      val name = st.getPath.getName
+      val kept = name.stripPrefix("m-").stripSuffix(".txt").toLongOption
+        .exists(keptVersions)
+      if (!kept) { fs.delete(st.getPath, false); removed += 1 }
     }
     removed
   }
@@ -711,6 +760,44 @@ object Sources {
       targetFileBytes = 512L * 1024 * 1024, smallFloorBytes = 8192L)
     manifestVacuum(s, root)
     manifestRead(s, root).orderBy("doc_id")
+  }
+
+  /** x134 driver query: time travel over the manifest layout. Build
+    * v1 (90% of rows) → v2 (the rest) → v3 (compaction) → vacuum with
+    * a 3-version retention window, then read AT VERSION 1 — the
+    * as-of-commit snapshot a debugging/repro pass needs. Proves both
+    * halves of the retention contract: compaction did not disturb the
+    * old version's file set, and vacuum kept every file the window
+    * still references. Identity oracle = exactly the v1 subset. */
+  def manifestTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(
+      roundtripRoot.resolve(s"manifest_tt_${dirKey(dir)}").toUri)
+    fsOf(s, root).delete(root, true)
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    manifestAppend(s, root, docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0), 1)
+    manifestAppend(s, root, docs.filter(pmod(col("doc_id"), lit(10L)) === 0), 48)
+    manifestCompactSmallFiles(s, root,
+      targetFileBytes = 512L * 1024 * 1024, smallFloorBytes = 8192L)
+    manifestVacuum(s, root, retainVersions = 3)
+    manifestReadAt(s, root, 1L).orderBy("doc_id")
+  }
+
+  /** x135 driver query: incremental consumption via manifest diff.
+    * Same two appends; the consumer saw v1 and polls at v2 — the diff
+    * read scans ONLY the files v2 added, so the result is exactly the
+    * second append's rows and the scan cost is the delta, not the
+    * table (the file-level CDC loop every downstream training-data
+    * pipeline runs against its upstream table). */
+  def manifestDiffRead(s: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(
+      roundtripRoot.resolve(s"manifest_cdc_${dirKey(dir)}").toUri)
+    fsOf(s, root).delete(root, true)
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    manifestAppend(s, root, docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0), 1)
+    manifestAppend(s, root, docs.filter(pmod(col("doc_id"), lit(10L)) === 0), 48)
+    manifestReadDiff(s, root, 1L, 2L).orderBy("doc_id")
   }
 
   /** Driver query: fragment the documents table into 64 shard files
@@ -751,6 +838,8 @@ object Sources {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x132_manifest_compaction" -> manifestCompactionRoundtrip,
+    "x134_manifest_time_travel" -> manifestTimeTravel,
+    "x135_manifest_diff_read" -> manifestDiffRead,
     "x130_compaction_incremental" -> incrementalCompactionRoundtrip,
     "x127_compaction_roundtrip" -> compactionRoundtrip,
     "x121_publish_audit" -> publishAuditExport,
@@ -773,6 +862,14 @@ object Sources {
     "x132_manifest_compaction" -> """
       SELECT doc_id, text, lang, source, n_chars
       FROM documents ORDER BY doc_id""",
+    // time travel at v1 = exactly the first append's subset
+    "x134_manifest_time_travel" -> """
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 10 <> 0 ORDER BY doc_id""",
+    // the v1->v2 diff scan = exactly the second append's subset
+    "x135_manifest_diff_read" -> """
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""",
     // the published export must be content-identical to the source
     // table — count, xor-fold checksum, and mass all rebuilt by DuckDB
     "x121_publish_audit" -> """

@@ -536,4 +536,45 @@ class EtlSpec extends SparkSpec {
       targetFileBytes = 1L << 30, smallFloorBytes = 8192L) == 0)
     assert(Sources.currentManifest(spark, root)._2 == afterFiles)
   }
+
+  test("manifest time travel + diff reads honor the retention window") {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_tt_spec").resolve("t").toUri)
+    val df = spark.range(5000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+    val a = df.filter(col("id") % 10 =!= 0)
+    val b = df.filter(col("id") % 10 === 0)
+    Sources.manifestAppend(spark, root, a, 1)
+    Sources.manifestAppend(spark, root, b, 16)
+
+    // diff(v1 -> v2) scans only the added files = exactly the second
+    // append's rows
+    val diff = Sources.manifestReadDiff(spark, root, 1L, 2L)
+    assert(diff.agg(sum("id"), count(lit(1))).head() ==
+      b.agg(sum("id"), count(lit(1))).head())
+    // empty diff at equal versions
+    assert(Sources.manifestReadDiff(spark, root, 2L, 2L).isEmpty)
+
+    // compact (v3); time travel to v1 must survive compaction AND a
+    // vacuum whose retention window still covers v1
+    assert(Sources.manifestCompactSmallFiles(spark, root,
+      targetFileBytes = 1L << 30, smallFloorBytes = 8192L) > 0)
+    Sources.manifestVacuum(spark, root, retainVersions = 3)
+    val snap1 = Sources.manifestReadAt(spark, root, 1L)
+    assert(snap1.agg(sum("id"), count(lit(1))).head() ==
+      a.agg(sum("id"), count(lit(1))).head(),
+      "v1 snapshot drifted across compaction + windowed vacuum")
+    // live read still the full table
+    assert(Sources.manifestRead(spark, root).count() == 5000)
+
+    // shrink the window to live-only: v1/v2 manifests and their
+    // now-unreferenced files go; time travel outside the window fails
+    // LOUDLY, the live read is untouched
+    assert(Sources.manifestVacuum(spark, root, retainVersions = 1) > 0)
+    intercept[IllegalArgumentException] {
+      Sources.manifestReadAt(spark, root, 1L)
+    }
+    assert(Sources.manifestRead(spark, root).count() == 5000)
+  }
 }
