@@ -93,7 +93,11 @@ object ScaleCheck {
     // argmax once (cached, reused across widths) — expect its ratio to
     // track x129's exact-path growth, with the width sweep's extra
     // probes adding only ~linear cosine mass on top
-    "x133_sem_probe_sweep")
+    "x133_sem_probe_sweep",
+    // manifest-layout maintenance: cost ∝ table bytes written/read
+    // through the layout (append + commit + snapshot/delta scan)
+    "x134_manifest_time_travel",
+    "x135_manifest_diff_read")
   // Since round 12 the slices carry the FULL catalog (documents/events/
   // embeddings plus region/nation/supplier/customer/part/orders/
   // lineitem), so the relational q-series and x77/x80 join the suite-
