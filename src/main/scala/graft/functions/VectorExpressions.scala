@@ -163,6 +163,42 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Widen PCM-u8 bytes to s16le sample data: per byte, sample
+    * (b−128)·256, whose little-endian bytes are [0x00, b ^ 0x80] — the
+    * standard offset-binary width conversion, exact inverse of the
+    * decoder's (s >> 8) + 128 narrowing. One codegen byte loop; the
+    * pure-column spelling (regexp over the hex expansion) allocated a
+    * match object per byte pair and doubled the media family's bench
+    * cost. Java arrays zero-initialize, so the low bytes are free. */
+  case class U8ToS16Le(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = BinaryType
+
+    override def nullSafeEval(v: Any): Any = {
+      val in = v.asInstanceOf[Array[Byte]]
+      val out = new Array[Byte](in.length * 2)
+      var i = 0
+      while (i < in.length) { out(2 * i + 1) = (in(i) ^ 0x80).toByte; i += 1 }
+      out
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val i = ctx.freshName("i")
+        val out = ctx.freshName("out")
+        s"""
+           |byte[] $out = new byte[$v.length * 2];
+           |for (int $i = 0; $i < $v.length; $i++) {
+           |  $out[2 * $i + 1] = (byte) ($v[$i] ^ 0x80);
+           |}
+           |${ev.value} = $out;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column wrappers -----------------------------------------------
 
   import org.apache.spark.sql.graftshim.{toColumn => column, toExpression => expression}
@@ -177,4 +213,7 @@ object VectorExpressions {
 
   def minhashSignature(hashes: Column, as: Seq[Long], bs: Seq[Long]): Column =
     column(MinHashSignature(expression(hashes), as.toArray, bs.toArray))
+
+  def u8ToS16Le(bytes: Column): Column =
+    column(U8ToS16Le(expression(bytes)))
 }

@@ -352,15 +352,11 @@ object Multimodal {
     val wav = concat(lit(hdr.slice(0, 4)), le4(nBytes + 36),
       lit(hdr.slice(8, 40)), le4(nBytes), textBytes)
     // s16le data chunk: text byte b widens to sample (b-128)·256 — the
-    // standard u8→s16 PCM conversion — whose LE bytes are [0x00, b^0x80].
-    // Columnar spelling: split the payload hex into byte pairs, emit
-    // "00" + (first nibble XOR 8) + second nibble per pair (the XOR is a
-    // 16-char translate; works for ALL byte values, not just ASCII).
-    val s16data = unhex(array_join(
-      transform(expr("regexp_extract_all(hex(encode(text, 'UTF-8')), '..', 0)"),
-        p => concat(lit("00"),
-          translate(substring(p, 1, 1), "0123456789ABCDEF", "89ABCDEF01234567"),
-          substring(p, 2, 1))), ""))
+    // standard u8→s16 PCM conversion — whose LE bytes are [0x00, b^0x80],
+    // emitted by the codegen U8ToS16Le byte loop (works for ALL byte
+    // values, not just ASCII; the regexp-over-hex column spelling cost
+    // a match allocation per byte pair — measured on the bench).
+    val s16data = graft.functions.VectorExpressions.u8ToS16Le(textBytes)
     val wav16 = concat(lit(hdr16.slice(0, 4)), le4(nBytes * 2 + 36),
       lit(hdr16.slice(8, 40)), le4(nBytes * 2), s16data)
     graft.Tables.load(spark, dir, "documents")
@@ -376,12 +372,24 @@ object Multimodal {
         (pmod(col("doc_id"), lit(11)) * 4 + 4).cast("int").as("n_frames"),
         lit("application/octet-stream").as("mime"))
       .withColumn("__wh", expr("CAST(width AS BIGINT) * height"))
-      // BYTE-level raster cycle+pad, built in the hex expansion (2 hex
-      // chars per byte, so the w·h-byte cut always lands on a byte
-      // boundary and '20' pads with spaces): a multi-byte UTF-8 corpus
-      // still yields EXACTLY w·h raster bytes — PgmCodec.decode asserts
-      // the payload length exactly, and a char-counted raster would be
-      // over-long on any non-ASCII text (the adversarial corpus floor).
+      // BYTE-level raster cycle+pad: a multi-byte UTF-8 corpus must
+      // still yield EXACTLY w·h raster bytes (PgmCodec.decode asserts
+      // the payload length exactly; a char-counted raster is over-long
+      // on any non-ASCII text — the adversarial corpus floor). ASCII
+      // rows (char count == byte count, i.e. virtually every row of an
+      // English training corpus) take the direct string construction —
+      // it IS byte-exact there and avoids tripling the string churn
+      // through hex space (measured: the hex-only form doubled the
+      // media family's bench cost). Non-ASCII rows cycle the hex
+      // expansion (2 chars per byte: cuts land on byte boundaries,
+      // '20' pads spaces). CASE branches evaluate lazily per row, so
+      // each row pays exactly one construction.
+      .withColumn("__ascii", length(col("text")) === octet_length(col("text")))
+      .withColumn("__pix", expr(
+        "rpad(repeat(text, CAST(__wh div greatest(length(text), 1) AS INT) + 1)," +
+          " CAST(__wh AS INT), ' ')"))
+      .withColumn("__block", concat(lit("P5\n"), col("width").cast("string"),
+        lit(" "), col("height").cast("string"), lit("\n255\n"), col("__pix")))
       .withColumn("__hx", hex(encode(col("text"), "UTF-8")))
       .withColumn("__pixhex", expr(
         "rpad(substring(repeat(__hx, CAST(__wh div greatest(octet_length(text), 1) AS INT) + 1)," +
@@ -396,7 +404,10 @@ object Multimodal {
         // ingest directories mix recorder formats
         when(col("kind") === "audio" && pmod(col("media_id"), lit(6)) === 4, wav16)
           .when(col("kind") === "audio", wav)
+          .when(col("kind") === "image" && col("__ascii"),
+            encode(col("__block"), "UTF-8"))
           .when(col("kind") === "image", unhex(col("__blockhex")))
+          .when(col("__ascii"), encode(expr("repeat(__block, n_frames)"), "UTF-8"))
           .otherwise(unhex(expr("repeat(__blockhex, n_frames)"))))
       .select("media_id", "kind", "payload", "width", "height",
         "sample_rate", "n_frames", "mime")
