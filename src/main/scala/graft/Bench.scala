@@ -58,6 +58,26 @@ object Bench {
     val suiteT0 = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - suiteT0) / 1e9
 
+    // Host-weather sentinel: a FIXED CPU-bound workload (4e9 codegen
+    // xxhash64 folds over range, no IO, no SF dependence), min-of-3,
+    // measured before and after the suite and published in the
+    // artifact. Identical code on an idle host reads a stable constant;
+    // a loaded/throttled host inflates it by the same factor it
+    // inflates every query — so cross-round drift self-adjudicates
+    // (headline ratio ÷ sentinel ratio ≈ code effect) instead of
+    // needing a manual idle re-stamp each round (the r11→r12→r13
+    // ±16-25% sagas, all eventually ruled weather by hand).
+    def sentinelRun(): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 4000000000L, 1L, cpus.toInt)
+          .select(org.apache.spark.sql.functions.expr("bit_xor(xxhash64(id))"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    @volatile var sentinelBefore: Double = -1.0
+    @volatile var sentinelAfter: Double = -1.0
+
     // Rep-major accumulators: per query, the list of (ok, seconds) runs
     // so far. Populated pass-by-pass; reads are snapshot-safe for the
     // shutdown hook (synchronized on `acc`).
@@ -114,11 +134,13 @@ object Bench {
       // exceeded the driver's 2000-char captured tail two rounds running
       // (BENCH_r09/r10 "parsed": null), losing the per-query record when
       // the file was later clobbered — the compact line below always fits.
-      val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"partial":$partial,"skipped":$skippedJson,"queries":$qs,"spreads":$spreads,"reps_done":$repsDone,"sf":"$sfDir","meta":$meta}"""
+      val sentinelJson =
+        s"""{"before":$sentinelBefore,"after":$sentinelAfter}"""
+      val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"partial":$partial,"skipped":$skippedJson,"sentinel":$sentinelJson,"queries":$qs,"spreads":$spreads,"reps_done":$repsDone,"sf":"$sfDir","meta":$meta}"""
       scala.util.Try(java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outPath), fileLine + "\n"))
       val minReps = if (results.isEmpty) 0 else results.map(_._4).min
-      val stdoutLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"min_reps_done":$minReps,"n_queries":${results.length},"partial":$partial,"skipped":$skippedJson,"detail":"$outPath","sf":"$sfDir","meta":$meta}"""
+      val stdoutLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"min_reps_done":$minReps,"n_queries":${results.length},"partial":$partial,"skipped":$skippedJson,"sentinel":$sentinelJson,"detail":"$outPath","sf":"$sfDir","meta":$meta}"""
       println(stdoutLine)
       System.out.flush()
     }
@@ -150,11 +172,13 @@ object Bench {
           scala.collection.mutable.ArrayBuffer.empty[(Boolean, Double)]) += ((ok, dt))
       }
     }
+    sentinelBefore = scala.util.Try(sentinelRun()).getOrElse(-1.0)
     repMajorLoop(suite.map(_._1), reps, deadlineSec, elapsed,
       recordedMin = name => acc.synchronized(
         acc.get(name).map(ts => ts.map(_._2).min)),
       runOne = name => runOnce(name, byName(name)),
       skip = name => { skipped.add(name); () })
+    sentinelAfter = scala.util.Try(sentinelRun()).getOrElse(-1.0)
     emit(partial = false)
     spark.stop()
   }
