@@ -97,7 +97,14 @@ object ScaleCheck {
     // manifest-layout maintenance: cost ∝ table bytes written/read
     // through the layout (append + commit + snapshot/delta scan)
     "x134_manifest_time_travel",
-    "x135_manifest_diff_read")
+    "x135_manifest_diff_read",
+    // x136's corpus pass is one scan+word-count (linear); the merge
+    // iterations run on the VOCAB-bounded table, whose size grows
+    // sublinearly in corpus volume (Heaps' law) — expect ≈ scan growth
+    "x136_bpe_merges",
+    // x137 shuffles unigram+bigram counts (linear in token mass) and
+    // broadcasts the vocab-bounded marginals — the x47/x125 family shape
+    "x137_pmi_collocations")
   // Since round 12 the slices carry the FULL catalog (documents/events/
   // embeddings plus region/nation/supplier/customer/part/orders/
   // lineitem), so the relational q-series and x77/x80 join the suite-

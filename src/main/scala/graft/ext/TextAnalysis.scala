@@ -758,7 +758,109 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** x136: BPE tokenizer-training merge rules (Sennrich et al. 2016,
+    * the public subword algorithm). The corpus pass reduces to a
+    * VOCAB-BOUNDED word-frequency table — the classic BPE trick: pair
+    * statistics are weighted by word count, so the 100-TB corpus is
+    * scanned exactly once and every merge iteration runs over the
+    * small vocabulary table. Each iteration: adjacent symbol-pair
+    * counts (the x47 shuffle-free slice/arrays_zip shape), argmax by
+    * (count desc, pair asc), and an in-plan merge via `replace()`
+    * against the BROADCAST 1-row winner — no collect(), no driver
+    * loop. Symbols ride as space-separated strings; `replace` is
+    * non-overlapping left-to-right in both engines, so for runs of 3+
+    * identical symbols the separator after a match is consumed — a
+    * deterministic, documented deviation from strict greedy BPE that
+    * plan and oracle share (corpus tokens are ASCII; `(.)` splits
+    * UTF-16 code units, asserted in TextAnalysisSpec). */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val words = load(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).cast("long").as("wc"))
+      .select(
+        concat(trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" </w>"))
+          .as("syms"),
+        col("wc"))
+      .scopedCache()
+
+    def bestPair(w: DataFrame): DataFrame = {
+      val a = split(col("syms"), " ")
+      val n = greatest(size(a) - 1, lit(0))
+      w.select(slice(a, lit(1), n).as("la"), slice(a, lit(2), n).as("lb"),
+          col("wc"))
+        .select(explode(arrays_zip(col("la"), col("lb"))).as("p"), col("wc"))
+        .groupBy(col("p.la").as("left_sym"), col("p.lb").as("right_sym"))
+        .agg(sum("wc").cast("long").as("pair_count"))
+        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+        .limit(1)
+    }
+    def merged(w: DataFrame, best: DataFrame): DataFrame =
+      w.crossJoin(broadcast(best))
+        .select(trim(replace(
+          concat(lit(" "), col("syms"), lit(" ")),
+          concat(lit(" "), col("left_sym"), lit(" "), col("right_sym"),
+            lit(" ")),
+          concat(lit(" "), col("left_sym"), col("right_sym"), lit(" "))))
+          .as("syms"),
+          col("wc"))
+
+    val b1 = bestPair(words).scopedCache()
+    val b2 = bestPair(merged(words, b1)).scopedCache()
+    val b3 = bestPair(merged(merged(words, b1), b2))
+    b1.withColumn("iter", lit(1L))
+      .unionByName(b2.withColumn("iter", lit(2L)))
+      .unionByName(b3.withColumn("iter", lit(3L)))
+      .select(col("iter"), col("left_sym"), col("right_sym"),
+        col("pair_count"))
+      .orderBy("iter")
+  }
+
+  /** x137: PMI collocations — pointwise-mutual-information lift
+    * lift(w1,w2) = p(w1,w2) / (p(w1)·p(w2)) over adjacent token pairs
+    * (Church & Hanks 1990). Distinct from x47's conditional LM: the
+    * association score normalizes by BOTH marginals — the standard
+    * collocation detector a curation pass runs to surface boilerplate
+    * phrases and multi-word expressions. Scale shape: the unigram and
+    * bigram counts are the only corpus-size shuffles; the marginal
+    * tables are vocab-bounded and BROADCAST to the bigram side, and
+    * the two scalar totals ride broadcast 1-row cross joins. The lift
+    * is one fixed-shape IEEE double expression (identical operation
+    * order in the oracle), so hashes replay exactly. */
+  def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val t = tokens(col("text"))
+    val uni = docs.select(explode(t).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).cast("long").as("cu"))
+      .scopedCache()
+    val nTok = uni.agg(sum("cu").cast("long").as("n_tok"))
+    val n = greatest(size(t) - 1, lit(0))
+    val bi = docs
+      .select(slice(t, lit(1), n).as("a"), slice(t, lit(2), n).as("b"))
+      .select(explode(arrays_zip(col("a"), col("b"))).as("p"))
+      .select(col("p.a").as("w1"), col("p.b").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+      .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c12"))
+      .scopedCache()
+    val nBi = bi.agg(sum("c12").cast("long").as("n_bi"))
+    bi.filter(col("c12") >= 5)
+      .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("cu1"))),
+        "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("cu2"))),
+        "w2")
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("c12"), col("cu1"), col("cu2"),
+        ((col("c12").cast("double") * col("n_tok") * col("n_tok")) /
+          (col("n_bi").cast("double") * col("cu1") * col("cu2"))).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x136_bpe_merges" -> bpeMerges,
+    "x137_pmi_collocations" -> pmiCollocations,
     "x123_curation_fused" -> curationFused,
     "x118_mask_plan" -> maskPlan,
     "x107_oov_audit" -> oovAudit,
@@ -849,6 +951,72 @@ object TextAnalysis {
     * engines split trimmed text on \s+; ratios are raw double divisions
     * (no rounding → no decimal-tie divergence). */
   val oracles: Map[String, String] = Map(
+    "x136_bpe_merges" -> """
+      WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents),
+      wfreq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+                FROM toks WHERE length(word) > 0 GROUP BY 1),
+      w0 AS (SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' </w>'
+                      AS syms, wc FROM wfreq),
+      p1 AS (SELECT a[i] AS left_sym, a[i+1] AS right_sym,
+                    CAST(SUM(wc) AS BIGINT) AS pair_count
+             FROM (SELECT a, wc, unnest(range(1, greatest(len(a)-1,0)+1)) AS i
+                   FROM (SELECT string_split(syms, ' ') AS a, wc FROM w0))
+             GROUP BY 1, 2),
+      b1 AS (SELECT * FROM p1 ORDER BY pair_count DESC, left_sym, right_sym
+             LIMIT 1),
+      w1 AS (SELECT trim(replace(' ' || syms || ' ',
+                      ' ' || b1.left_sym || ' ' || b1.right_sym || ' ',
+                      ' ' || b1.left_sym || b1.right_sym || ' ')) AS syms, wc
+             FROM w0, b1),
+      p2 AS (SELECT a[i] AS left_sym, a[i+1] AS right_sym,
+                    CAST(SUM(wc) AS BIGINT) AS pair_count
+             FROM (SELECT a, wc, unnest(range(1, greatest(len(a)-1,0)+1)) AS i
+                   FROM (SELECT string_split(syms, ' ') AS a, wc FROM w1))
+             GROUP BY 1, 2),
+      b2 AS (SELECT * FROM p2 ORDER BY pair_count DESC, left_sym, right_sym
+             LIMIT 1),
+      w2 AS (SELECT trim(replace(' ' || syms || ' ',
+                      ' ' || b2.left_sym || ' ' || b2.right_sym || ' ',
+                      ' ' || b2.left_sym || b2.right_sym || ' ')) AS syms, wc
+             FROM w1, b2),
+      p3 AS (SELECT a[i] AS left_sym, a[i+1] AS right_sym,
+                    CAST(SUM(wc) AS BIGINT) AS pair_count
+             FROM (SELECT a, wc, unnest(range(1, greatest(len(a)-1,0)+1)) AS i
+                   FROM (SELECT string_split(syms, ' ') AS a, wc FROM w2))
+             GROUP BY 1, 2),
+      b3 AS (SELECT * FROM p3 ORDER BY pair_count DESC, left_sym, right_sym
+             LIMIT 1)
+      SELECT CAST(1 AS BIGINT) AS iter, left_sym, right_sym, pair_count FROM b1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), left_sym, right_sym, pair_count FROM b2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), left_sym, right_sym, pair_count FROM b3
+      ORDER BY iter""",
+    "x137_pmi_collocations" -> """
+      WITH toks AS (
+        SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+              FROM (SELECT unnest(t) AS w FROM toks)
+              WHERE length(w) > 0 GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_tok FROM uni),
+      idx AS (SELECT t, unnest(range(1, greatest(len(t)-1,0)+1)) AS i
+              FROM toks),
+      bi AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM idx),
+      bigrams AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi
+                  WHERE length(w1) > 0 AND length(w2) > 0 GROUP BY 1, 2),
+      totb AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_bi FROM bigrams)
+      SELECT w1, w2, c12, cu1, cu2,
+        (CAST(c12 AS DOUBLE) * n_tok * n_tok) /
+          (CAST(n_bi AS DOUBLE) * cu1 * cu2) AS lift
+      FROM (SELECT b.w1, b.w2, b.c12, u1.cu AS cu1, u2.cu AS cu2
+            FROM bigrams b
+            JOIN uni u1 ON b.w1 = u1.w
+            JOIN uni u2 ON b.w2 = u2.w
+            WHERE b.c12 >= 5), tot, totb
+      ORDER BY lift DESC, w1, w2 LIMIT 50""",
     "x123_curation_fused" -> s"""
       ${Similarity.semKeepCtes},
       $CurationGateSql,
