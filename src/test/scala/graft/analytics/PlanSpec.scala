@@ -434,4 +434,28 @@ class PlanSpec extends SparkSpec {
               org.apache.spark.sql.functions.col("c_custkey")).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("pmiCollocations broadcasts the vocab marginals; nothing sort-merges") {
+    val p = graft.ext.TextAnalysis.pmiCollocations(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.CacheScope.release()
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 2,
+      s"both unigram-marginal joins must broadcast (saw $broadcasts):\n$p")
+    assert(!p.contains("CartesianProduct"), "scalar totals must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"a vocab-bounded marginal shuffled into a sort-merge join:\n$p")
+  }
+
+  test("bpeMerges: winner rows broadcast into the merge; no join shuffles") {
+    val p = graft.ext.TextAnalysis.bpeMerges(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.CacheScope.release()
+    // each iteration's 1-row argmax joins the word table via a broadcast
+    // nested-loop (crossJoin), never a cartesian or a shuffled join
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"merge winner not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"merge path shuffles a join:\n$p")
+  }
 }
