@@ -813,7 +813,68 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** 16×64 seed-23 Gaussian projection matrix for x139 (Johnson–
+    * Lindenstrauss dimensionality reduction; random projection per
+    * Bingham & Mannila 2001). Literal rows, so the oracle interpolates
+    * the identical doubles — the planeValues precedent. */
+  private val ProjPlanes = hyperplanes(nBits = 16, dim = 64, seed = 23L)
+
+  private lazy val projPlaneValues: String =
+    ProjPlanes.zipWithIndex.map { case (row, b) =>
+      s"($b, [${row.mkString(", ")}])" }.mkString(", ")
+
+  /** x139: random-projection recall audit — the CHEAP-DISTANCE rung of
+    * the retrieval ladder (brute → projection → LSH buckets → IVF).
+    * Projecting 64-d embeddings onto 16 fixed Gaussian directions cuts
+    * every downstream distance computation 4× (the production win when
+    * distance mass, not candidate generation, dominates); this audit
+    * prices that: per query, recall@$K$ of projected-space exact top-k
+    * against full-space exact top-k, plus the true-cosine regret of the
+    * projected choice in exact integer ppm (per-item floor(cos·10⁶)
+    * BEFORE summation, so group sums are order-free — the x129
+    * pattern). Scale shape: one scan computes both representations;
+    * queries ride broadcast; regret ≥ 0 by construction (the exact
+    * top-k maximizes the per-item-quantized mass). */
+  def projectionRecall(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+      .withColumn("pv", array(ProjPlanes.map(p =>
+        dot(col("v"), array(p.map(lit): _*))): _*))
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("pv").as("qpv"))
+    val sc = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_full", cosine(col("qv"), col("v")))
+      .withColumn("cos_proj", cosine(col("qpv"), col("pv")))
+      .withColumn("cos_ppm",
+        floor(col("cos_full") * lit(1000000.0)).cast("long"))
+      .select("query_id", "vec_id", "cos_full", "cos_proj", "cos_ppm")
+      .scopedCache()
+    val wF = Window.partitionBy("query_id")
+      .orderBy(col("cos_full").desc, col("vec_id"))
+    val wP = Window.partitionBy("query_id")
+      .orderBy(col("cos_proj").desc, col("vec_id"))
+    val exact = sc.withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id"), col("cos_ppm"))
+    val approx = sc.withColumn("rank", row_number().over(wP))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id"), col("cos_ppm"))
+    val rec = exact.join(
+        approx.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg((count(col("hit")).cast("double") / K).as("recall_at_k"),
+        sum("cos_ppm").cast("long").as("exact_ppm"))
+    val prj = approx.groupBy("query_id")
+      .agg(sum("cos_ppm").cast("long").as("proj_ppm"))
+    rec.join(prj, "query_id")
+      .select(col("query_id"), col("recall_at_k"),
+        (col("exact_ppm") - col("proj_ppm")).as("regret_ppm"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x139_projection_recall" -> projectionRecall,
     "x109_semdedup" -> semDedup,
     "x128_sem_assign_approx" -> semAssignApprox,
     "x129_sem_assign_audit" -> semAssignAudit,
@@ -1160,5 +1221,47 @@ object Similarity {
         MIN(n2) AS min_norm2, MAX(n2) AS max_norm2,
         CAST(SUM(CASE WHEN n2 >= 0.81 AND n2 <= 1.21 THEN 1 ELSE 0 END) AS BIGINT)
           AS n_unit_band
-      FROM e GROUP BY label ORDER BY label""")
+      FROM e GROUP BY label ORDER BY label""") + ("x139_projection_recall" -> s"""
+      WITH pl(b, p) AS (VALUES $projPlaneValues),
+      e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      pj AS (SELECT e.vec_id,
+               list(list_sum(list_transform(list_zip(e.v, pl.p),
+                             q -> q[1] * q[2])) ORDER BY pl.b) AS pv
+             FROM e CROSS JOIN pl GROUP BY e.vec_id),
+      a AS (SELECT e.vec_id, e.v, pj.pv FROM e JOIN pj USING (vec_id)),
+      q AS (SELECT vec_id AS query_id, v AS qv, pv AS qpv
+            FROM a WHERE vec_id < $NQueries),
+      sc AS (SELECT q.query_id, a.vec_id,
+          list_sum(list_transform(list_zip(q.qv, a.v), p -> p[1] * p[2])) /
+          (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+           sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos_full,
+          list_sum(list_transform(list_zip(q.qpv, a.pv), p -> p[1] * p[2])) /
+          (sqrt(list_sum(list_transform(q.qpv, x -> x * x))) *
+           sqrt(list_sum(list_transform(a.pv, x -> x * x)))) AS cos_proj
+        FROM a, q WHERE a.vec_id <> q.query_id),
+      sp AS (SELECT query_id, vec_id, cos_full, cos_proj,
+               CAST(floor(cos_full * 1000000.0) AS BIGINT) AS cos_ppm FROM sc),
+      exact AS (SELECT query_id, vec_id, cos_ppm FROM (
+          SELECT query_id, vec_id, cos_ppm,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_full DESC, vec_id) AS rn
+          FROM sp) WHERE rn <= $K),
+      approx AS (SELECT query_id, vec_id, cos_ppm FROM (
+          SELECT query_id, vec_id, cos_ppm,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_proj DESC, vec_id) AS rn
+          FROM sp) WHERE rn <= $K),
+      rec AS (SELECT b.query_id,
+                CAST(COUNT(l.vec_id) AS DOUBLE) / $K AS recall_at_k,
+                CAST(SUM(b.cos_ppm) AS BIGINT) AS exact_ppm
+              FROM exact b LEFT JOIN approx l
+                ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+              GROUP BY 1),
+      prj AS (SELECT query_id, CAST(SUM(cos_ppm) AS BIGINT) AS proj_ppm
+              FROM approx GROUP BY 1)
+      SELECT r.query_id, r.recall_at_k,
+        (r.exact_ppm - p.proj_ppm) AS regret_ppm
+      FROM rec r JOIN prj p ON r.query_id = p.query_id
+      ORDER BY r.query_id""")
 }

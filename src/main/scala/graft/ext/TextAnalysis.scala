@@ -772,48 +772,109 @@ object TextAnalysis {
     * identical symbols the separator after a match is consumed — a
     * deterministic, documented deviation from strict greedy BPE that
     * plan and oracle share (corpus tokens are ASCII; `(.)` splits
-    * UTF-16 code units, asserted in TextAnalysisSpec). */
-  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    * UTF-16 code units, asserted in CollocationSpec). */
+  /** Space-separated symbol string for a word, with the </w> end marker
+    * (shared by x136 training and x138 application). */
+  private def symsOf(word: org.apache.spark.sql.Column) =
+    concat(trim(regexp_replace(word, "(.)", "$1 ")), lit(" </w>"))
+
+  /** Highest-count adjacent symbol pair of a (…, syms, wc) frame —
+    * deterministic argmax (count desc, pair asc), 1 row (0 if no pairs
+    * remain). */
+  private def bestPair(w: DataFrame): DataFrame = {
+    val a = split(col("syms"), " ")
+    val n = greatest(size(a) - 1, lit(0))
+    w.select(slice(a, lit(1), n).as("la"), slice(a, lit(2), n).as("lb"),
+        col("wc"))
+      .select(explode(arrays_zip(col("la"), col("lb"))).as("p"), col("wc"))
+      .groupBy(col("p.la").as("left_sym"), col("p.lb").as("right_sym"))
+      .agg(sum("wc").cast("long").as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+      .limit(1)
+  }
+
+  /** Apply one merge rule to a frame carrying a `syms` column (all
+    * other columns pass through). The rule rides a BROADCAST 1-row
+    * cross join — in-plan, no collect. An EMPTY rule frame empties the
+    * result (merges exhausted); callers that need identity-on-empty
+    * wrap the rule with a 0-count sentinel first (x138). */
+  private def applyMerge(w: DataFrame, rule: DataFrame): DataFrame = {
+    val others = w.columns.filterNot(_ == "syms").map(col)
+    w.crossJoin(broadcast(rule.select("left_sym", "right_sym")))
+      .select(others :+ trim(replace(
+        concat(lit(" "), col("syms"), lit(" ")),
+        concat(lit(" "), col("left_sym"), lit(" "), col("right_sym"),
+          lit(" ")),
+        concat(lit(" "), col("left_sym"), col("right_sym"), lit(" "))))
+        .as("syms"): _*)
+  }
+
+  /** The corpus-global word-frequency symbol table and the three
+    * trained merge rules (each cached 1-row frames) — shared by x136
+    * (reports the rules) and x138 (applies them back to the corpus). */
+  private def bpeTrained(s: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     val words = load(s, dir, "documents")
       .select(explode(tokens(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).cast("long").as("wc"))
-      .select(
-        concat(trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" </w>"))
-          .as("syms"),
-        col("wc"))
+      .select(symsOf(col("word")).as("syms"), col("wc"))
       .scopedCache()
-
-    def bestPair(w: DataFrame): DataFrame = {
-      val a = split(col("syms"), " ")
-      val n = greatest(size(a) - 1, lit(0))
-      w.select(slice(a, lit(1), n).as("la"), slice(a, lit(2), n).as("lb"),
-          col("wc"))
-        .select(explode(arrays_zip(col("la"), col("lb"))).as("p"), col("wc"))
-        .groupBy(col("p.la").as("left_sym"), col("p.lb").as("right_sym"))
-        .agg(sum("wc").cast("long").as("pair_count"))
-        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
-        .limit(1)
-    }
-    def merged(w: DataFrame, best: DataFrame): DataFrame =
-      w.crossJoin(broadcast(best))
-        .select(trim(replace(
-          concat(lit(" "), col("syms"), lit(" ")),
-          concat(lit(" "), col("left_sym"), lit(" "), col("right_sym"),
-            lit(" ")),
-          concat(lit(" "), col("left_sym"), col("right_sym"), lit(" "))))
-          .as("syms"),
-          col("wc"))
-
     val b1 = bestPair(words).scopedCache()
-    val b2 = bestPair(merged(words, b1)).scopedCache()
-    val b3 = bestPair(merged(merged(words, b1), b2))
-    b1.withColumn("iter", lit(1L))
-      .unionByName(b2.withColumn("iter", lit(2L)))
-      .unionByName(b3.withColumn("iter", lit(3L)))
+    val b2 = bestPair(applyMerge(words, b1)).scopedCache()
+    val b3 = bestPair(applyMerge(applyMerge(words, b1), b2)).scopedCache()
+    (words, Seq(b1, b2, b3))
+  }
+
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val rules = bpeTrained(s, dir)._2
+    rules.zipWithIndex
+      .map { case (b, i) => b.withColumn("iter", lit((i + 1).toLong)) }
+      .reduce(_ unionByName _)
       .select(col("iter"), col("left_sym"), col("right_sym"),
         col("pair_count"))
       .orderBy("iter")
+  }
+
+  /** x138: BPE ENCODE audit — apply the x136-trained merge rules back
+    * to the corpus and report, per source, the compression the learned
+    * subword vocabulary buys (symbols after / symbols before, exact
+    * integer per-mille). This closes the tokenizer loop: x136 trains,
+    * x138 applies, x45 measures a FIXED tokenizer's fertility. Same
+    * scale shape as training: the corpus pass is one scan into a
+    * per-source vocab-bounded table; each rule application is a
+    * broadcast 1-row cross join. Rules are wrapped with a 0-count
+    * empty-symbol sentinel (its search pattern is three spaces, which a
+    * single-space-separated symbol string can never contain) so a
+    * corpus that exhausts before 3 merges gets identity application
+    * instead of an emptied frame. */
+  def bpeEncodeAudit(s: SparkSession, dir: String): DataFrame = {
+    val (_, rules) = bpeTrained(s, dir)
+    def safe(r: DataFrame): DataFrame =
+      r.select("left_sym", "right_sym", "pair_count")
+        .unionByName(s.range(1).select(lit("").as("left_sym"),
+          lit("").as("right_sym"), lit(0L).as("pair_count")))
+        .orderBy(col("pair_count").desc, col("left_sym"),
+          col("right_sym"))
+        .limit(1)
+    val vocab = load(s, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("source", "word").agg(count(lit(1)).cast("long").as("wc"))
+      .withColumn("syms", symsOf(col("word")))
+    val encoded = rules.map(safe).foldLeft(vocab)(applyMerge)
+    encoded
+      .select(col("source"), col("wc"),
+        (length(col("word")) + 1).cast("long").as("sym_before"),
+        size(split(col("syms"), " ")).cast("long").as("sym_after"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("distinct_words"),
+        sum("wc").cast("long").as("token_occurrences"),
+        sum(col("wc") * col("sym_before")).cast("long").as("syms_before"),
+        sum(col("wc") * col("sym_after")).cast("long").as("syms_after"))
+      .withColumn("compression_permille",
+        call_function("div", col("syms_after") * 1000, col("syms_before")))
+      .orderBy("source")
   }
 
   /** x137: PMI collocations — pointwise-mutual-information lift
@@ -861,6 +922,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x136_bpe_merges" -> bpeMerges,
     "x137_pmi_collocations" -> pmiCollocations,
+    "x138_bpe_encode_audit" -> bpeEncodeAudit,
     "x123_curation_fused" -> curationFused,
     "x118_mask_plan" -> maskPlan,
     "x107_oov_audit" -> oovAudit,
@@ -950,10 +1012,15 @@ object TextAnalysis {
   /** DuckDB twins where the arithmetic is portable. Token counts: both
     * engines split trimmed text on \s+; ratios are raw double divisions
     * (no rounding → no decimal-tie divergence). */
-  val oracles: Map[String, String] = Map(
-    "x136_bpe_merges" -> """
-      WITH toks AS (
-        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  /** Shared x136/x138 oracle CTE chain: corpus tokens (with source, so
+    * x138 can build its per-source vocab from the same scan), global
+    * word frequencies, symbol strings, and the three staged merge
+    * rules b1/b2/b3 — ONE definition so training and application
+    * cannot drift. */
+  private val BpeTrainCtes: String = """
+      toks AS (
+        SELECT source,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
         FROM documents),
       wfreq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
                 FROM toks WHERE length(word) > 0 GROUP BY 1),
@@ -987,13 +1054,61 @@ object TextAnalysis {
                    FROM (SELECT string_split(syms, ' ') AS a, wc FROM w2))
              GROUP BY 1, 2),
       b3 AS (SELECT * FROM p3 ORDER BY pair_count DESC, left_sym, right_sym
-             LIMIT 1)
+             LIMIT 1)"""
+
+  val oracles: Map[String, String] = Map(
+    "x136_bpe_merges" -> s"""
+      WITH $BpeTrainCtes
       SELECT CAST(1 AS BIGINT) AS iter, left_sym, right_sym, pair_count FROM b1
       UNION ALL
       SELECT CAST(2 AS BIGINT), left_sym, right_sym, pair_count FROM b2
       UNION ALL
       SELECT CAST(3 AS BIGINT), left_sym, right_sym, pair_count FROM b3
       ORDER BY iter""",
+    "x138_bpe_encode_audit" -> raw"""
+      WITH $BpeTrainCtes,
+      sb1 AS (SELECT left_sym, right_sym FROM (
+                SELECT left_sym, right_sym, pair_count FROM b1
+                UNION ALL SELECT '', '', CAST(0 AS BIGINT))
+              ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
+      sb2 AS (SELECT left_sym, right_sym FROM (
+                SELECT left_sym, right_sym, pair_count FROM b2
+                UNION ALL SELECT '', '', CAST(0 AS BIGINT))
+              ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
+      sb3 AS (SELECT left_sym, right_sym FROM (
+                SELECT left_sym, right_sym, pair_count FROM b3
+                UNION ALL SELECT '', '', CAST(0 AS BIGINT))
+              ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
+      vocab AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS wc
+                FROM toks WHERE length(word) > 0 GROUP BY 1, 2),
+      v0 AS (SELECT source, word, wc,
+                    trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' </w>'
+                      AS syms
+             FROM vocab),
+      v1 AS (SELECT source, word, wc, trim(replace(' ' || syms || ' ',
+                      ' ' || sb1.left_sym || ' ' || sb1.right_sym || ' ',
+                      ' ' || sb1.left_sym || sb1.right_sym || ' ')) AS syms
+             FROM v0, sb1),
+      v2 AS (SELECT source, word, wc, trim(replace(' ' || syms || ' ',
+                      ' ' || sb2.left_sym || ' ' || sb2.right_sym || ' ',
+                      ' ' || sb2.left_sym || sb2.right_sym || ' ')) AS syms
+             FROM v1, sb2),
+      v3 AS (SELECT source, word, wc, trim(replace(' ' || syms || ' ',
+                      ' ' || sb3.left_sym || ' ' || sb3.right_sym || ' ',
+                      ' ' || sb3.left_sym || sb3.right_sym || ' ')) AS syms
+             FROM v2, sb3),
+      enc AS (SELECT source, wc,
+                     CAST(length(word) + 1 AS BIGINT) AS sym_before,
+                     CAST(len(string_split(syms, ' ')) AS BIGINT) AS sym_after
+              FROM v3)
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS distinct_words,
+        CAST(SUM(wc) AS BIGINT) AS token_occurrences,
+        CAST(SUM(wc * sym_before) AS BIGINT) AS syms_before,
+        CAST(SUM(wc * sym_after) AS BIGINT) AS syms_after,
+        (CAST(SUM(wc * sym_after) AS BIGINT) * 1000)
+          // CAST(SUM(wc * sym_before) AS BIGINT) AS compression_permille
+      FROM enc GROUP BY 1 ORDER BY 1""",
     "x137_pmi_collocations" -> """
       WITH toks AS (
         SELECT string_split_regex(lower(trim(text)), '\s+') AS t

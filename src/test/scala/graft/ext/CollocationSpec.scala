@@ -93,6 +93,44 @@ class CollocationSpec extends SparkSpec {
     assert(lifts.forall(_ > 0.0))
   }
 
+  test("x138: exact per-source compression on the hand-built corpus") {
+    // merges (a,b),(ab,</w>),(c,d) applied back to vocab {ab:3, cd:1}:
+    // "ab" fully fuses (3 symbols -> 1), "cd" keeps its end marker
+    // (3 -> 2); weighted: before 3*3+1*3=12, after 3*1+1*2=5
+    val dir = corpusDir(Seq("ab ab ab cd"))
+    val rows = TextAnalysis.bpeEncodeAudit(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("distinct_words") == 2L)
+    assert(r.getAs[Long]("token_occurrences") == 4L)
+    assert(r.getAs[Long]("syms_before") == 12L)
+    assert(r.getAs[Long]("syms_after") == 5L)
+    assert(r.getAs[Long]("compression_permille") == 5000L / 12L)
+  }
+
+  test("x138: a corpus that exhausts before 3 merges still encodes (sentinel identity)") {
+    // "ab ab" trains only 2 merges; the 3rd rule is the never-matching
+    // sentinel, so application must be identity, not an emptied frame
+    val dir = corpusDir(Seq("ab ab"))
+    val rows = TextAnalysis.bpeEncodeAudit(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("syms_before") == 6L)
+    assert(rows(0).getAs[Long]("syms_after") == 2L)
+  }
+
+  test("x138: encoding never expands and bounds hold corpus-wide") {
+    val out = TextAnalysis.bpeEncodeAudit(spark, sfDir).cache()
+    graft.CacheScope.release()
+    assert(out.filter(col("syms_after") > col("syms_before")).count() == 0,
+      "a merge can only shrink the symbol stream")
+    assert(out.filter(col("compression_permille") > 1000 ||
+      col("compression_permille") <= 0).count() == 0)
+    val nSources = graft.Tables.load(spark, sfDir, "documents")
+      .select("source").distinct().count()
+    assert(out.count() == nSources, "one audit row per source")
+    out.unpersist()
+  }
+
   test("x137: hand-built phrase corpus ranks the dominant collocation first") {
     // "new york" x6 and "york new" x5 (the wrap bigrams of the repeated
     // phrase); N=12 tokens, N_bi=11, cu(new)=cu(york)=6

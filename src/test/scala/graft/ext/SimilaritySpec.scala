@@ -220,4 +220,51 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(col("scale") < 0).count() == 0)
     out.unpersist()
   }
+
+  test("projection recall audit: regret non-negative, recall bounded, deterministic") {
+    val a = Similarity.projectionRecall(spark, sfDir).collect()
+    val b = Similarity.projectionRecall(spark, sfDir).collect()
+    assert(a.sameElements(b), "projection audit not deterministic")
+    assert(a.length == 10, "one audit row per query")
+    // exact top-k picks the k largest cos_full values, so after the
+    // monotone per-item floor quantization its ppm mass element-wise
+    // dominates any other k-set's — regret >= 0 is structural
+    a.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_k")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("regret_ppm") >= 0L,
+        s"query ${r.getAs[Long]("query_id")}: negative regret breaks dominance")
+    }
+  }
+
+  test("projection recall audit: clustered corpus projects to perfect recall") {
+    // 8 orthogonal clusters of 6 (base e_c, distinct tiny bump at
+    // e_{32+c}): each query's 5 cluster-mates are its exact top-5
+    // (within-cluster cos ~0.999 vs cross-cluster ~0), and a 16-d
+    // Gaussian projection keeps cluster-mates near-parallel while two
+    // projected cluster bases land at a typical random-direction cosine
+    // well below 1 — so the projected top-5 must be the same set.
+    // This is the structure-present counterpart of the sfDir run, where
+    // near-orthogonal synthetic vectors price the rung honestly low.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_proj_").toString
+    val rows = (0 until 48).map { i =>
+      val c = i % 8
+      val k = i / 8
+      val v = Array.fill(64)(0.0f)
+      v(c) = 1.0f
+      v(32 + c) = 0.03f * (k + 1)
+      (i.toLong, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.projectionRecall(spark, dir).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getAs[Double]("recall_at_k") == 1.0,
+        s"query ${r.getAs[Long]("query_id")}: clustered corpus must project losslessly")
+      // identical sets sum identical ppm masses
+      assert(r.getAs[Long]("regret_ppm") == 0L)
+    }
+  }
 }
