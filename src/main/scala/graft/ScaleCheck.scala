@@ -104,7 +104,16 @@ object ScaleCheck {
     "x136_bpe_merges",
     // x137 shuffles unigram+bigram counts (linear in token mass) and
     // broadcasts the vocab-bounded marginals — the x47/x125 family shape
-    "x137_pmi_collocations")
+    "x137_pmi_collocations",
+    // x138 re-runs x136's vocab-bounded training then applies each rule
+    // as a broadcast 1-row join over the per-source vocab — expect the
+    // x136 shape (corpus scan linear, merge work Heaps-sublinear)
+    "x138_bpe_encode_audit",
+    // x139 is brute-force on BOTH representations (it is the audit —
+    // the production win is the 4× cheaper distance, not candidate
+    // pruning): expect linear in corpus size at fixed |Q|, the x07/x08
+    // fixed-query-set constant
+    "x139_projection_recall")
   // Since round 12 the slices carry the FULL catalog (documents/events/
   // embeddings plus region/nation/supplier/customer/part/orders/
   // lineitem), so the relational q-series and x77/x80 join the suite-

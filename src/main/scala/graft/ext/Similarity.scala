@@ -859,15 +859,19 @@ object Similarity {
     val approx = sc.withColumn("rank", row_number().over(wP))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("vec_id"), col("cos_ppm"))
+    // the audit-side frames never exceed |Q|·k rows (50 here) at ANY
+    // corpus size — broadcast them so the static planner can't pick a
+    // sort-merge shuffle for a 50-row join
     val rec = exact.join(
-        approx.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
+        broadcast(approx.select(col("query_id"), col("vec_id"),
+          lit(1).as("hit"))),
         Seq("query_id", "vec_id"), "left")
       .groupBy("query_id")
       .agg((count(col("hit")).cast("double") / K).as("recall_at_k"),
         sum("cos_ppm").cast("long").as("exact_ppm"))
     val prj = approx.groupBy("query_id")
       .agg(sum("cos_ppm").cast("long").as("proj_ppm"))
-    rec.join(prj, "query_id")
+    rec.join(broadcast(prj), "query_id")
       .select(col("query_id"), col("recall_at_k"),
         (col("exact_ppm") - col("proj_ppm")).as("regret_ppm"))
       .orderBy("query_id")

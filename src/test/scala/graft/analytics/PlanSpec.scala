@@ -458,4 +458,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"merge path shuffles a join:\n$p")
   }
+
+  test("bpeEncodeAudit: rules broadcast over the per-source vocab; no join shuffles") {
+    val p = graft.ext.TextAnalysis.bpeEncodeAudit(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.CacheScope.release()
+    // training winners AND the three sentinel-wrapped application rules
+    // all ride broadcast nested-loops over the vocab-bounded table
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"merge rule not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"encode path shuffles a join:\n$p")
+  }
+
+  test("projectionRecall: queries broadcast; one corpus scan feeds both spaces") {
+    val p = graft.ext.Similarity.projectionRecall(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.CacheScope.release()
+    // the 10-query frame must broadcast against the corpus (the x07
+    // shape); full- and projected-space scores are columns of the SAME
+    // scored frame, so no second corpus-vs-corpus join may appear
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastHashJoin"),
+      s"query frame not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"query join degenerated to a cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a fixed-|Q| score join shuffled into sort-merge:\n$p")
+  }
 }
