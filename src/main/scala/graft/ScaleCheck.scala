@@ -113,7 +113,15 @@ object ScaleCheck {
     // the production win is the 4× cheaper distance, not candidate
     // pruning): expect linear in corpus size at fixed |Q|, the x07/x08
     // fixed-query-set constant
-    "x139_projection_recall")
+    "x139_projection_recall",
+    // x140's corpus cost is the postings build (linear in token mass)
+    // plus a fixed-|Q| term-keyed candidate join whose pair count grows
+    // with the df of the query's terms — linear at fixed |Q|
+    "x140_bm25_retrieval",
+    // x141 re-runs both rankers (BM25 postings + dense brute force) and
+    // fuses constant-size frames — expect the sum of the two linear
+    // ranker costs, fusion itself O(|Q|·depth)
+    "x141_hybrid_rrf")
   // Since round 12 the slices carry the FULL catalog (documents/events/
   // embeddings plus region/nation/supplier/customer/part/orders/
   // lineitem), so the relational q-series and x77/x80 join the suite-

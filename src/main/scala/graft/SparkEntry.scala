@@ -20,6 +20,7 @@ object SparkEntry {
       ext.Similarity.queries ++
       ext.TextAnalysis.queries ++
       ext.Sampling.queries ++
+      ext.Retrieval.queries ++
       ext.Contamination.queries ++
       ext.SqlSurface.queries ++
       etl.Sources.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       ext.Similarity.oracles ++
       ext.TextAnalysis.oracles ++
       ext.Sampling.oracles ++
+      ext.Retrieval.oracles ++
       ext.Contamination.oracles ++
       ext.SqlSurface.oracles ++
       etl.Sources.oracles ++

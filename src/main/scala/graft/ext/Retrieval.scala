@@ -1,0 +1,251 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.CacheScope.ScopedCacheOps
+import graft.Tables.load
+import graft.functions.TextFunctions.tokens
+import graft.functions.Sketches.cosine
+
+/** Retrieval operators over `documents` + `embeddings`: BM25 lexical
+  * ranking (x140) and reciprocal-rank-fusion hybrid retrieval (x141) —
+  * the production search/curation pattern (lexical recall + dense
+  * semantic recall, fused rank-side so neither score scale dominates;
+  * Cormack, Clarke & Buettcher 2009).
+  *
+  * Scale shape (100 TB): the postings table `(doc, term, tf)` is the
+  * ONE corpus-sized shuffle — the inverted-index build every search
+  * engine pays; `df` is vocab-bounded (Heaps' law) and the corpus
+  * scalars (N, total token mass) ride 1-row broadcast joins. The query
+  * frame is fixed-|Q| and broadcasts, so candidate scoring is a keyed
+  * term join, never a product; everything after the per-query rank
+  * window is ≤ |Q|·depth rows and broadcasts.
+  *
+  * Engine portability: BM25's textbook ln-idf is NOT bit-specified
+  * across engines (the x66 rationale), so idf here is the RATIONAL
+  * form (N − df + 0.5)/(df + 0.5) — the textbook log's argument,
+  * documented deviation. Per-term contributions quantize to exact
+  * integer ppm BEFORE summation (floor(c·10⁶) — the x129/x139
+  * pattern), so group sums are order-free and the oracle matches
+  * hash-for-hash. All remaining arithmetic is +,−,×,÷ on doubles with
+  * identical literals and association in both engines (IEEE requires
+  * those correctly rounded; ln/exp carry no such guarantee).
+  */
+object Retrieval {
+
+  private val NQueries = 10
+  /** Candidates each ranker feeds the fusion. */
+  private val FuseDepth = 20
+  /** Rows reported per query. */
+  private val OutK = 5
+  /** BM25 shape constants (Robertson & Zaragoza 2009 defaults). The
+    * folded forms (k1+1 = 2.2, 1−b = 0.25) are written as literals in
+    * BOTH engines — folding 1.2+1.0 at runtime yields a DIFFERENT
+    * double than the literal 2.2, so the fold must happen in source. */
+  private val K1 = 1.2
+  private val K1Plus1 = 2.2
+  private val B = 0.75
+  private val OneMinusB = 0.25
+  /** RRF smoothing constant (the k=60 of Cormack et al. 2009). */
+  private val RrfK = 60.0
+
+  /** Postings (doc_id, token, tf) over non-empty whitespace tokens —
+    * the inverted-index frame both x140 stages share. */
+  private def postings(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).cast("long").as("tf"))
+
+  /** Per-(query, candidate) BM25 score in exact integer ppm, ranked per
+    * query — depth rows per query. Query-side tf is dropped (each
+    * DISTINCT query term contributes once — standard for short
+    * queries). Self-matches excluded. */
+  private def bm25Ranked(s: SparkSession, dir: String, depth: Int): DataFrame = {
+    val tf = postings(s, dir).scopedCache()
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+    val stats = tf.agg(sum("tf").cast("long").as("total_tf"))
+      .crossJoin(broadcast(
+        load(s, dir, "documents").agg(count(lit(1)).cast("long").as("n_docs"))))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+    val qt = tf.filter(col("doc_id") < NQueries)
+      .select(col("doc_id").as("query_id"), col("token")).distinct()
+    val nD = col("n_docs").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val avgdl = col("total_tf").cast("double") / nD
+    val idf = (nD - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val denom = tfD + lit(K1) *
+      (lit(OneMinusB) + lit(B) * (col("dl").cast("double") / avgdl))
+    val contrib = idf * (tfD * lit(K1Plus1)) / denom
+    val scored = tf
+      .join(qt, Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dfreq, Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("ppm", floor(contrib * lit(1000000.0)).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("ppm").cast("long").as("score_ppm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= depth)
+  }
+
+  /** x140: BM25 lexical retrieval — top-k candidate docs per query doc
+    * (query = the doc's distinct terms), rational-idf variant, exact
+    * integer ppm scores. */
+  def bm25Retrieval(s: SparkSession, dir: String): DataFrame =
+    bm25Ranked(s, dir, OutK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_ppm"))
+      .orderBy("query_id", "rank")
+
+  /** Dense ranks for the fusion: the x07 brute-force cosine shape over
+    * embeddings (doc_id = vec_id, the x49 linkage), depth per query. */
+  private def denseRanked(s: SparkSession, dir: String, depth: Int): DataFrame = {
+    val all = load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= depth)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+  }
+
+  /** x141: hybrid retrieval via reciprocal-rank fusion — BM25 (x140's
+    * machinery) and dense cosine (x07's) each nominate `FuseDepth`
+    * candidates; fused score = 1/(60+r_lex) + 1/(60+r_dense) with a
+    * missing ranker contributing 0 (full outer on the candidate key).
+    * Rank-side fusion needs no score normalization — exactly why
+    * production hybrid search uses it. Docs without an embedding can
+    * only be lexically nominated (the corpus is partially embedded —
+    * realistic); the fused rank breaks ties by doc_id. The fused
+    * score is ONE fixed-shape two-operand double add of two exact
+    * divisions — bit-identical in any IEEE engine. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = bm25Ranked(s, dir, FuseDepth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val dense = denseRanked(s, dir, FuseDepth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("dense_rank"))
+    def term(rank: Column): Column =
+      coalesce(lit(1.0) / (lit(RrfK) + rank.cast("double")), lit(0.0))
+    // both sides are ≤ |Q|·depth rows at ANY corpus size, so even the
+    // full-outer shuffle (broadcast does not support full outer) moves
+    // ≤ 2·|Q|·depth rows — constant, not corpus-sized
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score", term(col("lex_rank")) + term(col("dense_rank")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= OutK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_score"),
+        col("lex_rank").isNotNull.cast("long").as("in_lex"),
+        col("dense_rank").isNotNull.cast("long").as("in_dense"))
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x140_bm25_retrieval" -> bm25Retrieval,
+    "x141_hybrid_rrf" -> hybridRrf)
+
+  /** Shared CTE chain replaying [[bm25Ranked]] exactly (postings → df →
+    * corpus scalars → doc lengths → query terms → per-term ppm →
+    * ranked) — ONE definition interpolated into BOTH oracles so x140
+    * and x141 can never drift. Ends at `lexr(query_id, doc_id,
+    * score_ppm, rank)` fully ranked; use sites filter to their depth. */
+  private def bm25Ctes: String = s"""
+      toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM toks WHERE length(token) > 0 GROUP BY 1, 2),
+      dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                FROM tf GROUP BY 1),
+      stats AS (SELECT (SELECT CAST(SUM(tf) AS BIGINT) FROM tf) AS total_tf,
+                       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs),
+      dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+             FROM tf GROUP BY 1),
+      qt AS (SELECT DISTINCT doc_id AS query_id, token
+             FROM tf WHERE doc_id < $NQueries),
+      ppm AS (
+        SELECT qt.query_id, tf.doc_id,
+          CAST(floor(
+            ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+               / (CAST(d.df AS DOUBLE) + 0.5))
+            * (CAST(tf.tf AS DOUBLE) * $K1Plus1)
+            / (CAST(tf.tf AS DOUBLE) + $K1 *
+               ($OneMinusB + $B * (CAST(dl.dl AS DOUBLE)
+                 / (CAST(s.total_tf AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+            * 1000000.0) AS BIGINT) AS ppm
+        FROM qt
+        JOIN tf ON tf.token = qt.token AND tf.doc_id <> qt.query_id
+        JOIN dfreq d ON d.token = qt.token
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s),
+      lexs AS (SELECT query_id, doc_id,
+                      CAST(SUM(ppm) AS BIGINT) AS score_ppm
+               FROM ppm GROUP BY 1, 2),
+      lexr AS (SELECT query_id, doc_id, score_ppm,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
+               FROM lexs)"""
+
+  /** Dense-rank CTE chain — the x07 cosine replay, fully ranked,
+    * ending at `denser(query_id, doc_id, rank)`. */
+  private def denseCtes: String = s"""
+      e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      dq AS (SELECT vec_id AS query_id, v AS qv FROM e
+             WHERE vec_id < $NQueries),
+      dsc AS (SELECT dq.query_id, e.vec_id AS doc_id,
+          list_sum(list_transform(list_zip(dq.qv, e.v), p -> p[1] * p[2])) /
+          (sqrt(list_sum(list_transform(dq.qv, x -> x * x))) *
+           sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cos
+        FROM e, dq WHERE e.vec_id <> dq.query_id),
+      denser AS (SELECT query_id, doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, doc_id) AS BIGINT) AS rank
+                 FROM dsc)"""
+
+  val oracles: Map[String, String] = Map(
+    "x140_bm25_retrieval" -> s"""
+      WITH $bm25Ctes
+      SELECT query_id, rank, doc_id, score_ppm
+      FROM lexr WHERE rank <= $OutK
+      ORDER BY query_id, rank""",
+    "x141_hybrid_rrf" -> s"""
+      WITH $bm25Ctes,
+      $denseCtes,
+      lexd AS (SELECT query_id, doc_id, rank AS lex_rank
+               FROM lexr WHERE rank <= $FuseDepth),
+      dend AS (SELECT query_id, doc_id, rank AS dense_rank
+               FROM denser WHERE rank <= $FuseDepth),
+      fused AS (
+        SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+               COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               COALESCE(1.0 / ($RrfK + CAST(l.lex_rank AS DOUBLE)), 0.0)
+                 + COALESCE(1.0 / ($RrfK + CAST(d.dense_rank AS DOUBLE)), 0.0)
+                 AS rrf_score,
+               CAST(l.lex_rank IS NOT NULL AS BIGINT) AS in_lex,
+               CAST(d.dense_rank IS NOT NULL AS BIGINT) AS in_dense
+        FROM lexd l
+        FULL OUTER JOIN dend d
+          ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+      fr AS (SELECT query_id, doc_id, rrf_score, in_lex, in_dense,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+             FROM fused)
+      SELECT query_id, rank, doc_id, rrf_score, in_lex, in_dense
+      FROM fr WHERE rank <= $OutK
+      ORDER BY query_id, rank""")
+}

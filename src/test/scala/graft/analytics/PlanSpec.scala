@@ -471,6 +471,29 @@ class PlanSpec extends SparkSpec {
       s"encode path shuffles a join:\n$p")
   }
 
+  test("bm25: corpus scalars broadcast; term joins keyed, never a product") {
+    val p = graft.ext.Retrieval.bm25Retrieval(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.CacheScope.release()
+    // N/total_tf ride 1-row broadcast joins; query-term and df/dl joins
+    // are keyed on token/doc_id (the inverted-index shape) — a product
+    // would mean the postings frame lost its key
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"corpus scalars not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a retrieval join degenerated to a cartesian:\n$p")
+  }
+
+  test("hybridRrf: dense queries broadcast; no cartesian anywhere") {
+    val p = graft.ext.Retrieval.hybridRrf(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.CacheScope.release()
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"dense query frame not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a fusion join degenerated to a cartesian:\n$p")
+  }
+
   test("projectionRecall: queries broadcast; one corpus scan feeds both spaces") {
     val p = graft.ext.Similarity.projectionRecall(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -1,0 +1,98 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the retrieval operators: x140 BM25 (rational-idf,
+  * ppm-quantized) and x141 RRF hybrid fusion. Both hash-match their
+  * DuckDB oracles; these pin the ranking semantics (hand-computed BM25
+  * contributions, the exact 1/(k+r) fusion arithmetic, one-ranker
+  * candidates) that a refactor could break while still emitting SOME
+  * oracle-shaped frame. */
+class RetrievalSpec extends SparkSpec {
+
+  /** documents + embeddings fixture: doc 0 is the only query
+    * (candidate ids ≥ 10 stay outside the query window). */
+  private def corpusDir(docs: Seq[(Long, String)],
+                        vecs: Seq[(Long, Array[Float])]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retr_").toString
+    import spark.implicits._
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    vecs.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private val docs = Seq(
+    0L -> "apple banana",
+    10L -> "apple apple cherry",
+    11L -> "banana",
+    12L -> "cherry date egg fig")
+  private val vecs = Seq(
+    0L -> Array(1f, 0f, 0f, 0f),
+    10L -> Array(1f, 1f, 0f, 0f),
+    11L -> Array(0f, 1f, 0f, 0f),
+    12L -> Array(1f, 0f, 1f, 0f))
+
+  test("x140: exact hand-computed BM25 ppm scores and ranking") {
+    // N=4, total_tf=10, avgdl=2.5; query terms {apple, banana}, both
+    // df=2 so idf=(4-2+0.5)/2.5=1. doc10: tf(apple)=2, dl=3 →
+    // 1*(2*2.2)/(2+1.2*(0.25+0.75*1.2)) → ppm 1301775. doc11:
+    // tf(banana)=1, dl=1 → 2.2/1.66 → ppm 1325301. doc12 shares no
+    // term → absent. doc11 outranks doc10.
+    val out = Retrieval.bm25Retrieval(spark, corpusDir(docs, vecs)).collect()
+    graft.CacheScope.release()
+    assert(out.length == 2)
+    val r1 = out(0); val r2 = out(1)
+    assert(r1.getAs[Long]("rank") == 1L && r1.getAs[Long]("doc_id") == 11L &&
+      r1.getAs[Long]("score_ppm") == 1325301L)
+    assert(r2.getAs[Long]("rank") == 2L && r2.getAs[Long]("doc_id") == 10L &&
+      r2.getAs[Long]("score_ppm") == 1301775L)
+  }
+
+  test("x141: exact fusion arithmetic, one-ranker candidates, flags") {
+    // dense cosines from query [1,0,0,0]: doc10 = doc12 = 1/√2 (tie →
+    // vec_id: ranks 1,2), doc11 = 0 (rank 3). lexical ranks: doc11=1,
+    // doc10=2, doc12 absent. fused: doc10 1/62+1/61 > doc11 1/61+1/63
+    // > doc12 dense-only 1/62.
+    val out = Retrieval.hybridRrf(spark, corpusDir(docs, vecs)).collect()
+    graft.CacheScope.release()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 11L, 12L))
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    // the operator adds the lexical term first — replicate exactly
+    assert(out(0).getAs[Double]("rrf_score") == 1.0 / 62.0 + 1.0 / 61.0)
+    assert(out(1).getAs[Double]("rrf_score") == 1.0 / 61.0 + 1.0 / 63.0)
+    assert(out(2).getAs[Double]("rrf_score") == 0.0 + 1.0 / 62.0)
+    assert(out.map(r => (r.getAs[Long]("in_lex"), r.getAs[Long]("in_dense")))
+      .toSeq == Seq((1L, 1L), (1L, 1L), (0L, 1L)))
+  }
+
+  test("x140/x141 corpus invariants: query cover, rank contiguity, bounds") {
+    val bm = Retrieval.bm25Retrieval(spark, sfDir).cache()
+    val rrf = Retrieval.hybridRrf(spark, sfDir).cache()
+    graft.CacheScope.release()
+    // no self-retrieval, ranks contiguous from 1, scores descending
+    for (df <- Seq(bm, rrf)) {
+      assert(df.filter(col("query_id") === col("doc_id")).count() == 0)
+      val byQ = df.collect().groupBy(_.getAs[Long]("query_id"))
+      assert(byQ.size == 10, s"expected 10 query groups, got ${byQ.size}")
+      byQ.values.foreach { rows =>
+        assert(rows.map(_.getAs[Long]("rank")).sorted
+          .sameElements(1L to rows.length))
+      }
+    }
+    val bmRows = bm.collect().groupBy(_.getAs[Long]("query_id"))
+    bmRows.values.foreach { rows =>
+      val s = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("score_ppm"))
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+    }
+    // fused score bounded by the two best possible ranks; at least one
+    // ranker nominated every fused row
+    assert(rrf.filter(col("rrf_score") > 2.0 / 61.0).count() == 0)
+    assert(rrf.filter(col("in_lex") + col("in_dense") < 1).count() == 0)
+    bm.unpersist(); rrf.unpersist()
+  }
+}
