@@ -121,7 +121,15 @@ object ScaleCheck {
     // x141 re-runs both rankers (BM25 postings + dense brute force) and
     // fuses constant-size frames — expect the sum of the two linear
     // ranker costs, fusion itself O(|Q|·depth)
-    "x141_hybrid_rrf")
+    "x141_hybrid_rrf",
+    // x142's corpus work is the fixed-|Q| brute candidate scan (the
+    // x07/x139 linear constant); the unrolled MMR rounds touch only
+    // pool-sized frames, so expect scan-growth-only ratios
+    "x142_mmr_diversify",
+    // x143's corpus work is the orders⋈lineitem edge build; each sweep
+    // is one keyed join over the (distinct-pair-bounded) edge list —
+    // expect ~linear in edge mass
+    "x143_pagerank_supply")
   // Since round 12 the slices carry the FULL catalog (documents/events/
   // embeddings plus region/nation/supplier/customer/part/orders/
   // lineitem), so the relational q-series and x77/x80 join the suite-

@@ -21,6 +21,7 @@ object SparkEntry {
       ext.TextAnalysis.queries ++
       ext.Sampling.queries ++
       ext.Retrieval.queries ++
+      ext.Graph.queries ++
       ext.Contamination.queries ++
       ext.SqlSurface.queries ++
       etl.Sources.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
       ext.TextAnalysis.oracles ++
       ext.Sampling.oracles ++
       ext.Retrieval.oracles ++
+      ext.Graph.oracles ++
       ext.Contamination.oracles ++
       ext.SqlSurface.oracles ++
       etl.Sources.oracles ++

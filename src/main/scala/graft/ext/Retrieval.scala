@@ -49,6 +49,14 @@ object Retrieval {
   private val OneMinusB = 0.25
   /** RRF smoothing constant (the k=60 of Cormack et al. 2009). */
   private val RrfK = 60.0
+  /** MMR trade-off λ = 0.7 as the exact rational pair (7, 3)/10: the
+    * scored objective is mmr10 = 7·rel_ppm − 3·maxsim_ppm — the
+    * textbook λ·rel − (1−λ)·maxsim scaled by 10 into pure integers
+    * (argmax-invariant, and exact in any engine). */
+  private val MmrRelW = 7
+  private val MmrDivW = 3
+  /** Greedy MMR selection rounds per query. */
+  private val MmrK = 5
 
   /** Postings (doc_id, token, tf) over non-empty whitespace tokens —
     * the inverted-index frame both x140 stages share. */
@@ -152,9 +160,94 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** Dense candidate pool for MMR: per query the `FuseDepth` best docs
+    * by QUANTIZED relevance (rel_ppm = floor(cos·10⁶) — quantize
+    * BEFORE ranking so the candidate set itself replays exactly; ties
+    * break by doc_id). Carries the embedding so pairwise diversity
+    * sims are computed only within the ≤ |Q|·depth pool, never against
+    * the corpus. */
+  private def mmrCandidates(s: SparkSession, dir: String): DataFrame = {
+    val all = load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rel_ppm").desc, col("doc_id"))
+    all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("rel_ppm",
+        floor(cosine(col("qv"), col("v")) * lit(1000000.0)).cast("long"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rel_ppm"), col("v"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= FuseDepth)
+      .drop("rnk")
+  }
+
+  /** x142: MMR-diversified retrieval (Carbonell & Goldstein 1998) —
+    * greedy top-`MmrK` selection from the dense candidate pool,
+    * trading relevance against max similarity to the already-selected
+    * set (λ = 0.7). Closes the retrieval ladder: x140 lexical → x07
+    * dense → x141 fusion → x142 diversification (the dedup-at-serve
+    * step a curation pipeline runs on retrieved context).
+    *
+    * Scale shape: the ONLY corpus-sized work is the candidate scan
+    * (brute cosine at fixed |Q| — the x07 constant); the selection
+    * loop runs entirely on ≤ |Q|·depth frames (pool, pairwise sims,
+    * accumulated picks), unrolled `MmrK` times IN-PLAN — no collect,
+    * no driver loop, the x28 Lloyd-unroll precedent. All selection
+    * arithmetic is exact integers (ppm relevance/sim quantized at the
+    * pool edge), so the greedy argmax — including every tie — replays
+    * identically in the DuckDB oracle's unrolled CTE blocks.
+    *
+    * First pick has no selected set: maxsim_ppm is NULL and the score
+    * is pure relevance (7·rel_ppm), mirrored in the oracle. */
+  def mmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    val cand = mmrCandidates(s, dir).scopedCache()
+    // all ordered candidate pairs per query — ≤ |Q|·depth·(depth−1)
+    val a = cand.select(col("query_id"), col("doc_id").as("da"), col("v").as("va"))
+    val b = cand.select(col("query_id"), col("doc_id").as("db"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("query_id")).filter(col("da") =!= col("db"))
+      .select(col("query_id"), col("da"), col("db"),
+        floor(cosine(col("va"), col("vb")) * lit(1000000.0)).cast("long")
+          .as("sim_ppm"))
+      .scopedCache()
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("rel_ppm").desc, col("doc_id"))
+    var selected = cand
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("query_id"), col("doc_id"), col("rel_ppm"),
+        lit(null).cast("long").as("maxsim_ppm"),
+        (col("rel_ppm") * MmrRelW).as("mmr10"), lit(1L).as("pick"))
+    for (k <- 2 to MmrK) {
+      val rem = cand.join(selected.select("query_id", "doc_id"),
+        Seq("query_id", "doc_id"), "left_anti")
+      val ms = pairs
+        .join(selected.select(col("query_id"), col("doc_id").as("db")),
+          Seq("query_id", "db"))
+        .groupBy(col("query_id"), col("da").as("doc_id"))
+        .agg(max("sim_ppm").as("maxsim_ppm"))
+      val wk = Window.partitionBy("query_id")
+        .orderBy(col("mmr10").desc, col("doc_id"))
+      val picked = rem.select("query_id", "doc_id", "rel_ppm")
+        .join(ms, Seq("query_id", "doc_id"))
+        .withColumn("mmr10",
+          col("rel_ppm") * MmrRelW - col("maxsim_ppm") * MmrDivW)
+        .withColumn("rn", row_number().over(wk)).filter(col("rn") === 1)
+        .select(col("query_id"), col("doc_id"), col("rel_ppm"),
+          col("maxsim_ppm"), col("mmr10"), lit(k.toLong).as("pick"))
+      selected = selected.union(picked)
+    }
+    selected
+      .select(col("query_id"), col("pick"), col("doc_id"),
+        col("mmr10"), col("rel_ppm"), col("maxsim_ppm"))
+      .orderBy("query_id", "pick")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x140_bm25_retrieval" -> bm25Retrieval,
-    "x141_hybrid_rrf" -> hybridRrf)
+    "x141_hybrid_rrf" -> hybridRrf,
+    "x142_mmr_diversify" -> mmrDiversify)
 
   /** Shared CTE chain replaying [[bm25Ranked]] exactly (postings → df →
     * corpus scalars → doc lengths → query terms → per-term ppm →
@@ -199,23 +292,92 @@ object Retrieval {
                         ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
                FROM lexs)"""
 
-  /** Dense-rank CTE chain — the x07 cosine replay, fully ranked,
-    * ending at `denser(query_id, doc_id, rank)`. */
-  private def denseCtes: String = s"""
+  /** DuckDB cosine between two list-of-double columns — the exact
+    * expression shape [[graft.functions.Sketches.cosine]] compiles to
+    * (dot / (‖a‖·‖b‖), one IEEE division). */
+  private def cosSql(x: String, y: String): String =
+    s"""list_sum(list_transform(list_zip($x, $y), p -> p[1] * p[2])) /
+        (sqrt(list_sum(list_transform($x, a -> a * a))) *
+         sqrt(list_sum(list_transform($y, a -> a * a))))"""
+
+  /** Embedding base CTEs shared by the dense ranker and the MMR pool:
+    * `e(vec_id, v)` and the fixed-|Q| query frame `dq`. */
+  private def embCtes: String = s"""
       e AS (SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings),
       dq AS (SELECT vec_id AS query_id, v AS qv FROM e
-             WHERE vec_id < $NQueries),
+             WHERE vec_id < $NQueries)"""
+
+  /** Dense-rank CTE chain — the x07 cosine replay, fully ranked,
+    * ending at `denser(query_id, doc_id, rank)`. */
+  private def denseCtes: String = s"""
+      $embCtes,
       dsc AS (SELECT dq.query_id, e.vec_id AS doc_id,
-          list_sum(list_transform(list_zip(dq.qv, e.v), p -> p[1] * p[2])) /
-          (sqrt(list_sum(list_transform(dq.qv, x -> x * x))) *
-           sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cos
+          ${cosSql("dq.qv", "e.v")} AS cos
         FROM e, dq WHERE e.vec_id <> dq.query_id),
       denser AS (SELECT query_id, doc_id,
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                           ORDER BY cos DESC, doc_id) AS BIGINT) AS rank
                  FROM dsc)"""
+
+  /** x142 oracle: unrolled greedy MMR — pool + pairwise sims, then one
+    * CTE block per selection round (the x28 Lloyd-unroll pattern).
+    * `acc$k` accumulates picks 1..k; every score is exact-integer so
+    * the argmax (ties included) replays cell-for-cell. */
+  private def mmrOracle: String = {
+    val rounds = (2 to MmrK).map { k =>
+      s"""
+      ms$k AS (SELECT p.query_id, p.da AS doc_id,
+                 MAX(p.sim_ppm) AS maxsim_ppm
+               FROM pr p JOIN acc${k - 1} s
+                 ON s.query_id = p.query_id AND s.doc_id = p.db
+               GROUP BY 1, 2),
+      pick$k AS (SELECT query_id, doc_id, rel_ppm, maxsim_ppm, mmr10,
+                   CAST($k AS BIGINT) AS pick
+                 FROM (SELECT c.query_id, c.doc_id, c.rel_ppm,
+                         m.maxsim_ppm,
+                         c.rel_ppm * $MmrRelW - m.maxsim_ppm * $MmrDivW
+                           AS mmr10,
+                         ROW_NUMBER() OVER (PARTITION BY c.query_id
+                           ORDER BY c.rel_ppm * $MmrRelW -
+                                    m.maxsim_ppm * $MmrDivW DESC,
+                                    c.doc_id) AS rn
+                       FROM cand c
+                       JOIN ms$k m ON m.query_id = c.query_id
+                         AND m.doc_id = c.doc_id
+                       WHERE NOT EXISTS (SELECT 1 FROM acc${k - 1} s
+                         WHERE s.query_id = c.query_id
+                           AND s.doc_id = c.doc_id))
+                 WHERE rn = 1),
+      acc$k AS (SELECT * FROM acc${k - 1}
+                UNION ALL SELECT * FROM pick$k)"""
+    }.mkString(",")
+    s"""
+      WITH $embCtes,
+      msc AS (SELECT dq.query_id, e.vec_id AS doc_id, e.v,
+                CAST(floor(${cosSql("dq.qv", "e.v")} * 1000000.0) AS BIGINT)
+                  AS rel_ppm
+              FROM e, dq WHERE e.vec_id <> dq.query_id),
+      cand AS (SELECT query_id, doc_id, v, rel_ppm
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rel_ppm DESC, doc_id) AS rnk FROM msc)
+               WHERE rnk <= $FuseDepth),
+      pr AS (SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+               CAST(floor(${cosSql("a.v", "b.v")} * 1000000.0) AS BIGINT)
+                 AS sim_ppm
+             FROM cand a JOIN cand b
+               ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+      acc1 AS (SELECT query_id, doc_id, rel_ppm,
+                 CAST(NULL AS BIGINT) AS maxsim_ppm,
+                 rel_ppm * $MmrRelW AS mmr10, CAST(1 AS BIGINT) AS pick
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rel_ppm DESC, doc_id) AS rn FROM cand)
+               WHERE rn = 1),
+      $rounds
+      SELECT query_id, pick, doc_id, mmr10, rel_ppm, maxsim_ppm
+      FROM acc$MmrK ORDER BY query_id, pick"""
+  }
 
   val oracles: Map[String, String] = Map(
     "x140_bm25_retrieval" -> s"""
@@ -247,5 +409,6 @@ object Retrieval {
              FROM fused)
       SELECT query_id, rank, doc_id, rrf_score, in_lex, in_dense
       FROM fr WHERE rank <= $OutK
-      ORDER BY query_id, rank""")
+      ORDER BY query_id, rank""",
+    "x142_mmr_diversify" -> mmrOracle)
 }

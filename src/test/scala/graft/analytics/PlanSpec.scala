@@ -494,6 +494,31 @@ class PlanSpec extends SparkSpec {
       s"a fusion join degenerated to a cartesian:\n$p")
   }
 
+  test("mmrDiversify: queries broadcast; selection loop never a product") {
+    val p = graft.ext.Retrieval.mmrDiversify(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.CacheScope.release()
+    // the corpus-sized work is the broadcast-query candidate scan; the
+    // unrolled selection rounds are keyed joins over pool-sized frames
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query frame not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a selection join degenerated to a cartesian:\n$p")
+  }
+
+  test("pagerank: every iteration a keyed join — no product, no nested loop") {
+    val p = graft.ext.Graph.supplyRank(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.CacheScope.release()
+    // edge build and all unrolled sweeps are equi-joins on
+    // orderkey/src; the top-k is TakeOrderedAndProject, not a sort
+    assert(!p.contains("CartesianProduct"), s"cartesian in pagerank:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join leaked into pagerank:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k is not a TakeOrderedAndProject:\n$p")
+  }
+
   test("projectionRecall: queries broadcast; one corpus scan feeds both spaces") {
     val p = graft.ext.Similarity.projectionRecall(spark, sfDir)
       .queryExecution.executedPlan.toString

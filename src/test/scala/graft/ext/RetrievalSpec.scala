@@ -70,6 +70,50 @@ class RetrievalSpec extends SparkSpec {
       .toSeq == Seq((1L, 1L), (1L, 1L), (0L, 1L)))
   }
 
+  test("x142: hand-computed diversity flip, tie-breaks, graceful exhaustion") {
+    // query 0 = [1,1,0,0]; candidates: 10=[1,0,0,0], 11=[1,0,0,0]
+    // (exact dup of 10), 12=[0,1,0,0] (orthogonal to 10, equally
+    // relevant), 13=[0,0,1,0] (irrelevant). rel ppm: 10/11/12 all
+    // floor(1e6/√2)=707106, 13=0. Pick1: rel tie → doc_id → 10
+    // (mmr10=7·707106=4949742). Pick2: the DIVERSITY FLIP — dup 11
+    // scores 7·707106−3·1000000=1949742, orthogonal 12 scores
+    // 7·707106−3·0=4949742 → 12 wins despite equal relevance. Pick3:
+    // 11 (1949742) over 13 (0). Pick4: 13. Only 4 candidates for
+    // MmrK=5 → 4 picks, graceful.
+    val mvecs = Seq(
+      0L -> Array(1f, 1f, 0f, 0f),
+      10L -> Array(1f, 0f, 0f, 0f),
+      11L -> Array(1f, 0f, 0f, 0f),
+      12L -> Array(0f, 1f, 0f, 0f),
+      13L -> Array(0f, 0f, 1f, 0f))
+    val out = Retrieval.mmrDiversify(spark, corpusDir(docs, mvecs)).collect()
+    graft.CacheScope.release()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 12L, 11L, 13L))
+    assert(out.map(_.getAs[Long]("pick")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.map(_.getAs[Long]("mmr10")).toSeq ==
+      Seq(4949742L, 4949742L, 1949742L, 0L))
+    assert(out(0).isNullAt(out(0).fieldIndex("maxsim_ppm")))
+    assert(out.drop(1).map(_.getAs[Long]("maxsim_ppm")).toSeq ==
+      Seq(0L, 1000000L, 0L))
+  }
+
+  test("x142 corpus invariants: pick contiguity, maxsim only null first") {
+    val out = Retrieval.mmrDiversify(spark, sfDir).collect()
+    graft.CacheScope.release()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("pick"))
+      assert(sorted.map(_.getAs[Long]("pick")).sameElements(1L to rows.length))
+      // exactly the first pick lacks a selected set
+      assert(sorted.head.isNullAt(sorted.head.fieldIndex("maxsim_ppm")))
+      assert(sorted.tail.forall(r => !r.isNullAt(r.fieldIndex("maxsim_ppm"))))
+      // no doc picked twice
+      val ds = rows.map(_.getAs[Long]("doc_id"))
+      assert(ds.distinct.length == ds.length)
+    }
+  }
+
   test("x140/x141 corpus invariants: query cover, rank contiguity, bounds") {
     val bm = Retrieval.bm25Retrieval(spark, sfDir).cache()
     val rrf = Retrieval.hybridRrf(spark, sfDir).cache()
