@@ -166,7 +166,7 @@ object Retrieval {
     * break by doc_id). Carries the embedding so pairwise diversity
     * sims are computed only within the ≤ |Q|·depth pool, never against
     * the corpus. */
-  private def mmrCandidates(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def mmrCandidates(s: SparkSession, dir: String): DataFrame = {
     val all = load(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -194,11 +194,18 @@ object Retrieval {
     * Scale shape: the ONLY corpus-sized work is the candidate scan
     * (brute cosine at fixed |Q| — the x07 constant); the selection
     * loop runs entirely on ≤ |Q|·depth frames (pool, pairwise sims,
-    * accumulated picks), unrolled `MmrK` times IN-PLAN — no collect,
-    * no driver loop, the x28 Lloyd-unroll precedent. All selection
-    * arithmetic is exact integers (ppm relevance/sim quantized at the
-    * pool edge), so the greedy argmax — including every tie — replays
-    * identically in the DuckDB oracle's unrolled CTE blocks.
+    * accumulated picks). Each round's pick frame is MATERIALIZED
+    * (eager localCheckpoint, the ConnectedComponents per-round
+    * precedent — a production job would use checkpoint()): round k
+    * references the selected set twice (the anti-join and the max-sim
+    * update), so a fully-lazy unroll compounds the logical plan ~3^k
+    * and the analyzer/optimizer — not the data — becomes the cost
+    * (measured: 21.8 s lazy vs ~2 s materialized at sf0.001, both
+    * sides data-trivial). The picks stay distributed; nothing is
+    * collected. All selection arithmetic is exact integers (ppm
+    * relevance/sim quantized at the pool edge), so the greedy argmax —
+    * including every tie — replays identically in the DuckDB oracle's
+    * unrolled CTE blocks.
     *
     * First pick has no selected set: maxsim_ppm is NULL and the score
     * is pure relevance (7·rel_ppm), mirrored in the oracle. */
@@ -219,6 +226,7 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("rel_ppm"),
         lit(null).cast("long").as("maxsim_ppm"),
         (col("rel_ppm") * MmrRelW).as("mmr10"), lit(1L).as("pick"))
+      .localCheckpoint()
     for (k <- 2 to MmrK) {
       val rem = cand.join(selected.select("query_id", "doc_id"),
         Seq("query_id", "doc_id"), "left_anti")
@@ -236,6 +244,7 @@ object Retrieval {
         .withColumn("rn", row_number().over(wk)).filter(col("rn") === 1)
         .select(col("query_id"), col("doc_id"), col("rel_ppm"),
           col("maxsim_ppm"), col("mmr10"), lit(k.toLong).as("pick"))
+        .localCheckpoint()
       selected = selected.union(picked)
     }
     selected

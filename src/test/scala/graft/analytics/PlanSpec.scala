@@ -495,15 +495,23 @@ class PlanSpec extends SparkSpec {
   }
 
   test("mmrDiversify: queries broadcast; selection loop never a product") {
+    // the corpus-sized work all lives in the candidate pool: the query
+    // frame must ride a broadcast non-equi join, never a cartesian
+    val cp = graft.ext.Retrieval.mmrCandidates(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(cp.contains("BroadcastNestedLoopJoin"),
+      s"query frame not broadcast:\n$cp")
+    assert(!cp.contains("CartesianProduct"),
+      s"candidate scan degenerated to a cartesian:\n$cp")
+    // the selection rounds materialize per-round picks (the
+    // exponential-plan guard) — the final frame is a union of
+    // checkpointed pool-sized frames, no product anywhere
     val p = graft.ext.Retrieval.mmrDiversify(spark, sfDir)
       .queryExecution.executedPlan.toString
     graft.CacheScope.release()
-    // the corpus-sized work is the broadcast-query candidate scan; the
-    // unrolled selection rounds are keyed joins over pool-sized frames
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"query frame not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"a selection join degenerated to a cartesian:\n$p")
+    assert(p.contains("Union"), s"per-round picks not unioned:\n$p")
   }
 
   test("pagerank: every iteration a keyed join — no product, no nested loop") {
