@@ -129,7 +129,19 @@ object ScaleCheck {
     // x143's corpus work is the orders⋈lineitem edge build; each sweep
     // is one keyed join over the (distinct-pair-bounded) edge list —
     // expect ~linear in edge mass
-    "x143_pagerank_supply")
+    "x143_pagerank_supply",
+    // x144 runs 2 corpus passes per power step over the cached exploded
+    // table (C·v, never C) — expect linear in vector count, constant
+    // per-step frames (64-row direction broadcasts)
+    "x144_spectral_audit",
+    // x145's cost is the append write + merged scan; delete commits
+    // write only key files and the merge is a broadcast anti-join —
+    // expect ~linear in table bytes through the layout (x134/x135 shape)
+    "x145_equality_delete_read",
+    // x146 re-runs the x141 rankers then attaches labels to the
+    // broadcast ≤|Q|·k frame — expect the x141 ratio plus one keyed
+    // corpus pass over embeddings
+    "x146_retrieval_eval")
   // Since round 12 the slices carry the FULL catalog (documents/events/
   // embeddings plus region/nation/supplier/customer/part/orders/
   // lineitem), so the relational q-series and x77/x80 join the suite-

@@ -22,6 +22,7 @@ object SparkEntry {
       ext.Sampling.queries ++
       ext.Retrieval.queries ++
       ext.Graph.queries ++
+      ext.Spectral.queries ++
       ext.Contamination.queries ++
       ext.SqlSurface.queries ++
       etl.Sources.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       ext.Sampling.oracles ++
       ext.Retrieval.oracles ++
       ext.Graph.oracles ++
+      ext.Spectral.oracles ++
       ext.Contamination.oracles ++
       ext.SqlSurface.oracles ++
       etl.Sources.oracles ++

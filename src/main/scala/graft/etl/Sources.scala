@@ -623,12 +623,12 @@ object Sources {
     v + 1
   }
 
-  /** Read a manifest table: resolve the live file set once, scan it. */
+  /** Read a manifest table: resolve the live file set once, scan it —
+    * merge-aware ([[manifestReadMerged]]): live equality deletes
+    * (x145) are applied; a delete-free table is a plain scan. */
   private[graft] def manifestRead(s: SparkSession,
-      root: org.apache.hadoop.fs.Path): DataFrame = {
-    val (_, files) = currentManifest(s, root)
-    s.read.parquet(files: _*)
-  }
+      root: org.apache.hadoop.fs.Path): DataFrame =
+    manifestReadMerged(s, root)
 
   /** File set of an ARBITRARY retained version — the time-travel
     * resolve. Same immutability argument as the live read: the manifest
@@ -650,8 +650,19 @@ object Sources {
     * pre-compaction files, which vacuum retains while the version is
     * inside the window). */
   private[graft] def manifestReadAt(s: SparkSession,
-      root: org.apache.hadoop.fs.Path, v: Long): DataFrame =
-    s.read.parquet(manifestFilesAt(s, root, v): _*)
+      root: org.apache.hadoop.fs.Path, v: Long): DataFrame = {
+    // merge-aware: a version committed after an equality delete (x145)
+    // carries delete: entries — the snapshot applies them, same as the
+    // live merged read
+    val (data, dels) = splitEntries(manifestFilesAt(s, root, v))
+    val base = s.read.parquet(data: _*)
+    if (dels.isEmpty) base
+    else {
+      val keys = s.read.parquet(dels: _*)
+      base.join(org.apache.spark.sql.functions.broadcast(keys),
+        keys.columns.toSeq, "left_anti")
+    }
+  }
 
   /** Incremental consumption via manifest diff: scan ONLY the files
     * version `vTo` added relative to `vFrom` — the file-level CDC a
@@ -664,8 +675,79 @@ object Sources {
   private[graft] def manifestReadDiff(s: SparkSession,
       root: org.apache.hadoop.fs.Path, vFrom: Long, vTo: Long): DataFrame = {
     val before = manifestFilesAt(s, root, vFrom).toSet
+    // delete entries (x145) are NOT part of the append diff — the
+    // documented contract is appends-only (the Iceberg line); deletes
+    // reach consumers through the merged snapshot reads
     val added = manifestFilesAt(s, root, vTo).filterNot(before)
+      .filterNot(_.startsWith(DeletePrefix))
     if (added.isEmpty) s.emptyDataFrame else s.read.parquet(added: _*)
+  }
+
+  // ----- Equality deletes / merge-on-read (x145) ----------------------
+  //
+  // Deletes without rewriting data: a delete commit writes a small
+  // parquet of KEY VALUES (its columns ARE the equality key — the
+  // Iceberg v2 equality-delete convention) and registers it in the
+  // manifest as a `delete:<uri>` line. Readers resolve `_current` once,
+  // scan the data files, and anti-join the union of delete frames —
+  // merge-on-read costs one broadcast anti-join against key sets that
+  // are tiny relative to the table, zero data bytes rewritten at
+  // delete time. `manifestApplyDeletes` is the major compaction that
+  // folds deletes back into data files when their count grows.
+
+  private val DeletePrefix = "delete:"
+  private def splitEntries(lines: Seq[String]): (Seq[String], Seq[String]) =
+    (lines.filterNot(_.startsWith(DeletePrefix)),
+     lines.filter(_.startsWith(DeletePrefix)).map(_.stripPrefix(DeletePrefix)))
+
+  /** Commit an equality delete: write `keys` (columns = the equality
+    * key) as an immutable delete file set under `data/d-<v+1>`, commit
+    * old entries ++ the new `delete:`-tagged ones. No data file is
+    * touched. Returns the committed version. */
+  private[graft] def manifestDelete(s: SparkSession,
+      root: org.apache.hadoop.fs.Path, keys: DataFrame): Long = {
+    val (v, old) = currentManifest(s, root)
+    val w = new org.apache.hadoop.fs.Path(root, s"data/d-${v + 1}")
+    keys.coalesce(1).write.mode(SaveMode.Overwrite).parquet(w.toString)
+    manifestCommit(s, root, v + 1,
+      old ++ writtenFiles(s, w).map(DeletePrefix + _))
+    v + 1
+  }
+
+  /** Merge-on-read: scan the live data files, anti-join every live
+    * delete frame on its own columns (broadcast — delete key sets are
+    * small by contract; a table whose deletes outgrew broadcast is due
+    * for [[manifestApplyDeletes]]). No deletes → plain scan. */
+  private[graft] def manifestReadMerged(s: SparkSession,
+      root: org.apache.hadoop.fs.Path): DataFrame = {
+    val (_, lines) = currentManifest(s, root)
+    val (data, dels) = splitEntries(lines)
+    val base = s.read.parquet(data: _*)
+    if (dels.isEmpty) base
+    else {
+      val keys = s.read.parquet(dels: _*)
+      base.join(org.apache.spark.sql.functions.broadcast(keys),
+        keys.columns.toSeq, "left_anti")
+    }
+  }
+
+  /** Major compaction for deletes: rewrite the merged view into fresh
+    * data files and commit WITHOUT the delete entries (old data and
+    * delete files stay for retained versions until vacuum). Read
+    * results are identical before/after (spec-asserted); what changes
+    * is that readers stop paying the anti-join. No-op on a table with
+    * no deletes. Returns the committed version (or the current one on
+    * no-op). */
+  private[graft] def manifestApplyDeletes(s: SparkSession,
+      root: org.apache.hadoop.fs.Path, shards: Int): Long = {
+    val (v, lines) = currentManifest(s, root)
+    val (_, dels) = splitEntries(lines)
+    if (dels.isEmpty) return v
+    val w = new org.apache.hadoop.fs.Path(root, s"data/w-${v + 1}")
+    manifestReadMerged(s, root).repartition(shards)
+      .write.mode(SaveMode.Overwrite).parquet(w.toString)
+    manifestCommit(s, root, v + 1, writtenFiles(s, w))
+    v + 1
   }
 
   /** Incremental small-files compaction over the MANIFEST layout — the
@@ -688,7 +770,11 @@ object Sources {
       root: org.apache.hadoop.fs.Path, targetFileBytes: Long,
       smallFloorBytes: Long, beforeCommit: () => Unit = () => ()): Int = {
     val fs = fsOf(s, root)
-    val (v, files) = currentManifest(s, root)
+    val (v, lines) = currentManifest(s, root)
+    // delete entries pass through untouched — size-compaction only
+    // reshapes DATA files; folding deletes in is manifestApplyDeletes'
+    // job, and the two maintenance passes compose in either order
+    val (files, delEntries) = splitEntries(lines)
     val sized = files.map(f => (f,
       fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen))
     val (smalls, compliant) = sized.partition(_._2 < smallFloorBytes)
@@ -701,7 +787,9 @@ object Sources {
       .repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(w.toString)
     beforeCommit()
-    manifestCommit(s, root, v + 1, compliant.map(_._1) ++ writtenFiles(s, w))
+    manifestCommit(s, root, v + 1,
+      compliant.map(_._1) ++ writtenFiles(s, w) ++
+        delEntries.map(DeletePrefix + _))
     n
   }
 
@@ -719,7 +807,8 @@ object Sources {
     val keep = keptVersions.flatMap { kv =>
       val p = new org.apache.hadoop.fs.Path(manifestRoot(root), s"m-$kv.txt")
       if (fs.exists(p))
-        readSmall(fs, p).linesIterator.map(_.trim).filter(_.nonEmpty).toSet
+        readSmall(fs, p).linesIterator.map(_.trim).filter(_.nonEmpty)
+          .map(_.stripPrefix(DeletePrefix)).toSet
       else Set.empty[String]
     }
     var removed = 0
@@ -800,6 +889,29 @@ object Sources {
     manifestReadDiff(s, root, 1L, 2L).orderBy("doc_id")
   }
 
+  /** x145 driver query: equality-delete merge-on-read. Append the full
+    * documents table, commit two equality deletes (doc_id keys — zero
+    * data bytes rewritten), and read merged: the live view is the base
+    * scan minus one broadcast anti-join against the tiny accumulated
+    * key frames. Oracle = exactly the surviving predicate; the spec
+    * proves the maintenance contract (applyDeletes folds the deletes
+    * into fresh files with an IDENTICAL read result and drops the
+    * delete entries; size-compaction carries delete entries through;
+    * time travel to the pre-delete version still sees every row). */
+  def manifestEqualityDeleteRead(s: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(
+      roundtripRoot.resolve(s"manifest_mor_${dirKey(dir)}").toUri)
+    fsOf(s, root).delete(root, true)
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    manifestAppend(s, root, docs, 8)
+    manifestDelete(s, root,
+      docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id"))
+    manifestDelete(s, root,
+      docs.filter(pmod(col("doc_id"), lit(11L)) === 5).select("doc_id"))
+    manifestReadMerged(s, root).orderBy("doc_id")
+  }
+
   /** Driver query: fragment the documents table into 64 shard files
     * (the incremental-append aftermath), compact back to the target
     * size, and return the compacted table — a lossless layout
@@ -840,6 +952,7 @@ object Sources {
     "x132_manifest_compaction" -> manifestCompactionRoundtrip,
     "x134_manifest_time_travel" -> manifestTimeTravel,
     "x135_manifest_diff_read" -> manifestDiffRead,
+    "x145_equality_delete_read" -> manifestEqualityDeleteRead,
     "x130_compaction_incremental" -> incrementalCompactionRoundtrip,
     "x127_compaction_roundtrip" -> compactionRoundtrip,
     "x121_publish_audit" -> publishAuditExport,
@@ -870,6 +983,11 @@ object Sources {
     "x135_manifest_diff_read" -> """
       SELECT doc_id, text, lang, source, n_chars
       FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""",
+    // merge-on-read = base minus both equality-delete key sets
+    "x145_equality_delete_read" -> """
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents
+      WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5 ORDER BY doc_id""",
     // the published export must be content-identical to the source
     // table — count, xor-fold checksum, and mass all rebuilt by DuckDB
     "x121_publish_audit" -> """

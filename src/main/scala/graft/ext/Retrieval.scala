@@ -253,10 +253,50 @@ object Retrieval {
       .orderBy("query_id", "pick")
   }
 
+  /** x146: retrieval evaluation — the metric gate a retrieval pipeline
+    * ships with. Ground truth is label agreement on the embeddings
+    * table (query and candidate share `label`); the system under test
+    * is the full x141 hybrid ranking. Per query: relevant-in-top-k
+    * count, precision@k, rank of the first relevant hit, and
+    * reciprocal rank — every metric an exact integer (ppm via
+    * truncating division; no log-discounted nDCG, because log is not
+    * bit-specified across engines — the x66 rationale). Lexical-only
+    * candidates (no embedding row) count as non-relevant.
+    *
+    * Scale shape: the ranker is x141's machinery; the only NEW join
+    * attaches labels to the fused top-k — the corpus-sized label table
+    * builds against the BROADCAST ≤ |Q|·k candidate frame (inner,
+    * build-right), then a tiny-tiny left join restores candidates
+    * without embeddings. Metrics are one groupBy over ≤ |Q|·k rows. */
+  def retrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val lab = load(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val fused = hybridRrf(s, dir)
+      .select(col("query_id"), col("rank"), col("doc_id")).scopedCache()
+    val withQ = fused.join(
+      broadcast(lab.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel"))), Seq("query_id"))
+    val hit = lab.select(col("vec_id").as("doc_id"), col("label").as("dlabel"))
+      .join(broadcast(fused.select("query_id", "doc_id")), Seq("doc_id"))
+    val ev = withQ
+      .join(broadcast(hit), Seq("query_id", "doc_id"), "left")
+      .withColumn("rel",
+        when(col("dlabel").isNotNull && col("dlabel") === col("qlabel"), 1L)
+          .otherwise(0L))
+    ev.groupBy("query_id")
+      .agg(sum("rel").cast("long").as("n_rel_at_k"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel_rank"))
+      .select(col("query_id"), col("n_rel_at_k"),
+        expr(s"n_rel_at_k * 1000000 div $OutK").as("prec_at_k_ppm"),
+        col("first_rel_rank"),
+        coalesce(expr("1000000 div first_rel_rank"), lit(0L)).as("rr_ppm"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x140_bm25_retrieval" -> bm25Retrieval,
     "x141_hybrid_rrf" -> hybridRrf,
-    "x142_mmr_diversify" -> mmrDiversify)
+    "x142_mmr_diversify" -> mmrDiversify,
+    "x146_retrieval_eval" -> retrievalEval)
 
   /** Shared CTE chain replaying [[bm25Ranked]] exactly (postings → df →
     * corpus scalars → doc lengths → query terms → per-term ppm →
@@ -395,7 +435,36 @@ object Retrieval {
       FROM lexr WHERE rank <= $OutK
       ORDER BY query_id, rank""",
     "x141_hybrid_rrf" -> s"""
-      WITH $bm25Ctes,
+      WITH $fusionCtes
+      SELECT query_id, rank, doc_id, rrf_score, in_lex, in_dense
+      FROM fr WHERE rank <= $OutK
+      ORDER BY query_id, rank""",
+    "x142_mmr_diversify" -> mmrOracle,
+    "x146_retrieval_eval" -> s"""
+      WITH $fusionCtes,
+      topk AS (SELECT query_id, rank, doc_id
+               FROM fr WHERE rank <= $OutK),
+      lab AS (SELECT vec_id, label FROM embeddings),
+      evr AS (SELECT t.query_id, t.rank,
+                CASE WHEN dl.label IS NOT NULL AND dl.label = ql.label
+                     THEN 1 ELSE 0 END AS rel
+              FROM topk t
+              JOIN lab ql ON ql.vec_id = t.query_id
+              LEFT JOIN lab dl ON dl.vec_id = t.doc_id)
+      SELECT query_id,
+        CAST(SUM(rel) AS BIGINT) AS n_rel_at_k,
+        CAST(SUM(rel) AS BIGINT) * 1000000 // $OutK AS prec_at_k_ppm,
+        MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank,
+        COALESCE(1000000 // MIN(CASE WHEN rel = 1 THEN rank END),
+                 CAST(0 AS BIGINT)) AS rr_ppm
+      FROM evr GROUP BY 1 ORDER BY query_id""")
+
+  /** Shared fusion CTE chain — bm25 + dense rankers fused rank-side,
+    * fully ranked at `fr(query_id, doc_id, rrf_score, in_lex,
+    * in_dense, rank)` — ONE definition for x141 and x146 (the
+    * bm25Ctes precedent: shared rankers cannot drift). */
+  private def fusionCtes: String = s"""
+      $bm25Ctes,
       $denseCtes,
       lexd AS (SELECT query_id, doc_id, rank AS lex_rank
                FROM lexr WHERE rank <= $FuseDepth),
@@ -415,9 +484,5 @@ object Retrieval {
       fr AS (SELECT query_id, doc_id, rrf_score, in_lex, in_dense,
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                       ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
-             FROM fused)
-      SELECT query_id, rank, doc_id, rrf_score, in_lex, in_dense
-      FROM fr WHERE rank <= $OutK
-      ORDER BY query_id, rank""",
-    "x142_mmr_diversify" -> mmrOracle)
+             FROM fused)"""
 }

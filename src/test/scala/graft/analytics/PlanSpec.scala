@@ -527,6 +527,45 @@ class PlanSpec extends SparkSpec {
       s"global top-k is not a TakeOrderedAndProject:\n$p")
   }
 
+  test("spectral: centered table built once; direction broadcast; no product") {
+    val p = graft.ext.Spectral.powerIteration(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.CacheScope.release()
+    // every power step re-reads the CACHED exploded table — the
+    // covariance matrix is never materialized and the corpus is
+    // exploded exactly once
+    assert(p.contains("InMemoryTableScan"),
+      s"centered table not cached across power steps:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a spectral join degenerated to a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"direction/mean frames not broadcast:\n$p")
+  }
+
+  test("equalityDeleteRead: merge-on-read is one broadcast anti-join") {
+    val p = graft.etl.Sources.manifestEqualityDeleteRead(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.CacheScope.release()
+    // the delete key frames are tiny by contract — the merge must ride
+    // a broadcast LeftAnti, never a shuffled join against the table
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"merge-on-read not a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"delete merge shuffled the table:\n$p")
+  }
+
+  test("retrievalEval: label attach builds against the broadcast top-k") {
+    val p = graft.ext.Retrieval.retrievalEval(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.CacheScope.release()
+    // the corpus-sized label table joins the ≤|Q|·k candidate frame
+    // broadcast, and nothing in the metric chain is a product
+    assert(p.contains("BroadcastHashJoin"),
+      s"label attach not a broadcast build:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a metric join degenerated to a cartesian:\n$p")
+  }
+
   test("projectionRecall: queries broadcast; one corpus scan feeds both spaces") {
     val p = graft.ext.Similarity.projectionRecall(spark, sfDir)
       .queryExecution.executedPlan.toString

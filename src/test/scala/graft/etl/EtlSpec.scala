@@ -537,6 +537,59 @@ class EtlSpec extends SparkSpec {
     assert(Sources.currentManifest(spark, root)._2 == afterFiles)
   }
 
+  test("equality deletes: zero-rewrite commits, apply-fold identity, compaction passthrough") {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_mor_spec").resolve("t").toUri)
+    val df = spark.range(20000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+    def sig(d: org.apache.spark.sql.DataFrame) =
+      d.agg(sum("id"), count(lit(1))).head()
+    Sources.manifestAppend(spark, root, df.filter(col("id") % 10 =!= 0), 1)
+    val v2 = Sources.manifestAppend(spark, root, df.filter(col("id") % 10 === 0), 24)
+    val (_, preLines) = Sources.currentManifest(spark, root)
+
+    // delete commit touches ZERO data files: same data entries, one new
+    // delete: entry, and the merged read drops exactly the keyed rows
+    Sources.manifestDelete(spark, root,
+      df.filter(col("id") % 7 === 3).select("id"))
+    val (_, delLines) = Sources.currentManifest(spark, root)
+    assert(delLines.filterNot(_.startsWith("delete:")) == preLines,
+      "a delete commit rewrote data files")
+    assert(delLines.count(_.startsWith("delete:")) == 1)
+    val want1 = sig(df.filter(col("id") % 7 =!= 3))
+    assert(sig(Sources.manifestReadMerged(spark, root)) == want1)
+
+    // second delete accumulates; time travel to the pre-delete version
+    // still sees every row
+    Sources.manifestDelete(spark, root,
+      df.filter(col("id") % 11 === 5).select("id"))
+    val want2 = sig(df.filter(col("id") % 7 =!= 3 && col("id") % 11 =!= 5))
+    assert(sig(Sources.manifestReadMerged(spark, root)) == want2)
+    assert(sig(Sources.manifestReadAt(spark, root, v2)) == sig(df))
+
+    // size-compaction composes: delete entries carried through, merged
+    // read unchanged
+    assert(Sources.manifestCompactSmallFiles(spark, root,
+      targetFileBytes = 1L << 30, smallFloorBytes = 8192L) > 0)
+    val (_, afterCompact) = Sources.currentManifest(spark, root)
+    assert(afterCompact.count(_.startsWith("delete:")) == 2,
+      "size-compaction dropped delete entries")
+    assert(sig(Sources.manifestReadMerged(spark, root)) == want2)
+
+    // applyDeletes folds deletes into fresh data files: identical read,
+    // no delete entries left, second call a no-op
+    val vApplied = Sources.manifestApplyDeletes(spark, root, 2)
+    val (vNow, foldedLines) = Sources.currentManifest(spark, root)
+    assert(vNow == vApplied)
+    assert(foldedLines.forall(!_.startsWith("delete:")))
+    assert(sig(Sources.manifestReadMerged(spark, root)) == want2)
+    assert(Sources.manifestApplyDeletes(spark, root, 2) == vApplied)
+    // vacuum reclaims the pre-fold files; the live read stays correct
+    assert(Sources.manifestVacuum(spark, root) > 0)
+    assert(sig(Sources.manifestReadMerged(spark, root)) == want2)
+  }
+
   test("manifest time travel + diff reads honor the retention window") {
     import org.apache.spark.sql.functions._
     val root = new org.apache.hadoop.fs.Path(

@@ -114,6 +114,52 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("x146: hand-computed metrics incl. a no-embedding candidate") {
+    // doc 11 has NO embedding: dense ranks cover only 10,12 (cos tie
+    // 1/√2 → vec_id: 10=1, 12=2); lexical ranks 11=1, 10=2 (the x140
+    // scores). fused: 10 → 1/62+1/61 (rank 1), 11 → 1/61 (rank 2,
+    // lexical-only), 12 → 1/62 (rank 3). labels: q0=1, 10=2, 12=1;
+    // 11 unembedded → never relevant. So n_rel=1 (doc 12 at rank 3),
+    // prec@5 = 200000 ppm, first_rel_rank = 3, rr = 1000000 div 3 =
+    // 333333.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev_").toString
+    import spark.implicits._
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((0L, Array(1f, 0f, 0f, 0f), 1),
+        (10L, Array(1f, 1f, 0f, 0f), 2),
+        (12L, Array(1f, 0f, 1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Retrieval.retrievalEval(spark, dir).collect()
+    graft.CacheScope.release()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_rel_at_k") == 1L)
+    assert(r.getAs[Long]("prec_at_k_ppm") == 200000L)
+    assert(r.getAs[Long]("first_rel_rank") == 3L)
+    assert(r.getAs[Long]("rr_ppm") == 333333L)
+  }
+
+  test("x146 corpus invariants: metric consistency per query") {
+    val out = Retrieval.retrievalEval(spark, sfDir).collect()
+    graft.CacheScope.release()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_rel_at_k")
+      assert(n >= 0L && n <= 5L)
+      assert(r.getAs[Long]("prec_at_k_ppm") == n * 200000L)
+      val idx = r.fieldIndex("first_rel_rank")
+      if (r.isNullAt(idx)) assert(r.getAs[Long]("rr_ppm") == 0L)
+      else {
+        val fr = r.getLong(idx)
+        assert(fr >= 1L && fr <= 5L && n >= 1L)
+        assert(r.getAs[Long]("rr_ppm") == 1000000L / fr)
+      }
+    }
+  }
+
   test("x140/x141 corpus invariants: query cover, rank contiguity, bounds") {
     val bm = Retrieval.bm25Retrieval(spark, sfDir).cache()
     val rrf = Retrieval.hybridRrf(spark, sfDir).cache()
