@@ -141,7 +141,12 @@ object ScaleCheck {
     // x146 re-runs the x141 rankers then attaches labels to the
     // broadcast ≤|Q|·k frame — expect the x141 ratio plus one keyed
     // corpus pass over embeddings
-    "x146_retrieval_eval")
+    "x146_retrieval_eval",
+    // x147 streams the events table as 4 CDC batches: per trigger the
+    // work is batch-sized plus one merged-snapshot join keyed on
+    // user_id, plus the final fold — expect ~linear in event volume
+    // with the micro-batch floor diluting
+    "x147_stream_upsert_mor")
   // Since round 12 the slices carry the FULL catalog (documents/events/
   // embeddings plus region/nation/supplier/customer/part/orders/
   // lineitem), so the relational q-series and x77/x80 join the suite-

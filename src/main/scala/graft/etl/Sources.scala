@@ -652,16 +652,10 @@ object Sources {
   private[graft] def manifestReadAt(s: SparkSession,
       root: org.apache.hadoop.fs.Path, v: Long): DataFrame = {
     // merge-aware: a version committed after an equality delete (x145)
-    // carries delete: entries — the snapshot applies them, same as the
-    // live merged read
+    // carries delete: entries — the snapshot applies them with the
+    // same sequence rule as the live merged read
     val (data, dels) = splitEntries(manifestFilesAt(s, root, v))
-    val base = s.read.parquet(data: _*)
-    if (dels.isEmpty) base
-    else {
-      val keys = s.read.parquet(dels: _*)
-      base.join(org.apache.spark.sql.functions.broadcast(keys),
-        keys.columns.toSeq, "left_anti")
-    }
+    mergedScan(s, data, dels)
   }
 
   /** Incremental consumption via manifest diff: scan ONLY the files
@@ -689,16 +683,58 @@ object Sources {
   // parquet of KEY VALUES (its columns ARE the equality key — the
   // Iceberg v2 equality-delete convention) and registers it in the
   // manifest as a `delete:<uri>` line. Readers resolve `_current` once,
-  // scan the data files, and anti-join the union of delete frames —
-  // merge-on-read costs one broadcast anti-join against key sets that
-  // are tiny relative to the table, zero data bytes rewritten at
-  // delete time. `manifestApplyDeletes` is the major compaction that
-  // folds deletes back into data files when their count grows.
+  // scan the data files, and anti-join delete frames — merge-on-read
+  // costs broadcast anti-joins against key sets that are tiny relative
+  // to the table, zero data bytes rewritten at delete time.
+  // `manifestApplyDeletes` is the major compaction that folds deletes
+  // back into data files when their count grows.
+  //
+  // SEQUENCE RULE (also Iceberg's): a delete applies ONLY to data
+  // files committed strictly before it. Without this, re-inserting a
+  // deleted key (every CDC upsert, x147) would be impossible — the old
+  // delete would kill the new row. The immutable never-reused
+  // `data/[wd]-<v>` paths carry the sequence; [[mergedScan]] enforces
+  // the rule, and compaction folds applicable deletes into rewritten
+  // files (whose rows land ABOVE existing deletes).
 
   private val DeletePrefix = "delete:"
   private def splitEntries(lines: Seq[String]): (Seq[String], Seq[String]) =
     (lines.filterNot(_.startsWith(DeletePrefix)),
      lines.filter(_.startsWith(DeletePrefix)).map(_.stripPrefix(DeletePrefix)))
+
+  /** Sequence number of a manifest entry = the commit version baked
+    * into its immutable path (`data/w-<v>` / `data/d-<v>` — names are
+    * never reused, so the path IS the sequence). The Iceberg rule: an
+    * equality delete applies ONLY to data files with a strictly lower
+    * sequence — rows appended after the delete (the CDC upsert
+    * pattern, x147) are immune to it. */
+  private val SeqRe = ".*/data/[wd]-(\\d+)/.*".r
+  private def entrySeq(uri: String): Long = uri match {
+    case SeqRe(v) => v.toLong
+    case _        => 0L
+  }
+
+  /** Sequence-aware merged scan: data files grouped by commit version,
+    * each group anti-joined against exactly the delete files committed
+    * AFTER it, groups unioned. One group and no applicable deletes is
+    * a plain scan; delete key frames are broadcast (small by
+    * contract). */
+  private def mergedScan(s: SparkSession, data: Seq[String],
+      dels: Seq[String]): DataFrame = {
+    val delsByV = dels.map(u => (entrySeq(u), u))
+    val groups = data.groupBy(entrySeq).toSeq.sortBy(_._1).map {
+      case (v, files) =>
+        val applicable = delsByV.filter(_._1 > v).map(_._2)
+        val base = s.read.parquet(files: _*)
+        if (applicable.isEmpty) base
+        else {
+          val keys = s.read.parquet(applicable: _*)
+          base.join(org.apache.spark.sql.functions.broadcast(keys),
+            keys.columns.toSeq, "left_anti")
+        }
+    }
+    groups.reduce(_.unionByName(_))
+  }
 
   /** Commit an equality delete: write `keys` (columns = the equality
     * key) as an immutable delete file set under `data/d-<v+1>`, commit
@@ -714,21 +750,16 @@ object Sources {
     v + 1
   }
 
-  /** Merge-on-read: scan the live data files, anti-join every live
-    * delete frame on its own columns (broadcast — delete key sets are
-    * small by contract; a table whose deletes outgrew broadcast is due
-    * for [[manifestApplyDeletes]]). No deletes → plain scan. */
+  /** Merge-on-read: the sequence-aware [[mergedScan]] over the live
+    * entry set — each data-version group anti-joins only the delete
+    * frames committed after it (broadcast; a table whose deletes
+    * outgrew broadcast is due for [[manifestApplyDeletes]]). No
+    * deletes → plain scan. */
   private[graft] def manifestReadMerged(s: SparkSession,
       root: org.apache.hadoop.fs.Path): DataFrame = {
     val (_, lines) = currentManifest(s, root)
     val (data, dels) = splitEntries(lines)
-    val base = s.read.parquet(data: _*)
-    if (dels.isEmpty) base
-    else {
-      val keys = s.read.parquet(dels: _*)
-      base.join(org.apache.spark.sql.functions.broadcast(keys),
-        keys.columns.toSeq, "left_anti")
-    }
+    mergedScan(s, data, dels)
   }
 
   /** Major compaction for deletes: rewrite the merged view into fresh
@@ -783,7 +814,11 @@ object Sources {
     val n = math.max(1L,
       (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val w = new org.apache.hadoop.fs.Path(root, s"data/w-${v + 1}")
-    s.read.parquet(smalls.map(_._1): _*)
+    // the rewrite APPLIES each small file's applicable deletes (the
+    // Iceberg compaction rule): the rewritten rows land at sequence
+    // v+1, above every existing delete, so without folding the deletes
+    // in here a deleted row would escape its delete by being rewritten
+    mergedScan(s, smalls.map(_._1), delEntries)
       .repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(w.toString)
     beforeCommit()

@@ -543,7 +543,7 @@ object EventStreams {
   /** Per-JVM scratch root for the sink replay (same lifecycle contract
     * as etl.Sources.roundtripRoot: unique per run, reused across bench
     * reps, removed on JVM exit). */
-  private lazy val sinkReplayRoot: java.nio.file.Path = {
+  private[graft] lazy val sinkReplayRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_sink_replay_")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
@@ -638,7 +638,88 @@ object EventStreams {
       s.read.parquet(s"$stateRoot/v${versions.max}").orderBy("event_type")
   }
 
+  /** x147: streaming CDC upsert (merge) into the x145 manifest table —
+    * the lakehouse streaming-write path: each micro-batch keeps its
+    * per-user latest event (ts, then event_id — a total order), joins
+    * the CURRENT merged snapshot, and applies only strictly-newer rows
+    * as an equality-delete commit (retire the superseded row, zero
+    * data rewritten) plus an append. Because "newer" is an argmax over
+    * a total order, the final table is the GLOBAL per-user latest
+    * regardless of how the stream was batched — which is exactly what
+    * the oracle replays with one rank window over the whole corpus.
+    * After the stream drains, `manifestApplyDeletes` folds the
+    * accumulated delete files (identical read, cheaper scans) — the
+    * maintenance pass a real CDC table schedules.
+    *
+    * Scale shape: per trigger the work is batch-sized (the batch
+    * argmax) plus one merged-snapshot join keyed on user_id; delete
+    * commits write only key files. State lives in the TABLE, not the
+    * state store — the sink is stateless and restart-safe (the
+    * checkpoint tracks source progress; redelivered batches re-apply
+    * as no-ops because nothing in them is strictly newer). */
+  /** One full delivery of the staged files as conditional upserts into
+    * the manifest table `tbl` — fresh checkpoint, so a second call is
+    * the worst-case full redelivery (every batch re-applies as a no-op
+    * because nothing in it is strictly newer; spec-asserted). */
+  private[graft] def deliverUpserts(s: SparkSession, staged: String,
+      tbl: org.apache.hadoop.fs.Path): Unit = {
+    val schema = s.read.parquet(staged).schema
+    val ckpt = java.nio.file.Files.createTempDirectory(sinkReplayRoot, "mor_ckpt_")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        val bw = batch.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        val (v, _) = graft.etl.Sources.currentManifest(s, tbl)
+        val apply0 =
+          if (v == 0L) bw
+          else {
+            val cur = graft.etl.Sources.manifestReadMerged(s, tbl)
+              .select(col("user_id"), col("ts").as("cur_ts"),
+                col("event_id").as("cur_id"))
+            bw.join(cur, Seq("user_id"), "left")
+              .filter(col("cur_ts").isNull || col("ts") > col("cur_ts") ||
+                (col("ts") === col("cur_ts") && col("event_id") > col("cur_id")))
+              .drop("cur_ts", "cur_id")
+          }
+        // materialize BEFORE the delete commit: both the delete-key
+        // write and the append re-evaluate this frame, and it must not
+        // observe the table state its own commits create
+        val toApply = apply0.localCheckpoint()
+        graft.etl.Sources.manifestDelete(s, tbl, toApply.select("user_id"))
+        graft.etl.Sources.manifestAppend(s, tbl, toApply, 1)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  def streamingUpsertReplay(s: SparkSession, dir: String): DataFrame = {
+    val key = graft.etl.Sources.dirKey(dir)
+    val staged = sinkReplayRoot.resolve(s"mor_src_$key").toString
+    val tbl = new org.apache.hadoop.fs.Path(
+      sinkReplayRoot.resolve(s"mor_tbl_$key").toUri)
+    // fresh table per run: bench reps must re-derive, not accumulate
+    tbl.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tbl, true)
+    graft.Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(4).write.mode("overwrite").parquet(staged)
+    deliverUpserts(s, staged, tbl)
+    graft.etl.Sources.manifestApplyDeletes(s, tbl, 1)
+    graft.etl.Sources.manifestReadMerged(s, tbl)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x147_stream_upsert_mor" -> streamingUpsertReplay,
     "x105_stream_incremental_agg" -> incrementalAggReplay,
     "x91_stream_idempotent_sink" -> idempotentSinkReplay,
     "x82_stream_top_types" -> windowTopTypesReplay,
@@ -652,6 +733,15 @@ object EventStreams {
     "x68_stream_dedup" -> dedupReplay)
 
   val oracles: Map[String, String] = Map(
+    // the streamed CDC merge lands on the global per-user latest event
+    // (argmax over the (ts, event_id) total order — batch-split
+    // independent), which one rank window replays
+    "x147_stream_upsert_mor" -> """
+      SELECT user_id, event_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, value
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      WHERE rn = 1 ORDER BY user_id""",
     "x116_stream_enrich" -> """
       SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment, e.event_type,
         COUNT(*) AS n_events,

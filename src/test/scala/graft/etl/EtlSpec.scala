@@ -568,14 +568,26 @@ class EtlSpec extends SparkSpec {
     assert(sig(Sources.manifestReadMerged(spark, root)) == want2)
     assert(sig(Sources.manifestReadAt(spark, root, v2)) == sig(df))
 
+    // SEQUENCE RULE: keys re-inserted AFTER their delete survive the
+    // merge (the CDC upsert pattern) — the delete applies only to data
+    // files committed before it
+    val reins = df.filter(col("id") % 7 === 3 && col("id") < 700)
+    Sources.manifestAppend(spark, root, reins, 1)
+    val survivors = df.filter(col("id") % 7 =!= 3 && col("id") % 11 =!= 5)
+      .unionByName(reins)
+    val want3 = sig(survivors)
+    assert(sig(Sources.manifestReadMerged(spark, root)) == want3,
+      "a re-inserted key was killed by an older delete")
+
     // size-compaction composes: delete entries carried through, merged
-    // read unchanged
+    // read unchanged (rewritten smalls fold their applicable deletes
+    // in, re-inserted rows stay immune)
     assert(Sources.manifestCompactSmallFiles(spark, root,
       targetFileBytes = 1L << 30, smallFloorBytes = 8192L) > 0)
     val (_, afterCompact) = Sources.currentManifest(spark, root)
     assert(afterCompact.count(_.startsWith("delete:")) == 2,
       "size-compaction dropped delete entries")
-    assert(sig(Sources.manifestReadMerged(spark, root)) == want2)
+    assert(sig(Sources.manifestReadMerged(spark, root)) == want3)
 
     // applyDeletes folds deletes into fresh data files: identical read,
     // no delete entries left, second call a no-op
@@ -583,11 +595,11 @@ class EtlSpec extends SparkSpec {
     val (vNow, foldedLines) = Sources.currentManifest(spark, root)
     assert(vNow == vApplied)
     assert(foldedLines.forall(!_.startsWith("delete:")))
-    assert(sig(Sources.manifestReadMerged(spark, root)) == want2)
+    assert(sig(Sources.manifestReadMerged(spark, root)) == want3)
     assert(Sources.manifestApplyDeletes(spark, root, 2) == vApplied)
     // vacuum reclaims the pre-fold files; the live read stays correct
     assert(Sources.manifestVacuum(spark, root) > 0)
-    assert(sig(Sources.manifestReadMerged(spark, root)) == want2)
+    assert(sig(Sources.manifestReadMerged(spark, root)) == want3)
   }
 
   test("manifest time travel + diff reads honor the retention window") {

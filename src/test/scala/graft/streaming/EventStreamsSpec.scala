@@ -285,4 +285,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(out == expected,
       s"double-delivered sink holds $out rows, batch truth is $expected")
   }
+
+  test("streaming upsert: table lands on the batch argmax; redelivery a no-op") {
+    import org.apache.spark.sql.expressions.Window
+    // the streamed CDC merge must land on the per-user global latest —
+    // the batch rank window computes the same thing directly
+    val streamed = EventStreams.streamingUpsertReplay(spark, sfDir)
+      .select("user_id", "event_id")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val batchTruth = graft.Tables.load(spark, sfDir, "events")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "event_id")
+    assert(streamed.exceptAll(batchTruth).count() == 0 &&
+           batchTruth.exceptAll(streamed).count() == 0,
+      "streamed upsert table diverged from the batch argmax")
+
+    // worst-case full redelivery onto the LIVE folded table: every
+    // batch re-applies as a no-op (nothing is strictly newer), so the
+    // table is unchanged row-for-row
+    val key = graft.etl.Sources.dirKey(sfDir)
+    val staged = EventStreams.sinkReplayRoot.resolve(s"mor_src_$key").toString
+    val tbl = new org.apache.hadoop.fs.Path(
+      EventStreams.sinkReplayRoot.resolve(s"mor_tbl_$key").toUri)
+    val before = graft.etl.Sources.manifestReadMerged(spark, tbl)
+      .select("user_id", "event_id")
+    EventStreams.deliverUpserts(spark, staged, tbl)
+    val after = graft.etl.Sources.manifestReadMerged(spark, tbl)
+      .select("user_id", "event_id")
+    assert(after.exceptAll(before).count() == 0 &&
+           before.exceptAll(after).count() == 0,
+      "redelivery changed the upsert table")
+  }
 }
