@@ -146,7 +146,15 @@ object ScaleCheck {
     // work is batch-sized plus one merged-snapshot join keyed on
     // user_id, plus the final fold — expect ~linear in event volume
     // with the micro-batch floor diluting
-    "x147_stream_upsert_mor")
+    "x147_stream_upsert_mor",
+    // x148 pays the zoned write (range shuffle + one stats pass) once;
+    // the pruned READ cost is bounded by the matching files, so the
+    // ratio tracks the write, not the scan — ~linear in table bytes
+    "x148_zone_pruned_read",
+    // x149 tokenizes the v1 snapshot + the append delta (together one
+    // corpus pass) and folds vocab-bounded partials — expect ~linear
+    // in token mass, the x48/x66 family shape
+    "x149_incremental_index")
   // Since round 12 the slices carry the FULL catalog (documents/events/
   // embeddings plus region/nation/supplier/customer/part/orders/
   // lineitem), so the relational q-series and x77/x80 join the suite-

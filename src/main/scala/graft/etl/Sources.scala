@@ -781,6 +781,131 @@ object Sources {
     v + 1
   }
 
+  // ----- Zone-map file skipping (x148) --------------------------------
+  //
+  // Data skipping is THE 100-TB scan lever: a range predicate should
+  // decide from METADATA which files can possibly match and open only
+  // those. Production formats read parquet footer min/max; here the
+  // append records per-file zones in a sidecar
+  // `_manifests/s-<v>.txt` (uri \t min \t max), so planning a pruned
+  // scan costs zero file opens. Files without recorded zones (e.g.
+  // rows from a plain append) are always scanned — pruning is an
+  // optimization, never a correctness gate.
+
+  /** Append with per-file zone stats on long column `statCol`: rows
+    * range-partition on the column (tight, disjoint zones), and one
+    * metadata pass records each written file's min/max. The stats
+    * collect is a control frame — one row per written FILE. */
+  private[graft] def manifestAppendZoned(s: SparkSession,
+      root: org.apache.hadoop.fs.Path, df: DataFrame, shards: Int,
+      statCol: String): Long = {
+    val (v, old) = currentManifest(s, root)
+    val w = new org.apache.hadoop.fs.Path(root, s"data/w-${v + 1}")
+    df.repartitionByRange(shards, col(statCol))
+      .write.mode(SaveMode.Overwrite).parquet(w.toString)
+    val stats = s.read.parquet(w.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(statCol)).cast("long").as("lo"),
+           max(col(statCol)).cast("long").as("hi"))
+      .collect()
+      .map { r => // normalize to the FileSystem URI form the manifest uses
+        val p = new org.apache.hadoop.fs.Path(
+          new java.net.URI(r.getString(0))).toString
+        s"$p\t${r.getLong(1)}\t${r.getLong(2)}"
+      }
+    val fs = fsOf(s, root)
+    writeSmall(fs, new org.apache.hadoop.fs.Path(manifestRoot(root),
+      s"s-${v + 1}.txt"), stats.mkString("", "\n", "\n"))
+    manifestCommit(s, root, v + 1, old ++ writtenFiles(s, w))
+    v + 1
+  }
+
+  /** The live data files a `[lo, hi]` range predicate on the zoned
+    * column can possibly touch, plus the total — the skipping decision
+    * itself, from sidecar metadata only. Unzoned files always pass. */
+  private[graft] def zonePrunedFiles(s: SparkSession,
+      root: org.apache.hadoop.fs.Path, lo: Long, hi: Long): (Seq[String], Int) = {
+    val fs = fsOf(s, root)
+    val (_, lines) = currentManifest(s, root)
+    val (data, _) = splitEntries(lines)
+    val zones: Map[String, (Long, Long)] =
+      Option(fs.listStatus(manifestRoot(root))).getOrElse(Array())
+        .filter(_.getPath.getName.matches("s-\\d+\\.txt"))
+        .flatMap(st => readSmall(fs, st.getPath).linesIterator
+          .map(_.trim).filter(_.nonEmpty).map { l =>
+            val Array(u, zl, zh) = l.split("\t")
+            u -> (zl.toLong, zh.toLong)
+          }).toMap
+    val kept = data.filter(f =>
+      zones.get(f).forall { case (zl, zh) => zh >= lo && zl <= hi })
+    (kept, data.length)
+  }
+
+  /** Zone-pruned range scan: open only the files whose zones intersect
+    * the predicate, then apply the row-level filter (pruning skips
+    * files, the filter still decides rows — pushed to the parquet
+    * reader as usual). */
+  private[graft] def manifestReadZoned(s: SparkSession,
+      root: org.apache.hadoop.fs.Path, statCol: String,
+      lo: Long, hi: Long): DataFrame = {
+    val (kept, _) = zonePrunedFiles(s, root, lo, hi)
+    if (kept.isEmpty) return s.emptyDataFrame
+    s.read.parquet(kept: _*)
+      .filter(col(statCol) >= lo && col(statCol) <= hi)
+  }
+
+  /** x148 driver query: the documents table appended with doc_id
+    * zones (16 range shards), then a range read that PLANS from the
+    * sidecar — at 16 shards the [100, 199] window opens ~1-2 files
+    * instead of 16 (spec-asserted); the oracle proves the pruned scan
+    * loses and invents nothing. */
+  def zoneMapPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(
+      roundtripRoot.resolve(s"manifest_zone_${dirKey(dir)}").toUri)
+    fsOf(s, root).delete(root, true)
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    manifestAppendZoned(s, root, docs, 16, "doc_id")
+    manifestReadZoned(s, root, "doc_id", 100L, 199L).orderBy("doc_id")
+  }
+
+  /** x149 driver query: incremental materialized-view maintenance of
+    * an inverted index. The base index builds once from the v1
+    * snapshot; when v2 appends land, ONLY the diff files are
+    * tokenized (cost ∝ delta, the x135 CDC loop) and the partial
+    * index FOLDS in — valid because appends carry disjoint doc sets,
+    * so df and tf both merge by SUM (the x83/x105 algebra). The
+    * oracle rebuilds the whole index from scratch: fold ≡ rebuild is
+    * the maintenance contract. Top-k cut via orderBy+limit
+    * (TakeOrderedAndProject), rank attached on the 200-row frame. */
+  def incrementalIndexMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(
+      roundtripRoot.resolve(s"manifest_idx_${dirKey(dir)}").toUri)
+    fsOf(s, root).delete(root, true)
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val v1 = manifestAppend(s, root, docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0), 1)
+    val v2 = manifestAppend(s, root, docs.filter(pmod(col("doc_id"), lit(10L)) === 0), 4)
+    def indexOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token", "doc_id").agg(count(lit(1)).cast("long").as("tf"))
+      .groupBy("token").agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("tf").cast("long").as("total_tf"))
+    val folded = indexOf(manifestReadAt(s, root, v1))
+      .unionByName(indexOf(manifestReadDiff(s, root, v1, v2)))
+      .groupBy("token").agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("total_tf").cast("long").as("total_tf"))
+    val top = folded
+      .orderBy(col("total_tf").desc, col("token")).limit(200)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total_tf").desc, col("token"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("token"), col("n_docs"), col("total_tf"))
+      .orderBy("rank")
+  }
+
   /** Incremental small-files compaction over the MANIFEST layout — the
     * object-store-ready sibling of [[compactSmallFiles]]:
     *   1. resolve the live file set, split at `smallFloorBytes`;
@@ -988,6 +1113,8 @@ object Sources {
     "x134_manifest_time_travel" -> manifestTimeTravel,
     "x135_manifest_diff_read" -> manifestDiffRead,
     "x145_equality_delete_read" -> manifestEqualityDeleteRead,
+    "x148_zone_pruned_read" -> zoneMapPrunedRead,
+    "x149_incremental_index" -> incrementalIndexMaintenance,
     "x130_compaction_incremental" -> incrementalCompactionRoundtrip,
     "x127_compaction_roundtrip" -> compactionRoundtrip,
     "x121_publish_audit" -> publishAuditExport,
@@ -1023,6 +1150,27 @@ object Sources {
       SELECT doc_id, text, lang, source, n_chars
       FROM documents
       WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5 ORDER BY doc_id""",
+    // the zone-pruned scan loses and invents nothing: exactly the
+    // range predicate's rows
+    "x148_zone_pruned_read" -> """
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents
+      WHERE doc_id BETWEEN 100 AND 199 ORDER BY doc_id""",
+    // fold(base, delta) must equal the from-scratch rebuild
+    "x149_incremental_index" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM toks WHERE length(token) > 0 GROUP BY 1, 2),
+      idx AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(tf) AS BIGINT) AS total_tf
+              FROM tf GROUP BY 1),
+      r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY total_tf DESC, token)
+                      AS BIGINT) AS rank FROM idx)
+      SELECT rank, token, n_docs, total_tf
+      FROM r WHERE rank <= 200 ORDER BY rank""",
     // the published export must be content-identical to the source
     // table — count, xor-fold checksum, and mass all rebuilt by DuckDB
     "x121_publish_audit" -> """

@@ -602,6 +602,53 @@ class EtlSpec extends SparkSpec {
     assert(sig(Sources.manifestReadMerged(spark, root)) == want3)
   }
 
+  test("zone maps: range reads skip files from metadata; unzoned files stay safe") {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_zone_spec").resolve("t").toUri)
+    val df = spark.range(20000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+    Sources.manifestAppendZoned(spark, root, df, 16, "id")
+    // a 1/20th window over 16 range shards must plan ≤ a quarter of
+    // the files — the skipping decision, from sidecar metadata only
+    val (kept, total) = Sources.zonePrunedFiles(spark, root, 5000L, 5999L)
+    assert(total == 16 && kept.length <= 4,
+      s"pruning kept ${kept.length} of $total files")
+    val got = Sources.manifestReadZoned(spark, root, "id", 5000L, 5999L)
+    val want = df.filter(col("id") >= 5000 && col("id") <= 5999)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "pruned scan lost or invented rows")
+    // an UNZONED append (no sidecar entries) always scans — pruning is
+    // an optimization, never a correctness gate
+    Sources.manifestAppend(spark, root,
+      spark.range(30000, 30010).toDF("id")
+        .withColumn("payload", md5(col("id").cast("string"))), 1)
+    val (kept2, total2) = Sources.zonePrunedFiles(spark, root, 30000L, 40000L)
+    assert(total2 == 17 && kept2.length == 1,
+      "zoned files not skipped or unzoned file dropped")
+    assert(Sources.manifestReadZoned(spark, root, "id", 30000L, 40000L)
+      .count() == 10)
+  }
+
+  test("incremental index fold equals the from-scratch rebuild") {
+    import org.apache.spark.sql.functions._
+    val out = Sources.incrementalIndexMaintenance(spark, sfDir)
+    val full = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token", "doc_id").agg(count(lit(1)).cast("long").as("tf"))
+      .groupBy("token").agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("tf").cast("long").as("total_tf"))
+      .orderBy(col("total_tf").desc, col("token")).limit(200)
+      .collect().map(r => (r.getAs[String]("token"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("total_tf")))
+    val folded = out.collect().map(r => (r.getAs[String]("token"),
+      r.getAs[Long]("n_docs"), r.getAs[Long]("total_tf")))
+    assert(folded.toSeq == full.toSeq,
+      "folding the append delta diverged from the full rebuild")
+  }
+
   test("manifest time travel + diff reads honor the retention window") {
     import org.apache.spark.sql.functions._
     val root = new org.apache.hadoop.fs.Path(
