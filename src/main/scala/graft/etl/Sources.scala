@@ -546,6 +546,13 @@ object Sources {
   private def fsOf(s: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** The checksum-free view of a filesystem (identity off local FS);
+    * used only for the `_current` pointer — see [[manifestCommit]]. */
+  private def rawOf(fs: org.apache.hadoop.fs.FileSystem) = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other                                      => other
+  }
+
   private def manifestRoot(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "_manifests")
   private def currentPtr(root: org.apache.hadoop.fs.Path) =
@@ -573,27 +580,79 @@ object Sources {
       root: org.apache.hadoop.fs.Path): (Long, Seq[String]) = {
     val fs = fsOf(s, root)
     if (!fs.exists(currentPtr(root))) return (0L, Nil)
-    val name = readSmall(fs, currentPtr(root)).trim
+    val name = readSmall(rawOf(fs), currentPtr(root)).trim
     val v = name.stripPrefix("m-").stripSuffix(".txt").toLong
     val body = readSmall(fs, new org.apache.hadoop.fs.Path(manifestRoot(root), name))
     (v, body.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
   }
 
-  /** Commit `files` as version `v`: write the immutable manifest, then
-    * atomically re-point `_current` at it (write-aside + OVERWRITE
-    * rename — the pointer is never absent and never partial). */
+  /** A writer lost the race for its manifest version — re-read the
+    * table state and retry ([[commitWithRetry]]). */
+  private[graft] final class ManifestCommitConflict(v: Long)
+    extends RuntimeException(s"manifest version $v already claimed")
+
+  /** Commit `files` as version `v`: EXCLUSIVELY create the immutable
+    * manifest — the create is the commit's atomic claim on the
+    * version (two writers that both read v race for `m-(v+1).txt`;
+    * exactly one create succeeds, the loser gets
+    * [[ManifestCommitConflict]] and must re-read + retry, so no
+    * writer's file set is ever silently clobbered — the lost-update
+    * guard every table format's log provides). Then re-point
+    * `_current` (write-aside + OVERWRITE rename — the pointer is
+    * never absent and never partial). A crash between claim and
+    * pointer swap leaves a dangling claimed version that blocks
+    * writers until cleaned (production formats janitor these; the
+    * bounded retry in [[commitWithRetry]] turns it into a loud error,
+    * never silent data loss). */
   private[graft] def manifestCommit(s: SparkSession,
       root: org.apache.hadoop.fs.Path, v: Long, files: Seq[String]): Unit = {
     val fs = fsOf(s, root)
     val name = s"m-$v.txt"
-    writeSmall(fs, new org.apache.hadoop.fs.Path(manifestRoot(root), name),
-      files.mkString("", "\n", "\n"))
+    val p = new org.apache.hadoop.fs.Path(manifestRoot(root), name)
+    fs.mkdirs(manifestRoot(root))
+    val out =
+      try fs.create(p, false)
+      catch { case _: java.io.IOException => throw new ManifestCommitConflict(v) }
+    try out.write(files.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     val tmp = new org.apache.hadoop.fs.Path(root, s"_current.tmp-$v")
-    writeSmall(fs, tmp, name + "\n")
+    // The pointer is written RAW (no checksum sidecar): on the local
+    // ChecksumFileSystem the pointer swap would otherwise be TWO
+    // renames (data + .crc), and a reader between them pairs new
+    // pointer bytes with the old crc → spurious ChecksumException
+    // under writer contention. With no crc the swap is one atomic
+    // rename; HDFS/S3A are unaffected (not ChecksumFileSystems).
+    writeSmall(rawOf(fs), tmp, name + "\n")
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       root.toUri, s.sparkContext.hadoopConfiguration)
     fc.rename(tmp, currentPtr(root),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Optimistic-concurrency commit loop: re-resolve the live entry
+    * set, apply `entries` to it, claim the next version; on conflict,
+    * back off and re-derive from the winner's state. Returns the
+    * committed version. Safe for concurrent APPEND-shaped commits
+    * (entries only adds lines); delete and maintenance commits are
+    * single-writer by contract (scaladoc at the call sites). */
+  private[graft] def commitWithRetry(s: SparkSession,
+      root: org.apache.hadoop.fs.Path, maxAttempts: Int = 50)(
+      entries: Seq[String] => Seq[String]): Long = {
+    var attempt = 0
+    while (true) {
+      val (v, cur) = currentManifest(s, root)
+      try { manifestCommit(s, root, v + 1, entries(cur)); return v + 1 }
+      catch {
+        case _: ManifestCommitConflict =>
+          attempt += 1
+          require(attempt < maxAttempts,
+            s"gave up after $attempt conflicted commits at $root — " +
+              "a dangling claimed version needs cleanup")
+          Thread.sleep(2L * attempt)
+      }
+    }
+    -1L // unreachable
   }
 
   /** List the data files a just-finished Spark write left under `dir`
@@ -611,16 +670,24 @@ object Sources {
     buf.toSeq.sorted
   }
 
-  /** Append `df` to a manifest table: write into a FRESH `data/w-<v>`
-    * subdir (immutable, never-reused names), then commit old files ++
-    * new files as the next version. Returns the committed version. */
+  /** Append `df` to a manifest table: write into a FRESH nonce'd
+    * `data/w-<v>-<nonce>` subdir (immutable, never-reused names; the
+    * nonce keeps concurrent writers that read the same version out of
+    * each other's directories), then commit old ++ new entries through
+    * the OCC retry loop — concurrent appends interleave safely, no
+    * file set is ever lost (x150, spec-asserted). Returns the
+    * committed version. The `<v>` tag in the path is the sequence the
+    * delete rule reads; under the supported interleavings (concurrent
+    * appends; deletes single-writer) it is always ≤ the commit version
+    * and > every version the writer observed, so delete applicability
+    * stays order-correct. */
   private[graft] def manifestAppend(s: SparkSession,
       root: org.apache.hadoop.fs.Path, df: DataFrame, shards: Int): Long = {
-    val (v, old) = currentManifest(s, root)
-    val w = new org.apache.hadoop.fs.Path(root, s"data/w-${v + 1}")
+    val (v, _) = currentManifest(s, root)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val w = new org.apache.hadoop.fs.Path(root, s"data/w-${v + 1}-$nonce")
     df.repartition(shards).write.mode(SaveMode.Overwrite).parquet(w.toString)
-    manifestCommit(s, root, v + 1, old ++ writtenFiles(s, w))
-    v + 1
+    commitWithRetry(s, root)(old => old ++ writtenFiles(s, w))
   }
 
   /** Read a manifest table: resolve the live file set once, scan it —
@@ -708,7 +775,7 @@ object Sources {
     * equality delete applies ONLY to data files with a strictly lower
     * sequence — rows appended after the delete (the CDC upsert
     * pattern, x147) are immune to it. */
-  private val SeqRe = ".*/data/[wd]-(\\d+)/.*".r
+  private val SeqRe = ".*/data/[wd]-(\\d+)(?:-[^/]*)?/.*".r
   private def entrySeq(uri: String): Long = uri match {
     case SeqRe(v) => v.toLong
     case _        => 0L
@@ -742,12 +809,15 @@ object Sources {
     * touched. Returns the committed version. */
   private[graft] def manifestDelete(s: SparkSession,
       root: org.apache.hadoop.fs.Path, keys: DataFrame): Long = {
-    val (v, old) = currentManifest(s, root)
-    val w = new org.apache.hadoop.fs.Path(root, s"data/d-${v + 1}")
+    // single-writer by contract w.r.t. OTHER deletes/maintenance (the
+    // CDC stream is one writer); the retry loop still protects against
+    // interleaved appends
+    val (v, _) = currentManifest(s, root)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val w = new org.apache.hadoop.fs.Path(root, s"data/d-${v + 1}-$nonce")
     keys.coalesce(1).write.mode(SaveMode.Overwrite).parquet(w.toString)
-    manifestCommit(s, root, v + 1,
+    commitWithRetry(s, root)(old =>
       old ++ writtenFiles(s, w).map(DeletePrefix + _))
-    v + 1
   }
 
   /** Merge-on-read: the sequence-aware [[mergedScan]] over the live
@@ -799,8 +869,9 @@ object Sources {
   private[graft] def manifestAppendZoned(s: SparkSession,
       root: org.apache.hadoop.fs.Path, df: DataFrame, shards: Int,
       statCol: String): Long = {
-    val (v, old) = currentManifest(s, root)
-    val w = new org.apache.hadoop.fs.Path(root, s"data/w-${v + 1}")
+    val (v, _) = currentManifest(s, root)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val w = new org.apache.hadoop.fs.Path(root, s"data/w-${v + 1}-$nonce")
     df.repartitionByRange(shards, col(statCol))
       .write.mode(SaveMode.Overwrite).parquet(w.toString)
     val stats = s.read.parquet(w.toString)
@@ -813,11 +884,14 @@ object Sources {
           new java.net.URI(r.getString(0))).toString
         s"$p\t${r.getLong(1)}\t${r.getLong(2)}"
       }
+    val committed = commitWithRetry(s, root)(old => old ++ writtenFiles(s, w))
+    // sidecar AFTER the commit, named by the version that actually won:
+    // a reader that races the sidecar write simply scans the new files
+    // unpruned (correctness never depends on zones existing)
     val fs = fsOf(s, root)
     writeSmall(fs, new org.apache.hadoop.fs.Path(manifestRoot(root),
-      s"s-${v + 1}.txt"), stats.mkString("", "\n", "\n"))
-    manifestCommit(s, root, v + 1, old ++ writtenFiles(s, w))
-    v + 1
+      s"s-$committed.txt"), stats.mkString("", "\n", "\n"))
+    committed
   }
 
   /** The live data files a `[lo, hi]` range predicate on the zoned
@@ -867,6 +941,35 @@ object Sources {
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
     manifestAppendZoned(s, root, docs, 16, "doc_id")
     manifestReadZoned(s, root, "doc_id", 100L, 199L).orderBy("doc_id")
+  }
+
+  /** x150 driver query: writer atomicity under contention — 8
+    * concurrent appenders, each committing a disjoint slice through
+    * the OCC retry loop. Every slice must land (the exclusive manifest
+    * create makes lost updates impossible; losers re-derive from the
+    * winner's entry set and retry), so the final read is the whole
+    * table — the identity oracle IS the no-lost-update check. Thread
+    * failures rethrow loudly rather than shrinking the result. */
+  def concurrentAppendStorm(s: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(
+      roundtripRoot.resolve(s"manifest_occ_${dirKey(dir)}").toUri)
+    fsOf(s, root).delete(root, true)
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 8).map { i =>
+      val t = new Thread(() => {
+        try {
+          manifestAppend(s, root,
+            docs.filter(pmod(col("doc_id"), lit(8L)) === i), 1)
+          ()
+        } catch { case e: Throwable => failures.add(e); () }
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    if (!failures.isEmpty) throw failures.peek()
+    manifestRead(s, root).orderBy("doc_id")
   }
 
   /** x149 driver query: incremental materialized-view maintenance of
@@ -983,8 +1086,13 @@ object Sources {
     val mdir = manifestRoot(root)
     if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
       val name = st.getPath.getName
-      val kept = name.stripPrefix("m-").stripSuffix(".txt").toLongOption
-        .exists(keptVersions)
+      // manifests AND their zone sidecars (x148) share the retention
+      // window — a retained version keeps its pruning metadata
+      val kept = name match {
+        case n if n.startsWith("m-") || n.startsWith("s-") =>
+          n.drop(2).stripSuffix(".txt").toLongOption.exists(keptVersions)
+        case _ => false
+      }
       if (!kept) { fs.delete(st.getPath, false); removed += 1 }
     }
     removed
@@ -1115,6 +1223,7 @@ object Sources {
     "x145_equality_delete_read" -> manifestEqualityDeleteRead,
     "x148_zone_pruned_read" -> zoneMapPrunedRead,
     "x149_incremental_index" -> incrementalIndexMaintenance,
+    "x150_concurrent_appends" -> concurrentAppendStorm,
     "x130_compaction_incremental" -> incrementalCompactionRoundtrip,
     "x127_compaction_roundtrip" -> compactionRoundtrip,
     "x121_publish_audit" -> publishAuditExport,
@@ -1156,6 +1265,10 @@ object Sources {
       SELECT doc_id, text, lang, source, n_chars
       FROM documents
       WHERE doc_id BETWEEN 100 AND 199 ORDER BY doc_id""",
+    // 8 concurrent appenders, zero lost updates: the whole table
+    "x150_concurrent_appends" -> """
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents ORDER BY doc_id""",
     // fold(base, delta) must equal the from-scratch rebuild
     "x149_incremental_index" -> """
       WITH toks AS (

@@ -689,4 +689,60 @@ class EtlSpec extends SparkSpec {
     }
     assert(Sources.manifestRead(spark, root).count() == 5000)
   }
+
+  test("manifest OCC: the exclusive create is the commit claim; losers retry, nothing is lost") {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_occ_spec").resolve("t").toUri)
+    val df = spark.range(4000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+    Sources.manifestAppend(spark, root, df.filter(col("id") < 1000), 1)
+
+    // a second commit of the SAME version must lose the create race
+    // loudly — this is the lost-update guard itself
+    intercept[Sources.ManifestCommitConflict] {
+      Sources.manifestCommit(spark, root, 1L, Seq("file:///nope"))
+    }
+    // and the losing claim must not have clobbered the winner
+    assert(Sources.manifestRead(spark, root).count() == 1000)
+
+    // 8 concurrent appenders over disjoint slices: every slice lands
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val rest = df.filter(col("id") >= 1000)
+    val threads = (0 until 8).map { i =>
+      val t = new Thread(() => {
+        try { Sources.manifestAppend(spark, root,
+          rest.filter(pmod(col("id"), lit(8L)) === i), 1); () }
+        catch { case e: Throwable => failures.add(e); () }
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    assert(failures.isEmpty, s"appender died: ${failures.peek()}")
+    val (v, entries) = Sources.currentManifest(spark, root)
+    assert(v == 9L, s"8 appends over v1 must land 8 commits, got v$v")
+    assert(entries.distinct.size == entries.size, "duplicate manifest entries")
+    assert(Sources.manifestRead(spark, root).agg(
+      sum("id"), count(lit(1))).head() ==
+      df.agg(sum("id"), count(lit(1))).head(),
+      "a concurrent append was lost")
+
+    // a dangling claimed version (crash between claim and pointer
+    // swap) blocks writers LOUDLY, never silently
+    Sources.manifestCommit(spark, root, 10L, entries)
+    // _current still points at v9 if we only wrote the claim... so
+    // simulate the crash by claiming v11 directly without the swap
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dangling = new org.apache.hadoop.fs.Path(root, "_manifests/m-11.txt")
+    val out = fs.create(dangling, false)
+    out.write("file:///crashed\n".getBytes("UTF-8")); out.close()
+    val ex = intercept[IllegalArgumentException] {
+      Sources.commitWithRetry(spark, root, maxAttempts = 3)(identity)
+    }
+    assert(ex.getMessage.contains("conflicted commits"))
+    // cleanup unblocks
+    fs.delete(dangling, false)
+    Sources.commitWithRetry(spark, root)(identity)
+    assert(Sources.manifestRead(spark, root).count() == 4000)
+  }
 }
