@@ -557,6 +557,53 @@ object Sources {
     new org.apache.hadoop.fs.Path(root, "_manifests")
   private def currentPtr(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "_current")
+  private def schemaPtr(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_schema.json")
+
+  // ----- Manifest entries -----------------------------------------------
+  //
+  // One typed line per entry. The SEQUENCE NUMBER is a manifest-line
+  // column assigned from the version the commit actually CLAIMED (inside
+  // the OCC retry loop), never from the version the writer observed
+  // before retrying — Iceberg assigns sequence at commit for exactly
+  // this reason: a retried append/delete whose path-baked tag predated
+  // the winner's commit would mis-order against interleaved deletes.
+  // Zone stats (x148) are entries too, committed ATOMICALLY with the
+  // data files they describe — no sidecar a racing reader can catch
+  // mid-write.
+
+  private[graft] sealed trait ManifestEntry { def line: String }
+  private[graft] final case class DataFileEntry(seq: Long, uri: String)
+      extends ManifestEntry { def line = s"w\t$seq\t$uri" }
+  private[graft] final case class DeleteFileEntry(seq: Long, uri: String)
+      extends ManifestEntry { def line = s"d\t$seq\t$uri" }
+  private[graft] final case class ZoneStatEntry(uri: String, lo: Long, hi: Long)
+      extends ManifestEntry { def line = s"z\t$lo\t$hi\t$uri" }
+
+  /** A plain unprefixed line parses as a seq-0 data file, so a manifest
+    * hand-written with bare URIs still reads (and every delete applies
+    * to it, which is the conservative direction). */
+  private[graft] def parseEntry(l: String): ManifestEntry =
+    l.split("\t", 4) match {
+      case Array("w", v, u)      => DataFileEntry(v.toLong, u)
+      case Array("d", v, u)      => DeleteFileEntry(v.toLong, u)
+      case Array("z", lo, hi, u) => ZoneStatEntry(u, lo.toLong, hi.toLong)
+      case _                     => DataFileEntry(0L, l)
+    }
+  private[graft] def parseEntries(lines: Seq[String]): Seq[ManifestEntry] =
+    lines.map(parseEntry)
+  private[graft] def dataEntries(lines: Seq[String]): Seq[DataFileEntry] =
+    parseEntries(lines).collect { case e: DataFileEntry => e }
+  private[graft] def deleteEntries(lines: Seq[String]): Seq[DeleteFileEntry] =
+    parseEntries(lines).collect { case e: DeleteFileEntry => e }
+
+  /** Completeness marker: the LAST line of every committed manifest.
+    * The exclusive create claims the version before the body lands, so
+    * a janitor (or a reader falling back from an absent pointer) must
+    * be able to tell a committed manifest from an in-flight claim — a
+    * body without the marker is a claim still being written (or a
+    * crashed one). */
+  private val EofMark = "#eof"
 
   private def writeSmall(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, text: String): Unit = {
@@ -572,18 +619,52 @@ object Sources {
     finally in.close()
   }
 
-  /** Live (version, dataFileURIs) of a manifest table, resolved through
+  /** The live version number. Normally ONE read of the `_current`
+    * pointer; if the pointer is absent (empty table — or we raced the
+    * delete-then-rename window of a local-FS pointer swap, where the
+    * pointer is briefly missing), fall back to the highest COMPLETE
+    * manifest on disk: manifests are immutable once their [[EofMark]]
+    * lands, so that view is always a committed version ≥ the one the
+    * lagging pointer names — consistent, never partial. */
+  private def resolveLiveVersion(s: SparkSession,
+      root: org.apache.hadoop.fs.Path): Long = {
+    val fs = fsOf(s, root)
+    val viaPtr =
+      try {
+        val name = readSmall(rawOf(fs), currentPtr(root)).trim
+        name.stripPrefix("m-").stripSuffix(".txt").toLongOption
+      } catch { case _: java.io.IOException => None }
+    viaPtr.getOrElse {
+      val mdir = manifestRoot(root)
+      if (!fs.exists(mdir)) 0L
+      else {
+        val vs = fs.listStatus(mdir).toSeq.map(_.getPath.getName)
+          .filter(n => n.startsWith("m-") && n.endsWith(".txt"))
+          .flatMap(_.stripPrefix("m-").stripSuffix(".txt").toLongOption)
+          .sorted.reverse
+        vs.find { v =>
+          try readSmall(fs, new org.apache.hadoop.fs.Path(mdir, s"m-$v.txt"))
+            .linesIterator.exists(_.trim == EofMark)
+          catch { case _: java.io.IOException => false }
+        }.getOrElse(0L)
+      }
+    }
+  }
+
+  /** Live (version, entryLines) of a manifest table, resolved through
     * the `_current` pointer. The resolve is ONE read of ONE immutable
     * name; everything after it is immutable, which is the whole
-    * reader-atomicity argument. */
+    * reader-atomicity argument. Comment lines (the [[EofMark]]) are
+    * stripped. */
   private[graft] def currentManifest(s: SparkSession,
       root: org.apache.hadoop.fs.Path): (Long, Seq[String]) = {
+    val v = resolveLiveVersion(s, root)
+    if (v == 0L) return (0L, Nil)
     val fs = fsOf(s, root)
-    if (!fs.exists(currentPtr(root))) return (0L, Nil)
-    val name = readSmall(rawOf(fs), currentPtr(root)).trim
-    val v = name.stripPrefix("m-").stripSuffix(".txt").toLong
-    val body = readSmall(fs, new org.apache.hadoop.fs.Path(manifestRoot(root), name))
-    (v, body.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
+    val body = readSmall(fs,
+      new org.apache.hadoop.fs.Path(manifestRoot(root), s"m-$v.txt"))
+    (v, body.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq)
   }
 
   /** A writer lost the race for its manifest version — re-read the
@@ -591,21 +672,77 @@ object Sources {
   private[graft] final class ManifestCommitConflict(v: Long)
     extends RuntimeException(s"manifest version $v already claimed")
 
-  /** Commit `files` as version `v`: EXCLUSIVELY create the immutable
-    * manifest — the create is the commit's atomic claim on the
-    * version (two writers that both read v race for `m-(v+1).txt`;
+  /** Point `_current` at manifest `name` (= version `v`): write-aside
+    * to a nonce'd tmp, then ONE OVERWRITE rename. Two hardenings over
+    * a bare rename, both needed under real writer contention:
+    *  - MONOTONE GUARD: never move the pointer backwards. If another
+    *    committer already advanced past `v`, its entry chain includes
+    *    v's entries (it could only have claimed v+1 after v became
+    *    resolvable), so skipping the swap is correct and prevents the
+    *    A-commits-5 / B-commits-6 / swaps-land-B-then-A regression.
+    *  - BOUNDED RETRY on IOException: the local AbstractFileSystem's
+    *    OVERWRITE rename is delete-then-rename, and two swaps in the
+    *    window throw FileAlreadyExistsException. The exclusive create
+    *    guarantees at most one committer per version, so repeating the
+    *    swap is always safe — the race is transient by construction. */
+  private def swapPointer(s: SparkSession, root: org.apache.hadoop.fs.Path,
+      v: Long, name: String): Unit = {
+    val fs = fsOf(s, root)
+    val raw = rawOf(fs)
+    var attempt = 0
+    while (true) {
+      val curV =
+        try readSmall(raw, currentPtr(root)).trim
+          .stripPrefix("m-").stripSuffix(".txt").toLongOption
+        catch { case _: java.io.IOException => None }
+      if (curV.exists(_ >= v)) return
+      val tmp = new org.apache.hadoop.fs.Path(root,
+        s"_current.tmp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
+      // The pointer is written RAW (no checksum sidecar): on the local
+      // ChecksumFileSystem the swap would otherwise be TWO renames
+      // (data + .crc), and a reader between them pairs new pointer
+      // bytes with the old crc → spurious ChecksumException under
+      // writer contention. With no crc the swap is one rename;
+      // HDFS/S3A are unaffected (not ChecksumFileSystems).
+      writeSmall(raw, tmp, name + "\n")
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          root.toUri, s.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, currentPtr(root),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        return
+      } catch {
+        case e: java.io.IOException =>
+          try raw.delete(tmp, false) catch { case _: java.io.IOException => () }
+          attempt += 1
+          if (attempt >= 10) throw e
+          Thread.sleep(2L * attempt)
+      }
+    }
+  }
+
+  /** Commit `entryLines` as version `v`: EXCLUSIVELY create the
+    * immutable manifest — the create is the commit's atomic claim on
+    * the version (two writers that both read v race for `m-(v+1).txt`;
     * exactly one create succeeds, the loser gets
     * [[ManifestCommitConflict]] and must re-read + retry, so no
     * writer's file set is ever silently clobbered — the lost-update
-    * guard every table format's log provides). Then re-point
-    * `_current` (write-aside + OVERWRITE rename — the pointer is
-    * never absent and never partial). A crash between claim and
-    * pointer swap leaves a dangling claimed version that blocks
-    * writers until cleaned (production formats janitor these; the
-    * bounded retry in [[commitWithRetry]] turns it into a loud error,
-    * never silent data loss). */
+    * guard every table format's log provides). The body ends with the
+    * [[EofMark]] completeness marker, then `_current` is re-pointed
+    * through [[swapPointer]]. A crash between claim and pointer swap
+    * leaves a dangling version that the [[commitWithRetry]] janitor
+    * rolls forward (complete body) or reclaims (incomplete body after
+    * a grace window) — never silent data loss.
+    *
+    * GUARANTEE SCOPE: the atomic exclusive create holds on local FS
+    * and HDFS (O_EXCL / NameNode namespace op). Plain object stores
+    * (S3A) implement create(overwrite=false) as check-then-act, where
+    * two racers can both "win" — the reason Delta/Iceberg require a
+    * conditional-PUT LogStore there. This layout targets FS-semantics
+    * stores; an object-store port swaps this one call for a
+    * conditional PUT of the manifest name. */
   private[graft] def manifestCommit(s: SparkSession,
-      root: org.apache.hadoop.fs.Path, v: Long, files: Seq[String]): Unit = {
+      root: org.apache.hadoop.fs.Path, v: Long, entryLines: Seq[String]): Unit = {
     val fs = fsOf(s, root)
     val name = s"m-$v.txt"
     val p = new org.apache.hadoop.fs.Path(manifestRoot(root), name)
@@ -613,42 +750,77 @@ object Sources {
     val out =
       try fs.create(p, false)
       catch { case _: java.io.IOException => throw new ManifestCommitConflict(v) }
-    try out.write(files.mkString("", "\n", "\n")
+    try out.write((entryLines :+ EofMark).mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val tmp = new org.apache.hadoop.fs.Path(root, s"_current.tmp-$v")
-    // The pointer is written RAW (no checksum sidecar): on the local
-    // ChecksumFileSystem the pointer swap would otherwise be TWO
-    // renames (data + .crc), and a reader between them pairs new
-    // pointer bytes with the old crc → spurious ChecksumException
-    // under writer contention. With no crc the swap is one atomic
-    // rename; HDFS/S3A are unaffected (not ChecksumFileSystems).
-    writeSmall(rawOf(fs), tmp, name + "\n")
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      root.toUri, s.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, currentPtr(root),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    swapPointer(s, root, v, name)
+  }
+
+  /** Default grace before an incomplete (markerless) claim is treated
+    * as abandoned and reclaimed. A manifest body is a few KB written
+    * in one call, so a healthy claimant finishes in milliseconds; 30 s
+    * of incompleteness means a crashed writer. (The residual zombie
+    * window — a claimant that stalls BETWEEN its create and its write
+    * for longer than the grace, then wakes after its claim was
+    * reclaimed and re-used — is the same abandoned-transaction
+    * ambiguity every timestamp-based janitor accepts; shrinking it
+    * needs writer heartbeats or a CAS metastore.) */
+  private val ClaimGraceMs = 30000L
+
+  /** The dangling-claim janitor. A conflicted writer observed version
+    * `observed` but could not claim `observed+1` — inspect the blocker:
+    *  - COMPLETE body (EofMark present): a committed version whose
+    *    pointer swap didn't land (crashed committer, or its swap is
+    *    in flight). Finish the swap for it — [[swapPointer]]'s
+    *    monotone guard makes this idempotent with the owner's own
+    *    swap — and the retry loop then re-reads the newer state.
+    *  - INCOMPLETE body older than `graceMs`: a claim whose writer
+    *    died between create and write. Reclaim (delete) it so the
+    *    version number is claimable again.
+    *  - INCOMPLETE and young: a live commit mid-write; just wait. */
+  private def janitorDanglingClaim(s: SparkSession,
+      root: org.apache.hadoop.fs.Path, observed: Long, graceMs: Long): Unit = {
+    val fs = fsOf(s, root)
+    val p = new org.apache.hadoop.fs.Path(manifestRoot(root),
+      s"m-${observed + 1}.txt")
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.IOException => return }
+    val body =
+      try readSmall(fs, p)
+      catch { case _: java.io.IOException => return }
+    if (body.linesIterator.exists(_.trim == EofMark))
+      swapPointer(s, root, observed + 1, p.getName)
+    else if (System.currentTimeMillis() - st.getModificationTime > graceMs) {
+      try { fs.delete(p, false); () }
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Optimistic-concurrency commit loop: re-resolve the live entry
-    * set, apply `entries` to it, claim the next version; on conflict,
-    * back off and re-derive from the winner's state. Returns the
-    * committed version. Safe for concurrent APPEND-shaped commits
-    * (entries only adds lines); delete and maintenance commits are
-    * single-writer by contract (scaladoc at the call sites). */
+    * set, apply `entries(liveLines, claimedVersion)` to it, claim the
+    * next version; on conflict, run the dangling-claim janitor, back
+    * off, and re-derive from the winner's state. The callback receives
+    * the version the commit will land at, so new entries carry their
+    * COMMIT sequence (never the stale observed one — the Iceberg
+    * assign-at-commit rule). Returns the committed version. Safe for
+    * concurrent APPEND-shaped commits; delete and maintenance commits
+    * are single-writer by contract (scaladoc at the call sites). */
   private[graft] def commitWithRetry(s: SparkSession,
-      root: org.apache.hadoop.fs.Path, maxAttempts: Int = 50)(
-      entries: Seq[String] => Seq[String]): Long = {
+      root: org.apache.hadoop.fs.Path, maxAttempts: Int = 50,
+      claimGraceMs: Long = ClaimGraceMs)(
+      entries: (Seq[String], Long) => Seq[String]): Long = {
     var attempt = 0
     while (true) {
       val (v, cur) = currentManifest(s, root)
-      try { manifestCommit(s, root, v + 1, entries(cur)); return v + 1 }
+      try { manifestCommit(s, root, v + 1, entries(cur, v + 1)); return v + 1 }
       catch {
         case _: ManifestCommitConflict =>
           attempt += 1
+          janitorDanglingClaim(s, root, v, claimGraceMs)
           require(attempt < maxAttempts,
             s"gave up after $attempt conflicted commits at $root — " +
-              "a dangling claimed version needs cleanup")
+              "a dangling claimed version is being written or held")
           Thread.sleep(2L * attempt)
       }
     }
@@ -670,24 +842,54 @@ object Sources {
     buf.toSeq.sorted
   }
 
+  /** Persist the table schema once (first append): the schema-ful
+    * empty-result path ([[emptyLike]]) needs it when the live data set
+    * is empty — a zoned read whose window prunes every file, a diff
+    * with no added files, a table holding only delete entries. Written
+    * RAW (no crc pairing) and only if absent; two racing first
+    * appenders write identical bytes, benign. */
+  private def persistSchema(s: SparkSession, root: org.apache.hadoop.fs.Path,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val raw = rawOf(fsOf(s, root))
+    if (!raw.exists(schemaPtr(root))) writeSmall(raw, schemaPtr(root), schema.json)
+  }
+
+  /** An EMPTY frame with the TABLE schema — what every no-rows path
+    * returns, so downstream column references (orderBy, select) stay
+    * resolvable. "Pruning is an optimization, never a correctness
+    * gate" requires exactly this: a fully-pruned scan must be
+    * indistinguishable from a scan that matched nothing. Falls back to
+    * a zero-column frame only for a table that never persisted a
+    * schema (nothing was ever appended). */
+  private def emptyLike(s: SparkSession,
+      root: org.apache.hadoop.fs.Path): DataFrame = {
+    val raw = rawOf(fsOf(s, root))
+    if (!raw.exists(schemaPtr(root))) return s.emptyDataFrame
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(readSmall(raw, schemaPtr(root)))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      schema)
+  }
+
   /** Append `df` to a manifest table: write into a FRESH nonce'd
-    * `data/w-<v>-<nonce>` subdir (immutable, never-reused names; the
-    * nonce keeps concurrent writers that read the same version out of
-    * each other's directories), then commit old ++ new entries through
-    * the OCC retry loop — concurrent appends interleave safely, no
-    * file set is ever lost (x150, spec-asserted). Returns the
-    * committed version. The `<v>` tag in the path is the sequence the
-    * delete rule reads; under the supported interleavings (concurrent
-    * appends; deletes single-writer) it is always ≤ the commit version
-    * and > every version the writer observed, so delete applicability
-    * stays order-correct. */
+    * `data/a-<nonce>` subdir (immutable, never-reused names; no
+    * version in the path — the sequence is assigned at COMMIT inside
+    * the retry loop, so a retried append is ordered by the version it
+    * actually landed at, not the stale one it first observed), then
+    * commit old ++ new entries through the OCC loop — concurrent
+    * appends interleave safely, no file set is ever lost (x150,
+    * spec-asserted). Returns the committed version. */
   private[graft] def manifestAppend(s: SparkSession,
       root: org.apache.hadoop.fs.Path, df: DataFrame, shards: Int): Long = {
-    val (v, _) = currentManifest(s, root)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val w = new org.apache.hadoop.fs.Path(root, s"data/w-${v + 1}-$nonce")
+    val w = new org.apache.hadoop.fs.Path(root, s"data/a-$nonce")
     df.repartition(shards).write.mode(SaveMode.Overwrite).parquet(w.toString)
-    commitWithRetry(s, root)(old => old ++ writtenFiles(s, w))
+    persistSchema(s, root, df.schema)
+    val files = writtenFiles(s, w)
+    commitWithRetry(s, root) { (old, v) =>
+      old ++ files.map(f => DataFileEntry(v, f).line)
+    }
   }
 
   /** Read a manifest table: resolve the live file set once, scan it —
@@ -708,7 +910,8 @@ object Sources {
     val p = new org.apache.hadoop.fs.Path(manifestRoot(root), s"m-$v.txt")
     require(fs.exists(p),
       s"manifest version $v not retained at $root (vacuumed or never committed)")
-    readSmall(fs, p).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    readSmall(fs, p).linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
   }
 
   /** Time-travel read: scan exactly the file set version `v` committed.
@@ -717,13 +920,11 @@ object Sources {
     * pre-compaction files, which vacuum retains while the version is
     * inside the window). */
   private[graft] def manifestReadAt(s: SparkSession,
-      root: org.apache.hadoop.fs.Path, v: Long): DataFrame = {
+      root: org.apache.hadoop.fs.Path, v: Long): DataFrame =
     // merge-aware: a version committed after an equality delete (x145)
-    // carries delete: entries — the snapshot applies them with the
+    // carries delete entries — the snapshot applies them with the
     // same sequence rule as the live merged read
-    val (data, dels) = splitEntries(manifestFilesAt(s, root, v))
-    mergedScan(s, data, dels)
-  }
+    mergedScan(s, root, parseEntries(manifestFilesAt(s, root, v)))
 
   /** Incremental consumption via manifest diff: scan ONLY the files
     * version `vTo` added relative to `vFrom` — the file-level CDC a
@@ -735,13 +936,13 @@ object Sources {
     * Iceberg draws the same line (incremental scan over appends). */
   private[graft] def manifestReadDiff(s: SparkSession,
       root: org.apache.hadoop.fs.Path, vFrom: Long, vTo: Long): DataFrame = {
-    val before = manifestFilesAt(s, root, vFrom).toSet
+    val before = dataEntries(manifestFilesAt(s, root, vFrom)).map(_.uri).toSet
     // delete entries (x145) are NOT part of the append diff — the
     // documented contract is appends-only (the Iceberg line); deletes
     // reach consumers through the merged snapshot reads
-    val added = manifestFilesAt(s, root, vTo).filterNot(before)
-      .filterNot(_.startsWith(DeletePrefix))
-    if (added.isEmpty) s.emptyDataFrame else s.read.parquet(added: _*)
+    val added = dataEntries(manifestFilesAt(s, root, vTo))
+      .filterNot(e => before(e.uri)).map(_.uri)
+    if (added.isEmpty) emptyLike(s, root) else s.read.parquet(added: _*)
   }
 
   // ----- Equality deletes / merge-on-read (x145) ----------------------
@@ -759,40 +960,30 @@ object Sources {
   // SEQUENCE RULE (also Iceberg's): a delete applies ONLY to data
   // files committed strictly before it. Without this, re-inserting a
   // deleted key (every CDC upsert, x147) would be impossible — the old
-  // delete would kill the new row. The immutable never-reused
-  // `data/[wd]-<v>` paths carry the sequence; [[mergedScan]] enforces
-  // the rule, and compaction folds applicable deletes into rewritten
-  // files (whose rows land ABOVE existing deletes).
+  // delete would kill the new row. Sequence numbers are manifest-line
+  // columns assigned at COMMIT inside the retry loop ([[commitWithRetry]]),
+  // so a retried append/delete is ordered by the version it landed at;
+  // [[mergedScan]] enforces the rule, and compaction folds applicable
+  // deletes into rewritten files (whose rows land ABOVE existing
+  // deletes).
 
-  private val DeletePrefix = "delete:"
-  private def splitEntries(lines: Seq[String]): (Seq[String], Seq[String]) =
-    (lines.filterNot(_.startsWith(DeletePrefix)),
-     lines.filter(_.startsWith(DeletePrefix)).map(_.stripPrefix(DeletePrefix)))
-
-  /** Sequence number of a manifest entry = the commit version baked
-    * into its immutable path (`data/w-<v>` / `data/d-<v>` — names are
-    * never reused, so the path IS the sequence). The Iceberg rule: an
-    * equality delete applies ONLY to data files with a strictly lower
-    * sequence — rows appended after the delete (the CDC upsert
-    * pattern, x147) are immune to it. */
-  private val SeqRe = ".*/data/[wd]-(\\d+)(?:-[^/]*)?/.*".r
-  private def entrySeq(uri: String): Long = uri match {
-    case SeqRe(v) => v.toLong
-    case _        => 0L
-  }
-
-  /** Sequence-aware merged scan: data files grouped by commit version,
-    * each group anti-joined against exactly the delete files committed
-    * AFTER it, groups unioned. One group and no applicable deletes is
-    * a plain scan; delete key frames are broadcast (small by
-    * contract). */
-  private def mergedScan(s: SparkSession, data: Seq[String],
-      dels: Seq[String]): DataFrame = {
-    val delsByV = dels.map(u => (entrySeq(u), u))
-    val groups = data.groupBy(entrySeq).toSeq.sortBy(_._1).map {
-      case (v, files) =>
-        val applicable = delsByV.filter(_._1 > v).map(_._2)
-        val base = s.read.parquet(files: _*)
+  /** Sequence-aware merged scan over parsed entries: data files
+    * grouped by commit sequence, each group anti-joined against
+    * exactly the delete files committed AFTER it, groups unioned. One
+    * group and no applicable deletes is a plain scan; delete key
+    * frames are broadcast (small by contract). A data-empty entry set
+    * (fresh table, all rows deleted then compacted) returns the
+    * schema-ful empty — downstream column references must keep
+    * resolving. */
+  private def mergedScan(s: SparkSession, root: org.apache.hadoop.fs.Path,
+      entries: Seq[ManifestEntry]): DataFrame = {
+    val data = entries.collect { case e: DataFileEntry => e }
+    val dels = entries.collect { case e: DeleteFileEntry => e }
+    if (data.isEmpty) return emptyLike(s, root)
+    val groups = data.groupBy(_.seq).toSeq.sortBy(_._1).map {
+      case (v, es) =>
+        val applicable = dels.filter(_.seq > v).map(_.uri)
+        val base = s.read.parquet(es.map(_.uri): _*)
         if (applicable.isEmpty) base
         else {
           val keys = s.read.parquet(applicable: _*)
@@ -804,20 +995,23 @@ object Sources {
   }
 
   /** Commit an equality delete: write `keys` (columns = the equality
-    * key) as an immutable delete file set under `data/d-<v+1>`, commit
-    * old entries ++ the new `delete:`-tagged ones. No data file is
-    * touched. Returns the committed version. */
+    * key) as an immutable delete file set under a nonce'd `data/del-*`
+    * dir, commit old entries ++ the new delete entries at the COMMIT
+    * sequence. No data file is touched. Returns the committed version. */
   private[graft] def manifestDelete(s: SparkSession,
       root: org.apache.hadoop.fs.Path, keys: DataFrame): Long = {
     // single-writer by contract w.r.t. OTHER deletes/maintenance (the
-    // CDC stream is one writer); the retry loop still protects against
-    // interleaved appends
-    val (v, _) = currentManifest(s, root)
+    // CDC stream is one writer); the retry loop protects against
+    // interleaved appends — and because the sequence is assigned at
+    // commit, an append that wins a race against this delete keeps its
+    // higher sequence and stays immune, in either retry order
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val w = new org.apache.hadoop.fs.Path(root, s"data/d-${v + 1}-$nonce")
+    val w = new org.apache.hadoop.fs.Path(root, s"data/del-$nonce")
     keys.coalesce(1).write.mode(SaveMode.Overwrite).parquet(w.toString)
-    commitWithRetry(s, root)(old =>
-      old ++ writtenFiles(s, w).map(DeletePrefix + _))
+    val files = writtenFiles(s, w)
+    commitWithRetry(s, root) { (old, v) =>
+      old ++ files.map(f => DeleteFileEntry(v, f).line)
+    }
   }
 
   /** Merge-on-read: the sequence-aware [[mergedScan]] over the live
@@ -828,27 +1022,42 @@ object Sources {
   private[graft] def manifestReadMerged(s: SparkSession,
       root: org.apache.hadoop.fs.Path): DataFrame = {
     val (_, lines) = currentManifest(s, root)
-    val (data, dels) = splitEntries(lines)
-    mergedScan(s, data, dels)
+    mergedScan(s, root, parseEntries(lines))
   }
 
-  /** Major compaction for deletes: rewrite the merged view into fresh
-    * data files and commit WITHOUT the delete entries (old data and
-    * delete files stay for retained versions until vacuum). Read
-    * results are identical before/after (spec-asserted); what changes
-    * is that readers stop paying the anti-join. No-op on a table with
-    * no deletes. Returns the committed version (or the current one on
-    * no-op). */
+  /** Major compaction for deletes: rewrite the merged view (as
+    * observed at version v) into fresh data files and commit WITHOUT
+    * the folded delete entries (old data and delete files stay for
+    * retained versions until vacuum). Read results are identical
+    * before/after (spec-asserted); what changes is that readers stop
+    * paying the anti-join. Concurrent APPENDS that land during the
+    * rewrite pass through untouched (their sequence is above every
+    * folded delete); concurrent deletes are single-writer by contract.
+    * No-op on a table with no deletes. Returns the committed version
+    * (or the current one on no-op). */
   private[graft] def manifestApplyDeletes(s: SparkSession,
       root: org.apache.hadoop.fs.Path, shards: Int): Long = {
     val (v, lines) = currentManifest(s, root)
-    val (_, dels) = splitEntries(lines)
-    if (dels.isEmpty) return v
-    val w = new org.apache.hadoop.fs.Path(root, s"data/w-${v + 1}")
-    manifestReadMerged(s, root).repartition(shards)
+    val observed = parseEntries(lines)
+    if (!observed.exists(_.isInstanceOf[DeleteFileEntry])) return v
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val w = new org.apache.hadoop.fs.Path(root, s"data/c-$nonce")
+    mergedScan(s, root, observed).repartition(shards)
       .write.mode(SaveMode.Overwrite).parquet(w.toString)
-    manifestCommit(s, root, v + 1, writtenFiles(s, w))
-    v + 1
+    val files = writtenFiles(s, w)
+    val observedData = observed.collect { case e: DataFileEntry => e.uri }.toSet
+    commitWithRetry(s, root) { (old, nv) =>
+      val keep = parseEntries(old).filter {
+        case DataFileEntry(seq, u)   => seq > v && !observedData(u)
+        case DeleteFileEntry(seq, _) => seq > v
+        case ZoneStatEntry(u, _, _)  => // zones survive with their file
+          parseEntries(old).exists {
+            case DataFileEntry(seq, u2) => u2 == u && seq > v && !observedData(u2)
+            case _                      => false
+          }
+      }
+      keep.map(_.line) ++ files.map(f => DataFileEntry(nv, f).line)
+    }
   }
 
   // ----- Zone-map file skipping (x148) --------------------------------
