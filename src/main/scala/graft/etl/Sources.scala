@@ -185,6 +185,18 @@ object Sources {
       .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(8).map("%02x".format(_)).mkString
 
+  /** Fresh per-invocation scratch root. The manifest/compaction driver
+    * queries used to share one dirKey-keyed root and `delete(root,
+    * true)` it at entry — so two suites running the same query
+    * concurrently destroyed each other's state mid-read (the r13
+    * RegistrySpec flakes). A nonce'd root is born empty and private to
+    * its invocation; the JVM-exit hook on [[roundtripRoot]] reclaims
+    * them all. */
+  private def nonceRoot(prefix: String, dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(roundtripRoot.resolve(
+      s"${prefix}_${dirKey(dir)}_${java.util.UUID.randomUUID().toString.take(8)}")
+      .toUri)
+
   private lazy val roundtripRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_roundtrip_")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -619,6 +631,35 @@ object Sources {
     finally in.close()
   }
 
+  /** Manifest version numbers present on disk, descending (bodies not
+    * read — claims and complete manifests both listed). */
+  private def manifestVersionsOnDisk(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] = {
+    val mdir = manifestRoot(root)
+    if (!fs.exists(mdir)) Nil
+    else fs.listStatus(mdir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("m-") && n.endsWith(".txt"))
+      .flatMap(_.stripPrefix("m-").stripSuffix(".txt").toLongOption)
+      .sorted.reverse
+  }
+
+  /** Highest COMPLETE (EofMark-terminated) manifest on disk outside
+    * `excluding`, with its body — the fallback resolve when the
+    * pointer is missing or names a reclaimed manifest. Manifests are
+    * immutable once the marker lands, so whatever this returns is a
+    * committed, consistent version. */
+  private def latestCompleteManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      excluding: Set[Long] = Set.empty): Option[(Long, String)] = {
+    val mdir = manifestRoot(root)
+    manifestVersionsOnDisk(fs, root).iterator.filterNot(excluding).map { v =>
+      val body =
+        try readSmall(fs, new org.apache.hadoop.fs.Path(mdir, s"m-$v.txt"))
+        catch { case _: java.io.IOException => "" }
+      (v, body)
+    }.find(_._2.linesIterator.exists(_.trim == EofMark))
+  }
+
   /** The live version number. Normally ONE read of the `_current`
     * pointer; if the pointer is absent (empty table — or we raced the
     * delete-then-rename window of a local-FS pointer swap, where the
@@ -634,21 +675,8 @@ object Sources {
         val name = readSmall(rawOf(fs), currentPtr(root)).trim
         name.stripPrefix("m-").stripSuffix(".txt").toLongOption
       } catch { case _: java.io.IOException => None }
-    viaPtr.getOrElse {
-      val mdir = manifestRoot(root)
-      if (!fs.exists(mdir)) 0L
-      else {
-        val vs = fs.listStatus(mdir).toSeq.map(_.getPath.getName)
-          .filter(n => n.startsWith("m-") && n.endsWith(".txt"))
-          .flatMap(_.stripPrefix("m-").stripSuffix(".txt").toLongOption)
-          .sorted.reverse
-        vs.find { v =>
-          try readSmall(fs, new org.apache.hadoop.fs.Path(mdir, s"m-$v.txt"))
-            .linesIterator.exists(_.trim == EofMark)
-          catch { case _: java.io.IOException => false }
-        }.getOrElse(0L)
-      }
-    }
+    viaPtr.getOrElse(
+      latestCompleteManifest(fs, root).map(_._1).getOrElse(0L))
   }
 
   /** Live (version, entryLines) of a manifest table, resolved through
@@ -661,9 +689,21 @@ object Sources {
     val v = resolveLiveVersion(s, root)
     if (v == 0L) return (0L, Nil)
     val fs = fsOf(s, root)
-    val body = readSmall(fs,
-      new org.apache.hadoop.fs.Path(manifestRoot(root), s"m-$v.txt"))
-    (v, body.linesIterator.map(_.trim)
+    val (rv, body) =
+      try (v, readSmall(fs,
+        new org.apache.hadoop.fs.Path(manifestRoot(root), s"m-$v.txt")))
+      catch {
+        case _: java.io.IOException =>
+          // the pointer can name a manifest that no longer exists: a
+          // zombie claimant's swap landed after the janitor reclaimed
+          // its manifest (grace-window caveat at [[ClaimGraceMs]]).
+          // Fall back to the highest complete manifest EXCLUDING the
+          // missing version — an older but committed, consistent view;
+          // the next commit's swap repairs the pointer.
+          latestCompleteManifest(fs, root, excluding = Set(v))
+            .getOrElse(return (0L, Nil))
+      }
+    (rv, body.linesIterator.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq)
   }
 
@@ -675,11 +715,16 @@ object Sources {
   /** Point `_current` at manifest `name` (= version `v`): write-aside
     * to a nonce'd tmp, then ONE OVERWRITE rename. Two hardenings over
     * a bare rename, both needed under real writer contention:
-    *  - MONOTONE GUARD: never move the pointer backwards. If another
-    *    committer already advanced past `v`, its entry chain includes
-    *    v's entries (it could only have claimed v+1 after v became
-    *    resolvable), so skipping the swap is correct and prevents the
-    *    A-commits-5 / B-commits-6 / swaps-land-B-then-A regression.
+    *  - MONOTONE GUARD + POST-RENAME REPAIR: never move the pointer
+    *    backwards. The guard alone is check-then-act — between reading
+    *    the pointer and our rename a higher-version swap can land, and
+    *    our stale rename then regresses the pointer (and the higher
+    *    committer, having already swapped, never re-checks). So after
+    *    the rename we LIST the manifest dir: if a version above `v`
+    *    exists with a complete body, we re-swap to it. In the no-race
+    *    case our own manifest is the max — one listStatus, zero body
+    *    reads. Readers inside the (now self-healing) window see an
+    *    older but consistent snapshot, never a partial one.
     *  - BOUNDED RETRY on IOException: the local AbstractFileSystem's
     *    OVERWRITE rename is delete-then-rename, and two swaps in the
     *    window throw FileAlreadyExistsException. The exclusive create
@@ -689,36 +734,59 @@ object Sources {
       v: Long, name: String): Unit = {
     val fs = fsOf(s, root)
     val raw = rawOf(fs)
-    var attempt = 0
-    while (true) {
-      val curV =
-        try readSmall(raw, currentPtr(root)).trim
-          .stripPrefix("m-").stripSuffix(".txt").toLongOption
-        catch { case _: java.io.IOException => None }
-      if (curV.exists(_ >= v)) return
-      val tmp = new org.apache.hadoop.fs.Path(root,
-        s"_current.tmp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
-      // The pointer is written RAW (no checksum sidecar): on the local
-      // ChecksumFileSystem the swap would otherwise be TWO renames
-      // (data + .crc), and a reader between them pairs new pointer
-      // bytes with the old crc → spurious ChecksumException under
-      // writer contention. With no crc the swap is one rename;
-      // HDFS/S3A are unaffected (not ChecksumFileSystems).
-      writeSmall(raw, tmp, name + "\n")
-      try {
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-          root.toUri, s.sparkContext.hadoopConfiguration)
-        fc.rename(tmp, currentPtr(root),
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        return
-      } catch {
-        case e: java.io.IOException =>
-          try raw.delete(tmp, false) catch { case _: java.io.IOException => () }
-          attempt += 1
-          if (attempt >= 10) throw e
-          Thread.sleep(2L * attempt)
+    def ptrVersion(): Option[Long] =
+      try readSmall(raw, currentPtr(root)).trim
+        .stripPrefix("m-").stripSuffix(".txt").toLongOption
+      catch { case _: java.io.IOException => None }
+    // one monotone-guarded rename of the pointer to version tv
+    def swapOnce(tv: Long, tn: String): Unit = {
+      var attempt = 0
+      while (true) {
+        if (ptrVersion().exists(_ >= tv)) return
+        val tmp = new org.apache.hadoop.fs.Path(root,
+          s"_current.tmp-$tv-${java.util.UUID.randomUUID().toString.take(8)}")
+        // The pointer is written RAW (no checksum sidecar): on the local
+        // ChecksumFileSystem the swap would otherwise be TWO renames
+        // (data + .crc), and a reader between them pairs new pointer
+        // bytes with the old crc → spurious ChecksumException under
+        // writer contention. With no crc the swap is one rename;
+        // HDFS/S3A are unaffected (not ChecksumFileSystems).
+        writeSmall(raw, tmp, tn + "\n")
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            root.toUri, s.sparkContext.hadoopConfiguration)
+          fc.rename(tmp, currentPtr(root),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          return
+        } catch {
+          case e: java.io.IOException =>
+            try raw.delete(tmp, false) catch { case _: java.io.IOException => () }
+            attempt += 1
+            if (attempt >= 10) throw e
+            Thread.sleep(2L * attempt)
+        }
       }
     }
+    swapOnce(v, name)
+    // POST-RENAME REPAIR, as its own loop AFTER the swap (never inside
+    // the rename's retry try/catch — a transient exception mid-repair
+    // must not silently abandon it): while a COMPLETE manifest above
+    // what the pointer names exists, swap up to it. In the no-race case
+    // our own manifest is the max — one listStatus, zero body reads.
+    // Best-effort beyond that: the commit itself already succeeded, and
+    // an unrepaired window still only shows older consistent snapshots
+    // until the next commit or janitor pass.
+    try {
+      var spins = 0
+      while (spins < 50) {
+        spins += 1
+        val cur = ptrVersion().getOrElse(0L)
+        if (manifestVersionsOnDisk(fs, root).headOption.forall(_ <= cur)) return
+        val h = latestCompleteManifest(fs, root).map(_._1).getOrElse(0L)
+        if (h <= cur) return
+        swapOnce(h, s"m-$h.txt")
+      }
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Commit `entryLines` as version `v`: EXCLUSIVELY create the
@@ -734,22 +802,34 @@ object Sources {
     * rolls forward (complete body) or reclaims (incomplete body after
     * a grace window) — never silent data loss.
     *
-    * GUARANTEE SCOPE: the atomic exclusive create holds on local FS
-    * and HDFS (O_EXCL / NameNode namespace op). Plain object stores
-    * (S3A) implement create(overwrite=false) as check-then-act, where
-    * two racers can both "win" — the reason Delta/Iceberg require a
-    * conditional-PUT LogStore there. This layout targets FS-semantics
-    * stores; an object-store port swaps this one call for a
-    * conditional PUT of the manifest name. */
+    * GUARANTEE SCOPE: the claim is a REAL O_EXCL create. On a local
+    * `file:` store Hadoop's create(overwrite=false) is an exists-check
+    * followed by a plain open — check-then-act, two racers can both
+    * "win" and the loser TRUNCATES the winner's committed manifest (a
+    * silently lost append, observed in the OCC storm spec before this
+    * path existed) — so local claims go through NIO CREATE_NEW, which
+    * maps to open(O_CREAT|O_EXCL). HDFS create(overwrite=false) is an
+    * atomic NameNode namespace op and is used as-is. Plain object
+    * stores (S3A) have no atomic create at all — the reason
+    * Delta/Iceberg require a conditional-PUT LogStore there; an
+    * object-store port swaps this one call for a conditional PUT of
+    * the manifest name. */
   private[graft] def manifestCommit(s: SparkSession,
       root: org.apache.hadoop.fs.Path, v: Long, entryLines: Seq[String]): Unit = {
     val fs = fsOf(s, root)
     val name = s"m-$v.txt"
     val p = new org.apache.hadoop.fs.Path(manifestRoot(root), name)
     fs.mkdirs(manifestRoot(root))
-    val out =
-      try fs.create(p, false)
-      catch { case _: java.io.IOException => throw new ManifestCommitConflict(v) }
+    val out: java.io.OutputStream =
+      if (p.toUri.getScheme == "file")
+        try java.nio.file.Files.newOutputStream(
+          java.nio.file.Paths.get(p.toUri),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch { case _: java.io.IOException => throw new ManifestCommitConflict(v) }
+      else
+        try fs.create(p, false)
+        catch { case _: java.io.IOException => throw new ManifestCommitConflict(v) }
     try out.write((entryLines :+ EofMark).mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -1047,14 +1127,18 @@ object Sources {
     val files = writtenFiles(s, w)
     val observedData = observed.collect { case e: DataFileEntry => e.uri }.toSet
     commitWithRetry(s, root) { (old, nv) =>
-      val keep = parseEntries(old).filter {
-        case DataFileEntry(seq, u)   => seq > v && !observedData(u)
+      val oldEntries = parseEntries(old)
+      // kept data-file URI set computed ONCE, then zone entries tested
+      // against it — not an exists() re-parse of the whole manifest
+      // per zone line
+      val keptData = oldEntries.collect {
+        case e: DataFileEntry if e.seq > v && !observedData(e.uri) => e
+      }
+      val keptUris = keptData.map(_.uri).toSet
+      val keep = oldEntries.filter {
+        case e: DataFileEntry        => keptUris(e.uri)
         case DeleteFileEntry(seq, _) => seq > v
-        case ZoneStatEntry(u, _, _)  => // zones survive with their file
-          parseEntries(old).exists {
-            case DataFileEntry(seq, u2) => u2 == u && seq > v && !observedData(u2)
-            case _                      => false
-          }
+        case ZoneStatEntry(u, _, _)  => keptUris(u) // zones follow their file
       }
       keep.map(_.line) ++ files.map(f => DataFileEntry(nv, f).line)
     }
@@ -1065,25 +1149,28 @@ object Sources {
   // Data skipping is THE 100-TB scan lever: a range predicate should
   // decide from METADATA which files can possibly match and open only
   // those. Production formats read parquet footer min/max; here the
-  // append records per-file zones in a sidecar
-  // `_manifests/s-<v>.txt` (uri \t min \t max), so planning a pruned
-  // scan costs zero file opens. Files without recorded zones (e.g.
-  // rows from a plain append) are always scanned — pruning is an
-  // optimization, never a correctness gate.
+  // append records per-file zones as [[ZoneStatEntry]] manifest lines,
+  // committed ATOMICALLY with the data files they describe — a reader
+  // either resolves a manifest with both the files and their zones, or
+  // neither; there is no sidecar to catch mid-write, and planning a
+  // pruned scan reads the one manifest it already had to read. Files
+  // without recorded zones (e.g. rows from a plain append) are always
+  // scanned — pruning is an optimization, never a correctness gate.
 
   /** Append with per-file zone stats on long column `statCol`: rows
-    * range-partition on the column (tight, disjoint zones), and one
-    * metadata pass records each written file's min/max. The stats
-    * collect is a control frame — one row per written FILE. */
+    * range-partition on the column (tight, disjoint zones), one
+    * metadata pass records each written file's min/max, and data +
+    * zone entries commit as ONE manifest version. The stats collect is
+    * a control frame — one row per written FILE. */
   private[graft] def manifestAppendZoned(s: SparkSession,
       root: org.apache.hadoop.fs.Path, df: DataFrame, shards: Int,
       statCol: String): Long = {
-    val (v, _) = currentManifest(s, root)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val w = new org.apache.hadoop.fs.Path(root, s"data/w-${v + 1}-$nonce")
+    val w = new org.apache.hadoop.fs.Path(root, s"data/az-$nonce")
     df.repartitionByRange(shards, col(statCol))
       .write.mode(SaveMode.Overwrite).parquet(w.toString)
-    val stats = s.read.parquet(w.toString)
+    persistSchema(s, root, df.schema)
+    val zones: Map[String, (Long, Long)] = s.read.parquet(w.toString)
       .groupBy(input_file_name().as("f"))
       .agg(min(col(statCol)).cast("long").as("lo"),
            max(col(statCol)).cast("long").as("hi"))
@@ -1091,34 +1178,31 @@ object Sources {
       .map { r => // normalize to the FileSystem URI form the manifest uses
         val p = new org.apache.hadoop.fs.Path(
           new java.net.URI(r.getString(0))).toString
-        s"$p\t${r.getLong(1)}\t${r.getLong(2)}"
-      }
-    val committed = commitWithRetry(s, root)(old => old ++ writtenFiles(s, w))
-    // sidecar AFTER the commit, named by the version that actually won:
-    // a reader that races the sidecar write simply scans the new files
-    // unpruned (correctness never depends on zones existing)
-    val fs = fsOf(s, root)
-    writeSmall(fs, new org.apache.hadoop.fs.Path(manifestRoot(root),
-      s"s-$committed.txt"), stats.mkString("", "\n", "\n"))
-    committed
+        p -> (r.getLong(1), r.getLong(2))
+      }.toMap
+    val files = writtenFiles(s, w)
+    commitWithRetry(s, root) { (old, v) =>
+      old ++ files.map(f => DataFileEntry(v, f).line) ++
+        files.flatMap(f => zones.get(f).map {
+          case (lo, hi) => ZoneStatEntry(f, lo, hi).line
+        })
+    }
   }
 
   /** The live data files a `[lo, hi]` range predicate on the zoned
     * column can possibly touch, plus the total — the skipping decision
-    * itself, from sidecar metadata only. Unzoned files always pass. */
+    * itself, from the manifest's zone entries only. Unzoned files
+    * always pass. (Zoned reads are data-file-level: the zoned tables
+    * are append-only by contract — equality deletes route through
+    * [[manifestReadMerged]].) */
   private[graft] def zonePrunedFiles(s: SparkSession,
       root: org.apache.hadoop.fs.Path, lo: Long, hi: Long): (Seq[String], Int) = {
-    val fs = fsOf(s, root)
     val (_, lines) = currentManifest(s, root)
-    val (data, _) = splitEntries(lines)
-    val zones: Map[String, (Long, Long)] =
-      Option(fs.listStatus(manifestRoot(root))).getOrElse(Array())
-        .filter(_.getPath.getName.matches("s-\\d+\\.txt"))
-        .flatMap(st => readSmall(fs, st.getPath).linesIterator
-          .map(_.trim).filter(_.nonEmpty).map { l =>
-            val Array(u, zl, zh) = l.split("\t")
-            u -> (zl.toLong, zh.toLong)
-          }).toMap
+    val entries = parseEntries(lines)
+    val data = entries.collect { case e: DataFileEntry => e.uri }
+    val zones: Map[String, (Long, Long)] = entries.collect {
+      case ZoneStatEntry(u, zl, zh) => u -> (zl, zh)
+    }.toMap
     val kept = data.filter(f =>
       zones.get(f).forall { case (zl, zh) => zh >= lo && zl <= hi })
     (kept, data.length)
@@ -1127,12 +1211,13 @@ object Sources {
   /** Zone-pruned range scan: open only the files whose zones intersect
     * the predicate, then apply the row-level filter (pruning skips
     * files, the filter still decides rows — pushed to the parquet
-    * reader as usual). */
+    * reader as usual). A fully-pruned window returns the schema-ful
+    * empty so downstream column references keep resolving. */
   private[graft] def manifestReadZoned(s: SparkSession,
       root: org.apache.hadoop.fs.Path, statCol: String,
       lo: Long, hi: Long): DataFrame = {
     val (kept, _) = zonePrunedFiles(s, root, lo, hi)
-    if (kept.isEmpty) return s.emptyDataFrame
+    if (kept.isEmpty) return emptyLike(s, root)
     s.read.parquet(kept: _*)
       .filter(col(statCol) >= lo && col(statCol) <= hi)
   }
@@ -1143,9 +1228,7 @@ object Sources {
     * instead of 16 (spec-asserted); the oracle proves the pruned scan
     * loses and invents nothing. */
   def zoneMapPrunedRead(s: SparkSession, dir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(
-      roundtripRoot.resolve(s"manifest_zone_${dirKey(dir)}").toUri)
-    fsOf(s, root).delete(root, true)
+    val root = nonceRoot("manifest_zone", dir)
     val docs = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
     manifestAppendZoned(s, root, docs, 16, "doc_id")
@@ -1160,9 +1243,7 @@ object Sources {
     * table — the identity oracle IS the no-lost-update check. Thread
     * failures rethrow loudly rather than shrinking the result. */
   def concurrentAppendStorm(s: SparkSession, dir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(
-      roundtripRoot.resolve(s"manifest_occ_${dirKey(dir)}").toUri)
-    fsOf(s, root).delete(root, true)
+    val root = nonceRoot("manifest_occ", dir)
     val docs = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
@@ -1191,9 +1272,7 @@ object Sources {
     * the maintenance contract. Top-k cut via orderBy+limit
     * (TakeOrderedAndProject), rank attached on the 200-row frame. */
   def incrementalIndexMaintenance(s: SparkSession, dir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(
-      roundtripRoot.resolve(s"manifest_idx_${dirKey(dir)}").toUri)
-    fsOf(s, root).delete(root, true)
+    val root = nonceRoot("manifest_idx", dir)
     val docs = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"))
     val v1 = manifestAppend(s, root, docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0), 1)
@@ -1239,70 +1318,106 @@ object Sources {
       smallFloorBytes: Long, beforeCommit: () => Unit = () => ()): Int = {
     val fs = fsOf(s, root)
     val (v, lines) = currentManifest(s, root)
+    val entries = parseEntries(lines)
     // delete entries pass through untouched — size-compaction only
     // reshapes DATA files; folding deletes in is manifestApplyDeletes'
     // job, and the two maintenance passes compose in either order
-    val (files, delEntries) = splitEntries(lines)
-    val sized = files.map(f => (f,
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen))
+    val dels = entries.collect { case e: DeleteFileEntry => e }
+    val zones = entries.collect { case z: ZoneStatEntry => z }
+    val sized = entries.collect { case e: DataFileEntry => e }.map(e => (e,
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(e.uri)).getLen))
     val (smalls, compliant) = sized.partition(_._2 < smallFloorBytes)
     if (smalls.length < 2) return 0
     val smallBytes = smalls.map(_._2).sum
     val n = math.max(1L,
       (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val w = new org.apache.hadoop.fs.Path(root, s"data/w-${v + 1}")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val w = new org.apache.hadoop.fs.Path(root, s"data/sc-$nonce")
     // the rewrite APPLIES each small file's applicable deletes (the
     // Iceberg compaction rule): the rewritten rows land at sequence
     // v+1, above every existing delete, so without folding the deletes
     // in here a deleted row would escape its delete by being rewritten
-    mergedScan(s, smalls.map(_._1), delEntries)
+    mergedScan(s, root, smalls.map(_._1) ++ dels)
       .repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(w.toString)
     beforeCommit()
+    // compliant entries keep their ORIGINAL lines (same sequence, so
+    // existing deletes still apply to them); zone entries follow their
+    // surviving file — rewritten output carries no zones (always
+    // scanned, the safe direction)
+    val compliantUris = compliant.map(_._1.uri).toSet
     manifestCommit(s, root, v + 1,
-      compliant.map(_._1) ++ writtenFiles(s, w) ++
-        delEntries.map(DeletePrefix + _))
+      compliant.map(_._1.line) ++
+        writtenFiles(s, w).map(f => DataFileEntry(v + 1, f).line) ++
+        dels.map(_.line) ++
+        zones.filter(z => compliantUris(z.uri)).map(_.line))
     n
   }
 
-  /** Reclaim data files outside the retention window: keep the last
+  /** Reclaim files outside the retention window: keep the last
     * `retainVersions` manifests (so time-travel reads and in-flight
     * diff consumers inside the window stay valid — in a multi-reader
-    * deployment this is the grace period) and every data file any kept
-    * manifest references; delete the rest. retainVersions = 1 keeps the
-    * live version only. Returns files deleted. */
+    * deployment this is the grace period) and every data/delete file
+    * any SURVIVING manifest references; delete the rest.
+    * retainVersions = 1 keeps the live version only.
+    *
+    * Two safety rules against concurrent writers (vacuum is NOT
+    * single-writer w.r.t. appends):
+    *  - NEVER touch a version above the observed live `v` — that is a
+    *    commit racing this vacuum (complete body, swap in flight) or a
+    *    live claim mid-write; reclaiming abandoned claims is the
+    *    commit-path janitor's job, gated on [[ClaimGraceMs]].
+    *  - An unreferenced data file younger than `graceMs` is kept: a
+    *    racing appender writes its files BEFORE its commit lands, so
+    *    "unreferenced" alone cannot distinguish garbage from a commit
+    *    about to happen (the same mtime grace Delta's vacuum uses).
+    * Returns files deleted. */
   private[graft] def manifestVacuum(s: SparkSession,
-      root: org.apache.hadoop.fs.Path, retainVersions: Int = 1): Int = {
+      root: org.apache.hadoop.fs.Path, retainVersions: Int = 1,
+      graceMs: Long = ClaimGraceMs): Int = {
     val fs = fsOf(s, root)
     val (v, _) = currentManifest(s, root)
-    val keptVersions = (math.max(1L, v - retainVersions + 1) to v).toSet
-    val keep = keptVersions.flatMap { kv =>
-      val p = new org.apache.hadoop.fs.Path(manifestRoot(root), s"m-$kv.txt")
-      if (fs.exists(p))
-        readSmall(fs, p).linesIterator.map(_.trim).filter(_.nonEmpty)
-          .map(_.stripPrefix(DeletePrefix)).toSet
-      else Set.empty[String]
-    }
+    val floor = math.max(1L, v - retainVersions + 1)
     var removed = 0
+    // 1) sweep manifests strictly BELOW the window; versions > v are
+    //    untouchable (racing commit / live claim)
+    val mdir = manifestRoot(root)
+    if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
+      val name = st.getPath.getName
+      val ver =
+        if (name.startsWith("m-") || name.startsWith("s-"))
+          name.drop(2).stripSuffix(".txt").toLongOption
+        else None
+      if (ver.exists(n => n < floor)) { fs.delete(st.getPath, false); removed += 1 }
+    }
+    // 2) keep-set from EVERY manifest still present — the retained
+    //    window AND anything newer than v that committed (or is being
+    //    committed) while we ran
+    val keep: Set[String] =
+      if (!fs.exists(mdir)) Set.empty
+      else fs.listStatus(mdir).toSeq
+        .filter(_.getPath.getName.matches("m-\\d+\\.txt"))
+        .flatMap { st =>
+          try parseEntries(readSmall(fs, st.getPath).linesIterator
+            .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSeq)
+            .collect {
+              case DataFileEntry(_, u)   => u
+              case DeleteFileEntry(_, u) => u
+            }
+          catch { case _: java.io.IOException => Seq.empty[String] }
+        }.toSet
+    // 3) delete unreferenced data files older than the grace window
+    val now = System.currentTimeMillis()
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     if (fs.exists(dataDir)) {
       val it = fs.listFiles(dataDir, true)
       while (it.hasNext) {
         val st = it.next()
-        if (!keep(st.getPath.toString)) { fs.delete(st.getPath, false); removed += 1 }
+        if (!keep(st.getPath.toString) &&
+            now - st.getModificationTime > graceMs) {
+          fs.delete(st.getPath, false); removed += 1
+        }
       }
-    }
-    val mdir = manifestRoot(root)
-    if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
-      val name = st.getPath.getName
-      // manifests AND their zone sidecars (x148) share the retention
-      // window — a retained version keeps its pruning metadata
-      val kept = name match {
-        case n if n.startsWith("m-") || n.startsWith("s-") =>
-          n.drop(2).stripSuffix(".txt").toLongOption.exists(keptVersions)
-        case _ => false
-      }
-      if (!kept) { fs.delete(st.getPath, false); removed += 1 }
     }
     removed
   }
@@ -1315,9 +1430,7 @@ object Sources {
     * exactly the old set, post-commit exactly the new, vacuum leaves
     * only live files). */
   def manifestCompactionRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(
-      roundtripRoot.resolve(s"manifest_${dirKey(dir)}").toUri)
-    fsOf(s, root).delete(root, true)
+    val root = nonceRoot("manifest", dir)
     val docs = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
     manifestAppend(s, root, docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0), 1)
@@ -1336,9 +1449,7 @@ object Sources {
     * old version's file set, and vacuum kept every file the window
     * still references. Identity oracle = exactly the v1 subset. */
   def manifestTimeTravel(s: SparkSession, dir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(
-      roundtripRoot.resolve(s"manifest_tt_${dirKey(dir)}").toUri)
-    fsOf(s, root).delete(root, true)
+    val root = nonceRoot("manifest_tt", dir)
     val docs = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
     manifestAppend(s, root, docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0), 1)
@@ -1356,9 +1467,7 @@ object Sources {
     * table (the file-level CDC loop every downstream training-data
     * pipeline runs against its upstream table). */
   def manifestDiffRead(s: SparkSession, dir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(
-      roundtripRoot.resolve(s"manifest_cdc_${dirKey(dir)}").toUri)
-    fsOf(s, root).delete(root, true)
+    val root = nonceRoot("manifest_cdc", dir)
     val docs = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
     manifestAppend(s, root, docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0), 1)
@@ -1376,9 +1485,7 @@ object Sources {
     * delete entries; size-compaction carries delete entries through;
     * time travel to the pre-delete version still sees every row). */
   def manifestEqualityDeleteRead(s: SparkSession, dir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(
-      roundtripRoot.resolve(s"manifest_mor_${dirKey(dir)}").toUri)
-    fsOf(s, root).delete(root, true)
+    val root = nonceRoot("manifest_mor", dir)
     val docs = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
     manifestAppend(s, root, docs, 8)
@@ -1395,8 +1502,7 @@ object Sources {
     * round-trip under the identity oracle, same gate pattern as
     * x70/x85. */
   def compactionRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val key = dirKey(dir)
-    val frag = roundtripRoot.resolve(s"compact_$key")
+    val frag = java.nio.file.Paths.get(nonceRoot("compact", dir).toUri)
     graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
       .repartition(64)
@@ -1412,8 +1518,7 @@ object Sources {
     * layout contract (compliant file's name survives, small names are
     * gone, and a second pass is a no-op). */
   def incrementalCompactionRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val frag = roundtripRoot.resolve(s"compact_incr_${dirKey(dir)}")
-    rmTree(frag.toFile)
+    val frag = java.nio.file.Paths.get(nonceRoot("compact_incr", dir).toUri)
     val docs = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
     docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0).coalesce(1)

@@ -475,7 +475,8 @@ class EtlSpec extends SparkSpec {
     val v1 = Sources.manifestAppend(spark, root, df.filter(col("id") % 10 =!= 0), 1)
     val v2 = Sources.manifestAppend(spark, root, df.filter(col("id") % 10 === 0), 24)
     assert(v1 == 1 && v2 == 2)
-    val (_, beforeFiles) = Sources.currentManifest(spark, root)
+    val (_, beforeLines) = Sources.currentManifest(spark, root)
+    val beforeFiles = Sources.dataEntries(beforeLines).map(_.uri)
     assert(beforeFiles.length == 25, s"fixture: ${beforeFiles.length} files")
     val before = Sources.manifestRead(spark, root)
       .agg(sum("id"), count(lit(1))).head()
@@ -493,8 +494,8 @@ class EtlSpec extends SparkSpec {
     val n = Sources.manifestCompactSmallFiles(spark, root,
       targetFileBytes = 1L << 30, smallFloorBytes = 8192L,
       beforeCommit = () => {
-        val (mv, midFiles) = Sources.currentManifest(spark, root)
-        assert(mv == v2 && midFiles == beforeFiles,
+        val (mv, midLines) = Sources.currentManifest(spark, root)
+        assert(mv == v2 && Sources.dataEntries(midLines).map(_.uri) == beforeFiles,
           "mid-compaction reader saw a file set other than the old version")
         assert(Sources.manifestRead(spark, root)
           .agg(sum("id"), count(lit(1))).head() == before)
@@ -504,7 +505,8 @@ class EtlSpec extends SparkSpec {
 
     // post-commit: version bumped, compliant file RE-POINTED (same URI,
     // zero bytes moved), smalls gone from the manifest, content intact
-    val (v3, afterFiles) = Sources.currentManifest(spark, root)
+    val (v3, afterLines) = Sources.currentManifest(spark, root)
+    val afterFiles = Sources.dataEntries(afterLines).map(_.uri)
     assert(v3 == v2 + 1)
     assert(bigs.subsetOf(afterFiles.toSet), "compliant file was not re-pointed")
     assert(afterFiles.length == bigs.size + n)
@@ -517,7 +519,7 @@ class EtlSpec extends SparkSpec {
     val preVacuum = beforeFiles.filterNot(afterFiles.contains)
     assert(preVacuum.forall(f => fs.exists(new org.apache.hadoop.fs.Path(f))),
       "commit deleted files a concurrent old-version reader may need")
-    assert(Sources.manifestVacuum(spark, root) > 0)
+    assert(Sources.manifestVacuum(spark, root, graceMs = 0L) > 0)
     val onDisk = {
       val it = fs.listFiles(new org.apache.hadoop.fs.Path(root, "data"), true)
       val b = scala.collection.mutable.Set.empty[String]
@@ -534,7 +536,8 @@ class EtlSpec extends SparkSpec {
     // converged: a second pass is a no-op and changes nothing
     assert(Sources.manifestCompactSmallFiles(spark, root,
       targetFileBytes = 1L << 30, smallFloorBytes = 8192L) == 0)
-    assert(Sources.currentManifest(spark, root)._2 == afterFiles)
+    assert(Sources.dataEntries(Sources.currentManifest(spark, root)._2)
+      .map(_.uri) == afterFiles)
   }
 
   test("equality deletes: zero-rewrite commits, apply-fold identity, compaction passthrough") {
@@ -554,9 +557,9 @@ class EtlSpec extends SparkSpec {
     Sources.manifestDelete(spark, root,
       df.filter(col("id") % 7 === 3).select("id"))
     val (_, delLines) = Sources.currentManifest(spark, root)
-    assert(delLines.filterNot(_.startsWith("delete:")) == preLines,
+    assert(Sources.dataEntries(delLines) == Sources.dataEntries(preLines),
       "a delete commit rewrote data files")
-    assert(delLines.count(_.startsWith("delete:")) == 1)
+    assert(Sources.deleteEntries(delLines).length == 1)
     val want1 = sig(df.filter(col("id") % 7 =!= 3))
     assert(sig(Sources.manifestReadMerged(spark, root)) == want1)
 
@@ -585,7 +588,7 @@ class EtlSpec extends SparkSpec {
     assert(Sources.manifestCompactSmallFiles(spark, root,
       targetFileBytes = 1L << 30, smallFloorBytes = 8192L) > 0)
     val (_, afterCompact) = Sources.currentManifest(spark, root)
-    assert(afterCompact.count(_.startsWith("delete:")) == 2,
+    assert(Sources.deleteEntries(afterCompact).length == 2,
       "size-compaction dropped delete entries")
     assert(sig(Sources.manifestReadMerged(spark, root)) == want3)
 
@@ -594,11 +597,11 @@ class EtlSpec extends SparkSpec {
     val vApplied = Sources.manifestApplyDeletes(spark, root, 2)
     val (vNow, foldedLines) = Sources.currentManifest(spark, root)
     assert(vNow == vApplied)
-    assert(foldedLines.forall(!_.startsWith("delete:")))
+    assert(Sources.deleteEntries(foldedLines).isEmpty)
     assert(sig(Sources.manifestReadMerged(spark, root)) == want3)
     assert(Sources.manifestApplyDeletes(spark, root, 2) == vApplied)
     // vacuum reclaims the pre-fold files; the live read stays correct
-    assert(Sources.manifestVacuum(spark, root) > 0)
+    assert(Sources.manifestVacuum(spark, root, graceMs = 0L) > 0)
     assert(sig(Sources.manifestReadMerged(spark, root)) == want3)
   }
 
@@ -609,8 +612,14 @@ class EtlSpec extends SparkSpec {
     val df = spark.range(20000).toDF("id")
       .withColumn("payload", md5(col("id").cast("string")))
     Sources.manifestAppendZoned(spark, root, df, 16, "id")
+    // zones are MANIFEST ENTRIES committed atomically with their data
+    // files — no sidecar exists for a racing reader to catch mid-write
+    val fs0 = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs0.listStatus(new org.apache.hadoop.fs.Path(root, "_manifests"))
+      .exists(_.getPath.getName.startsWith("s-")),
+      "zone stats leaked into a sidecar file")
     // a 1/20th window over 16 range shards must plan ≤ a quarter of
-    // the files — the skipping decision, from sidecar metadata only
+    // the files — the skipping decision, from manifest metadata only
     val (kept, total) = Sources.zonePrunedFiles(spark, root, 5000L, 5999L)
     assert(total == 16 && kept.length <= 4,
       s"pruning kept ${kept.length} of $total files")
@@ -672,7 +681,7 @@ class EtlSpec extends SparkSpec {
     // vacuum whose retention window still covers v1
     assert(Sources.manifestCompactSmallFiles(spark, root,
       targetFileBytes = 1L << 30, smallFloorBytes = 8192L) > 0)
-    Sources.manifestVacuum(spark, root, retainVersions = 3)
+    Sources.manifestVacuum(spark, root, retainVersions = 3, graceMs = 0L)
     val snap1 = Sources.manifestReadAt(spark, root, 1L)
     assert(snap1.agg(sum("id"), count(lit(1))).head() ==
       a.agg(sum("id"), count(lit(1))).head(),
@@ -683,7 +692,7 @@ class EtlSpec extends SparkSpec {
     // shrink the window to live-only: v1/v2 manifests and their
     // now-unreferenced files go; time travel outside the window fails
     // LOUDLY, the live read is untouched
-    assert(Sources.manifestVacuum(spark, root, retainVersions = 1) > 0)
+    assert(Sources.manifestVacuum(spark, root, retainVersions = 1, graceMs = 0L) > 0)
     intercept[IllegalArgumentException] {
       Sources.manifestReadAt(spark, root, 1L)
     }
@@ -737,12 +746,145 @@ class EtlSpec extends SparkSpec {
     val out = fs.create(dangling, false)
     out.write("file:///crashed\n".getBytes("UTF-8")); out.close()
     val ex = intercept[IllegalArgumentException] {
-      Sources.commitWithRetry(spark, root, maxAttempts = 3)(identity)
+      Sources.commitWithRetry(spark, root, maxAttempts = 3)((old, _) => old)
     }
     assert(ex.getMessage.contains("conflicted commits"))
     // cleanup unblocks
     fs.delete(dangling, false)
-    Sources.commitWithRetry(spark, root)(identity)
+    Sources.commitWithRetry(spark, root)((old, _) => old)
     assert(Sources.manifestRead(spark, root).count() == 4000)
+  }
+
+  // list a write dir's data files the way the manifest layer does
+  private def listDataFiles(root: org.apache.hadoop.fs.Path,
+      sub: String): Seq[String] = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(root, sub), true)
+    val b = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) b += st.getPath.toString
+    }
+    b.toSeq.sorted
+  }
+
+  test("sequence-at-commit: a retried append outlives the delete that interleaved") {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_seq_spec").resolve("t").toUri)
+    val df = spark.range(1000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+    Sources.manifestAppend(spark, root, df, 1) // v1
+    // the append re-inserts exactly the keys the racing delete kills
+    val reins = df.filter(col("id") % 10 === 0)
+    reins.coalesce(1).write.parquet(
+      new org.apache.hadoop.fs.Path(root, "data/a-race").toString)
+    val files = listDataFiles(root, "data/a-race")
+    // slow append: observed v1, but a delete commits FIRST (claiming
+    // v2 inside the first callback invocation) — the append's claim of
+    // v2 conflicts, it retries, and lands at v3 with seq 3 entries
+    var first = true
+    val landed = Sources.commitWithRetry(spark, root) { (old, v) =>
+      if (first) {
+        first = false
+        Sources.manifestDelete(spark, root, reins.select("id"))
+      }
+      old ++ files.map(f => Sources.DataFileEntry(v, f).line)
+    }
+    assert(landed == 3L, s"append retried to v$landed, expected v3")
+    // the v2 delete must NOT kill the v3 re-insert: sequence assigned
+    // at COMMIT, not at the stale observation
+    val got = Sources.manifestReadMerged(spark, root)
+    assert(got.count() == 1000,
+      "the interleaved delete killed rows committed after it")
+    assert(got.filter(col("id") % 10 === 0).count() == 100)
+  }
+
+  test("sequence-at-commit mirrored: a retried delete still kills data that landed before it") {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_seq2_spec").resolve("t").toUri)
+    val df = spark.range(1000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+    val late = spark.range(1000, 1100).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+    Sources.manifestAppend(spark, root, df, 1) // v1
+    // delete of ids in [500, 600) ∪ [1000, 1050): observed v1, but an
+    // append of `late` wins v2; the delete retries and lands at v3 —
+    // and MUST apply to the v2 append too (committed strictly before
+    // the delete landed: the Iceberg sequence rule, both directions)
+    val keys = spark.range(500, 600).toDF("id")
+      .unionByName(spark.range(1000, 1050).toDF("id"))
+    keys.coalesce(1).write.parquet(
+      new org.apache.hadoop.fs.Path(root, "data/del-race").toString)
+    val delFiles = listDataFiles(root, "data/del-race")
+    var first = true
+    val landed = Sources.commitWithRetry(spark, root) { (old, v) =>
+      if (first) {
+        first = false
+        Sources.manifestAppend(spark, root, late, 1)
+      }
+      old ++ delFiles.map(f => Sources.DeleteFileEntry(v, f).line)
+    }
+    assert(landed == 3L, s"delete retried to v$landed, expected v3")
+    val got = Sources.manifestReadMerged(spark, root)
+    assert(got.count() == 1100 - 150,
+      "the retried delete missed rows committed before it landed")
+    assert(got.filter(col("id") >= 1000 && col("id") < 1050).count() == 0,
+      "the v2 append escaped the v3 delete")
+  }
+
+  test("vacuum racing committing appenders: every winner's version survives") {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_vac_spec").resolve("t").toUri)
+    val df = spark.range(4000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+    Sources.manifestAppend(spark, root, df.filter(col("id") < 2000), 1)
+    // 16 interleavings: an appender commits while vacuum sweeps with a
+    // live-only retention window. The version>live guard keeps vacuum
+    // off the appender's manifest (claimed or just-committed); the
+    // mtime grace keeps it off the appender's pre-commit data files.
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    (0 until 16).foreach { i =>
+      val t = new Thread(() => {
+        try { Sources.manifestAppend(spark, root,
+          df.filter(col("id") >= 2000 && pmod(col("id"), lit(16L)) === i), 1); () }
+        catch { case e: Throwable => failures.add(e); () }
+      })
+      t.start()
+      Sources.manifestVacuum(spark, root, retainVersions = 1)
+      t.join()
+    }
+    assert(failures.isEmpty, s"appender died racing vacuum: ${failures.peek()}")
+    assert(Sources.manifestRead(spark, root).agg(
+      sum("id"), count(lit(1))).head() ==
+      df.agg(sum("id"), count(lit(1))).head(),
+      "vacuum destroyed a concurrently-committed version")
+    // even a zero-grace vacuum afterwards only reclaims UNREFERENCED
+    // files: everything any present manifest references survives
+    Sources.manifestVacuum(spark, root, retainVersions = 1, graceMs = 0L)
+    assert(Sources.manifestRead(spark, root).count() == 4000)
+  }
+
+  test("a pointer naming a reclaimed manifest falls back to the newest complete version") {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_zombie_spec").resolve("t").toUri)
+    val df = spark.range(1000).toDF("id")
+    Sources.manifestAppend(spark, root, df.filter(col("id") < 600), 1)
+    Sources.manifestAppend(spark, root, df.filter(col("id") >= 600), 1)
+    // simulate the zombie-claimant window: _current names m-2 but the
+    // janitor reclaimed it — reads must fall back to v1, not throw
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_manifests/m-2.txt"), false)
+    val (v, lines) = Sources.currentManifest(spark, root)
+    assert(v == 1L, s"fallback resolved v$v, expected the complete v1")
+    assert(Sources.dataEntries(lines).nonEmpty)
+    assert(Sources.manifestRead(spark, root).count() == 600)
+    // the next commit heals the pointer
+    Sources.manifestAppend(spark, root, df.filter(col("id") >= 600), 1)
+    assert(Sources.manifestRead(spark, root).count() == 1000)
   }
 }
