@@ -49,6 +49,33 @@ object Retrieval {
   private val OneMinusB = 0.25
   /** RRF smoothing constant (the k=60 of Cormack et al. 2009). */
   private val RrfK = 60.0
+  /** Champion-list size: each term NOMINATES at most this many
+    * candidate docs — its top-M postings by (tf DESC, doc_id), the
+    * impact-ordered / champion-list truncation of the IR textbooks.
+    * Without it one high-df query term drags a corpus-share of
+    * postings in as candidates — at 100 TB an unbounded skew join (the
+    * r13/r14 scale audit finding: candidate mass grew 8× at 100×
+    * volume). A relative df CAP (drop terms in >10% of docs, the first
+    * fix attempted) is degenerate on small-vocabulary corpora — this
+    * synthetic corpus has a 31-token vocabulary with 30 tokens above
+    * 50% df, so a df cap silences 7 of 10 queries entirely; champion
+    * lists instead keep every term productive while bounding its
+    * nomination fan-out to a constant. Scoring stays EXACT BM25 over
+    * the nominated candidates (stage 2 rejoins the candidate docs'
+    * full postings), so the only approximation is a doc outside every
+    * query term's top-M — the docs the term ranks worst. Per-query
+    * nominated-candidate counts ride in-band (`n_cand`) — no silent
+    * cap. At every driver SF max df (415) < M, so truncation is a
+    * no-op and the oracle verifies the full path bit-for-bit. */
+  private val ChampM = 1024
+  /** Salt width for the champion-list window's first phase: the top-M
+    * of a term is computed per (token, doc_id mod salt) bucket first,
+    * then globally over the ≤ salt·M survivors — the hierarchical
+    * top-k trick, equivalent to the single global window (any global
+    * top-M row is inside its own bucket's top-M) but without funneling
+    * a stop-word term's whole corpus-sized postings list through one
+    * window partition. */
+  private val ChampSalt = 32L
   /** MMR trade-off λ = 0.7 as the exact rational pair (7, 3)/10: the
     * scored objective is mmr10 = 7·rel_ppm − 3·maxsim_ppm — the
     * textbook λ·rel − (1−λ)·maxsim scaled by 10 into pure integers
@@ -70,8 +97,21 @@ object Retrieval {
   /** Per-(query, candidate) BM25 score in exact integer ppm, ranked per
     * query — depth rows per query. Query-side tf is dropped (each
     * DISTINCT query term contributes once — standard for short
-    * queries). Self-matches excluded. */
-  private def bm25Ranked(s: SparkSession, dir: String, depth: Int): DataFrame = {
+    * queries). Self-matches excluded. Candidate generation is
+    * df-capped ([[DfCapInv]]); capped terms stay in dl/avgdl. */
+  private def bm25Ranked(s: SparkSession, dir: String, depth: Int): DataFrame =
+    bm25RankedWithCand(s, dir, depth)._1
+
+  /** [[bm25Ranked]] plus the per-query nominated-candidate counts —
+    * the in-band no-silent-caps report x140 carries. Two stages:
+    *   1. CANDIDATE GENERATION, bounded: query terms nominate only
+    *      their champion lists ([[ChampM]]) — candidate mass per query
+    *      ≤ |terms|·M at ANY corpus size, never a corpus-share join.
+    *   2. EXACT SCORING of the bounded set: the candidates' own
+    *      postings rejoin (bounded by candidates × doc length), so
+    *      every nominated doc gets its full, exact BM25 sum. */
+  private def bm25RankedWithCand(s: SparkSession, dir: String,
+      depth: Int): (DataFrame, DataFrame) = {
     val tf = postings(s, dir).scopedCache()
     val dfreq = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
     val stats = tf.agg(sum("tf").cast("long").as("total_tf"))
@@ -80,6 +120,23 @@ object Retrieval {
     val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
     val qt = tf.filter(col("doc_id") < NQueries)
       .select(col("doc_id").as("query_id"), col("token")).distinct()
+    // champion lists: per-term top-M postings, salted two-phase window
+    // ([[ChampSalt]]) so a stop-word term's postings never collapse
+    // into one partition
+    val w1 = Window
+      .partitionBy(col("token"), pmod(col("doc_id"), lit(ChampSalt)))
+      .orderBy(col("tf").desc, col("doc_id"))
+    val w2 = Window.partitionBy(col("token"))
+      .orderBy(col("tf").desc, col("doc_id"))
+    val champ = tf
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= ChampM)
+      .withColumn("r2", row_number().over(w2)).filter(col("r2") <= ChampM)
+      .select("token", "doc_id")
+    val cand = qt.join(champ, Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select("query_id", "doc_id").distinct()
+    val nCand = cand.groupBy("query_id")
+      .agg(count(lit(1)).cast("long").as("n_cand"))
     val nD = col("n_docs").cast("double")
     val dfD = col("df").cast("double")
     val tfD = col("tf").cast("double")
@@ -89,8 +146,8 @@ object Retrieval {
       (lit(OneMinusB) + lit(B) * (col("dl").cast("double") / avgdl))
     val contrib = idf * (tfD * lit(K1Plus1)) / denom
     val scored = tf
-      .join(qt, Seq("token"))
-      .filter(col("doc_id") =!= col("query_id"))
+      .join(cand, Seq("doc_id"))
+      .join(qt, Seq("query_id", "token"))
       .join(dfreq, Seq("token"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
@@ -99,17 +156,23 @@ object Retrieval {
       .agg(sum("ppm").cast("long").as("score_ppm"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_ppm").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    val ranked = scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= depth)
+    (ranked, nCand)
   }
 
   /** x140: BM25 lexical retrieval — top-k candidate docs per query doc
     * (query = the doc's distinct terms), rational-idf variant, exact
-    * integer ppm scores. */
-  def bm25Retrieval(s: SparkSession, dir: String): DataFrame =
-    bm25Ranked(s, dir, OutK)
-      .select(col("query_id"), col("rank"), col("doc_id"), col("score_ppm"))
+    * integer ppm scores, champion-list-bounded candidate generation
+    * with the per-query nominated-candidate count in-band. */
+  def bm25Retrieval(s: SparkSession, dir: String): DataFrame = {
+    val (ranked, nCand) = bm25RankedWithCand(s, dir, OutK)
+    ranked
+      .join(broadcast(nCand), Seq("query_id"), "left")
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_ppm"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"))
       .orderBy("query_id", "rank")
+  }
 
   /** Dense ranks for the fusion: the x07 brute-force cosine shape over
     * embeddings (doc_id = vec_id, the x49 linkage), depth per query. */
@@ -318,8 +381,18 @@ object Retrieval {
              FROM tf GROUP BY 1),
       qt AS (SELECT DISTINCT doc_id AS query_id, token
              FROM tf WHERE doc_id < $NQueries),
+      champ AS (SELECT token, doc_id FROM (
+          SELECT token, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY token
+              ORDER BY tf DESC, doc_id) AS r
+          FROM tf) WHERE r <= $ChampM),
+      cand AS (SELECT DISTINCT q.query_id, c.doc_id
+               FROM qt q JOIN champ c ON c.token = q.token
+               WHERE c.doc_id <> q.query_id),
+      ncand AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+                FROM cand GROUP BY 1),
       ppm AS (
-        SELECT qt.query_id, tf.doc_id,
+        SELECT ca.query_id, tf.doc_id,
           CAST(floor(
             ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
                / (CAST(d.df AS DOUBLE) + 0.5))
@@ -328,9 +401,10 @@ object Retrieval {
                ($OneMinusB + $B * (CAST(dl.dl AS DOUBLE)
                  / (CAST(s.total_tf AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
             * 1000000.0) AS BIGINT) AS ppm
-        FROM qt
-        JOIN tf ON tf.token = qt.token AND tf.doc_id <> qt.query_id
-        JOIN dfreq d ON d.token = qt.token
+        FROM cand ca
+        JOIN tf ON tf.doc_id = ca.doc_id
+        JOIN qt ON qt.query_id = ca.query_id AND qt.token = tf.token
+        JOIN dfreq d ON d.token = tf.token
         JOIN dl ON dl.doc_id = tf.doc_id
         CROSS JOIN stats s),
       lexs AS (SELECT query_id, doc_id,
@@ -431,9 +505,11 @@ object Retrieval {
   val oracles: Map[String, String] = Map(
     "x140_bm25_retrieval" -> s"""
       WITH $bm25Ctes
-      SELECT query_id, rank, doc_id, score_ppm
-      FROM lexr WHERE rank <= $OutK
-      ORDER BY query_id, rank""",
+      SELECT l.query_id, l.rank, l.doc_id, l.score_ppm,
+             COALESCE(nc.n_cand, CAST(0 AS BIGINT)) AS n_cand
+      FROM lexr l LEFT JOIN ncand nc ON nc.query_id = l.query_id
+      WHERE l.rank <= $OutK
+      ORDER BY l.query_id, l.rank""",
     "x141_hybrid_rrf" -> s"""
       WITH $fusionCtes
       SELECT query_id, rank, doc_id, rrf_score, in_lex, in_dense

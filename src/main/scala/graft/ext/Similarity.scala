@@ -492,6 +492,42 @@ object Similarity {
     * measures what it buys. */
   private val SemCoarseProbes = 2
 
+  /** Audit sample bound for the exact-reference audits (x129/x133).
+    * Their exact side scores every vector against every centroid —
+    * N·nlist cosines, the one cost that outgrows the production path
+    * it audits (r13 scale audit: 48-66 s at 100× volume, ratios >11).
+    * The audit therefore runs on a DETERMINISTIC hash sample of
+    * ~[[AuditSampleCap]] vectors: keep vec_id iff
+    * u32(vec_id + [[AuditSalt]])·n_corpus < cap·2^32 — exact integer
+    * arithmetic both engines replay (the x93 hash-threshold
+    * precedent). The salt decorrelates the sample from the
+    * smallest-u32 QUANTIZER-TRAINING seeding: unsalted, the sample
+    * would be exactly the training set at scale and audit the vectors
+    * the quantizer fits best. Sample size is IN-BAND (n_vecs is the
+    * sample; n_corpus rides alongside) — no silent cap. Small corpora
+    * (N ≤ cap) keep everything, so the driver-SF oracle audits the
+    * full corpus and the sampling rule itself stays oracle-verified. */
+  private val AuditSampleCap = 2048L
+  private val AuditSalt = 1000003L
+  private val U32Span = 4294967296L // 2^32
+
+  /** The audit's vector sample (Scala side). `nCorpus` is the one
+    * metadata-cheap count the caller already holds. */
+  private def auditSample(all: DataFrame, nCorpus: Long): DataFrame =
+    all.filter(
+      graft.ext.Sampling.u32(col("vec_id") + lit(AuditSalt)) * lit(nCorpus)
+        < lit(AuditSampleCap * U32Span))
+
+  /** The identical sample rule in DuckDB: `smp(vec_id)` plus the
+    * sampled twins of the base/assignment frames. */
+  private def auditSampleCtes: String = s"""
+      smp AS (SELECT vec_id FROM e
+        WHERE ${graft.ext.Sampling.u32Sql(s"(vec_id + $AuditSalt)")}
+              * (SELECT COUNT(*) FROM embeddings)
+              < ${AuditSampleCap * U32Span}),
+      es AS (SELECT e.* FROM e JOIN smp USING (vec_id)),
+      fss AS (SELECT f.* FROM fs f JOIN smp USING (vec_id))"""
+
   /** Coarse-level width for the hierarchical assignment: √nlist buckets
     * over the nlist fine centroids, so per-vector work is
     * √nlist + probes·√nlist instead of nlist. With nlist = √N that is
@@ -581,14 +617,18 @@ object Similarity {
     * gave up. One row, all integers (per-mille / ppm via floor — both
     * engines compute the identical IEEE subtraction first):
     * agreement floor is asserted in spec, and regret is bounded-exact
-    * (ppm ≤ 2e6 per vector, summed well inside 2^53). Deliberately
-    * carries the exact path's N·nlist cost — it IS the reference
-    * computation, run on samples at production scale (the x90 shape). */
+    * (ppm ≤ 2e6 per vector, summed well inside 2^53). The exact path's
+    * N·nlist cost is SAMPLE-BOUNDED ([[AuditSampleCap]]): the
+    * reference computation runs on a salted deterministic hash sample,
+    * sample and corpus sizes in-band — the x90/x93 shape, and the
+    * only way an exact reference stays runnable at production scale. */
   def semAssignAudit(s: SparkSession, dir: String): DataFrame = {
     val nlist = semNlist(s, dir)
     val (all, centroids) = ivfCentroids(s, dir, nlist, LloydIters, Some(SemTrainSample))
-    val approx = semAssignApproxFrame(all, centroids, semNcoarse(nlist))
-    val exact = all.join(broadcast(centroids))
+    val nCorpus = load(s, dir, "embeddings").count()
+    val sample = auditSample(all, nCorpus)
+    val approx = semAssignApproxFrame(sample, centroids, semNcoarse(nlist))
+    val exact = sample.join(broadcast(centroids))
       .withColumn("cos", cosine(asDouble(col("vq")), asDouble(col("c"))))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cluster"), struct(col("cos"), col("cluster"))).as("ecluster"),
@@ -606,8 +646,9 @@ object Similarity {
         call_function("div", col("n_agree") * lit(1000L), col("n_vecs")))
       .crossJoin(broadcast(exactnessGuard(all, centroids)))
       .filter(col("exact_ok").isNull)
-      .select(col("n_vecs"), col("n_unassigned"), col("n_agree"),
-        col("agree_pm"), col("max_regret_ppm"), col("sum_regret_ppm"))
+      .select(col("n_vecs"), lit(nCorpus).as("n_corpus"), col("n_unassigned"),
+        col("n_agree"), col("agree_pm"), col("max_regret_ppm"),
+        col("sum_regret_ppm"))
   }
 
   /** Probe widths the x133 frontier sweep measures. 1/2/3 brackets the
@@ -626,11 +667,16 @@ object Similarity {
     * (cos, cluster) tie-break on both paths) — so the sweep shows the
     * marginal agreement each extra probe buys against its linear
     * cosine cost; SimilaritySpec asserts the monotonicity. The exact
-    * side is computed once and cached; each width re-probes only. */
+    * side is computed once and cached; each width re-probes only. Like
+    * x129, both sides run on the [[AuditSampleCap]] hash sample
+    * (sample + corpus sizes in-band) — a frontier sweep is a
+    * measurement, and measurements at 100 TB are sampled. */
   def semProbeSweep(s: SparkSession, dir: String): DataFrame = {
     val nlist = semNlist(s, dir)
     val (all, centroids) = ivfCentroids(s, dir, nlist, LloydIters, Some(SemTrainSample))
-    val exact = all.join(broadcast(centroids))
+    val nCorpus = load(s, dir, "embeddings").count()
+    val sample = auditSample(all, nCorpus)
+    val exact = sample.join(broadcast(centroids))
       .withColumn("cos", cosine(asDouble(col("vq")), asDouble(col("c"))))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cluster"), struct(col("cos"), col("cluster"))).as("ecluster"),
@@ -639,7 +685,7 @@ object Similarity {
     val regret = when(col("acluster").isNotNull && col("acluster") =!= col("ecluster"),
       floor((col("ecos") - col("acos")) * lit(1e6)).cast("long")).otherwise(lit(0L))
     SweepProbeWidths.map { w =>
-      exact.join(semAssignApproxFrame(all, centroids, semNcoarse(nlist), w),
+      exact.join(semAssignApproxFrame(sample, centroids, semNcoarse(nlist), w),
           Seq("vec_id"), "left")
         .agg(count(lit(1)).as("n_vecs"),
              sum(when(col("acluster") === col("ecluster"), 1L).otherwise(0L)).as("n_agree"),
@@ -651,8 +697,9 @@ object Similarity {
         call_function("div", col("n_agree") * lit(1000L), col("n_vecs")))
       .crossJoin(broadcast(exactnessGuard(all, centroids)))
       .filter(col("exact_ok").isNull)
-      .select(col("probes"), col("n_vecs"), col("n_agree"), col("agree_pm"),
-        col("n_fine_cos"), col("sum_regret_ppm"))
+      .select(col("probes"), col("n_vecs"), lit(nCorpus).as("n_corpus"),
+        col("n_agree"), col("agree_pm"), col("n_fine_cos"),
+        col("sum_regret_ppm"))
       .orderBy("probes")
   }
 
@@ -1011,15 +1058,19 @@ object Similarity {
   /** One probe width's CTE block (vector probe → candidate cosines →
     * fine argmax): `vc$sfx` / `cand$sfx` / `ap$sfx(vec_id, acluster,
     * acos)`. `cand$sfx` is kept as a named CTE so the sweep can count
-    * the fine-cosine mass the width paid. */
-  private def semProbeCtes(probes: Int, sfx: String): String = s"""
+    * the fine-cosine mass the width paid. `base` is the vector frame —
+    * `e` for the full-corpus x128 path, the sampled `es` for the
+    * audits (so cand counts the SAMPLE's cosine mass, mirroring the
+    * Scala side). */
+  private def semProbeCtes(probes: Int, sfx: String,
+      base: String = "e"): String = s"""
       vc$sfx AS (SELECT vec_id, ccl FROM (
           SELECT e.vec_id, s.ccl,
             ROW_NUMBER() OVER (PARTITION BY e.vec_id
               ORDER BY ${duckCos("e.vq", "s.cc")} DESC, s.ccl) AS pr
-          FROM e CROSS JOIN sds s) WHERE pr <= $probes),
+          FROM $base e CROSS JOIN sds s) WHERE pr <= $probes),
       cand$sfx AS (SELECT v.vec_id, f.fcl, ${duckCos("e2.vq", "f.c")} AS cos
-          FROM vc$sfx v JOIN e e2 USING (vec_id) JOIN f2c f USING (ccl)),
+          FROM vc$sfx v JOIN $base e2 USING (vec_id) JOIN f2c f USING (ccl)),
       ap$sfx AS (SELECT vec_id, fcl AS acluster, cos AS acos FROM (
           SELECT vec_id, fcl, cos,
             ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1039,14 +1090,17 @@ object Similarity {
       SELECT e.vec_id, ap.acluster AS cluster
       FROM e LEFT JOIN ap USING (vec_id) ORDER BY e.vec_id""",
     "x129_sem_assign_audit" -> s"""
-      $semApproxCtes,
+      $semApproxPrefixCtes,
+      $auditSampleCtes,
+      ${semProbeCtes(SemCoarseProbes, "", base = "es")},
       ex AS (SELECT vec_id, cluster AS ecluster, cos AS ecos FROM (
           SELECT vec_id, cluster, cos,
             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster DESC) AS rn
-          FROM fs) WHERE rn = 1),
+          FROM fss) WHERE rn = 1),
       j AS (SELECT ex.vec_id, ecluster, ecos, acluster, acos
         FROM ex LEFT JOIN ap USING (vec_id))
       SELECT COUNT(*) AS n_vecs,
+        (SELECT COUNT(*) FROM embeddings) AS n_corpus,
         CAST(SUM(CASE WHEN acluster IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unassigned,
         CAST(SUM(CASE WHEN acluster = ecluster THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
         (CAST(SUM(CASE WHEN acluster = ecluster THEN 1 ELSE 0 END) AS BIGINT) * 1000)
@@ -1059,11 +1113,12 @@ object Similarity {
       FROM j""",
     "x133_sem_probe_sweep" -> s"""
       $semApproxPrefixCtes,
+      $auditSampleCtes,
       ex AS (SELECT vec_id, cluster AS ecluster, cos AS ecos FROM (
           SELECT vec_id, cluster, cos,
             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster DESC) AS rn
-          FROM fs) WHERE rn = 1),
-      ${SweepProbeWidths.map(w => semProbeCtes(w, w.toString)).mkString(",\n")},
+          FROM fss) WHERE rn = 1),
+      ${SweepProbeWidths.map(w => semProbeCtes(w, w.toString, base = "es")).mkString(",\n")},
       ${SweepProbeWidths.map(w => s"""r$w AS (
         SELECT CAST($w AS BIGINT) AS probes, COUNT(*) AS n_vecs,
           CAST(SUM(CASE WHEN acluster = ecluster THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
@@ -1073,7 +1128,9 @@ object Similarity {
             AS sum_regret_ppm
         FROM ex LEFT JOIN ap$w USING (vec_id))""").mkString(",\n")}
       ${SweepProbeWidths.map(w =>
-        s"""SELECT probes, n_vecs, n_agree, (n_agree * 1000) // n_vecs AS agree_pm,
+        s"""SELECT probes, n_vecs,
+           (SELECT COUNT(*) FROM embeddings) AS n_corpus,
+           n_agree, (n_agree * 1000) // n_vecs AS agree_pm,
            n_fine_cos, sum_regret_ppm FROM r$w""").mkString(" UNION ALL ")}
       ORDER BY probes""",
     "x109_semdedup" -> s"""

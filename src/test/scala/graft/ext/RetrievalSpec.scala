@@ -178,6 +178,14 @@ class RetrievalSpec extends SparkSpec {
     bmRows.values.foreach { rows =>
       val s = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("score_ppm"))
       assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+      // the in-band champion-list report: every query says how many
+      // candidates its terms nominated, constant within the query and
+      // at least the rows returned; at this SF max df (415) < ChampM
+      // (1024) so truncation is a no-op and n_cand is the full
+      // postings-union candidate count
+      val nc = rows.map(_.getAs[Long]("n_cand")).distinct
+      assert(nc.length == 1 && nc.head >= rows.length,
+        s"n_cand inconsistent or too small: ${nc.toSeq}")
     }
     // fused score bounded by the two best possible ranks; at least one
     // ranker nominated every fused row

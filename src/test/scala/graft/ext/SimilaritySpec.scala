@@ -142,6 +142,11 @@ class SimilaritySpec extends SparkSpec {
     val audit = Similarity.semAssignAudit(spark, sfDir).head()
     val (nv, nu, na) = (audit.getAs[Long]("n_vecs"),
       audit.getAs[Long]("n_unassigned"), audit.getAs[Long]("n_agree"))
+    // the audit's hash-sample bound (AuditSampleCap = 2048) floors to
+    // the FULL corpus at every driver SF (N <= 2048), so the audited
+    // set here is everything and the independent recount below matches;
+    // at scale n_vecs would be the in-band sample size instead
+    assert(audit.getAs[Long]("n_corpus") == n)
     assert(nv == n && nu == 0L && na <= nv)
     assert(audit.getAs[Long]("agree_pm") == na * 1000 / nv)
     assert(audit.getAs[Long]("max_regret_ppm") >= 0)
@@ -171,7 +176,9 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.semProbeSweep(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("probes")).toSeq == Seq(1L, 2L, 3L))
     val n = graft.Tables.load(spark, sfDir, "embeddings").count()
-    assert(rows.forall(_.getAs[Long]("n_vecs") == n))
+    // full corpus at this SF (sample cap floors, see the x129 spec)
+    assert(rows.forall(r => r.getAs[Long]("n_vecs") == n &&
+      r.getAs[Long]("n_corpus") == n))
     // nested probe sets + identical tie-breaks make agreement provably
     // non-decreasing in width (semProbeSweep scaladoc); the fine-cosine
     // mass strictly grows because every extra probed bucket is non-empty
