@@ -82,17 +82,17 @@ object ScaleCheck {
     "x125_perplexity_filter",
     "x126_leakfree_splits",
     "x127_compaction_roundtrip",
-    // x128 is the ~linear-assignment claim itself; x129 deliberately
-    // carries the exact N·nlist reference computation (it is the trust
-    // gate), so its ratio is expected to track x109's N^1.5, not x128's
+    // x128 is the ~linear-assignment claim itself; x129 carries the
+    // exact N·nlist reference computation but SAMPLE-BOUNDED (r15:
+    // ~2048 salted hash-sampled vectors, sizes in-band), so its ratio
+    // now tracks the training+probe cost, not N^1.5
     "x128_sem_assign_approx",
     "x129_sem_assign_audit",
     "x130_compaction_incremental",
     "x131_fluency_external",
-    // x133 sweeps the x128 probe widths AND carries the exact reference
-    // argmax once (cached, reused across widths) — expect its ratio to
-    // track x129's exact-path growth, with the width sweep's extra
-    // probes adding only ~linear cosine mass on top
+    // x133 sweeps the x128 probe widths on the same audit sample as
+    // x129 — expect near-x129 ratios, the widths adding only bounded
+    // cosine mass on top
     "x133_sem_probe_sweep",
     // manifest-layout maintenance: cost ∝ table bytes written/read
     // through the layout (append + commit + snapshot/delta scan)

@@ -347,11 +347,12 @@ object Similarity {
     * measured 219 s on the 100×/200k-vector slice — N²/80 cosines).
     * nlist AUTOSCALES as max(floor, ⌊√N⌋) ([[semNlist]]): both phases
     * land at N^1.5, the balanced exact-assignment optimum (measured
-    * ~6× less work than N/80 at 200k vectors). The next rung — true
-    * O(N) — needs APPROXIMATE assignment (hierarchical k-means: quantize
-    * the centroids, probe a centroid bucket instead of scanning all
-    * nlist), which trades the exactness gate for speed and is the
-    * documented production path beyond ~10M vectors. At every driver SF
+    * ~6× less work than N/80 at 200k vectors). The next rung — the
+    * APPROXIMATE hierarchical assignment (quantize the centroids,
+    * probe a centroid bucket instead of scanning all nlist) — is what
+    * x109 NOW RUNS for its final assignment (since round 15; x128 is
+    * the standalone deliverable, x129 its accuracy audit), taking the
+    * pass to ~N^1.25. At every driver SF
     * (√N < floor) the formula floors at 64, so gate results are
     * unchanged; the DuckDB oracle computes the SAME expression
     * ([[semNlistSql]] — IEEE sqrt is correctly rounded in both engines)
@@ -394,8 +395,10 @@ object Similarity {
     * can still shadow later ones (no transitive closure; deliberate: a
     * single bounded pass, no fixpoint — the connected-components path
     * at x43/x96 is the transitive alternative when cluster-level groups
-    * are wanted). Runs on the same [[ivfBuild]] machinery as x28 with
-    * its own autoscaled density ([[semNlist]]).
+    * are wanted). Trains on the same [[ivfCentroids]] machinery as x28
+    * with its own autoscaled density ([[semNlist]]); the final
+    * assignment is the x128 hierarchical probe (see
+    * [[semDedupCompute]]) — x129 is its standing accuracy audit.
     *
     * Scale shape: pairwise work is per-cluster Σ sᵢ², bounded by
     * [[semNlist]] (sizing) and [[SemClusterCap]] (degenerate-cluster
@@ -452,15 +455,30 @@ object Similarity {
     * asserts THIS frame's join shape — the public [[semDedup]] returns
     * a scan of the published copy, whose plan is just read+sort). */
   private[graft] def semDedupCompute(s: SparkSession, dir: String): DataFrame = {
-    val (all, centroids, index0) =
-      ivfBuild(s, dir, semNlist(s, dir), LloydIters, Some(SemTrainSample))
+    val nlist = semNlist(s, dir)
+    val (all, centroids) = ivfCentroids(s, dir, nlist, LloydIters, Some(SemTrainSample))
+    // Assignment is x128's HIERARCHICAL APPROXIMATE path, not the exact
+    // N·nlist argmax: with nlist = √N the exact assignment is N^1.5 —
+    // the one superlinear term left in the pass (measured 12.7× at 100×
+    // volume) — while the probe path is ~N^1.25 and is exactly what the
+    // SemDeDup family already trusts: x128 ships it, x129 audits it
+    // against the exact argmax on a sample, and the prune below only
+    // needs CONSISTENT cluster membership, not the true argmax (a
+    // vector probing into a neighboring cell just dedups against that
+    // cell — the same tradeoff the paper's k-means assignment makes).
+    // A vector whose probed buckets hold no fine centroid (possible
+    // only under duplicate-centroid ties) keeps cluster NULL: it pairs
+    // with nothing and is always kept — conservative, and one row per
+    // vector survives for the WAP audit.
+    val assign = semAssignApproxFrame(all, centroids, semNcoarse(nlist))
     // THREE consumers read the assignment (sizes, the pair join's cold
-    // side, the final audit rows) and its lineage is the whole Lloyd
-    // chain — cache it rather than running the 64-centroid assign pass
-    // three times. The query's floor is the sequential Lloyd barrier
-    // chain itself (~10 small stages), not data volume — see the flat
-    // ScaleCheck ratio.
-    val index = index0.scopedCache()
+    // side, the final audit rows) and its lineage is the whole Lloyd +
+    // probe chain — cache it rather than re-running the probe.
+    val index = all
+      .join(assign.select(col("vec_id"), col("acluster").as("cluster")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("vq"))
+      .scopedCache()
     // nlist-row frame: every downstream consumer broadcasts it
     val sizes = index.groupBy("cluster").agg(count(lit(1)).as("csz"))
     val cold = index.join(broadcast(sizes), "cluster")
@@ -474,10 +492,14 @@ object Similarity {
       .select(col("b_id").as("vec_id")).distinct()
       .withColumn("kept", lit(0))
     index.select(col("vec_id"), col("cluster"))
-      .join(broadcast(sizes), "cluster")
+      // LEFT join: a NULL-cluster (unassignable) vector still gets its
+      // audit row — when(csz > cap) yields 0 for its null csz in both
+      // engines (CASE ... ELSE 0)
+      .join(broadcast(sizes), Seq("cluster"), "left")
       .join(dropped, Seq("vec_id"), "left")
       .withColumn("kept", coalesce(col("kept"), lit(1)))
-      .withColumn("capped", (col("csz") > SemClusterCap).cast("int"))
+      .withColumn("capped",
+        when(col("csz") > SemClusterCap, lit(1)).otherwise(lit(0)))
       .crossJoin(broadcast(exactnessGuard(all, centroids)))
       .filter(col("exact_ok").isNull)
       // no sort before the write: the published parquet is unordered
@@ -1025,16 +1047,22 @@ object Similarity {
   /** Shared DuckDB CTE chain ending in `sem_keep(vec_id)` — the x109
     * semantic keep list, factored so compositions (x123) replay the
     * IDENTICAL clustering + prune in SQL instead of a copy that can
-    * drift (same no-drift contract as `ivfIndexCtes`/`CurationGateSql`). */
+    * drift (same no-drift contract as `ivfIndexCtes`/`CurationGateSql`).
+    * The assignment is the x128 hierarchical probe (`aidx`), exactly
+    * what the Scala side now runs — the approx chain's own CTEs are
+    * reused so the two replays cannot drift either. */
   private[graft] lazy val semKeepCtes: String = s"""
-      ${ivfIndexCtes(semNlistSql, Some(SemTrainSample))},
-      csz AS (SELECT cluster, COUNT(*) AS n FROM idx GROUP BY 1),
-      cold AS (SELECT i.* FROM idx i JOIN csz USING (cluster)
+      $semApproxPrefixCtes,
+      ${semProbeCtes(SemCoarseProbes, "k")},
+      aidx AS (SELECT e.vec_id, e.vq, apk.acluster AS cluster
+               FROM e LEFT JOIN apk USING (vec_id)),
+      csz AS (SELECT cluster, COUNT(*) AS n FROM aidx GROUP BY 1),
+      cold AS (SELECT i.* FROM aidx i JOIN csz USING (cluster)
         WHERE csz.n <= $SemClusterCap),
       drops AS (SELECT DISTINCT b.vec_id
         FROM cold a JOIN cold b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         WHERE ${duckCos("a.vq", "b.vq")} >= $SemTau),
-      sem_keep AS (SELECT i.vec_id FROM idx i
+      sem_keep AS (SELECT i.vec_id FROM aidx i
         LEFT JOIN drops d ON i.vec_id = d.vec_id WHERE d.vec_id IS NULL)"""
 
   /** Shared DuckDB CTE prefix for the hierarchical-assignment replays
@@ -1138,7 +1166,7 @@ object Similarity {
       SELECT i.vec_id, i.cluster,
         CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept,
         CASE WHEN csz.n > $SemClusterCap THEN 1 ELSE 0 END AS capped
-      FROM idx i JOIN csz USING (cluster)
+      FROM aidx i LEFT JOIN csz USING (cluster)
       LEFT JOIN drops d ON i.vec_id = d.vec_id
       ORDER BY i.vec_id""",
     "x114_outlier_audit" -> s"""
