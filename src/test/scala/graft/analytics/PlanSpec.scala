@@ -482,6 +482,15 @@ class PlanSpec extends SparkSpec {
       s"corpus scalars not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"a retrieval join degenerated to a cartesian:\n$p")
+    // champion-list candidate generation: the per-term top-M runs as
+    // the salted two-phase window (token+salt bucket first, then
+    // token) so a stop-word term's postings never collapse into a
+    // single window partition — both partitionings must appear
+    assert(p.contains("pmod"),
+      s"salted champion pre-window missing (single-partition stop-word risk):\n$p")
+    val windows = p.linesIterator.count(_.contains("Window"))
+    assert(windows >= 3, // two champion phases + the per-query rank
+      s"expected the two-phase champion windows + rank window, got $windows:\n$p")
   }
 
   test("hybridRrf: dense queries broadcast; no cartesian anywhere") {

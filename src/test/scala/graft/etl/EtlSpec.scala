@@ -639,6 +639,48 @@ class EtlSpec extends SparkSpec {
       .count() == 10)
   }
 
+  test("zone maps: a reader racing a zoned commit prunes a committed version or scans unpruned — never crashes") {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_zonerace_spec").resolve("t").toUri)
+    val df = spark.range(8000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+    Sources.manifestAppendZoned(spark, root, df.filter(col("id") < 4000), 8, "id")
+    // writer thread commits a second zoned append while the reader
+    // loops the pruning planner + pruned read. Because zone stats are
+    // manifest ENTRIES (not a sidecar), every read resolves one
+    // committed manifest: it either sees v1 (4000 rows' files, pruned
+    // by v1 zones) or v2 (8000 rows' files, pruned by both commits'
+    // zones) — and a [0, 8000) window read returns exactly one of the
+    // two committed row counts, never a torn line, never an exception.
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val writer = new Thread(() => {
+      try { Sources.manifestAppendZoned(spark, root,
+        df.filter(col("id") >= 4000), 8, "id"); () }
+      catch { case e: Throwable => failures.add(e); () }
+    })
+    var sawOld = false
+    var sawNew = false
+    writer.start()
+    while ((writer.isAlive || !sawNew) && failures.isEmpty) {
+      val (kept, total) = Sources.zonePrunedFiles(spark, root, 1000L, 1499L)
+      assert(kept.length <= total)
+      val n = Sources.manifestReadZoned(spark, root, "id", 0L, 8000L).count()
+      assert(n == 4000L || n == 8000L,
+        s"mid-commit zoned read returned a torn row count $n")
+      if (n == 4000L) sawOld = true
+      if (n == 8000L) sawNew = true
+    }
+    writer.join()
+    assert(failures.isEmpty, s"zoned writer died: ${failures.peek()}")
+    assert(sawNew, "reader never observed the committed v2")
+    // post-commit: the narrow window still prunes (files from BOTH
+    // zoned appends carry zone entries)
+    val (kept, total) = Sources.zonePrunedFiles(spark, root, 1000L, 1499L)
+    assert(total == 16 && kept.length <= 4,
+      s"post-race pruning kept ${kept.length} of $total")
+  }
+
   test("incremental index fold equals the from-scratch rebuild") {
     import org.apache.spark.sql.functions._
     val out = Sources.incrementalIndexMaintenance(spark, sfDir)
