@@ -300,6 +300,19 @@ object ScaleCheck {
       val tN = run(dirN, "x08_sim_topk_lsh", 2)
       println(f"""{"metric":"scale_adjudication","query":"x08_sim_topk_lsh","reps":2,"t1":$t1%.3f,"t$mult%d":$tN%.3f,"ratio":${tN / t1}%.2f,"candidates_t1":$c1%d,"candidates_t$mult%d":$cN%d,"candidate_ratio":${cN.toDouble / c1}%.2f,"note":"fixed |Q|: candidate pairs grow with corpus size by design, runtime tracks candidate mass; the growing-|Q| rung is x28 IVF"}""")
     }
+    // x140 adjudication (r15): champion lists bound each term's
+    // nomination fan-out to ChampM, so candidate mass must SATURATE
+    // once per-term df crosses the cap — the artifact carries the
+    // measured mass on both slices (expected ratio well under mult on
+    // slices past the cap; the uncapped design grew runtime 8× at
+    // 100× volume).
+    if (rows.exists(_._1 == "x140_bm25_retrieval")) {
+      val c1 = ext.Retrieval.bm25CandidateMass(spark, dir1)
+      spark.catalog.clearCache()
+      val cN = ext.Retrieval.bm25CandidateMass(spark, dirN)
+      spark.catalog.clearCache()
+      println(f"""{"metric":"scale_adjudication","query":"x140_bm25_retrieval","candidates_t1":$c1%d,"candidates_t$mult%d":$cN%d,"candidate_ratio":${cN.toDouble / c1}%.2f,"note":"champion-list nomination: per-term fan-out capped at ChampM, so candidate mass saturates once df crosses the cap"}""")
+    }
     spark.stop()
   }
 

@@ -910,6 +910,39 @@ class EtlSpec extends SparkSpec {
     assert(Sources.manifestRead(spark, root).count() == 4000)
   }
 
+  test("a regressed pointer heals through the next commit's janitor + repair cascade") {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_regress_spec").resolve("t").toUri)
+    val df = spark.range(3000).toDF("id")
+    Sources.manifestAppend(spark, root, df.filter(col("id") < 1000), 1)
+    Sources.manifestAppend(spark, root,
+      df.filter(col("id") >= 1000 && col("id") < 2000), 1)
+    Sources.manifestAppend(spark, root,
+      df.filter(col("id") >= 2000 && col("id") < 2500), 1)
+    assert(Sources.currentManifest(spark, root)._1 == 3L)
+    // simulate the residual swap race: a stale rename lands LAST and the
+    // pointer regresses to m-1 (writing the pointer raw, as swapPointer
+    // does)
+    val ptr = java.nio.file.Paths.get(new java.net.URI(
+      new org.apache.hadoop.fs.Path(root, "_current").toString))
+    java.nio.file.Files.write(ptr, "m-1.txt\n".getBytes("UTF-8"))
+    // a reader inside the window sees the OLDER but CONSISTENT snapshot
+    val (rv, _) = Sources.currentManifest(spark, root)
+    assert(rv == 1L)
+    assert(Sources.manifestRead(spark, root).count() == 1000)
+    // the next commit heals through the cascade: it observes v1, its
+    // claim of v2 conflicts, the janitor rolls the pointer forward over
+    // the complete v2/v3 (swapOnce + repair loop), and the retry lands
+    // the append at v4 on top of v3's full entry set — nothing lost
+    val landed = Sources.manifestAppend(spark, root, df.filter(col("id") >= 2500), 1)
+    assert(landed == 4L, s"append landed at v$landed, expected v4")
+    assert(Sources.currentManifest(spark, root)._1 == 4L,
+      "pointer did not heal to the new version")
+    assert(Sources.manifestRead(spark, root).count() == 3000,
+      "the healed chain lost rows")
+  }
+
   test("a pointer naming a reclaimed manifest falls back to the newest complete version") {
     import org.apache.spark.sql.functions._
     val root = new org.apache.hadoop.fs.Path(
