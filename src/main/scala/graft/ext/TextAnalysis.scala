@@ -583,12 +583,24 @@ object TextAnalysis {
     * contribution signal to cut late near-copies that slipped past
     * pairwise dedup. One gram-keyed min-aggregate (the same first-owner
     * relation the cluster star edges use) joined back per doc — the
-    * x50 overlap-matrix plan shape, linear in total gram mass. */
+    * x50 overlap-matrix plan shape, linear in total gram mass.
+    *
+    * HASH-FIRST SHUFFLE (the x01 exact-dedup rule): the gram is a pure
+    * key here — never output — so both the first-owner groupBy and the
+    * join back shuffle the (xxhash64, md5) pair, not the ~50-byte
+    * 8-gram string: 128 collision bits (accidental collision
+    * astronomically unlikely at any corpus size) for a multi-×
+    * reduction in shuffled bytes. The oracle keys on the strings; the
+    * two agree exactly whenever the pair is injective on the observed
+    * grams, which is the same bet every content-hash dedup in the tree
+    * makes. */
   def noveltyScores(s: SparkSession, dir: String): DataFrame = {
     val grams = load(s, dir, "documents").select(col("doc_id"),
       explode(graft.functions.TextExpressions.wordShingleStrings(col("text"), 8)).as("gram"))
-    val firstOwner = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
-    grams.join(firstOwner, "gram")
+      .select(col("doc_id"),
+        xxhash64(col("gram")).as("g1"), md5(col("gram")).as("g2"))
+    val firstOwner = grams.groupBy("g1", "g2").agg(min("doc_id").as("first_doc"))
+    grams.join(firstOwner, Seq("g1", "g2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
            sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
