@@ -1422,6 +1422,38 @@ object Sources {
     removed
   }
 
+  /** Roll the live table back to retained version `v` AS A NEW COMMIT
+    * — the Iceberg rollback semantic: the restored version's entry set
+    * is re-committed at the next version through the OCC loop, so
+    * history stays append-only (the bad versions remain readable
+    * inside the retention window until vacuum; nothing is deleted by
+    * the restore itself), readers switch atomically at the pointer
+    * swap, and a concurrent appender conflicts-and-retries like
+    * against any other commit. Entry SEQUENCE NUMBERS are preserved
+    * verbatim: restored data files keep their original
+    * delete-applicability ordering. Returns the committed version. */
+  private[graft] def manifestRestore(s: SparkSession,
+      root: org.apache.hadoop.fs.Path, v: Long): Long = {
+    val lines = manifestFilesAt(s, root, v)
+    commitWithRetry(s, root)((_, _) => lines)
+  }
+
+  /** x151 driver query: append a good batch (v1), append a bad batch
+    * (v2), roll back to v1 (v3 = v1's entry set, a NEW commit) — the
+    * bad-load undo every production table format ships. The oracle is
+    * the good batch exactly; the spec proves the history contract
+    * (v2 stays time-travel-readable after the restore, and a windowed
+    * vacuum reclaims it). */
+  def manifestRestoreRead(s: SparkSession, dir: String): DataFrame = {
+    val root = nonceRoot("manifest_restore", dir)
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    manifestAppend(s, root, docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0), 1)
+    manifestAppend(s, root, docs.filter(pmod(col("doc_id"), lit(10L)) === 0), 4)
+    manifestRestore(s, root, 1L)
+    manifestRead(s, root).orderBy("doc_id")
+  }
+
   /** x132 driver query: the x130 fixture (one compliant file carrying
     * ~90% of the rows + a 48-file append shower) built ON the manifest
     * layout, compacted with the reader-atomic pass, vacuumed, and read
@@ -1531,6 +1563,7 @@ object Sources {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x151_manifest_restore" -> manifestRestoreRead,
     "x132_manifest_compaction" -> manifestCompactionRoundtrip,
     "x134_manifest_time_travel" -> manifestTimeTravel,
     "x135_manifest_diff_read" -> manifestDiffRead,
@@ -1547,6 +1580,10 @@ object Sources {
     "x85_orc_roundtrip" -> orcRoundtrip)
 
   val oracles: Map[String, String] = Map(
+    // rollback to v1 = exactly the good (first) batch
+    "x151_manifest_restore" -> """
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 10 <> 0 ORDER BY doc_id""",
     // compaction is pure layout: the compacted table must be
     // content-identical to the source — identity oracle, like x70/x85
     "x127_compaction_roundtrip" -> """

@@ -910,6 +910,43 @@ class EtlSpec extends SparkSpec {
     assert(Sources.manifestRead(spark, root).count() == 4000)
   }
 
+  test("restore rolls back as a new commit: history append-only, bad version reclaimable") {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_restore_spec").resolve("t").toUri)
+    val good = spark.range(2000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+    val bad = spark.range(9000, 9500).toDF("id")
+      .withColumn("payload", lit("corrupt"))
+    Sources.manifestAppend(spark, root, good, 1)          // v1
+    Sources.manifestAppend(spark, root, bad, 4)           // v2 — the bad load
+    assert(Sources.manifestRead(spark, root).count() == 2500)
+    val restored = Sources.manifestRestore(spark, root, 1L)
+    assert(restored == 3L, s"restore landed at v$restored, expected a NEW v3")
+    // live view = the good batch; entry set identical to v1's
+    assert(Sources.manifestRead(spark, root).count() == 2000)
+    assert(Sources.currentManifest(spark, root)._2.toSet ==
+      Sources.manifestFilesAt(spark, root, 1L).toSet,
+      "restore did not re-commit v1's exact entry set")
+    // history is append-only: the bad v2 stays time-travel-readable
+    assert(Sources.manifestReadAt(spark, root, 2L).count() == 2500)
+    // an append AFTER the restore builds on the restored state
+    Sources.manifestAppend(spark, root,
+      spark.range(2000, 2100).toDF("id")
+        .withColumn("payload", md5(col("id").cast("string"))), 1) // v4
+    assert(Sources.manifestRead(spark, root).count() == 2100)
+    assert(Sources.manifestRead(spark, root)
+      .filter(col("payload") === "corrupt").count() == 0,
+      "the rolled-back bad rows leaked into the restored line")
+    // a live-only vacuum reclaims the bad version's manifest and its
+    // now-unreferenced files; the live read is untouched
+    assert(Sources.manifestVacuum(spark, root, retainVersions = 1, graceMs = 0L) > 0)
+    intercept[IllegalArgumentException] {
+      Sources.manifestReadAt(spark, root, 2L)
+    }
+    assert(Sources.manifestRead(spark, root).count() == 2100)
+  }
+
   test("a regressed pointer heals through the next commit's janitor + repair cascade") {
     import org.apache.spark.sql.functions._
     val root = new org.apache.hadoop.fs.Path(
