@@ -1454,6 +1454,49 @@ object Sources {
     manifestRead(s, root).orderBy("doc_id")
   }
 
+  /** History introspection over a manifest table — the `snapshots`
+    * metadata relation every production table format exposes: one row
+    * per RETAINED version with its entry-type counts, read from the
+    * immutable manifests only (no data file is opened; cost is
+    * O(retained versions), driver-side by design like any metadata
+    * table). */
+  private[graft] def manifestHistory(s: SparkSession,
+      root: org.apache.hadoop.fs.Path): DataFrame = {
+    val fs = fsOf(s, root)
+    val (live, _) = currentManifest(s, root)
+    val rows = (1L to live).flatMap { v =>
+      val p = new org.apache.hadoop.fs.Path(manifestRoot(root), s"m-$v.txt")
+      if (!fs.exists(p)) None // vacuumed out of the window
+      else {
+        val es = parseEntries(manifestFilesAt(s, root, v))
+        Some((v,
+          es.count(_.isInstanceOf[DataFileEntry]).toLong,
+          es.count(_.isInstanceOf[DeleteFileEntry]).toLong,
+          es.count(_.isInstanceOf[ZoneStatEntry]).toLong))
+      }
+    }
+    import s.implicits._
+    rows.toDF("version", "n_data_files", "n_delete_files", "n_zone_entries")
+  }
+
+  /** x152 driver query: the snapshot log of a table that lived a full
+    * life — good append (v1), 4-shard append (v2), equality delete
+    * (v3), rollback to v1 (v4) — exact entry-type counts per version.
+    * Every count is deterministic (fixed shard counts, coalesce(1)
+    * delete files, restore re-commits v1's set), so the oracle is the
+    * literal expected history. */
+  def manifestHistoryRead(s: SparkSession, dir: String): DataFrame = {
+    val root = nonceRoot("manifest_hist", dir)
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    manifestAppend(s, root, docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0), 1)
+    manifestAppend(s, root, docs.filter(pmod(col("doc_id"), lit(10L)) === 0), 4)
+    manifestDelete(s, root,
+      docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id"))
+    manifestRestore(s, root, 1L)
+    manifestHistory(s, root).orderBy("version")
+  }
+
   /** x132 driver query: the x130 fixture (one compliant file carrying
     * ~90% of the rows + a 48-file append shower) built ON the manifest
     * layout, compacted with the reader-atomic pass, vacuumed, and read
@@ -1564,6 +1607,7 @@ object Sources {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x151_manifest_restore" -> manifestRestoreRead,
+    "x152_manifest_history" -> manifestHistoryRead,
     "x132_manifest_compaction" -> manifestCompactionRoundtrip,
     "x134_manifest_time_travel" -> manifestTimeTravel,
     "x135_manifest_diff_read" -> manifestDiffRead,
@@ -1580,6 +1624,16 @@ object Sources {
     "x85_orc_roundtrip" -> orcRoundtrip)
 
   val oracles: Map[String, String] = Map(
+    // the deterministic fixture's literal snapshot log: v1 one file,
+    // v2 adds 4 shards, v3 adds one delete file, v4 re-commits v1's set
+    "x152_manifest_history" -> """
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(3 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(4 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+        AS t(version, n_data_files, n_delete_files, n_zone_entries)
+      ORDER BY version""",
     // rollback to v1 = exactly the good (first) batch
     "x151_manifest_restore" -> """
       SELECT doc_id, text, lang, source, n_chars

@@ -947,6 +947,17 @@ class EtlSpec extends SparkSpec {
     assert(Sources.manifestRead(spark, root).count() == 2100)
   }
 
+  test("manifest history reads the snapshot log from metadata only") {
+    val out = Sources.manifestHistoryRead(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 0L, 0L),   // good append, one shard
+      (2L, 5L, 0L, 0L),   // +4 shards
+      (3L, 5L, 1L, 0L),   // +1 equality-delete file
+      (4L, 1L, 0L, 0L)),  // restore re-commits v1's entry set
+      s"unexpected history: ${out.toSeq}")
+  }
+
   test("a regressed pointer heals through the next commit's janitor + repair cascade") {
     import org.apache.spark.sql.functions._
     val root = new org.apache.hadoop.fs.Path(
