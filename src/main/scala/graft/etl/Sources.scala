@@ -1454,6 +1454,51 @@ object Sources {
     manifestRead(s, root).orderBy("doc_id")
   }
 
+  /** Row-level MERGE (upsert) as ONE commit: the update set's key
+    * frame lands as a DeleteFileEntry and its full rows as
+    * DataFileEntries, both at the SAME committed version. The sequence
+    * rule makes this exactly MERGE semantics with zero special-casing:
+    * a delete applies only to data committed STRICTLY BEFORE it
+    * ([[mergedScan]] `dels.filter(_.seq > v)`), so the old rows die
+    * and the same-commit replacements survive. Contrast the naive
+    * delete-then-append pair, which exposes a mid-state (keys deleted,
+    * replacements not yet visible) to any reader between the two
+    * pointer swaps — the single commit makes the upsert atomic
+    * (spec-asserted by a racing reader). `keyCols` is the equality
+    * key; the rest of the update row replaces the matched row. */
+  private[graft] def manifestMerge(s: SparkSession,
+      root: org.apache.hadoop.fs.Path, updates: DataFrame,
+      keyCols: Seq[String], shards: Int): Long = {
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val wk = new org.apache.hadoop.fs.Path(root, s"data/mk-$nonce")
+    val wd = new org.apache.hadoop.fs.Path(root, s"data/md-$nonce")
+    updates.select(keyCols.map(col): _*)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(wk.toString)
+    updates.repartition(shards)
+      .write.mode(SaveMode.Overwrite).parquet(wd.toString)
+    persistSchema(s, root, updates.schema)
+    val delFiles = writtenFiles(s, wk)
+    val dataFiles = writtenFiles(s, wd)
+    commitWithRetry(s, root) { (old, v) =>
+      old ++ delFiles.map(f => DeleteFileEntry(v, f).line) ++
+        dataFiles.map(f => DataFileEntry(v, f).line)
+    }
+  }
+
+  /** x153 driver query: MERGE every doc_id divisible by 5 into the
+    * table with a marker source — one atomic commit, merged read back.
+    * The oracle is the row-level CASE the merge expresses. */
+  def manifestMergeRead(s: SparkSession, dir: String): DataFrame = {
+    val root = nonceRoot("manifest_merge", dir)
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    manifestAppend(s, root, docs, 4)
+    val updates = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      .withColumn("source", lit("MERGED"))
+    manifestMerge(s, root, updates, Seq("doc_id"), 2)
+    manifestReadMerged(s, root).orderBy("doc_id")
+  }
+
   /** History introspection over a manifest table — the `snapshots`
     * metadata relation every production table format exposes: one row
     * per RETAINED version with its entry-type counts, read from the
@@ -1608,6 +1653,7 @@ object Sources {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x151_manifest_restore" -> manifestRestoreRead,
     "x152_manifest_history" -> manifestHistoryRead,
+    "x153_manifest_merge" -> manifestMergeRead,
     "x132_manifest_compaction" -> manifestCompactionRoundtrip,
     "x134_manifest_time_travel" -> manifestTimeTravel,
     "x135_manifest_diff_read" -> manifestDiffRead,
@@ -1624,6 +1670,13 @@ object Sources {
     "x85_orc_roundtrip" -> orcRoundtrip)
 
   val oracles: Map[String, String] = Map(
+    // MERGE = the row-level CASE: matched keys get the update row,
+    // the rest keep the original
+    "x153_manifest_merge" -> """
+      SELECT doc_id, text, lang,
+        CASE WHEN doc_id % 5 = 0 THEN 'MERGED' ELSE source END AS source,
+        n_chars
+      FROM documents ORDER BY doc_id""",
     // the deterministic fixture's literal snapshot log: v1 one file,
     // v2 adds 4 shards, v3 adds one delete file, v4 re-commits v1's set
     "x152_manifest_history" -> """

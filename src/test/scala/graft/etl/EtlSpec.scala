@@ -947,6 +947,53 @@ class EtlSpec extends SparkSpec {
     assert(Sources.manifestRead(spark, root).count() == 2100)
   }
 
+  test("MERGE commits atomically: a racing reader never sees keys deleted but not replaced") {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_merge_spec").resolve("t").toUri)
+    val df = spark.range(5000).toDF("id")
+      .withColumn("tag", lit("orig"))
+    Sources.manifestAppend(spark, root, df, 4)
+    val updates = df.filter(col("id") % 5 === 0).withColumn("tag", lit("merged"))
+    val nUpd = 1000L
+    // reader loops the merged view while the MERGE commits: every read
+    // must see EITHER the pre-merge state (5000 orig) or the post-merge
+    // state (4000 orig + 1000 merged) — never the torn middle the
+    // delete-then-append pair exposes (keys gone, replacements absent)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val writer = new Thread(() => {
+      try { Sources.manifestMerge(spark, root, updates, Seq("id"), 2); () }
+      catch { case e: Throwable => failures.add(e); () }
+    })
+    var sawNew = false
+    writer.start()
+    while ((writer.isAlive || !sawNew) && failures.isEmpty) {
+      val counts = Sources.manifestReadMerged(spark, root)
+        .groupBy("tag").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = counts.values.sum
+      val merged = counts.getOrElse("merged", 0L)
+      assert(total == 5000L,
+        s"torn MERGE state: total $total (counts $counts)")
+      assert(merged == 0L || merged == nUpd,
+        s"torn MERGE state: $merged of $nUpd replacements visible")
+      if (merged == nUpd) sawNew = true
+    }
+    writer.join()
+    assert(failures.isEmpty, s"merge died: ${failures.peek()}")
+    assert(sawNew, "reader never observed the committed merge")
+    // exactly ONE version was committed for the whole upsert
+    assert(Sources.currentManifest(spark, root)._1 == 2L)
+    // time travel to v1 = the pre-merge table
+    assert(Sources.manifestReadAt(spark, root, 1L)
+      .filter(col("tag") === "merged").count() == 0)
+    // applyDeletes folds the merge's delete in with an identical view
+    Sources.manifestApplyDeletes(spark, root, 2)
+    val after = Sources.manifestReadMerged(spark, root)
+    assert(after.count() == 5000 &&
+      after.filter(col("tag") === "merged").count() == nUpd)
+  }
+
   test("manifest history reads the snapshot log from metadata only") {
     val out = Sources.manifestHistoryRead(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
