@@ -154,7 +154,15 @@ object ScaleCheck {
     // x149 tokenizes the v1 snapshot + the append delta (together one
     // corpus pass) and folds vocab-bounded partials — expect ~linear
     // in token mass, the x48/x66 family shape
-    "x149_incremental_index")
+    "x149_incremental_index",
+    // manifest-layout lifecycle ops (r15): restore re-commits an entry
+    // SET (metadata-only on top of the appends), history parses the
+    // retained manifests (metadata-only), merge writes keys + rows and
+    // reads merged — all ∝ table bytes through the layout, the
+    // x134/x135 shape
+    "x151_manifest_restore",
+    "x152_manifest_history",
+    "x153_manifest_merge")
   // Since round 12 the slices carry the FULL catalog (documents/events/
   // embeddings plus region/nation/supplier/customer/part/orders/
   // lineitem), so the relational q-series and x77/x80 join the suite-
