@@ -167,6 +167,10 @@ object Bench {
       // the backstop for anything cached outside the scope.
       graft.CacheScope.release()
       spark.catalog.clearCache()
+      // the noop sink above fully consumed the frame, so the query's
+      // manifest scratch (if any) is dead — reclaim it now instead of
+      // letting reps accumulate a table copy each until JVM exit
+      graft.etl.Sources.sweepNonceRoots()
       acc.synchronized {
         acc.getOrElseUpdate(name,
           scala.collection.mutable.ArrayBuffer.empty[(Boolean, Double)]) += ((ok, dt))

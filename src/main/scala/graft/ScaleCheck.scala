@@ -239,6 +239,10 @@ object ScaleCheck {
           .write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // the noop sink consumed the frame — reclaim the rep's manifest
+        // scratch now; 10×/100× slices otherwise stack a full table copy
+        // per rep on disk until JVM exit
+        graft.etl.Sources.sweepNonceRoots()
         dt
       }
       times.min

@@ -119,6 +119,10 @@ object Verify {
           // frames would otherwise accrete in this one session (runs
           // after the drain above, which wants the warm lineage)
           CacheScope.release()
+          // the parquet sink consumed the frame — the query's manifest
+          // scratch (if any) is dead; reclaim instead of accreting one
+          // table copy per manifest query for the session's life
+          etl.Sources.sweepNonceRoots()
           watchdog.cancel()
           spark.sparkContext.clearJobGroup()
         }

@@ -110,13 +110,19 @@ object DataGen {
       .withColumn("order_priority", weighted(col("order_id"), 9, priorities))
 
   /** main.py:349-375: 1-5 items per order with consistent line totals.
-    * sequence+explode keeps generation distributed (no driver loop). */
+    * sequence+explode keeps generation distributed (no driver loop),
+    * and the dense item_id comes from the bucketed
+    * [[graft.ops.GlobalOrder.globalRowNumber]] (bucket = order_id/1000,
+    * monotone along the (order_id, k) order) — identical numbering to
+    * `row_number() OVER (ORDER BY order_id, k)` without funnelling the
+    * whole item table through one window partition at large n. */
   def orderItems(spark: SparkSession, nOrders: Long, nProducts: Long): DataFrame =
-    spark.range(1, nOrders + 1).toDF("order_id")
-      .withColumn("k", explode(sequence(lit(1),
-        uniformLong(col("order_id"), 1, 1, 5).cast("int"))))
-      .withColumn("item_id", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("order_id", "k")).cast("long"))
+    graft.ops.GlobalOrder.globalRowNumber(
+        spark.range(1, nOrders + 1).toDF("order_id")
+          .withColumn("k", explode(sequence(lit(1),
+            uniformLong(col("order_id"), 1, 1, 5).cast("int")))),
+        floor(col("order_id") / lit(1000L)),
+        Seq(col("order_id").asc, col("k").asc), out = "item_id")
       .withColumn("product_id", uniformLong(xxhash64(col("order_id"), col("k")), 2, 1, nProducts))
       .withColumn("quantity", uniformLong(xxhash64(col("order_id"), col("k")), 3, 1, 5))
       .withColumn("unit_price", uniformMoney(xxhash64(col("order_id"), col("k")), 4, 5.0, 400.0))
@@ -127,9 +133,7 @@ object DataGen {
               "discount_percent", "line_total")
 
   /** Generate all four CSVs (reference generate_sample_data,
-    * main.py:237-264; S3 sinks). Scale note: item_id's global
-    * row_number is a single-partition window — fine for sample-data
-    * generation; real ingestion uses source-provided keys. */
+    * main.py:237-264; S3 sinks). */
   def writeSampleData(spark: SparkSession, dir: String,
                       nCustomers: Long = 2000, nProducts: Long = 500,
                       nOrders: Long = 1500): Unit = {

@@ -192,10 +192,33 @@ object Sources {
     * RegistrySpec flakes). A nonce'd root is born empty and private to
     * its invocation; the JVM-exit hook on [[roundtripRoot]] reclaims
     * them all. */
-  private def nonceRoot(prefix: String, dir: String): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(roundtripRoot.resolve(
+  private[graft] def nonceRoot(prefix: String, dir: String): org.apache.hadoop.fs.Path = {
+    // under a dedicated nonce/ subdir so [[sweepNonceRoots]] can reclaim
+    // per-invocation scratch WITHOUT touching the published-once
+    // [[scratchPath]] artifacts (keep-lists, CC cluster tables) whose
+    // in-JVM registries would otherwise dangle
+    val p = roundtripRoot.resolve("nonce").resolve(
       s"${prefix}_${dirKey(dir)}_${java.util.UUID.randomUUID().toString.take(8)}")
-      .toUri)
+    java.nio.file.Files.createDirectories(p.getParent)
+    new org.apache.hadoop.fs.Path(p.toUri)
+  }
+
+  /** Best-effort reclaim of every nonce scratch root created so far.
+    * A nonce root stays referenced by its query's returned DataFrame
+    * until that frame is fully consumed, so this is safe ONLY between
+    * fully-materialized queries in a sequential harness — Bench,
+    * ScaleCheck and Verify call it after each query's sink completes;
+    * without the sweep a 3-rep bench over the manifest queries keeps a
+    * full table copy per rep on disk for the life of the JVM. The
+    * JVM-exit hook on [[roundtripRoot]] stays as the backstop for
+    * every other caller (tests may hold several roots concurrently). */
+  private[graft] def sweepNonceRoots(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
+    }
+    val kids = roundtripRoot.resolve("nonce").toFile.listFiles()
+    if (kids != null) kids.foreach(rm)
+  }
 
   private lazy val roundtripRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_roundtrip_")
@@ -820,10 +843,16 @@ object Sources {
     val name = s"m-$v.txt"
     val p = new org.apache.hadoop.fs.Path(manifestRoot(root), name)
     fs.mkdirs(manifestRoot(root))
+    // null scheme = the default FS, which is local here exactly like an
+    // explicit `file:` URI (the line-515 convention) — it must take the
+    // same O_EXCL path or the race this clause exists to close reopens
+    // for scheme-less roots. getPath (not Paths.get(URI)) because a
+    // scheme-less URI is rejected by the NIO file-URI constructor.
+    val scheme = p.toUri.getScheme
     val out: java.io.OutputStream =
-      if (p.toUri.getScheme == "file")
+      if (scheme == null || scheme == "file")
         try java.nio.file.Files.newOutputStream(
-          java.nio.file.Paths.get(p.toUri),
+          java.nio.file.Paths.get(p.toUri.getPath),
           java.nio.file.StandardOpenOption.CREATE_NEW,
           java.nio.file.StandardOpenOption.WRITE)
         catch { case _: java.io.IOException => throw new ManifestCommitConflict(v) }
@@ -1427,15 +1456,31 @@ object Sources {
     * is re-committed at the next version through the OCC loop, so
     * history stays append-only (the bad versions remain readable
     * inside the retention window until vacuum; nothing is deleted by
-    * the restore itself), readers switch atomically at the pointer
-    * swap, and a concurrent appender conflicts-and-retries like
-    * against any other commit. Entry SEQUENCE NUMBERS are preserved
-    * verbatim: restored data files keep their original
-    * delete-applicability ordering. Returns the committed version. */
+    * the restore itself) and readers switch atomically at the pointer
+    * swap. Restore REPLACES the live entry set, so an append that
+    * lands between the restore's observation of the live version and
+    * its claim would be silently excluded from the restored line — a
+    * lost update the retry loop cannot repair (retrying would just
+    * overwrite the newer state again). The restore therefore fails
+    * LOUDLY if the live version advanced past the one observed at
+    * call time; the caller quiesces appenders (the delete/maintenance
+    * single-writer contract) or re-observes and decides afresh. Entry
+    * SEQUENCE NUMBERS are preserved verbatim: restored data files keep
+    * their original delete-applicability ordering. Returns the
+    * committed version. */
   private[graft] def manifestRestore(s: SparkSession,
       root: org.apache.hadoop.fs.Path, v: Long): Long = {
+    val (observed, _) = currentManifest(s, root)
     val lines = manifestFilesAt(s, root, v)
-    commitWithRetry(s, root)((_, _) => lines)
+    commitWithRetry(s, root) { (_, claiming) =>
+      // claiming == live+1 inside the loop; anything past observed+1
+      // means a concurrent commit won and would be wiped by this line.
+      if (claiming != observed + 1) throw new IllegalStateException(
+        s"manifestRestore: live version advanced to ${claiming - 1} past " +
+          s"observed v$observed — a concurrent commit landed; quiesce " +
+          "writers or re-observe before restoring")
+      lines
+    }
   }
 
   /** x151 driver query: append a good batch (v1), append a bad batch

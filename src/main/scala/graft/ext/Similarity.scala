@@ -245,6 +245,14 @@ object Similarity {
       case None => all
     }
 
+    (all, lloydCentroids(train, nlist, lloydIters))
+  }
+
+  /** Hash-seeded init + Lloyd over an arbitrary quantized training
+    * frame (vec_id, vq) — shared by [[ivfCentroids]] (full/sampled
+    * corpus) and the x154 lifecycle (base snapshot only). */
+  private def lloydCentroids(train: DataFrame,
+                             nlist: Int, lloydIters: Int): DataFrame = {
     // hash-seeded init: the nlist vectors with smallest u32(id)
     var centroids = train
       .withColumn("h", graft.ext.Sampling.u32(col("vec_id")))
@@ -274,7 +282,7 @@ object Similarity {
     // nlist rows; cached because three consumers re-derive it (index
     // assignment, query probing, the exactness guard below) and its
     // lineage is the whole Lloyd chain
-    (all, centroids.scopedCache())
+    centroids.scopedCache()
   }
 
   /** Exact nearest-centroid assignment: every vector against every
@@ -520,8 +528,14 @@ object Similarity {
     * it audits (r13 scale audit: 48-66 s at 100× volume, ratios >11).
     * The audit therefore runs on a DETERMINISTIC hash sample of
     * ~[[AuditSampleCap]] vectors: keep vec_id iff
-    * u32(vec_id + [[AuditSalt]])·n_corpus < cap·2^32 — exact integer
-    * arithmetic both engines replay (the x93 hash-threshold
+    * u32(vec_id + [[AuditSalt]]) < ⌊cap·2^32 / n_corpus⌋ — the
+    * threshold is precomputed ONCE as a fixed integer (the
+    * stratifiedSample precedent), never as a per-row u32·n_corpus
+    * product: that product overflows Int64 once n_corpus ≥ ~2^31
+    * (non-ANSI Spark wraps negative and spuriously passes; DuckDB
+    * errors), exactly the >2B-vector scale the sampling exists for.
+    * Both engines floor-divide two positive Int64s, so the row sets
+    * match bit-for-bit (the x93 hash-threshold
     * precedent). The salt decorrelates the sample from the
     * smallest-u32 QUANTIZER-TRAINING seeding: unsalted, the sample
     * would be exactly the training set at scale and audit the vectors
@@ -534,19 +548,21 @@ object Similarity {
   private val U32Span = 4294967296L // 2^32
 
   /** The audit's vector sample (Scala side). `nCorpus` is the one
-    * metadata-cheap count the caller already holds. */
+    * metadata-cheap count the caller already holds; cap ≥ n_corpus
+    * pushes the threshold past the u32 range so everything keeps. */
   private def auditSample(all: DataFrame, nCorpus: Long): DataFrame =
     all.filter(
-      graft.ext.Sampling.u32(col("vec_id") + lit(AuditSalt)) * lit(nCorpus)
-        < lit(AuditSampleCap * U32Span))
+      graft.ext.Sampling.u32(col("vec_id") + lit(AuditSalt))
+        < lit(AuditSampleCap * U32Span / math.max(nCorpus, 1L)))
 
   /** The identical sample rule in DuckDB: `smp(vec_id)` plus the
-    * sampled twins of the base/assignment frames. */
+    * sampled twins of the base/assignment frames. `//` is DuckDB's
+    * Int64 floor division — the same ⌊cap·2^32 / n⌋ Scala computes. */
   private def auditSampleCtes: String = s"""
       smp AS (SELECT vec_id FROM e
         WHERE ${graft.ext.Sampling.u32Sql(s"(vec_id + $AuditSalt)")}
-              * (SELECT COUNT(*) FROM embeddings)
-              < ${AuditSampleCap * U32Span}),
+              < ${AuditSampleCap * U32Span}
+                // GREATEST((SELECT COUNT(*) FROM embeddings), 1)),
       es AS (SELECT e.* FROM e JOIN smp USING (vec_id)),
       fss AS (SELECT f.* FROM fs f JOIN smp USING (vec_id))"""
 

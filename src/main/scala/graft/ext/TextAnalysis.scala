@@ -451,18 +451,31 @@ object TextAnalysis {
 
   /** Quality deciles: the corpus split into 10 equal-count bins by
     * quality score — the curriculum/threshold view ("what does the
-    * corpus's 3rd decile actually look like"). Exact ntile over a total
-    * order here (verifiable row-for-row by the oracle); at 100 TB the
-    * global sort is the anti-pattern — compute decile THRESHOLDS with
-    * approx_percentile and bin by threshold instead (same output
-    * schema, no total order). Ties broken by doc_id so both engines
-    * rank identically. */
+    * corpus's 3rd decile actually look like"). EXACT ntile semantics
+    * (the first N mod 10 deciles take ⌈N/10⌉ rows, the rest ⌊N/10⌋ —
+    * the standard NTILE rule both engines implement) but NOT the
+    * engine's ntile window: that is an unpartitioned global sort, the
+    * canonical 100 TB scale-killer. Instead the global rank comes from
+    * the bucketed two-phase [[graft.ops.GlobalOrder.globalRowNumber]]
+    * (bucket = floor(q·10), monotone along the (q, doc_id) order; ties
+    * broken by doc_id so both engines rank identically) and the decile
+    * is integer arithmetic on (rank, broadcast 1-row total). */
   def qualityDeciles(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("q"), col("doc_id"))
-    load(s, dir, "documents")
+    val docs = load(s, dir, "documents")
       .select(col("doc_id"), qualityScore(col("text")).as("q"))
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val ranked = graft.ops.GlobalOrder.globalRowNumber(
+      docs, floor(col("q") * lit(10)).cast("long"),
+      Seq(col("q").asc, col("doc_id").asc), out = "rn")
+    val total = broadcast(docs.agg(count(lit(1)).as("n_total")))
+    val d = call_function("div", col("n_total"), lit(10L))      // ⌊N/10⌋
+    val r = col("n_total") - d * lit(10L)                       // N mod 10
+    val cutoff = r * (d + lit(1L))         // rows living in the big tiles
+    ranked.crossJoin(total)
+      .withColumn("decile",
+        when(col("rn") <= cutoff,
+          call_function("div", col("rn") + d, d + lit(1L)))
+        .otherwise(lit(10L) - call_function("div",
+          col("n_total") - col("rn"), greatest(d, lit(1L)))))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"),
            min("q").as("min_quality"),
@@ -529,9 +542,13 @@ object TextAnalysis {
     * REFINEMENT: histogram token mass into 1001 integer quality buckets
     * (floor(q·10) — one tiny aggregate, broadcast), find the boundary
     * bucket where the running total crosses the budget, select every doc
-    * above the boundary outright, and run the ordered-prefix window ONLY
-    * inside the boundary bucket (~1/1000 of the corpus; the lone
-    * single-partition window in the plan, bounded by construction).
+    * above the boundary outright, and run the ordered prefix ONLY
+    * inside the boundary bucket — itself through the two-phase
+    * range-partitioned [[graft.ops.GlobalOrder.prefixSum]], because the
+    * boundary bucket is corpus-derived and can hold ~10% of it. No
+    * unpartitioned window in this plan ever sees corpus-sized input;
+    * the single-partition frames left are the ≤1001-row histogram and
+    * prefixSum's per-sub-bucket offsets, bounded by construction.
     * Provably the same set as the spec: floor is monotone, so bucket
     * order agrees with quality order across buckets, and the boundary
     * bucket's docs see the exact same global cumulative (full-bucket
@@ -565,10 +582,21 @@ object TextAnalysis {
         when(col("run") > lit(BudgetTokens), col("qb"))).as("prefix_above")))
     val withBnd = eligible.crossJoin(bnd)
     val above = withBnd.filter(col("qb_b").isNull || col("qb") > col("qb_b"))
-    val prefixW = Window.orderBy(desc("q"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val atBoundary = withBnd.filter(col("qb") === col("qb_b"))
-      .withColumn("bcum", sum("n_tokens").over(prefixW))
+    // in-bucket ordered prefix via the range-partitioned two-phase
+    // prefix sum, NOT a bare Window.orderBy: the boundary bucket can
+    // hold ~10% of the corpus (quality mass concentrates), and an
+    // unpartitioned window there is the single-task sort this operator
+    // exists to avoid. The sub-bucket key refines quality inside the
+    // boundary band (floor is monotone, so -floor(q·10⁴) is
+    // non-decreasing along the (q DESC, doc_id) order, as
+    // GlobalOrder.prefixSum's contract requires); sub-buckets sort in
+    // parallel and the only unpartitioned window left in this plan is
+    // prefixSum's offsets frame — one row per sub-bucket, ≤ ~1000.
+    val atBoundary = graft.ops.GlobalOrder.prefixSum(
+        withBnd.filter(col("qb") === col("qb_b")),
+        -floor(col("q") * lit(10000)).cast("long"),
+        Seq(desc("q"), col("doc_id")),
+        col("n_tokens"), out = "bcum")
       .filter(col("prefix_above") + col("bcum") <= lit(BudgetTokens))
       .drop("bcum")
     above.unionByName(atBoundary)

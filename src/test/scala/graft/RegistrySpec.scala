@@ -30,6 +30,33 @@ class RegistrySpec extends SparkSpec {
       s"queries planning a cartesian product: ${offenders.mkString(", ")}")
   }
 
+  test("no query plans an unpartitioned window over a corpus-derived frame") {
+    // The single-task global sort is the canonical 100 TB scale-killer:
+    // `Window.orderBy(…)` with no partitionBy funnels its whole input
+    // through ONE partition. Bounded control frames legitimately do this
+    // (budgetFill's ≤1001-row quality histogram, GlobalOrder's
+    // per-bucket offsets) — and every such frame is a grouped rollup,
+    // so the guard: an unpartitioned logical Window is allowed ONLY
+    // when its child subtree contains a grouped Aggregate (frame size =
+    // group-key cardinality, not corpus rows). A window straight over a
+    // scan/join/explode — the r15 budgetFill boundary bucket, the old
+    // DataGen item_id — fails here by name.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => executesOnBuild(name) }
+      .flatMap { case (name, fn) =>
+        val bad = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty &&
+              w.child.collectFirst {
+                case a: Aggregate if a.groupingExpressions.nonEmpty => a
+              }.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned window over a non-rollup frame in: ${offenders.mkString(", ")}")
+  }
+
   test("every query has an oracle except the documented rows-only set") {
     val queries = SparkEntry.queries.keySet
     val oracles = SparkEntry.oracleSql.keySet

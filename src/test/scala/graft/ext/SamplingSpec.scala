@@ -53,6 +53,23 @@ class SamplingSpec extends SparkSpec {
       assert(rows.map(_.getAs[Long]("n_tokens")).sum <= TextAnalysis.SourceCapTokens,
         s"source $src exceeds its cap")
     }
+    // the one deliberate unpartitioned running sum runs over the quality
+    // HISTOGRAM — assert its documented ≤1001-row bound from the data
+    val nBuckets = docs.select(floor(col("q") * lit(10)).as("qb"))
+      .distinct().count()
+    assert(nBuckets <= 1001L,
+      s"quality histogram outgrew its documented bound: $nBuckets buckets")
+    // window shape: every window in the plan is either source-partitioned
+    // (stage 1 caps), the ≤1001-row histogram frame (qb order), or the
+    // __go_bucket-partitioned prefixSum — never a bare global window over
+    // corpus rows (the r15 boundary-bucket regression)
+    val p = TextAnalysis.budgetFill(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windows = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(l =>
+      l.contains("__go_bucket") || l.contains("source") || l.contains("qb")),
+      s"corpus-scale unpartitioned window leaked back into budgetFill:\n$p")
   }
 
   test("mixtureSample hits exact integer quotas and never exceeds supply") {
