@@ -289,7 +289,7 @@ object Similarity {
     * centroid (broadcast), argmax cosine, ties to the larger cluster id
     * — N·nlist cosines. The x128 hierarchical path is the approximate
     * alternative when nlist itself scales with the corpus. */
-  private def exactAssign(base: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def exactAssign(base: DataFrame, cents: DataFrame): DataFrame =
     base.join(broadcast(cents))
       .withColumn("cos", cosine(asDouble(col("vq")), asDouble(col("c"))))
       .groupBy(col("vec_id"))
@@ -311,8 +311,15 @@ object Similarity {
   def topKIvfTuned(s: SparkSession, dir: String,
                    nlist: Int, nprobe: Int, lloydIters: Int): DataFrame = {
     val (all, centroids, index) = ivfBuild(s, dir, nlist, lloydIters)
+    probeLists(all, centroids, index, nprobe)
+  }
 
-    // probe: nearest nprobe clusters per query, union their lists
+  /** The IVF probe over an already-materialized index — shared by x28
+    * (index built in-query) and the x154 lifecycle (index read from
+    * the persisted manifest table): nearest `nprobe` clusters per
+    * query, union their inverted lists, exact re-rank to top-[[K]]. */
+  private def probeLists(all: DataFrame, centroids: DataFrame,
+                         index: DataFrame, nprobe: Int): DataFrame = {
     val queries = all.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("vq").as("qv"))
     val probeW = org.apache.spark.sql.expressions.Window
@@ -338,6 +345,49 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
               round(col("cos"), 6).as("cos_sim"))
       .orderBy("query_id", "rank")
+  }
+
+  /** x154: the IVF index LIFECYCLE — build once, append increments,
+    * probe the PERSISTED lists. x28 rebuilds quantizer + inverted
+    * lists inside the query, the right shape for a one-off audit but
+    * not for serving: at 100 TB the ANN index is a TABLE other
+    * pipelines read, and appends must not retrain. Here the quantizer
+    * trains on the BASE snapshot only (vec_id % 10 != 0) and is then
+    * FROZEN — the faiss train-then-add contract; the base inverted
+    * lists land in a manifest table (x145 machinery: OCC commit, time
+    * travel, vacuum all apply), and the delta batch (vec_id % 10 == 0)
+    * is assigned against the frozen centroids and appended as a second
+    * commit whose cost is ∝ |delta| — the x149 incremental-maintenance
+    * contract applied to the ANN index. The probe then reads the
+    * persisted lists. Fold ≡ rebuild because assignment against frozen
+    * centroids is per-vector: base∪delta assigned across two commits
+    * is exactly all vectors assigned at once — which is what the
+    * DuckDB oracle replays (train on base, index everything, probe). */
+  def ivfIndexLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.etl.Sources.nonceRoot("ivf_idx", dir)
+    val (all, centroids, index) = ivfLifecycleIndex(s, dir, root)
+    probeLists(all, centroids, index, IvfProbes)
+  }
+
+  /** The x154 build+append+read, factored so the spec can assert
+    * fold ≡ rebuild and diff the delta commit against the delta batch.
+    * Returns (all quantized vectors, frozen centroids, persisted
+    * lists); the index table holds (vec_id, cluster, vq). */
+  private[graft] def ivfLifecycleIndex(s: SparkSession, dir: String,
+      root: org.apache.hadoop.fs.Path): (DataFrame, DataFrame, DataFrame) = {
+    val all = load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(toDouble(col("embedding")),
+          x => floor(x * lit(QuantScale)).cast("long")).as("vq"))
+      .scopedCache()
+    val base = all.filter(pmod(col("vec_id"), lit(10L)) =!= 0)
+    val delta = all.filter(pmod(col("vec_id"), lit(10L)) === 0)
+    val centroids = lloydCentroids(base, IvfClusters, LloydIters)
+    graft.etl.Sources.manifestAppend(s, root,
+      exactAssign(base, centroids).select("vec_id", "cluster", "vq"), 2)
+    graft.etl.Sources.manifestAppend(s, root,
+      exactAssign(delta, centroids).select("vec_id", "cluster", "vq"), 1)
+    (all, centroids, graft.etl.Sources.manifestRead(s, root))
   }
 
   /** SemDeDup prune threshold. Data-dependent like RangeTau: this
@@ -609,18 +659,40 @@ object Similarity {
       .agg(max_by(col("ccl"), struct(col("fcos"), col("ccl"))).as("ccl"),
            first(col("c"), ignoreNulls = true).as("c"))
       .withColumnRenamed("cluster", "fcl")
-    // vector → top-w coarse buckets (compact rows through the window)
-    val probeW = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("ccl"))
-    val topc = all.join(broadcast(seeds))
-      .select(col("vec_id"), col("ccl"),
-        cosine(asDouble(col("vq")), asDouble(col("cc"))).as("ccos"))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= probes)
-      .select(col("vec_id"), col("ccl"))
+    // vector → top-w coarse buckets, EXCHANGE-FREE (r15 scale reading:
+    // x128's 100× ratio ran 5.47 vs the 3.16 its N^1.25 design
+    // predicts — the gap was two corpus-sized exchanges, not compute).
+    // The old plan exploded N·ncoarse rows through a per-vector window
+    // (shuffle 1) and re-joined the vq payload back by vec_id (shuffle
+    // 2, N × 64-long arrays). Instead the seeds ride as ONE broadcast
+    // array row; each vector scores all seeds in a projection and
+    // selects its top-w via array_sort with the EXACT window
+    // comparator ((ccos DESC, ccl ASC) — spelled as an explicit
+    // three-way compare, not a negated-double sort key, so ties and
+    // signed zeros order identically to the oracle's ROW_NUMBER), then
+    // explodes to w rows carrying vq along. No corpus-sized exchange
+    // remains before the final map-side-combined argmax.
+    val seedArr = broadcast(seeds
+      .agg(collect_list(struct(col("ccl"), col("cc"))).as("sarr")))
+    val byCosDescCclAsc = (l: Column, r: Column) =>
+      when(l.getField("ccos") > r.getField("ccos"), lit(-1))
+        .when(l.getField("ccos") < r.getField("ccos"), lit(1))
+        .when(l.getField("ccl") < r.getField("ccl"), lit(-1))
+        .when(l.getField("ccl") > r.getField("ccl"), lit(1))
+        .otherwise(lit(0))
+    val topc = all.crossJoin(seedArr)
+      .select(col("vec_id"), col("vq"),
+        slice(array_sort(
+          transform(col("sarr"), s => struct(
+            cosine(asDouble(col("vq")), asDouble(s.getField("cc"))).as("ccos"),
+            s.getField("ccl").as("ccl"))),
+          byCosDescCclAsc), 1, probes).as("topw"))
+      .select(col("vec_id"), col("vq"),
+        explode(col("topw")).as("t"))
+      .select(col("vec_id"), col("vq"), col("t").getField("ccl").as("ccl"))
     // fine argmax inside the probed buckets only; n_cand counts the
     // fine cosines this vector paid — the cost axis of the x133 sweep
-    all.join(topc, Seq("vec_id"))
-      .join(broadcast(f2c), Seq("ccl"))
+    topc.join(broadcast(f2c), Seq("ccl"))
       .select(col("vec_id"), col("fcl"),
         cosine(asDouble(col("vq")), asDouble(col("c"))).as("acos"))
       .groupBy(col("vec_id"))
@@ -976,6 +1048,7 @@ object Similarity {
     "x08_sim_topk_lsh" -> topKLsh,
     "x09_sim_label_centroids" -> labelCentroidSims,
     "x28_sim_topk_ivf" -> topKIvf,
+    "x154_ivf_index_lifecycle" -> ivfIndexLifecycle,
     "x58_sim_range_search" -> rangeSearch,
     "x65_sim_hard_negatives" -> hardNegatives)
 
@@ -1007,7 +1080,8 @@ object Similarity {
     * interpolated into BOTH the x28 probe oracle and the x109 SemDeDup
     * oracle (each with its own nlist) so the SQL index can never drift
     * from the Scala one. */
-  private def ivfIndexCtes(nlistSql: String, trainLimit: Option[Int] = None): String = {
+  private def ivfIndexCtes(nlistSql: String, trainLimit: Option[Int] = None,
+                           trainWhere: String = ""): String = {
     val iters = (1 to LloydIters).map { i =>
       s"""s$i AS (SELECT e.vec_id, e.vq, c.cluster, ${duckCos("e.vq", "c.c")} AS cos
             FROM tr e CROSS JOIN c${i - 1} c),
@@ -1021,9 +1095,9 @@ object Similarity {
          c$i AS (SELECT cluster, list(x ORDER BY pos) AS c FROM u$i GROUP BY 1)"""
     }.mkString(",\n")
     val trainSql = trainLimit match {
-      case Some(n) => s"""SELECT vec_id, vq FROM e
+      case Some(n) => s"""SELECT vec_id, vq FROM e $trainWhere
         ORDER BY ${graft.ext.Sampling.u32Sql("vec_id")}, vec_id LIMIT $n"""
-      case None => "SELECT vec_id, vq FROM e"
+      case None => s"SELECT vec_id, vq FROM e $trainWhere"
     }
     s"""WITH e AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT)) AS vq
@@ -1044,8 +1118,10 @@ object Similarity {
         FROM fs) WHERE rn = 1)"""
   }
 
-  private lazy val ivfOracleSql: String =
-    s"""${ivfIndexCtes(IvfClusters.toString)},
+  /** The probe+re-rank tail shared by the x28 oracle and the x154
+    * lifecycle oracle (whose only difference is WHERE the quantizer
+    * trained — the `idx` both end at covers the full corpus). */
+  private lazy val ivfProbeSuffixSql: String = s"""
       q AS (SELECT vec_id AS query_id, vq AS qv FROM e WHERE vec_id < $NQueries),
       pr AS (SELECT query_id, qv, cluster FROM (
         SELECT q.query_id, q.qv, c.cluster,
@@ -1059,6 +1135,19 @@ object Similarity {
         FROM cand)
       SELECT query_id, rank, vec_id AS neighbor_id, ROUND(cos, 6) AS cos_sim
       FROM ranked WHERE rank <= $K ORDER BY query_id, rank"""
+
+  private lazy val ivfOracleSql: String =
+    s"""${ivfIndexCtes(IvfClusters.toString)},
+      $ivfProbeSuffixSql"""
+
+  /** x154 oracle: the from-scratch rebuild the persisted fold must
+    * equal — train on the base snapshot only, assign EVERYTHING
+    * against the frozen centroids, probe. Identical to base-commit +
+    * delta-commit because frozen-centroid assignment is per-vector. */
+  private lazy val ivfLifecycleOracleSql: String =
+    s"""${ivfIndexCtes(IvfClusters.toString,
+         trainWhere = "WHERE vec_id % 10 <> 0")},
+      $ivfProbeSuffixSql"""
 
   /** Shared DuckDB CTE chain ending in `sem_keep(vec_id)` — the x109
     * semantic keep list, factored so compositions (x123) replay the
@@ -1129,6 +1218,7 @@ object Similarity {
 
   private val baseOracles: Map[String, String] = Map(
     "x28_sim_topk_ivf" -> ivfOracleSql,
+    "x154_ivf_index_lifecycle" -> ivfLifecycleOracleSql,
     "x128_sem_assign_approx" -> s"""
       $semApproxCtes
       SELECT e.vec_id, ap.acluster AS cluster

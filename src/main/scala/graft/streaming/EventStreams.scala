@@ -658,18 +658,33 @@ object EventStreams {
     * checkpoint tracks source progress; redelivered batches re-apply
     * as no-ops because nothing in them is strictly newer). */
   /** One full delivery of the staged files as conditional upserts into
-    * the manifest table `tbl` — fresh checkpoint, so a second call is
-    * the worst-case full redelivery (every batch re-applies as a no-op
-    * because nothing in it is strictly newer; spec-asserted). */
+    * the manifest table `tbl` — fresh checkpoint by default, so a
+    * second call is the worst-case full redelivery (every batch
+    * re-applies as a no-op because nothing in it is strictly newer;
+    * spec-asserted).
+    *
+    * `ckptOverride` pins the checkpoint directory so a RESTART resumes
+    * source progress instead of redelivering everything — the
+    * crash-recovery spec drives this. `crashAfterBatch ≥ 0` injects a
+    * failure at the worst possible instant: AFTER batch `b`'s manifest
+    * commits land but BEFORE the checkpoint marks the batch committed
+    * — exactly the window a real executor/driver death exposes. On
+    * restart from the same checkpoint, structured streaming replays
+    * batch `b` from its recorded offsets; the conditional upsert makes
+    * the redelivery a no-op, which is the whole state-in-the-table
+    * claim this sink makes. */
   private[graft] def deliverUpserts(s: SparkSession, staged: String,
-      tbl: org.apache.hadoop.fs.Path): Unit = {
+      tbl: org.apache.hadoop.fs.Path,
+      ckptOverride: Option[java.nio.file.Path] = None,
+      crashAfterBatch: Long = -1L): Unit = {
     val schema = s.read.parquet(staged).schema
-    val ckpt = java.nio.file.Files.createTempDirectory(sinkReplayRoot, "mor_ckpt_")
+    val ckpt = ckptOverride.getOrElse(
+      java.nio.file.Files.createTempDirectory(sinkReplayRoot, "mor_ckpt_"))
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
     val q = stream.writeStream
       .option("checkpointLocation", ckpt.toString)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
         val bw = batch.withColumn("rn", row_number().over(w))
@@ -692,10 +707,26 @@ object EventStreams {
         val toApply = apply0.localCheckpoint()
         graft.etl.Sources.manifestDelete(s, tbl, toApply.select("user_id"))
         graft.etl.Sources.manifestAppend(s, tbl, toApply, 1)
+        // injected crash AFTER the table commits, BEFORE the checkpoint
+        // records the batch — the spec's worst-case recovery window
+        if (crashAfterBatch >= 0 && bid >= crashAfterBatch)
+          throw new IllegalStateException(s"injected crash after batch $bid")
         ()
       }
       .start()
-    q.processAllAvailable()
+    try q.processAllAvailable()
+    catch {
+      // only the armed injection is swallowed (matched anywhere in the
+      // cause chain); a real error still propagates
+      case e: Throwable if crashAfterBatch >= 0 && {
+        var t: Throwable = e; var hit = false
+        while (t != null && !hit) {
+          hit = Option(t.getMessage).exists(_.contains("injected crash"))
+          t = t.getCause
+        }
+        hit
+      } => ()
+    }
     q.stop()
   }
 

@@ -20,6 +20,7 @@ class CacheLifecycleSpec extends SparkSpec {
     "x06_dedup_embedding",        // Dedup.embeddingNearDups
     "x08_sim_topk_lsh",           // Similarity.topKLsh
     "x28_sim_topk_ivf",           // Similarity.ivfBuild (3 sites)
+    "x154_ivf_index_lifecycle",   // Similarity.ivfLifecycleIndex (2 sites)
     "x109_semdedup",              // Similarity.semDedup + ivfBuild
     "x66_tfidf_terms",            // TextAnalysis.tfidfTerms
     "x47_bigram_lm",              // TextAnalysis.bigramLm

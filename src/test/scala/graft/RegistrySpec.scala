@@ -17,7 +17,9 @@ class RegistrySpec extends SparkSpec {
     // iterative: label propagation runs jobs to converge
     "x43_dup_clusters", "x96_dedup_canonical", "x104_cluster_source_matrix",
     // k-means iterations run during planning of the final frame
-    "x28_sim_topk_ivf")
+    "x28_sim_topk_ivf",
+    // builds + appends the persisted IVF index (manifest writes) on build
+    "x154_ivf_index_lifecycle")
 
   test("no registered query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

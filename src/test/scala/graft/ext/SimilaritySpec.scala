@@ -276,4 +276,43 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("regret_ppm") == 0L)
     }
   }
+
+  test("persisted IVF index: incremental fold equals from-scratch rebuild, delta commit is delta-sized") {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(java.nio.file.Files
+      .createTempDirectory("ivf_lifecycle_spec").resolve("t").toUri)
+    val (all, centroids, index) = Similarity.ivfLifecycleIndex(spark, sfDir, root)
+
+    // fold ≡ rebuild: the persisted lists (base commit + delta commit)
+    // must equal ONE-SHOT assignment of the whole corpus against the
+    // same frozen centroids — the maintenance contract (x149 shape)
+    val folded = index.select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuilt = Similarity.exactAssign(all, centroids)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(folded == rebuilt, "persisted fold diverged from a from-scratch rebuild")
+    // the index covers the corpus exactly once
+    assert(folded.size == all.count(), "index row count != corpus size")
+
+    // incremental-cost evidence: the second commit (the append) holds
+    // EXACTLY the delta batch — nothing from the base was re-assigned
+    val deltaRows = graft.etl.Sources.manifestReadDiff(spark, root, 1L, 2L)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(deltaRows.nonEmpty && deltaRows.forall(_ % 10 == 0),
+      "delta commit carried base vectors — the append re-assigned the snapshot")
+    assert(deltaRows.length == all.filter(col("vec_id") % 10 === 0).count(),
+      "delta commit dropped part of the delta batch")
+
+    // the probe must read the PERSISTED table, not rebuild: ranks are
+    // 1..K per query over the folded lists
+    val out = Similarity.ivfIndexLifecycle(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.sameElements(1L to ranks.length),
+        s"query $q ranks not dense: ${ranks.mkString(",")}")
+    }
+    graft.CacheScope.release()
+  }
 }

@@ -317,4 +317,44 @@ class EventStreamsSpec extends SparkSpec {
            before.exceptAll(after).count() == 0,
       "redelivery changed the upsert table")
   }
+
+  test("CDC upsert crash-recovery: die after a batch's table commit, resume from the checkpoint") {
+    import org.apache.spark.sql.expressions.Window
+    // crash at the WORST window — batch 1's manifest commits landed,
+    // its checkpoint commit did not — then restart from the SAME
+    // checkpoint: batch 1 is redelivered (offsets were recorded at
+    // batch start) and must re-apply as a no-op; the remaining batches
+    // complete. Final table must equal the batch argmax exactly.
+    val stageDir = java.nio.file.Files
+      .createTempDirectory("mor_crash_src").toString
+    val tbl = new org.apache.hadoop.fs.Path(java.nio.file.Files
+      .createTempDirectory("mor_crash_tbl").resolve("t").toUri)
+    val ckpt = java.nio.file.Files.createTempDirectory("mor_crash_ckpt")
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    events.repartition(4).write.mode("overwrite").parquet(stageDir)
+
+    // first delivery dies mid-stream (after batch 1 of 4 commits)
+    EventStreams.deliverUpserts(spark, stageDir, tbl, Some(ckpt),
+      crashAfterBatch = 1L)
+    val (vPartial, _) = graft.etl.Sources.currentManifest(spark, tbl)
+    assert(vPartial > 0, "crash landed before any commit — nothing to recover")
+    val partial = graft.etl.Sources.manifestReadMerged(spark, tbl).count()
+
+    // resume from the SAME checkpoint — NOT a fresh full redelivery
+    EventStreams.deliverUpserts(spark, stageDir, tbl, Some(ckpt))
+    graft.etl.Sources.manifestApplyDeletes(spark, tbl, 1)
+
+    val got = graft.etl.Sources.manifestReadMerged(spark, tbl)
+      .select("user_id", "event_id")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val expected = events
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "event_id")
+    assert(got.exceptAll(expected).count() == 0 &&
+           expected.exceptAll(got).count() == 0,
+      s"recovered table diverged from the batch argmax " +
+        s"(partial rows at crash: $partial)")
+  }
 }
