@@ -337,6 +337,40 @@ object ScaleCheck {
       spark.catalog.clearCache()
       println(f"""{"metric":"scale_adjudication","query":"x128_sem_assign_approx","fine_cos_t1":$c1%d,"fine_cos_t$mult%d":$cN%d,"mass_ratio":${cN.toDouble / c1}%.2f,"note":"hierarchical probe is N^1.25 by design (per-vector fine candidates ~ probes*sqrt(nlist), nlist = sqrt(N)); runtime must track the fine-cosine mass — the exact path it replaces is N^1.5"}""")
     }
+    // x98 adjudication (r16): novelty shuffles one hash-pair row per
+    // 8-gram OCCURRENCE (first-owner aggregate + join back), so its
+    // ratio must track total gram mass ≈ token volume. The 50-byte
+    // string shuffle keys were fixed in r15 (hash pairs); what remains
+    // is the mass itself — carried here so the reading is in-artifact.
+    if (rows.exists(_._1 == "x98_novelty")) {
+      val c1 = ext.TextAnalysis.noveltyGramMass(spark, dir1)
+      spark.catalog.clearCache()
+      val cN = ext.TextAnalysis.noveltyGramMass(spark, dirN)
+      spark.catalog.clearCache()
+      println(f"""{"metric":"scale_adjudication","query":"x98_novelty","grams_t1":$c1%d,"grams_t$mult%d":$cN%d,"gram_ratio":${cN.toDouble / c1}%.2f,"note":"one hash-pair row per 8-gram occurrence through the first-owner aggregate and the join back (x50's overlap matrix shares this axis); runtime must track gram mass (~token volume), never outgrow it"}""")
+    }
+    // scan-family adjudication (r16): the pure one-pass per-row scans
+    // post the suite's HIGHEST ratios precisely because their t1 is
+    // session-overhead-dominated (<~0.5 s) — the cost axis is input
+    // mass, mult× by construction, so a >10× reading there is t1
+    // dilution, not plan shape. Carried in-artifact with the measured
+    // masses so the attribution is a datum, not prose.
+    val scanFamily = Seq("x10_text_token_stats", "x14_text_fingerprints",
+      "x21_media_features", "x37_text_redaction", "x42_boilerplate",
+      "x45_tokenizer_fertility", "x73_boilerplate_spans",
+      "x84_audio_frames", "x110_quant_audit")
+    if (rows.exists(r => scanFamily.contains(r._1))) {
+      import org.apache.spark.sql.functions.{col, length, sum}
+      def chars(d: String): Long = graft.Tables.load(spark, d, "documents")
+        .agg(sum(length(col("text"))).cast("long")).head().getLong(0)
+      def vecs(d: String): Long =
+        graft.Tables.load(spark, d, "embeddings").count()
+      val (c1, cN) = (chars(dir1), chars(dirN))
+      val (v1, vN) = (vecs(dir1), vecs(dirN))
+      val present = scanFamily.filter(q => rows.exists(_._1 == q))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(f"""{"metric":"scale_adjudication","family":"one_pass_scans","queries":$present,"doc_chars_t1":$c1%d,"doc_chars_t$mult%d":$cN%d,"char_ratio":${cN.toDouble / c1}%.2f,"emb_rows_t1":$v1%d,"emb_rows_t$mult%d":$vN%d,"note":"pure per-row codegen scans over documents/embeddings (media decode is documents-derived; x149's base rebuild is the same tokenize-scan mass plus a delta-sized fold): cost axis is input mass, mult-x by construction — a high ratio here reads t1 overhead dilution, with per-row cost flat or falling"}""")
+    }
     spark.stop()
   }
 

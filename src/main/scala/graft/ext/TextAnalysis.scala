@@ -638,6 +638,17 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Total 8-gram mass of the x98 novelty scan — its ScaleCheck
+    * adjudication axis: both the first-owner aggregate and the join
+    * back shuffle one (hash-pair) row per gram OCCURRENCE, so x98's
+    * runtime must track this mass (≈ token volume), never outgrow it.
+    * One scan, one scalar. */
+  def noveltyGramMass(s: SparkSession, dir: String): Long =
+    load(s, dir, "documents")
+      .select(size(graft.functions.TextExpressions
+        .wordShingleStrings(col("text"), 8)).cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+
   /** x99: vocabulary growth across ingest order — distinct terms seen
     * by the end of each doc_id decile (the Heaps'-law curve). A corpus
     * whose curve flattens early is saturating (more data, no new
