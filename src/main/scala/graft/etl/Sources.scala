@@ -1471,6 +1471,14 @@ object Sources {
   private[graft] def manifestRestore(s: SparkSession,
       root: org.apache.hadoop.fs.Path, v: Long): Long = {
     val (observed, _) = currentManifest(s, root)
+    manifestRestoreFrom(s, root, v, observed)
+  }
+
+  /** [[manifestRestore]] with the observation pinned — the deterministic
+    * seam the guard spec drives (a real interleaving window is a few
+    * µs wide): pass a stale `observed` and the restore must refuse. */
+  private[graft] def manifestRestoreFrom(s: SparkSession,
+      root: org.apache.hadoop.fs.Path, v: Long, observed: Long): Long = {
     val lines = manifestFilesAt(s, root, v)
     commitWithRetry(s, root) { (_, claiming) =>
       // claiming == live+1 inside the loop; anything past observed+1

@@ -947,6 +947,47 @@ class EtlSpec extends SparkSpec {
     assert(Sources.manifestRead(spark, root).count() == 2100)
   }
 
+  test("restore refuses when the live version advanced past its observation") {
+    import org.apache.spark.sql.functions._
+    // restore REPLACES the live entry set, so an append landing between
+    // its observation and its claim would be silently dropped from the
+    // restored line — the guard must fail loudly, never lose the append
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_restore_guard").resolve("t").toUri)
+    val df = spark.range(1000).toDF("id")
+    Sources.manifestAppend(spark, root, df.filter(col("id") < 500), 1)  // v1
+    Sources.manifestAppend(spark, root, df.filter(col("id") >= 500), 1) // v2
+    val (observed, _) = Sources.currentManifest(spark, root)
+    // a concurrent append lands after the observation
+    Sources.manifestAppend(spark, root, spark.range(1000, 1100).toDF("id"), 1) // v3
+    val e = intercept[IllegalStateException] {
+      Sources.manifestRestoreFrom(spark, root, 1L, observed)
+    }
+    assert(e.getMessage.contains("advanced"), e.getMessage)
+    // nothing was lost: the live table still holds every append
+    assert(Sources.manifestRead(spark, root).count() == 1100)
+    // a fresh observation restores cleanly (single-writer contract met)
+    Sources.manifestRestore(spark, root, 1L)
+    assert(Sources.manifestRead(spark, root).count() == 500)
+  }
+
+  test("nonce sweep reclaims per-invocation scratch but spares published artifacts") {
+    // the sweep must not touch scratchPath publishes — their in-JVM
+    // registries (semdedup keep-list, CC clusters) would dangle
+    val pub = Sources.scratchPath("sweep_spec_publish")
+    java.nio.file.Files.createDirectories(pub)
+    val marker = pub.resolve("keep.txt")
+    java.nio.file.Files.write(marker, "keep".getBytes)
+    val nonceDir = new java.io.File(new java.net.URI(
+      Sources.nonceRoot("sweep_spec", "somedir").toUri.toString))
+    java.nio.file.Files.createDirectories(nonceDir.toPath)
+    java.nio.file.Files.write(nonceDir.toPath.resolve("scratch.txt"), "tmp".getBytes)
+    Sources.sweepNonceRoots()
+    assert(!nonceDir.exists, "sweep left the nonce root behind")
+    assert(java.nio.file.Files.exists(marker),
+      "sweep destroyed a published artifact — registries now dangle")
+  }
+
   test("MERGE commits atomically: a racing reader never sees keys deleted but not replaced") {
     import org.apache.spark.sql.functions._
     val root = new org.apache.hadoop.fs.Path(
