@@ -659,37 +659,27 @@ object Similarity {
       .agg(max_by(col("ccl"), struct(col("fcos"), col("ccl"))).as("ccl"),
            first(col("c"), ignoreNulls = true).as("c"))
       .withColumnRenamed("cluster", "fcl")
-    // vector → top-w coarse buckets, EXCHANGE-FREE (r15 scale reading:
-    // x128's 100× ratio ran 5.47 vs the 3.16 its N^1.25 design
-    // predicts — the gap was two corpus-sized exchanges, not compute).
-    // The old plan exploded N·ncoarse rows through a per-vector window
-    // (shuffle 1) and re-joined the vq payload back by vec_id (shuffle
-    // 2, N × 64-long arrays). Instead the seeds ride as ONE broadcast
-    // array row; each vector scores all seeds in a projection and
-    // selects its top-w via array_sort with the EXACT window
-    // comparator ((ccos DESC, ccl ASC) — spelled as an explicit
-    // three-way compare, not a negated-double sort key, so ties and
-    // signed zeros order identically to the oracle's ROW_NUMBER), then
-    // explodes to w rows carrying vq along. No corpus-sized exchange
+    // vector → top-w coarse buckets, EXCHANGE-FREE and CODEGEN (r15
+    // scale reading: x128's 100× ratio ran 5.47 vs the 3.16 its N^1.25
+    // design predicts — the gap was two corpus-sized exchanges, not
+    // compute). The old plan exploded N·ncoarse rows through a
+    // per-vector window (shuffle 1) and re-joined the vq payload back
+    // by vec_id (shuffle 2, N × 64-long arrays). Instead the seeds
+    // ride as ONE broadcast array row and each vector selects its
+    // top-w inside the compiled [[graft.functions.VectorExpressions
+    // .CoarseTopW]] loop — the exact window tie-break ((ccos DESC,
+    // ccl ASC)) and the exact cosine fold, with no interpreted HOF
+    // (a transform+array_sort formulation of the same shape measured
+    // SLOWER than the window plan at sf0.1: HOF lambdas evaluate
+    // interpreted, the Sketches-vs-VectorExpressions lesson). Explodes
+    // to w rows per vector carrying vq along; no corpus-sized exchange
     // remains before the final map-side-combined argmax.
     val seedArr = broadcast(seeds
       .agg(collect_list(struct(col("ccl"), col("cc"))).as("sarr")))
-    val byCosDescCclAsc = (l: Column, r: Column) =>
-      when(l.getField("ccos") > r.getField("ccos"), lit(-1))
-        .when(l.getField("ccos") < r.getField("ccos"), lit(1))
-        .when(l.getField("ccl") < r.getField("ccl"), lit(-1))
-        .when(l.getField("ccl") > r.getField("ccl"), lit(1))
-        .otherwise(lit(0))
     val topc = all.crossJoin(seedArr)
       .select(col("vec_id"), col("vq"),
-        slice(array_sort(
-          transform(col("sarr"), s => struct(
-            cosine(asDouble(col("vq")), asDouble(s.getField("cc"))).as("ccos"),
-            s.getField("ccl").as("ccl"))),
-          byCosDescCclAsc), 1, probes).as("topw"))
-      .select(col("vec_id"), col("vq"),
-        explode(col("topw")).as("t"))
-      .select(col("vec_id"), col("vq"), col("t").getField("ccl").as("ccl"))
+        explode(graft.functions.VectorExpressions
+          .coarseTopW(col("vq"), col("sarr"), probes)).as("ccl"))
     // fine argmax inside the probed buckets only; n_cand counts the
     // fine cosines this vector paid — the cost axis of the x133 sweep
     topc.join(broadcast(f2c), Seq("ccl"))

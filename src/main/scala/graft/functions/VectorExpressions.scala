@@ -102,6 +102,132 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Top-w coarse probe of the x128 hierarchical assignment: `left` is
+    * the quantized vector (array<long>), `right` the broadcast seed
+    * array (array<struct<ccl: long, cc: array<long>>>), and the result
+    * the w seed ids ordered by (cosine DESC, ccl ASC) — the exact
+    * window/ROW_NUMBER tie-break both engines replay. One compiled
+    * loop per row replaces BOTH the N·ncoarse window exchange (the
+    * r15 plan) and the interpreted transform+array_sort HOF pair (the
+    * first r16 rewrite, which measured SLOWER at sf0.1 because Spark
+    * evaluates HOF lambdas interpreted — the Sketches-vs-
+    * VectorExpressions lesson re-learned on this operator).
+    *
+    * Cosine arithmetic replicates `cosine(asDouble(a), asDouble(b))`
+    * IEEE-exactly: ascending-index multiply-add folds (dot over the
+    * shorter length, norms over each full array), then
+    * dot / (sqrt(na) · sqrt(nb)) in that association. */
+  case class CoarseTopW(left: Expression, right: Expression, w: Int)
+      extends BinaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(v: Any, s: Any): Any = {
+      val vq = v.asInstanceOf[ArrayData]
+      val seeds = s.asInstanceOf[ArrayData]
+      val dim = vq.numElements()
+      var na = 0.0
+      var i = 0
+      while (i < dim) { val x = vq.getLong(i).toDouble; na += x * x; i += 1 }
+      val normA = math.sqrt(na)
+      val n = seeds.numElements()
+      val tc = Array.fill(w)(0.0)
+      val tl = new Array[Long](w)
+      var kept = 0
+      var k = 0
+      while (k < n) {
+        val row = seeds.getStruct(k, 2)
+        val ccl = row.getLong(0)
+        val cc = row.getArray(1)
+        val mb = cc.numElements()
+        val m = math.min(dim, mb)
+        var dotv = 0.0
+        var nb = 0.0
+        var j = 0
+        while (j < m) { dotv += vq.getLong(j).toDouble * cc.getLong(j).toDouble; j += 1 }
+        j = 0
+        while (j < mb) { val x = cc.getLong(j).toDouble; nb += x * x; j += 1 }
+        val cos = dotv / (normA * math.sqrt(nb))
+        var pos = kept
+        var q = 0
+        var found = false
+        while (q < kept && !found) {
+          if (cos > tc(q) || (cos == tc(q) && ccl < tl(q))) { pos = q; found = true }
+          q += 1
+        }
+        if (pos < w) {
+          val last = if (kept < w) kept else w - 1
+          var mm = last
+          while (mm > pos) { tc(mm) = tc(mm - 1); tl(mm) = tl(mm - 1); mm -= 1 }
+          tc(pos) = cos; tl(pos) = ccl
+          if (kept < w) kept += 1
+        }
+        k += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(tl, kept))
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, s) => {
+        val dim = ctx.freshName("dim"); val na = ctx.freshName("na")
+        val normA = ctx.freshName("normA"); val n = ctx.freshName("n")
+        val tc = ctx.freshName("tc"); val tl = ctx.freshName("tl")
+        val kept = ctx.freshName("kept"); val k = ctx.freshName("k")
+        val row = ctx.freshName("row"); val ccl = ctx.freshName("ccl")
+        val cc = ctx.freshName("cc"); val mb = ctx.freshName("mb")
+        val m = ctx.freshName("m"); val dotv = ctx.freshName("dotv")
+        val nb = ctx.freshName("nb"); val j = ctx.freshName("j")
+        val cos = ctx.freshName("cos"); val pos = ctx.freshName("pos")
+        val q = ctx.freshName("q"); val mm = ctx.freshName("mm")
+        val last = ctx.freshName("last"); val x = ctx.freshName("x")
+        s"""
+           |int $dim = $v.numElements();
+           |double $na = 0.0;
+           |for (int $j = 0; $j < $dim; $j++) {
+           |  double $x = (double) $v.getLong($j); $na += $x * $x;
+           |}
+           |double $normA = java.lang.Math.sqrt($na);
+           |int $n = $s.numElements();
+           |double[] $tc = new double[$w];
+           |long[] $tl = new long[$w];
+           |int $kept = 0;
+           |for (int $k = 0; $k < $n; $k++) {
+           |  org.apache.spark.sql.catalyst.InternalRow $row = $s.getStruct($k, 2);
+           |  long $ccl = $row.getLong(0);
+           |  org.apache.spark.sql.catalyst.util.ArrayData $cc = $row.getArray(1);
+           |  int $mb = $cc.numElements();
+           |  int $m = java.lang.Math.min($dim, $mb);
+           |  double $dotv = 0.0; double $nb = 0.0;
+           |  for (int $j = 0; $j < $m; $j++) {
+           |    $dotv += (double) $v.getLong($j) * (double) $cc.getLong($j);
+           |  }
+           |  for (int $j = 0; $j < $mb; $j++) {
+           |    double $x = (double) $cc.getLong($j); $nb += $x * $x;
+           |  }
+           |  double $cos = $dotv / ($normA * java.lang.Math.sqrt($nb));
+           |  int $pos = $kept;
+           |  for (int $q = 0; $q < $kept; $q++) {
+           |    if ($cos > $tc[$q] || ($cos == $tc[$q] && $ccl < $tl[$q])) { $pos = $q; break; }
+           |  }
+           |  if ($pos < $w) {
+           |    int $last = ($kept < $w) ? $kept : $w - 1;
+           |    for (int $mm = $last; $mm > $pos; $mm--) {
+           |      $tc[$mm] = $tc[$mm - 1]; $tl[$mm] = $tl[$mm - 1];
+           |    }
+           |    $tc[$pos] = $cos; $tl[$pos] = $ccl;
+           |    if ($kept < $w) $kept++;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  java.util.Arrays.copyOf($tl, $kept));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** k-slot MinHash signature of an array of 64-bit element hashes,
     * identical arithmetic to Sketches.minhashSignature: fold each
     * element to [0, P) then slot_j = min over elements of
@@ -213,6 +339,9 @@ object VectorExpressions {
 
   def minhashSignature(hashes: Column, as: Seq[Long], bs: Seq[Long]): Column =
     column(MinHashSignature(expression(hashes), as.toArray, bs.toArray))
+
+  def coarseTopW(vq: Column, seeds: Column, w: Int): Column =
+    column(CoarseTopW(expression(vq), expression(seeds), w))
 
   def u8ToS16Le(bytes: Column): Column =
     column(U8ToS16Le(expression(bytes)))

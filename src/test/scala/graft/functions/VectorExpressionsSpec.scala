@@ -34,6 +34,39 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("CoarseTopW matches the window formulation for w in 1..3, ties included") {
+    import org.apache.spark.sql.expressions.Window
+    // quantized vectors and seeds, with DUPLICATE seed vectors so the
+    // (cos DESC, ccl ASC) tie-break is actually exercised
+    val rnd = new scala.util.Random(17L)
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextInt(2000).toLong - 1000L)))
+    val seedVecs = (1 to 7).map(c => Seq.fill(16)(rnd.nextInt(2000).toLong - 1000L))
+    // seeds 8 and 9 duplicate seeds 1 and 2 → exact cosine ties
+    val seeds = (seedVecs ++ Seq(seedVecs(0), seedVecs(1)))
+      .zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+    val vdf = vecs.toDF("vec_id", "vq")
+    val sdf = seeds.toDF("ccl", "cc")
+    val sarr = broadcast(sdf.agg(collect_list(struct(col("ccl"), col("cc"))).as("sarr")))
+    val asD = (c: org.apache.spark.sql.Column) => transform(c, _.cast("double"))
+    (1 to 3).foreach { w =>
+      val got = vdf.crossJoin(sarr)
+        .select(col("vec_id"),
+          explode(VectorExpressions.coarseTopW(col("vq"), col("sarr"), w)).as("ccl"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val win = Window.partitionBy(col("vec_id"))
+        .orderBy(desc("ccos"), col("ccl"))
+      val ref = vdf.crossJoin(broadcast(sdf))
+        .select(col("vec_id"), col("ccl"),
+          Sketches.cosine(asD(col("vq")), asD(col("cc"))).as("ccos"))
+        .withColumn("pr", row_number().over(win))
+        .filter(col("pr") <= w)
+        .select("vec_id", "ccl")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == ref, s"w=$w: expression diverged from the window reference")
+    }
+  }
+
   test("MinHashSignature matches the transform/aggregate formulation") {
     val P = 2147483647L
     val k = 16
