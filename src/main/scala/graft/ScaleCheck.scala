@@ -43,6 +43,14 @@ object ScaleCheck {
   // versioned-merge cost tracks volume (expected: yes, linearly in the
   // staged files) rather than hitting a state cliff.
   private val Hot = Seq(
+    // one-pass document scans reshaped in r16 (fused compiled
+    // expressions replacing per-signal regex/HOF walks) — in the Hot
+    // set so the reshapes re-measure under the scan-family adjudication
+    "x10_text_token_stats",
+    "x38_text_repetition",
+    "x42_boilerplate",
+    "x45_tokenizer_fertility",
+    "x73_boilerplate_spans",
     "x03_dedup_minhash",
     "x04_dedup_simhash",
     "x05_dedup_ngram_jaccard",
@@ -356,8 +364,8 @@ object ScaleCheck {
     // dilution, not plan shape. Carried in-artifact with the measured
     // masses so the attribution is a datum, not prose.
     val scanFamily = Seq("x10_text_token_stats", "x14_text_fingerprints",
-      "x21_media_features", "x37_text_redaction", "x42_boilerplate",
-      "x45_tokenizer_fertility", "x73_boilerplate_spans",
+      "x21_media_features", "x37_text_redaction", "x38_text_repetition",
+      "x42_boilerplate", "x45_tokenizer_fertility", "x73_boilerplate_spans",
       "x84_audio_frames", "x110_quant_audit")
     if (rows.exists(r => scanFamily.contains(r._1))) {
       import org.apache.spark.sql.functions.{col, length, sum}

@@ -96,20 +96,24 @@ object Contamination {
     * document frequency, call grams above the threshold boilerplate, and
     * report each document's boilerplate-gram ratio — the C4-style "strip
     * the navigation chrome" signal computed corpus-wide rather than
-    * per-document. Two shuffles: gram doc-frequency (map-side combine on
-    * 8-byte-hashable keys) and the semi-join back; at 100 TB both run on
-    * xxhash64(gram) keys and the doc-frequency table for grams above
-    * threshold is small enough to broadcast. */
+    * per-document. Two shuffles: gram doc-frequency (map-side combine)
+    * and the semi-join back — both on the (xxhash64, md5) HASH PAIR of
+    * the gram, not the ~50-byte string (the x98 hash-first rule: the
+    * gram is a pure key here, never output; 128 collision bits make an
+    * accidental merge astronomically unlikely at any corpus size, the
+    * same bet every content-hash dedup in the tree makes). */
   def boilerplateReport(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
     val grams = docs.select(col("doc_id"),
       explode(graft.functions.TextExpressions.wordShingleStrings(col("text"), 8)).as("gram"))
+      .select(col("doc_id"),
+        xxhash64(col("gram")).as("g1"), md5(col("gram")).as("g2"))
     // wordShingleStrings emits distinct grams per doc → count(*) is doc frequency
-    val boiler = grams.groupBy("gram")
+    val boiler = grams.groupBy("g1", "g2")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > BoilerplateDocThreshold)
     val perDoc = grams
-      .join(boiler.select("gram"), Seq("gram"), "left_semi")
+      .join(boiler.select("g1", "g2"), Seq("g1", "g2"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
     docs.select(col("doc_id"),
         size(graft.functions.TextExpressions.wordShingleStrings(col("text"), 8))
@@ -127,25 +131,31 @@ object Contamination {
     * actually delete; overlapping hot grams don't double-count because
     * coverage dedups token positions). Positional grams come from one
     * compiled pass ([[graft.functions.TextExpressions.WordShinglePositional]]
-    * — the distinct variants can't say WHERE a gram sits); coverage is
-    * explode(sequence(pos, pos+7)) + distinct, i.e. integer set algebra
-    * that any engine reproduces. Same two shuffles as x42 (gram df +
-    * join-back), plus a doc-keyed dedup of covered positions. */
+    * — the distinct variants can't say WHERE a gram sits). Gram keys
+    * shuffle as (xxhash64, md5) hash pairs, not strings (the x98 rule);
+    * coverage is the doc-local interval union of [pos, pos+7]
+    * ([[graft.functions.TextExpressions.CoveredTokenCount]]) — identical
+    * integer set algebra to the explode(sequence)+distinct formulation
+    * the oracle replays, WITHOUT shuffling 8× the hot-occurrence mass
+    * through a corpus-wide distinct (that plan read 16× at the 100×
+    * ScaleCheck volume). Same two shuffles as x42 (gram df + join-back),
+    * plus one doc-keyed aggregate whose collect_list state is bounded by
+    * tokens-per-doc. */
   def boilerplateSpans(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
     val grams = docs.select(col("doc_id"),
         graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
         explode(graft.functions.TextExpressions.wordShinglePositional(col("text"), 8)).as("pg"))
       .select(col("doc_id"), col("n_tokens"),
-        col("pg.pos").cast("long").as("pos"), col("pg.gram").as("gram"))
-    val hot = grams.select("gram", "doc_id").distinct()
-      .groupBy("gram").agg(count(lit(1)).as("df"))
+        col("pg.pos").cast("long").as("pos"),
+        xxhash64(col("pg.gram")).as("g1"), md5(col("pg.gram")).as("g2"))
+    val hot = grams.select("g1", "g2", "doc_id").distinct()
+      .groupBy("g1", "g2").agg(count(lit(1)).as("df"))
       .filter(col("df") > BoilerplateDocThreshold)
-    val covered = grams.join(hot.select("gram"), Seq("gram"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), least(col("pos") + 7, col("n_tokens") - 1))).as("tok"))
-      .distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+    val covered = grams.join(hot.select("g1", "g2"), Seq("g1", "g2"), "left_semi")
+      .groupBy("doc_id")
+      .agg(graft.functions.TextExpressions.coveredTokenCount(
+        collect_list(col("pos")), max(col("n_tokens")), 8).as("n_covered"))
     docs.select(col("doc_id"),
         graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")

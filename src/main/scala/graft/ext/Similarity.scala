@@ -835,23 +835,19 @@ object Similarity {
     * count (|q| = 127), dead-zone count (q = 0, the small-component
     * mass a coarser scale would erase). `scale` ships RAW: a float
     * magnitude cast to double is exact, so no rounding is needed at
-    * all. One scan, all codegen array folds, no shuffle, no rebuild. */
+    * all. One scan, ONE compiled pass per row
+    * ([[graft.functions.VectorExpressions.QuantAudit]] — the
+    * aggregate/transform/zip_with spelling evaluated five interpreted
+    * array walks per row and read 20× at the 100× ScaleCheck volume),
+    * no shuffle, no rebuild. */
   def quantizationAudit(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir)
-      .withColumn("scale",
-        aggregate(transform(col("v"), x => abs(x)), lit(0.0), (a, x) => greatest(a, x)))
-      .withColumn("q", transform(col("v"), x =>
-        when(col("scale") > 0, floor(x * lit(127.0) / col("scale") + lit(0.5)))
-          .otherwise(lit(0.0))))
-    val maxErr = aggregate(
-      zip_with(col("v"), col("q"), (x, q) => abs(x - q * col("scale") / lit(127.0))),
-      lit(0.0), (a, x) => greatest(a, x))
-    e.select(col("vec_id"), col("label"), col("scale"),
-        when(col("scale") > 0,
-          floor(maxErr * lit(1000000.0) / col("scale"))).otherwise(lit(0L))
-          .cast("long").as("err_ppm_of_scale"),
-        size(filter(col("q"), q => abs(q) === 127.0)).cast("long").as("n_saturated"),
-        size(filter(col("q"), q => q === 0.0)).cast("long").as("n_deadzone"))
+    val qa = graft.functions.VectorExpressions.quantAudit(col("embedding"))
+    load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        qa.getField("scale").as("scale"),
+        qa.getField("err_ppm_of_scale").as("err_ppm_of_scale"),
+        qa.getField("n_saturated").as("n_saturated"),
+        qa.getField("n_deadzone").as("n_deadzone"))
       .orderBy("vec_id")
   }
 

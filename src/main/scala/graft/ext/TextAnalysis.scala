@@ -15,15 +15,20 @@ object TextAnalysis {
 
   /** Token statistics per document (whitespace + BPE-ish counts).
     * No edge rounding: ratios are exact double divisions, identical in
-    * any IEEE engine. */
-  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    * any IEEE engine. One compiled TokenStats evaluation per row (CSE
+    * collapses the field extractions); the per-signal Column forms ran
+    * three separate regexes per document and materialized token arrays
+    * just to count them — 25.8× at the 100× ScaleCheck volume. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    val ts = graft.functions.TextExpressions.tokenStats(col("text"))
     load(s, dir, "documents")
       .select(col("doc_id"),
               length(col("text")).cast("long").as("n_chars_obs"),
-              tokenCount(col("text")).cast("long").as("n_tokens"),
-              bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
-              avgTokenLen(col("text")).as("avg_token_len"))
+              ts.getField("n_tokens").as("n_tokens"),
+              ts.getField("n_bpe_tokens").as("n_bpe_tokens"),
+              ts.getField("avg_token_len").as("avg_token_len"))
       .orderBy("doc_id")
+  }
 
   /** Heuristic language ID + agreement flag against the dataset label. */
   def languageId(s: SparkSession, dir: String): DataFrame =
@@ -192,14 +197,18 @@ object TextAnalysis {
     * quality pipelines): fraction of tokens that are repeats of an
     * earlier token, and the frequency share of the single most common
     * token. High values mean boilerplate/spam; thresholding these is a
-    * standard pre-training filter. Per-row array ops — no shuffle. */
-  def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    * standard pre-training filter. One compiled RepetitionStats pass per
+    * row (the per-signal forms split the text twice more and allocated
+    * an array_distinct per row just to count it) — no shuffle. */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val rs = graft.functions.TextExpressions.repetitionStats(col("text"))
     load(s, dir, "documents")
       .select(col("doc_id"),
-        tokenCount(col("text")).cast("long").as("n_tokens"),
-        dupTokenRatio(col("text")).as("dup_token_ratio"),
-        topTokenRatio(col("text")).as("top_token_ratio"))
+        rs.getField("n_tokens").as("n_tokens"),
+        rs.getField("dup_token_ratio").as("dup_token_ratio"),
+        rs.getField("top_token_ratio").as("top_token_ratio"))
       .orderBy("doc_id")
+  }
 
   /** Top-5 tokens per source by frequency, via the algebraic TopKAgg
     * aggregator (map-side partial top-k — the shuffle after the count
@@ -223,11 +232,12 @@ object TextAnalysis {
     * more compute per word). Per-row ratio is a raw IEEE division
     * (portable); only the aggregated mean is rounded. Pure scan +
     * 5-group agg — scan speed at any corpus size. */
-  def tokenizerFertility(s: SparkSession, dir: String): DataFrame =
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val ts = graft.functions.TextExpressions.tokenStats(col("text"))
     load(s, dir, "documents")
       .select(col("lang"),
-        bpeTokenCount(col("text")).cast("long").as("n_bpe"),
-        tokenCount(col("text")).cast("long").as("n_ws"))
+        ts.getField("n_bpe_tokens").as("n_bpe"),
+        ts.getField("n_tokens").as("n_ws"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
            sum("n_bpe").as("total_bpe_tokens"),
@@ -235,6 +245,7 @@ object TextAnalysis {
            round(avg(col("n_bpe").cast("double") / greatest(col("n_ws"), lit(1L)).cast("double")), 4)
              .as("avg_fertility"))
       .orderBy("lang")
+  }
 
   /** Quality-score distribution per source: exact interpolated quartiles
     * + p90 (same fused array-percentile shape as x24; at 100 TB switch

@@ -439,6 +439,189 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Token statistics in ONE codepoint pass, bit-identical to the three
+    * Column formulations x10 used to evaluate separately (each of which
+    * re-walked the text through its own regex and materialized arrays
+    * just to count them):
+    *
+    *   n_tokens      = size(split(lower(trim(text)), "\\s+"))
+    *                   ≡ (number of \s+ runs) + 1 — Java split with a
+    *                   negative limit keeps leading/trailing empties, so
+    *                   every separator run adds exactly one boundary
+    *   n_bpe_tokens  = size(regexp_extract_all(lower(trim(text)),
+    *                     "[a-z]+|[0-9]+|[^a-z0-9\\s]")) — the alternation
+    *                   is leftmost-greedy, so it counts letter RUNS,
+    *                   digit RUNS, and every other non-ws codepoint
+    *                   individually; a 4-state machine reproduces it
+    *   avg_token_len = non-ws codepoints of trim(text) / max(n_tokens, 1)
+    *
+    * The regex formulation measured 25.8× at the 100× ScaleCheck volume
+    * (7.0 s for 55 MB of text on 32 cores — ~2 µs/char, all regex engine
+    * and UTF8String→String→array churn); this is the QualitySignals fix
+    * applied to the x10/x45 scan path. */
+  case class TokenStats(child: Expression)
+      extends UnaryExpression {
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_bpe_tokens", LongType, nullable = false),
+      StructField("avg_token_len", DoubleType, nullable = false)))
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("tokenStatsExpr", this, classOf[TokenStats].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($v);")
+    }
+
+    // Java regex \s = [ \t\n\x0B\f\r] (ASCII-only) — the class the split
+    // and extract_all patterns above actually use
+    private def isWs(cp: Int): Boolean =
+      cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' || cp == '\r'
+
+    override def nullSafeEval(v: Any): Any = {
+      val u = v.asInstanceOf[UTF8String]
+      // Spark's trim() strips ASCII space only (UTF8String.trim), and
+      // lower() is locale-independent (UTF8String.toLowerCase) — Java
+      // String.trim/toLowerCase silently diverge (\t-stripping, Turkish I)
+      val trimmed = u.trim
+      // avg_token_len's numerator counts non-ws codepoints of the
+      // TRIMMED original (the Column form regex_replaces trim(text),
+      // not the lowered string — toLowerCase can change codepoint count)
+      val tstr = trimmed.toString
+      var nonWs = 0L
+      var i = 0
+      while (i < tstr.length) {
+        val cp = tstr.codePointAt(i)
+        if (!isWs(cp)) nonWs += 1
+        i += Character.charCount(cp)
+      }
+      // one pass over the lowered string: \s+ run count (≡ split
+      // boundaries) and the BPE-ish state machine
+      val lstr = trimmed.toLowerCase.toString
+      var wsRuns = 0L
+      var bpe = 0L
+      var prev = -1 // 0 = ws, 1 = letter run, 2 = digit run, 3 = other
+      i = 0
+      while (i < lstr.length) {
+        val cp = lstr.codePointAt(i)
+        val cls =
+          if (isWs(cp)) 0
+          else if (cp >= 'a' && cp <= 'z') 1
+          else if (cp >= '0' && cp <= '9') 2
+          else 3
+        if (cls == 0) { if (prev != 0) wsRuns += 1 }
+        else if (cls == 3) bpe += 1
+        else if (cls != prev) bpe += 1
+        prev = cls
+        i += Character.charCount(cp)
+      }
+      val nTokens = wsRuns + 1
+      val avg = nonWs.toDouble / math.max(nTokens, 1L).toDouble
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](nTokens, bpe, avg))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Number of distinct token positions covered by the union of the
+    * intervals [pos, min(pos+span-1, nTokens-1)] — the x73 boilerplate
+    * span coverage, computed DOC-LOCALLY over the (small, ≤ tokens-per-
+    * doc) position list instead of exploding every hot-gram occurrence
+    * into `span` rows and running a corpus-wide distinct: that plan
+    * shuffled 8× the gram-occurrence mass through one exchange and the
+    * deduped positions through a second; this one shuffles each
+    * occurrence once (into the doc-keyed collect_list) and does integer
+    * set algebra per doc. Identical count by construction (interval
+    * union ≡ distinct of the exploded positions). */
+  case class CoveredTokenCount(left: Expression, right: Expression, span: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+    override def dataType: DataType = LongType
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("coveredExpr", this, classOf[CoveredTokenCount].getName)
+      nullSafeCodeGen(ctx, ev, (p, n) =>
+        s"${ev.value} = ((java.lang.Long) $ref.nullSafeEval($p, $n)).longValue();")
+    }
+
+    override def nullSafeEval(posv: Any, ntok: Any): Any = {
+      val arr = posv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = ntok.asInstanceOf[Long]
+      val m = arr.numElements()
+      val ps = new Array[Long](m)
+      var i = 0
+      while (i < m) { ps(i) = arr.getLong(i); i += 1 }
+      java.util.Arrays.sort(ps)
+      var covered = 0L
+      var prevEnd = 0L // exclusive end of the union swept so far
+      i = 0
+      while (i < m) {
+        val start = math.max(ps(i), prevEnd)
+        val end = math.min(ps(i) + span, n) // exclusive
+        if (end > start) covered += end - start
+        if (end > prevEnd) prevEnd = end
+        i += 1
+      }
+      java.lang.Long.valueOf(covered)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** All repetition signals in ONE tokenize+hash-count pass,
+    * bit-identical to the x38 Column forms:
+    *
+    *   n_tokens        = size(split(lower(trim(text)), "\\s+"))
+    *   dup_token_ratio = 1.0 − distinct/max(n, 1)
+    *   top_token_ratio = maxCount/max(n, 1)   (≡ [[TopTokenShare]])
+    *
+    * The per-signal spelling walked the text three times (two splits +
+    * an array_distinct allocation per row just to count unique tokens);
+    * the hash map already knows both the distinct count (its size) and
+    * the top count (its max). */
+  case class RepetitionStats(child: Expression)
+      extends UnaryExpression {
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("dup_token_ratio", DoubleType, nullable = false),
+      StructField("top_token_ratio", DoubleType, nullable = false)))
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("repStatsExpr", this, classOf[RepetitionStats].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($v);")
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      // UTF8String.trim/toLowerCase — Spark's own trim (ASCII space) and
+      // locale-independent lower, matching the Column forms exactly
+      val toks = v.asInstanceOf[UTF8String].trim.toLowerCase.toString
+        .split("\\s+", -1)
+      val counts = new java.util.HashMap[String, Int](toks.length * 2)
+      var max = 0
+      var i = 0
+      while (i < toks.length) {
+        val c = counts.merge(toks(i), 1, (a, b) => a + b)
+        if (c > max) max = c
+        i += 1
+      }
+      val n = toks.length.toLong
+      val denom = math.max(n, 1L).toDouble
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n,
+          1.0 - counts.size.toDouble / denom,
+          max.toDouble / denom))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Frequency share of the most common token: tokenize once, count in
     * a hash map, return max/n. The Column-HOF formulation (fold over the
     * sorted array with element_at) evaluates its lambda interpreted per
@@ -601,6 +784,13 @@ object TextExpressions {
     column(FingerprintSketch(expression(text), n, k))
 
   def qualitySignals(text: Column): Column = column(QualitySignals(expression(text)))
+
+  def tokenStats(text: Column): Column = column(TokenStats(expression(text)))
+
+  def coveredTokenCount(positions: Column, nTokens: Column, span: Int): Column =
+    column(CoveredTokenCount(expression(positions), expression(nTokens), span))
+
+  def repetitionStats(text: Column): Column = column(RepetitionStats(expression(text)))
 
   def langId(text: Column): Column = column(LangId(expression(text)))
 

@@ -325,6 +325,78 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** x110's int8 quantization audit in ONE compiled pass per row,
+    * bit-identical to the HOF chain it replaces (same IEEE op order, so
+    * the DuckDB oracle keeps hash-matching):
+    *
+    *   scale   = fold greatest(a, abs(xᵢ)) from 0.0
+    *   qᵢ      = scale > 0 ? floor(xᵢ·127.0/scale + 0.5) : 0.0
+    *             (floor on DoubleType is Math.floor then toLong; the
+    *             when/otherwise coerces it back to double — value-equal
+    *             to Math.floor for |q| ≤ 127)
+    *   maxErr  = fold greatest(a, abs(xᵢ − qᵢ·scale/127.0)) from 0.0
+    *   err_ppm = scale > 0 ? floor(maxErr·10⁶/scale) : 0
+    *   n_saturated / n_deadzone = counts of |qᵢ| = 127 / qᵢ = 0
+    *
+    * The aggregate/transform/zip_with formulation evaluated its lambdas
+    * INTERPRETED per element — five array walks through boxed lambda
+    * calls per row (the scaladoc said "codegen array folds"; Spark HOFs
+    * are not codegen'd — the Sketches-vs-VectorExpressions lesson,
+    * re-found by x110's 20× reading at the 100× ScaleCheck volume).
+    * Elements arrive as float (driver parquet) or double (the cast the
+    * HOF form applied first): float→double widening is exact, so both
+    * input shapes produce identical audits. */
+  case class QuantAudit(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("scale", DoubleType, nullable = false),
+      StructField("err_ppm_of_scale", LongType, nullable = false),
+      StructField("n_saturated", LongType, nullable = false),
+      StructField("n_deadzone", LongType, nullable = false)))
+
+    private lazy val elemIsFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("quantAuditExpr", this, classOf[QuantAudit].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($v);")
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      def get(i: Int): Double =
+        if (elemIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      var scale = 0.0
+      var i = 0
+      while (i < n) {
+        val a = math.abs(get(i))
+        if (a > scale) scale = a
+        i += 1
+      }
+      var maxErr = 0.0
+      var sat = 0L
+      var dead = 0L
+      i = 0
+      while (i < n) {
+        val xi = get(i)
+        val q = if (scale > 0) math.floor(xi * 127.0 / scale + 0.5) else 0.0
+        val err = math.abs(xi - q * scale / 127.0)
+        if (err > maxErr) maxErr = err
+        if (math.abs(q) == 127.0) sat += 1
+        if (q == 0.0) dead += 1
+        i += 1
+      }
+      val ppm = if (scale > 0) math.floor(maxErr * 1000000.0 / scale).toLong else 0L
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](scale, ppm, sat, dead))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column wrappers -----------------------------------------------
 
   import org.apache.spark.sql.graftshim.{toColumn => column, toExpression => expression}
@@ -345,4 +417,6 @@ object VectorExpressions {
 
   def u8ToS16Le(bytes: Column): Column =
     column(U8ToS16Le(expression(bytes)))
+
+  def quantAudit(v: Column): Column = column(QuantAudit(expression(v)))
 }

@@ -72,6 +72,32 @@ class ContaminationSpec extends SparkSpec {
     spans.unpersist()
   }
 
+  test("boilerplate spans: doc-local interval union equals explode+distinct coverage") {
+    // the pre-rewrite formulation (string gram keys, explode every hot
+    // occurrence into 8 position rows, corpus-wide distinct) — the
+    // integer set algebra the oracle replays; the shipped plan must
+    // count the exact same covered positions
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val grams = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        explode(graft.functions.TextExpressions.wordShinglePositional(col("text"), 8)).as("pg"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pg.pos").cast("long").as("pos"), col("pg.gram").as("gram"))
+    val hot = grams.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 2)
+    val oldCovered = grams.join(hot.select("gram"), Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), least(col("pos") + 7, col("n_tokens") - 1))).as("tok"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_covered_old"))
+    val mism = Contamination.boilerplateSpans(spark, sfDir)
+      .join(oldCovered, Seq("doc_id"), "left")
+      .filter(col("n_covered") =!= coalesce(col("n_covered_old"), lit(0L)))
+    assert(mism.count() == 0,
+      "interval-union coverage must equal the explode+distinct formulation")
+  }
+
   test("split leakage: bounded by the test split, and exact dups always leak") {
     val r = Contamination.splitLeakage(spark, sfDir).collect()(0)
     val (nTest, nLeaked) =

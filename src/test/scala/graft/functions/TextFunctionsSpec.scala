@@ -104,6 +104,54 @@ class TextFunctionsSpec extends SparkSpec {
       "compiled QualitySignals must match the Column forms exactly (oracle contract)")
   }
 
+  test("tokenStats struct is bit-identical to the Column formulations") {
+    import graft.functions.TextExpressions
+    import spark.implicits._
+    val oldN = tokenCount(col("text")).cast("long")
+    val oldBpe = bpeTokenCount(col("text")).cast("long")
+    val oldAvg = avgTokenLen(col("text"))
+    val ts = TextExpressions.tokenStats(col("text"))
+    def assertMatches(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val mismatches = df
+        .select(ts.as("ts"), oldN.as("n"), oldBpe.as("b"), oldAvg.as("a"))
+        .filter(col("ts.n_tokens") =!= col("n") ||
+          col("ts.n_bpe_tokens") =!= col("b") ||
+          col("ts.avg_token_len") =!= col("a"))
+      assert(mismatches.count() == 0,
+        s"compiled TokenStats must match the Column forms exactly ($label)")
+    }
+    assertMatches(graft.Tables.load(spark, sfDir, "documents"), "corpus")
+    // edge shapes the corpus can't cover: empties, pure whitespace
+    // (trim strips only ASCII spaces — tabs survive and split into
+    // leading/trailing empty tokens), unicode letters the lowered [a-z]
+    // class rejects, supplementary codepoints (one token, one codepoint),
+    // digit/letter/punct run transitions, NBSP (non-ASCII ws is NOT \s)
+    val edges = Seq("", " ", "\t", " \t ", "a", "ab12, cd", "a  b\tc\nd",
+      "\ta b\t", "ÉcLaIr café 42türk", "𝔘𝔫𝔦𝔠𝔬𝔡𝔢", "a b",
+      "...!!!", "a1b2c3", "  x  ", "İstanbul I ı", "12 34.56")
+    assertMatches(edges.toDF("text"), "edge cases")
+  }
+
+  test("repetitionStats struct is bit-identical to the Column formulations") {
+    import graft.functions.TextExpressions
+    import spark.implicits._
+    val rs = TextExpressions.repetitionStats(col("text"))
+    def assertMatches(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val mismatches = df
+        .select(rs.as("rs"), tokenCount(col("text")).cast("long").as("n"),
+          dupTokenRatio(col("text")).as("d"), topTokenRatio(col("text")).as("t"))
+        .filter(col("rs.n_tokens") =!= col("n") ||
+          col("rs.dup_token_ratio") =!= col("d") ||
+          col("rs.top_token_ratio") =!= col("t"))
+      assert(mismatches.count() == 0,
+        s"compiled RepetitionStats must match the Column forms exactly ($label)")
+    }
+    assertMatches(graft.Tables.load(spark, sfDir, "documents"), "corpus")
+    val edges = Seq("", " ", "\t", "a", "a b a a", "x y z", "solo",
+      "\ta b\t", "A a A", "𝔘 𝔘 b").toDF("text")
+    assertMatches(edges, "edge cases")
+  }
+
   test("piiRedaction counts and shrinks only the augmented docs") {
     val out = graft.ext.TextAnalysis.piiRedaction(spark, sfDir).cache()
     val aug = out.filter(col("doc_id") % 7 === 0)

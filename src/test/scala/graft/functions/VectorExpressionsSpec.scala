@@ -67,6 +67,56 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("QuantAudit matches the HOF quantization chain exactly") {
+    // the pre-compilation x110 formulation, rebuilt inline
+    def hofAudit(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val e = df
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("scale",
+          aggregate(transform(col("v"), x => abs(x)), lit(0.0), (a, x) => greatest(a, x)))
+        .withColumn("q", transform(col("v"), x =>
+          when(col("scale") > 0, floor(x * lit(127.0) / col("scale") + lit(0.5)))
+            .otherwise(lit(0.0))))
+      val maxErr = aggregate(
+        zip_with(col("v"), col("q"), (x, q) => abs(x - q * col("scale") / lit(127.0))),
+        lit(0.0), (a, x) => greatest(a, x))
+      e.select(col("id"), col("scale"),
+        when(col("scale") > 0,
+          floor(maxErr * lit(1000000.0) / col("scale"))).otherwise(lit(0L))
+          .cast("long").as("err_ppm_of_scale"),
+        size(filter(col("q"), q => abs(q) === 127.0)).cast("long").as("n_saturated"),
+        size(filter(col("q"), q => q === 0.0)).cast("long").as("n_deadzone"))
+    }
+    def compiled(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val qa = VectorExpressions.quantAudit(col("embedding"))
+      df.select(col("id"), qa.getField("scale").as("scale"),
+        qa.getField("err_ppm_of_scale").as("err_ppm_of_scale"),
+        qa.getField("n_saturated").as("n_saturated"),
+        qa.getField("n_deadzone").as("n_deadzone"))
+    }
+    def assertIdentical(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val mism = compiled(df).alias("c").join(hofAudit(df).alias("h"), Seq("id"))
+        .filter(col("c.scale") =!= col("h.scale") ||
+          col("c.err_ppm_of_scale") =!= col("h.err_ppm_of_scale") ||
+          col("c.n_saturated") =!= col("h.n_saturated") ||
+          col("c.n_deadzone") =!= col("h.n_deadzone"))
+      assert(mism.count() == 0,
+        s"compiled QuantAudit must match the HOF chain exactly ($label)")
+    }
+    // real corpus (float elements — the driver parquet shape)
+    assertIdentical(graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding")), "float corpus")
+    // double elements + edge shapes: all-zero vector (scale = 0 rail),
+    // saturation at both signs, dead zone, a singleton, an empty array
+    val edges = Seq(
+      (1L, Seq(0.0, 0.0, 0.0)),
+      (2L, Seq(1.0, -1.0, 0.5, -0.0039, 0.0)),
+      (3L, Seq(-127.0)),
+      (4L, Seq.empty[Double]),
+      (5L, Seq(0.003, -0.004, 1e-9, 2.5))).toDF("id", "embedding")
+    assertIdentical(edges, "double edges")
+  }
+
   test("MinHashSignature matches the transform/aggregate formulation") {
     val P = 2147483647L
     val k = 16
