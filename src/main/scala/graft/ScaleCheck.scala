@@ -345,17 +345,25 @@ object ScaleCheck {
       spark.catalog.clearCache()
       println(f"""{"metric":"scale_adjudication","query":"x128_sem_assign_approx","fine_cos_t1":$c1%d,"fine_cos_t$mult%d":$cN%d,"mass_ratio":${cN.toDouble / c1}%.2f,"note":"hierarchical probe is N^1.25 by design (per-vector fine candidates ~ probes*sqrt(nlist), nlist = sqrt(N)); runtime must track the fine-cosine mass — the exact path it replaces is N^1.5"}""")
     }
-    // x98 adjudication (r16): novelty shuffles one hash-pair row per
-    // 8-gram OCCURRENCE (first-owner aggregate + join back), so its
-    // ratio must track total gram mass ≈ token volume. The 50-byte
-    // string shuffle keys were fixed in r15 (hash pairs); what remains
-    // is the mass itself — carried here so the reading is in-artifact.
-    if (rows.exists(_._1 == "x98_novelty")) {
+    // gram-shuffle family adjudication (r16): these ops shuffle one
+    // hash-pair row per 8-gram (x98 per OCCURRENCE through the
+    // first-owner aggregate + join back; x42/x73 per gram through the
+    // df aggregate + semi-join back, x73 additionally per hot
+    // occurrence into the doc-keyed coverage aggregate; x50's overlap
+    // matrix shares the axis). The 50-byte string shuffle keys were
+    // fixed in r15/r16 (hash pairs); what remains is the mass itself —
+    // carried here so the reading is in-artifact: runtime must track
+    // gram mass (~token volume), never outgrow it.
+    val gramFamily = Seq("x42_boilerplate", "x73_boilerplate_spans",
+      "x98_novelty")
+    if (rows.exists(r => gramFamily.contains(r._1))) {
       val c1 = ext.TextAnalysis.noveltyGramMass(spark, dir1)
       spark.catalog.clearCache()
       val cN = ext.TextAnalysis.noveltyGramMass(spark, dirN)
       spark.catalog.clearCache()
-      println(f"""{"metric":"scale_adjudication","query":"x98_novelty","grams_t1":$c1%d,"grams_t$mult%d":$cN%d,"gram_ratio":${cN.toDouble / c1}%.2f,"note":"one hash-pair row per 8-gram occurrence through the first-owner aggregate and the join back (x50's overlap matrix shares this axis); runtime must track gram mass (~token volume), never outgrow it"}""")
+      val present = gramFamily.filter(q => rows.exists(_._1 == q))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(f"""{"metric":"scale_adjudication","family":"gram_shuffle","queries":$present,"grams_t1":$c1%d,"grams_t$mult%d":$cN%d,"gram_ratio":${cN.toDouble / c1}%.2f,"note":"one hash-pair row per 8-gram through the keyed aggregates and the join back (x50's overlap matrix shares this axis); runtime must track gram mass (~token volume), never outgrow it"}""")
     }
     // scan-family adjudication (r16): the pure one-pass per-row scans
     // post the suite's HIGHEST ratios precisely because their t1 is
@@ -365,8 +373,7 @@ object ScaleCheck {
     // masses so the attribution is a datum, not prose.
     val scanFamily = Seq("x10_text_token_stats", "x14_text_fingerprints",
       "x21_media_features", "x37_text_redaction", "x38_text_repetition",
-      "x42_boilerplate", "x45_tokenizer_fertility", "x73_boilerplate_spans",
-      "x84_audio_frames", "x110_quant_audit")
+      "x45_tokenizer_fertility", "x84_audio_frames", "x110_quant_audit")
     if (rows.exists(r => scanFamily.contains(r._1))) {
       import org.apache.spark.sql.functions.{col, length, sum}
       def chars(d: String): Long = graft.Tables.load(spark, d, "documents")

@@ -97,17 +97,21 @@ object Contamination {
     * report each document's boilerplate-gram ratio — the C4-style "strip
     * the navigation chrome" signal computed corpus-wide rather than
     * per-document. Two shuffles: gram doc-frequency (map-side combine)
-    * and the semi-join back — both on the (xxhash64, md5) HASH PAIR of
-    * the gram, not the ~50-byte string (the x98 hash-first rule: the
-    * gram is a pure key here, never output; 128 collision bits make an
-    * accidental merge astronomically unlikely at any corpus size, the
-    * same bet every content-hash dedup in the tree makes). */
+    * and the semi-join back — both on a HASH PAIR of the gram, not the
+    * ~50-byte string (the x98 hash-first rule: the gram is a pure key
+    * here, never output; 128 collision bits make an accidental merge
+    * astronomically unlikely at any corpus size, the same bet every
+    * content-hash dedup in the tree makes). The pair is two SALTED
+    * xxhash64 values, not (xxhash64, md5): these keys never leave Spark
+    * (no oracle replays them), and md5 per gram occurrence was the
+    * dominant remaining cost of the first hash-pair form at the 100×
+    * ScaleCheck volume. */
   def boilerplateReport(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
     val grams = docs.select(col("doc_id"),
       explode(graft.functions.TextExpressions.wordShingleStrings(col("text"), 8)).as("gram"))
       .select(col("doc_id"),
-        xxhash64(col("gram")).as("g1"), md5(col("gram")).as("g2"))
+        xxhash64(col("gram")).as("g1"), xxhash64(col("gram"), lit(1L)).as("g2"))
     // wordShingleStrings emits distinct grams per doc → count(*) is doc frequency
     val boiler = grams.groupBy("g1", "g2")
       .agg(count(lit(1)).as("df"))
@@ -132,7 +136,8 @@ object Contamination {
     * coverage dedups token positions). Positional grams come from one
     * compiled pass ([[graft.functions.TextExpressions.WordShinglePositional]]
     * — the distinct variants can't say WHERE a gram sits). Gram keys
-    * shuffle as (xxhash64, md5) hash pairs, not strings (the x98 rule);
+    * shuffle as salted-xxhash64 pairs, not strings (the x98 rule; the
+    * keys are Spark-internal, so no md5 — see x42's rationale);
     * coverage is the doc-local interval union of [pos, pos+7]
     * ([[graft.functions.TextExpressions.CoveredTokenCount]]) — identical
     * integer set algebra to the explode(sequence)+distinct formulation
@@ -148,7 +153,8 @@ object Contamination {
         explode(graft.functions.TextExpressions.wordShinglePositional(col("text"), 8)).as("pg"))
       .select(col("doc_id"), col("n_tokens"),
         col("pg.pos").cast("long").as("pos"),
-        xxhash64(col("pg.gram")).as("g1"), md5(col("pg.gram")).as("g2"))
+        xxhash64(col("pg.gram")).as("g1"),
+        xxhash64(col("pg.gram"), lit(1L)).as("g2"))
     val hot = grams.select("g1", "g2", "doc_id").distinct()
       .groupBy("g1", "g2").agg(count(lit(1)).as("df"))
       .filter(col("df") > BoilerplateDocThreshold)
