@@ -354,8 +354,8 @@ object ScaleCheck {
     // fixed in r15/r16 (hash pairs); what remains is the mass itself —
     // carried here so the reading is in-artifact: runtime must track
     // gram mass (~token volume), never outgrow it.
-    val gramFamily = Seq("x42_boilerplate", "x73_boilerplate_spans",
-      "x98_novelty")
+    val gramFamily = Seq("x42_boilerplate", "x50_source_overlap",
+      "x73_boilerplate_spans", "x98_novelty")
     if (rows.exists(r => gramFamily.contains(r._1))) {
       val c1 = ext.TextAnalysis.noveltyGramMass(spark, dir1)
       spark.catalog.clearCache()

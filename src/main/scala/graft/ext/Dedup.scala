@@ -186,14 +186,17 @@ object Dedup {
     * on both join branches whenever the cache raced the two scans
     * (the round-3 x50 regression). Pair fan-out is ≤ C(S,2) per gram
     * (S = 5 here; with thousands of sources cap `size(srcs)` like
-    * x43's df-cap). At 100 TB the aggregation keys on xxhash64(gram)
-    * instead of the string; the string form is kept so DuckDB verifies
-    * row-for-row. */
+    * x43's df-cap). The aggregation keys on a salted-xxhash64 pair of
+    * the gram, not the ~50-byte string (the x98 hash-first rule — the
+    * gram is a pure key, never output, and the oracle rebuilds the
+    * same source sets from the strings; agreement is the standard
+    * 128-bit injectivity bet). */
   def crossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val bySrc = load(s, dir, "documents")
       .select(col("source"),
         explode(graft.functions.TextExpressions.wordShingleStrings(col("text"), 8)).as("gram"))
-      .groupBy("gram").agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .groupBy(xxhash64(col("gram")).as("g1"), xxhash64(col("gram"), lit(1L)).as("g2"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
     val tagged = bySrc.select(explode(expr(
         """concat(
              transform(srcs, x -> named_struct('sa', x, 'sb', CAST(NULL AS STRING))),

@@ -626,18 +626,20 @@ object TextAnalysis {
     *
     * HASH-FIRST SHUFFLE (the x01 exact-dedup rule): the gram is a pure
     * key here — never output — so both the first-owner groupBy and the
-    * join back shuffle the (xxhash64, md5) pair, not the ~50-byte
-    * 8-gram string: 128 collision bits (accidental collision
-    * astronomically unlikely at any corpus size) for a multi-×
-    * reduction in shuffled bytes. The oracle keys on the strings; the
-    * two agree exactly whenever the pair is injective on the observed
-    * grams, which is the same bet every content-hash dedup in the tree
-    * makes. */
+    * join back shuffle a 128-bit hash pair, not the ~50-byte 8-gram
+    * string (accidental collision astronomically unlikely at any corpus
+    * size, for a multi-× reduction in shuffled bytes). The pair is two
+    * SALTED xxhash64 values: the keys never leave Spark (the oracle
+    * keys on the strings), and md5 per gram occurrence was the dominant
+    * remaining per-row cost of the first (xxhash64, md5) form — the
+    * x42/x73 lesson applied here. The two engines agree exactly
+    * whenever the pair is injective on the observed grams, the same
+    * bet every content-hash dedup in the tree makes. */
   def noveltyScores(s: SparkSession, dir: String): DataFrame = {
     val grams = load(s, dir, "documents").select(col("doc_id"),
       explode(graft.functions.TextExpressions.wordShingleStrings(col("text"), 8)).as("gram"))
       .select(col("doc_id"),
-        xxhash64(col("gram")).as("g1"), md5(col("gram")).as("g2"))
+        xxhash64(col("gram")).as("g1"), xxhash64(col("gram"), lit(1L)).as("g2"))
     val firstOwner = grams.groupBy("g1", "g2").agg(min("doc_id").as("first_doc"))
     grams.join(firstOwner, Seq("g1", "g2"))
       .groupBy("doc_id")
