@@ -122,6 +122,10 @@ object ScaleCheck {
     // pruning): expect linear in corpus size at fixed |Q|, the x07/x08
     // fixed-query-set constant
     "x139_projection_recall",
+    // x155 is the same two-representation brute-force audit for the
+    // int8 serving rung — the x139 shape, expect the same fixed-|Q|
+    // linear constant
+    "x155_quant_serving",
     // x140's corpus cost is the postings build (linear in token mass)
     // plus a fixed-|Q| term-keyed candidate join whose pair count grows
     // with the df of the query's terms — linear at fixed |Q|
@@ -354,8 +358,11 @@ object ScaleCheck {
     // fixed in r15/r16 (hash pairs); what remains is the mass itself —
     // carried here so the reading is in-artifact: runtime must track
     // gram mass (~token volume), never outgrow it.
+    // x115 rides the same axis with a 60-bit md5-prefix key — that md5
+    // IS oracle-replayed (the x03/x04 portable-hash trade), so unlike
+    // x42/x73/x98 it cannot swap to salted xxhash64
     val gramFamily = Seq("x42_boilerplate", "x50_source_overlap",
-      "x73_boilerplate_spans", "x98_novelty")
+      "x73_boilerplate_spans", "x98_novelty", "x115_span_dedup")
     if (rows.exists(r => gramFamily.contains(r._1))) {
       val c1 = ext.TextAnalysis.noveltyGramMass(spark, dir1)
       spark.catalog.clearCache()
@@ -373,7 +380,8 @@ object ScaleCheck {
     // masses so the attribution is a datum, not prose.
     val scanFamily = Seq("x10_text_token_stats", "x14_text_fingerprints",
       "x21_media_features", "x37_text_redaction", "x38_text_repetition",
-      "x45_tokenizer_fertility", "x84_audio_frames", "x110_quant_audit")
+      "x45_tokenizer_fertility", "x84_audio_frames", "x110_quant_audit",
+      "x149_incremental_index")
     if (rows.exists(r => scanFamily.contains(r._1))) {
       import org.apache.spark.sql.functions.{col, length, sum}
       def chars(d: String): Long = graft.Tables.load(spark, d, "documents")

@@ -1034,7 +1034,67 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** x155: int8-quantized SERVING audit — the rung x110 gates. x110
+    * measures per-vector reconstruction error of symmetric int8
+    * quantization (the 4×-memory/4×-bandwidth lever); this measures
+    * what serving actually pays: per query, recall@$K$ of int8-space
+    * exact top-k against full-precision exact top-k, plus the
+    * true-cosine regret of the quantized choice in integer ppm
+    * (per-item floor(cos·10⁶) before summation — order-free group
+    * sums, the x139/x129 pattern). Together audit + serving gate are
+    * the faiss SQ8 deployment checklist.
+    *
+    * Engine-portable end-to-end: quantized components are integers
+    * ≤ 127 carried as doubles ([[graft.functions.VectorExpressions.
+    * Int8Quantize]], one compiled pass — the exact x110 arithmetic),
+    * so every int8-side dot/norm is exact integer math and the cosine
+    * divides identical doubles in both engines; cosine is
+    * scale-invariant per vector, so serving on raw q values ≡ serving
+    * on dequantized q·scale/127. Scale shape: one scan computes both
+    * representations, queries ride broadcast (fixed |Q| — the
+    * x07/x139 linear constant), audit-side frames are ≤ |Q|·k rows
+    * and broadcast. */
+  def quantizedRecall(s: SparkSession, dir: String): DataFrame = {
+    val all = load(s, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"),
+        graft.functions.VectorExpressions.int8Quantize(col("embedding")).as("q8"))
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("q8").as("qq8"))
+    val sc = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_full", cosine(col("qv"), col("v")))
+      .withColumn("cos_q8", cosine(col("qq8"), col("q8")))
+      .withColumn("cos_ppm",
+        floor(col("cos_full") * lit(1000000.0)).cast("long"))
+      .select("query_id", "vec_id", "cos_full", "cos_q8", "cos_ppm")
+      .scopedCache()
+    val wF = Window.partitionBy("query_id")
+      .orderBy(col("cos_full").desc, col("vec_id"))
+    val wQ = Window.partitionBy("query_id")
+      .orderBy(col("cos_q8").desc, col("vec_id"))
+    val exact = sc.withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id"), col("cos_ppm"))
+    val approx = sc.withColumn("rank", row_number().over(wQ))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id"), col("cos_ppm"))
+    val rec = exact.join(
+        broadcast(approx.select(col("query_id"), col("vec_id"),
+          lit(1).as("hit"))),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg((count(col("hit")).cast("double") / K).as("recall_at_k"),
+        sum("cos_ppm").cast("long").as("exact_ppm"))
+    val qz = approx.groupBy("query_id")
+      .agg(sum("cos_ppm").cast("long").as("q8_ppm"))
+    rec.join(broadcast(qz), "query_id")
+      .select(col("query_id"), col("recall_at_k"),
+        (col("exact_ppm") - col("q8_ppm")).as("regret_ppm"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x155_quant_serving" -> quantizedRecall,
     "x139_projection_recall" -> projectionRecall,
     "x109_semdedup" -> semDedup,
     "x128_sem_assign_approx" -> semAssignApprox,
@@ -1458,5 +1518,49 @@ object Similarity {
       SELECT r.query_id, r.recall_at_k,
         (r.exact_ppm - p.proj_ppm) AS regret_ppm
       FROM rec r JOIN prj p ON r.query_id = p.query_id
+      ORDER BY r.query_id""") + ("x155_quant_serving" -> s"""
+      WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      sc0 AS (SELECT vec_id, v,
+            list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+            FROM e),
+      a AS (SELECT vec_id, v, list_transform(v, x ->
+            CASE WHEN scale > 0 THEN floor(x * 127 / scale + 0.5)
+                 ELSE 0.0 END) AS q8
+            FROM sc0),
+      q AS (SELECT vec_id AS query_id, v AS qv, q8 AS qq8
+            FROM a WHERE vec_id < $NQueries),
+      sc AS (SELECT q.query_id, a.vec_id,
+          list_sum(list_transform(list_zip(q.qv, a.v), p -> p[1] * p[2])) /
+          (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+           sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos_full,
+          list_sum(list_transform(list_zip(q.qq8, a.q8), p -> p[1] * p[2])) /
+          (sqrt(list_sum(list_transform(q.qq8, x -> x * x))) *
+           sqrt(list_sum(list_transform(a.q8, x -> x * x)))) AS cos_q8
+        FROM a, q WHERE a.vec_id <> q.query_id),
+      sp AS (SELECT query_id, vec_id, cos_full, cos_q8,
+               CAST(floor(cos_full * 1000000.0) AS BIGINT) AS cos_ppm FROM sc),
+      exact AS (SELECT query_id, vec_id, cos_ppm FROM (
+          SELECT query_id, vec_id, cos_ppm,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_full DESC, vec_id) AS rn
+          FROM sp) WHERE rn <= $K),
+      approx AS (SELECT query_id, vec_id, cos_ppm FROM (
+          SELECT query_id, vec_id, cos_ppm,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_q8 DESC, vec_id) AS rn
+          FROM sp) WHERE rn <= $K),
+      rec AS (SELECT b.query_id,
+                CAST(COUNT(l.vec_id) AS DOUBLE) / $K AS recall_at_k,
+                CAST(SUM(b.cos_ppm) AS BIGINT) AS exact_ppm
+              FROM exact b LEFT JOIN approx l
+                ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+              GROUP BY 1),
+      qz AS (SELECT query_id, CAST(SUM(cos_ppm) AS BIGINT) AS q8_ppm
+              FROM approx GROUP BY 1)
+      SELECT r.query_id, r.recall_at_k,
+        (r.exact_ppm - z.q8_ppm) AS regret_ppm
+      FROM rec r JOIN qz z ON r.query_id = z.query_id
       ORDER BY r.query_id""")
 }

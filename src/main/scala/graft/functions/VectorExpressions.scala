@@ -397,6 +397,52 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Symmetric per-vector int8 quantization (the x110 audit's transform,
+    * shipped as the SERVING representation for x155): qᵢ = scale > 0 ?
+    * floor(xᵢ·127.0/scale + 0.5) : 0.0 with scale = max|x| — the exact
+    * arithmetic [[QuantAudit]] audits, one compiled pass. Values are
+    * integers ≤ 127 carried as doubles: dot products over them are
+    * EXACT (≤ dim·127² ≪ 2⁵³), so downstream cosines are identical
+    * IEEE arithmetic in any engine — the x28 quantized-index recipe
+    * applied to the int8 rung. */
+  case class Int8Quantize(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+    private lazy val elemIsFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("int8QuantExpr", this, classOf[Int8Quantize].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($v);")
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      def get(i: Int): Double =
+        if (elemIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      var scale = 0.0
+      var i = 0
+      while (i < n) {
+        val a = math.abs(get(i))
+        if (a > scale) scale = a
+        i += 1
+      }
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        out(i) = if (scale > 0) math.floor(get(i) * 127.0 / scale + 0.5) else 0.0
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column wrappers -----------------------------------------------
 
   import org.apache.spark.sql.graftshim.{toColumn => column, toExpression => expression}
@@ -419,4 +465,6 @@ object VectorExpressions {
     column(U8ToS16Le(expression(bytes)))
 
   def quantAudit(v: Column): Column = column(QuantAudit(expression(v)))
+
+  def int8Quantize(v: Column): Column = column(Int8Quantize(expression(v)))
 }

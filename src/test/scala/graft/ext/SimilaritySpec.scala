@@ -277,6 +277,52 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 serving audit: regret non-negative, recall high, deterministic") {
+    val a = Similarity.quantizedRecall(spark, sfDir).collect()
+    val b = Similarity.quantizedRecall(spark, sfDir).collect()
+    assert(a.sameElements(b), "int8 serving audit not deterministic")
+    assert(a.length == 10, "one audit row per query")
+    a.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_k")
+      assert(rec >= 0.0 && rec <= 1.0)
+      // same structural dominance argument as the projection audit
+      assert(r.getAs[Long]("regret_ppm") >= 0L,
+        s"query ${r.getAs[Long]("query_id")}: negative regret breaks dominance")
+    }
+    // int8 is the FINE quantization rung (max half-step error ~0.4% of
+    // scale per component, x110's bound) — unlike the 4x-lossy
+    // projection it must essentially preserve the neighbor order on
+    // this corpus; a mean recall below 0.8 means the serving rep broke
+    val meanRec = a.map(_.getAs[Double]("recall_at_k")).sum / a.length
+    assert(meanRec >= 0.8, s"int8 mean recall $meanRec below 0.8")
+  }
+
+  test("int8 serving audit: an exact-duplicate vector is its twin's top-1 in int8 space") {
+    // duplicates quantize identically, so the quantized cosine of the
+    // pair is exactly 1.0 — no other candidate can beat it, and the
+    // (cos DESC, vec_id) tie-break makes the twin deterministic
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q8_").toString
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextGaussian() * 0.3).toFloat), i % 4)
+    }
+    // vec 20 duplicates query vec 2 exactly
+    val rows = base.map { case (id, v, l) =>
+      if (id == 20L) (id, base(2)._2.clone(), l) else (id, v, l)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.quantizedRecall(spark, dir).collect()
+    assert(out.length == 10)
+    // the audit output is per-query recall; the duplicate pair makes
+    // query 2's exact and quantized top-1 agree (both are vec 20), so
+    // its recall can't be 0 and its regret stays structural (>= 0)
+    val q2 = out.find(_.getAs[Long]("query_id") == 2L).get
+    assert(q2.getAs[Double]("recall_at_k") > 0.0)
+    assert(q2.getAs[Long]("regret_ppm") >= 0L)
+  }
+
   test("persisted IVF index: incremental fold equals from-scratch rebuild, delta commit is delta-sized") {
     import org.apache.spark.sql.functions._
     val root = new org.apache.hadoop.fs.Path(java.nio.file.Files
