@@ -117,6 +117,32 @@ class VectorExpressionsSpec extends SparkSpec {
     assertIdentical(edges, "double edges")
   }
 
+  test("Int8Quantize matches the HOF when/floor formulation exactly") {
+    def hofQuant(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("scale",
+        aggregate(transform(col("v"), x => abs(x)), lit(0.0), (a, x) => greatest(a, x)))
+      .select(col("id"), transform(col("v"), x =>
+        when(col("scale") > 0, floor(x * lit(127.0) / col("scale") + lit(0.5)))
+          .otherwise(lit(0.0))).as("q"))
+    def compiled(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("id"), VectorExpressions.int8Quantize(col("embedding")).as("q"))
+    def assertIdentical(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val mism = compiled(df).alias("c").join(hofQuant(df).alias("h"), Seq("id"))
+        .filter(col("c.q") =!= col("h.q"))
+      assert(mism.count() == 0,
+        s"compiled Int8Quantize must match the HOF chain exactly ($label)")
+    }
+    assertIdentical(graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding")), "float corpus")
+    val edges = Seq(
+      (1L, Seq(0.0, 0.0)),
+      (2L, Seq(1.0, -1.0, 0.5, -0.0039, 0.0)),
+      (3L, Seq(-127.0)),
+      (4L, Seq.empty[Double])).toDF("id", "embedding")
+    assertIdentical(edges, "double edges")
+  }
+
   test("MinHashSignature matches the transform/aggregate formulation") {
     val P = 2147483647L
     val k = 16
