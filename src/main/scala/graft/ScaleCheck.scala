@@ -47,6 +47,7 @@ object ScaleCheck {
     // expressions replacing per-signal regex/HOF walks) — in the Hot
     // set so the reshapes re-measure under the scan-family adjudication
     "x10_text_token_stats",
+    "x37_text_redaction",
     "x38_text_repetition",
     "x42_boilerplate",
     "x45_tokenizer_fertility",

@@ -175,21 +175,24 @@ object TextAnalysis {
     * text column is what a real pipeline would write back out.
     * The synthetic corpus contains no PII, so every 7th document gets a
     * deterministic email+phone suffix first (identically rebuilt by the
-    * oracle) — the counts then prove the regexes fire, not just parse. */
+    * oracle) — the counts then prove the regexes fire, not just parse.
+    * One compiled PiiRedactionStats evaluation per row (the per-signal
+    * Column forms ran FOUR regex passes per document, materializing two
+    * match arrays just to count them — 14.3× at the 100× ScaleCheck
+    * volume before the fuse). */
   def piiRedaction(s: SparkSession, dir: String): DataFrame = {
     val contact = concat(col("text"),
       lit(" contact user"), col("doc_id").cast("string"),
       lit("@example.com or +1 (555) 010-"),
       lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
     val t = when(col("doc_id") % 7 === 0, contact).otherwise(col("text"))
-    val redacted = regexp_replace(
-      regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    val pii = graft.functions.TextExpressions.piiRedactionStats(t, EmailRe, PhoneRe)
     load(s, dir, "documents")
       .select(col("doc_id"),
-        size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-        size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
-        length(t).cast("long").as("len_raw"),
-        length(redacted).cast("long").as("len_redacted"))
+        pii.getField("n_emails").as("n_emails"),
+        pii.getField("n_phones").as("n_phones"),
+        pii.getField("len_raw").as("len_raw"),
+        pii.getField("len_redacted").as("len_redacted"))
       .orderBy("doc_id")
   }
 

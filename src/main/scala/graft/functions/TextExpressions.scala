@@ -525,6 +525,67 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** x37's PII redaction signals in one compiled pass, bit-identical to
+    * the four Column expressions it replaces:
+    *
+    *   n_emails     = size(regexp_extract_all(t, emailRe, 0))
+    *   n_phones     = size(regexp_extract_all(t, phoneRe, 0))   (on t,
+    *                  not the email-redacted text — count semantics)
+    *   len_raw      = length(t)                       (codepoints)
+    *   len_redacted = length(regexp_replace(
+    *                    regexp_replace(t, emailRe, "<EMAIL>"),
+    *                    phoneRe, "<PHONE>"))
+    *
+    * Same java.util.regex engine and non-overlapping leftmost match
+    * semantics Spark's regexp_* use; the literal sentinels contain no
+    * $/\\ so replaceAll processes them identically. The Column form ran
+    * FOUR regex passes per document and materialized two match arrays
+    * just to size() them — plus a UTF8String→String conversion per
+    * expression; this runs three matcher passes (email count+replace
+    * fused) on one converted String. */
+  case class PiiRedactionStats(child: Expression, emailRe: String, phoneRe: String)
+      extends UnaryExpression {
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_emails", LongType, nullable = false),
+      StructField("n_phones", LongType, nullable = false),
+      StructField("len_raw", LongType, nullable = false),
+      StructField("len_redacted", LongType, nullable = false)))
+
+    @transient private lazy val emailP = java.util.regex.Pattern.compile(emailRe)
+    @transient private lazy val phoneP = java.util.regex.Pattern.compile(phoneRe)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("piiExpr", this, classOf[PiiRedactionStats].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($v);")
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val lenRaw = s.codePointCount(0, s.length).toLong
+      // email pass: count and replace in one matcher sweep
+      var nEmails = 0L
+      val em = emailP.matcher(s)
+      val sb = new java.lang.StringBuilder()
+      while (em.find()) { nEmails += 1; em.appendReplacement(sb, "<EMAIL>") }
+      em.appendTail(sb)
+      val redE = sb.toString
+      // phone count on the ORIGINAL text (the Column form's semantics)
+      var nPhones = 0L
+      val pm = phoneP.matcher(s)
+      while (pm.find()) nPhones += 1
+      // phone replace on the email-redacted text (nested regexp_replace)
+      val red = phoneP.matcher(redE).replaceAll("<PHONE>")
+      val lenRed = red.codePointCount(0, red.length).toLong
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](nEmails, nPhones, lenRaw, lenRed))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Number of distinct token positions covered by the union of the
     * intervals [pos, min(pos+span-1, nTokens-1)] — the x73 boilerplate
     * span coverage, computed DOC-LOCALLY over the (small, ≤ tokens-per-
@@ -791,6 +852,9 @@ object TextExpressions {
     column(CoveredTokenCount(expression(positions), expression(nTokens), span))
 
   def repetitionStats(text: Column): Column = column(RepetitionStats(expression(text)))
+
+  def piiRedactionStats(text: Column, emailRe: String, phoneRe: String): Column =
+    column(PiiRedactionStats(expression(text), emailRe, phoneRe))
 
   def langId(text: Column): Column = column(LangId(expression(text)))
 

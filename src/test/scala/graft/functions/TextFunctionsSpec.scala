@@ -152,6 +152,33 @@ class TextFunctionsSpec extends SparkSpec {
     assertMatches(edges, "edge cases")
   }
 
+  test("piiRedactionStats struct is bit-identical to the Column formulations") {
+    import graft.functions.TextExpressions
+    import spark.implicits._
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+?[0-9][0-9()\\s.-]{7,}[0-9]"
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+    val pii = TextExpressions.piiRedactionStats(col("text"), emailRe, phoneRe)
+    def assertMatches(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val mism = df.select(pii.as("p"),
+          size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("ne"),
+          size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).cast("long").as("np"),
+          length(col("text")).cast("long").as("lr"),
+          length(redacted).cast("long").as("ld"))
+        .filter(col("p.n_emails") =!= col("ne") || col("p.n_phones") =!= col("np") ||
+          col("p.len_raw") =!= col("lr") || col("p.len_redacted") =!= col("ld"))
+      assert(mism.count() == 0,
+        s"compiled PiiRedactionStats must match the Column forms exactly ($label)")
+    }
+    assertMatches(graft.Tables.load(spark, sfDir, "documents"), "corpus")
+    val edges = Seq("", "a@b.co", "x a@b.co y c@d.org z", "+1 (555) 010-1234",
+      "a@b.co+1 (555) 010-1234", "call 5550101234 or 555-010-1234 now",
+      "no pii here", "@not an email@", "1234567", "ünïcode a@b.de 𝔘",
+      "end a@b.co", "+49 89 123456789").toDF("text")
+    assertMatches(edges, "edge cases")
+  }
+
   test("piiRedaction counts and shrinks only the augmented docs") {
     val out = graft.ext.TextAnalysis.piiRedaction(spark, sfDir).cache()
     val aug = out.filter(col("doc_id") % 7 === 0)
