@@ -175,7 +175,11 @@ object ScaleCheck {
     // x134/x135 shape
     "x151_manifest_restore",
     "x152_manifest_history",
-    "x153_manifest_merge")
+    "x153_manifest_merge",
+    // x156 is two appends + one delete commit + a merged read whose
+    // union is plan-time schema reconciliation — the x134/x135 shape
+    // (cost ∝ table bytes through the layout), no extra data pass
+    "x156_manifest_schema_evolution")
   // Since round 12 the slices carry the FULL catalog (documents/events/
   // embeddings plus region/nation/supplier/customer/part/orders/
   // lineitem), so the relational q-series and x77/x80 join the suite-

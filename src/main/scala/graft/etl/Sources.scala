@@ -1100,7 +1100,12 @@ object Sources {
             keys.columns.toSeq, "left_anti")
         }
     }
-    groups.reduce(_.unionByName(_))
+    // allowMissingColumns = additive schema evolution (x156): a later
+    // commit may carry columns earlier commits lack — older rows read
+    // them as NULL, the Iceberg add-column contract. Reconciliation is
+    // plan-time only (files within one commit share a schema; the union
+    // aligns by name across commits) — no data file is ever rewritten.
+    groups.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Commit an equality delete: write `keys` (columns = the equality
@@ -1633,6 +1638,33 @@ object Sources {
     manifestReadAt(s, root, 1L).orderBy("doc_id")
   }
 
+  /** x156 driver query: ADDITIVE SCHEMA EVOLUTION on the manifest
+    * table — the Iceberg add-column contract on this layout. A table
+    * written over months grows columns; commit 1 lands WITHOUT
+    * `n_chars`, commit 2 lands WITH it, and the merged read surfaces
+    * the union schema with the old generation's rows reading NULL —
+    * zero files rewritten ([[mergedScan]]'s allowMissingColumns
+    * union; reconciliation is plan-time only). An equality delete on
+    * `doc_id` then proves evolution composes with merge-on-read: the
+    * key column exists in every generation, so one delete commit
+    * prunes rows across BOTH schemas. Time travel to v1 still reads
+    * the ORIGINAL four-column schema (spec-asserted) — old snapshots
+    * never grow columns retroactively. */
+  def manifestSchemaEvolutionRead(s: SparkSession, dir: String): DataFrame = {
+    val root = nonceRoot("manifest_evo", dir)
+    val docs = graft.Tables.load(s, dir, "documents")
+    manifestAppend(s, root,
+      docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("source")), 1)
+    manifestAppend(s, root,
+      docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars")), 4)
+    manifestDelete(s, root,
+      docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select(col("doc_id")))
+    manifestRead(s, root).orderBy("doc_id")
+  }
+
   /** x135 driver query: incremental consumption via manifest diff.
     * Same two appends; the consumer saw v1 and polls at v2 — the diff
     * read scans ONLY the files v2 added, so the result is exactly the
@@ -1707,6 +1739,7 @@ object Sources {
     "x151_manifest_restore" -> manifestRestoreRead,
     "x152_manifest_history" -> manifestHistoryRead,
     "x153_manifest_merge" -> manifestMergeRead,
+    "x156_manifest_schema_evolution" -> manifestSchemaEvolutionRead,
     "x132_manifest_compaction" -> manifestCompactionRoundtrip,
     "x134_manifest_time_travel" -> manifestTimeTravel,
     "x135_manifest_diff_read" -> manifestDiffRead,
@@ -1723,6 +1756,12 @@ object Sources {
     "x85_orc_roundtrip" -> orcRoundtrip)
 
   val oracles: Map[String, String] = Map(
+    // additive evolution: rows from the pre-evolution commit read the
+    // new column as NULL; the delete prunes across both generations
+    "x156_manifest_schema_evolution" -> """
+      SELECT doc_id, text, lang, source,
+        CASE WHEN doc_id % 10 = 0 THEN n_chars ELSE NULL END AS n_chars
+      FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id""",
     // MERGE = the row-level CASE: matched keys get the update row,
     // the rest keep the original
     "x153_manifest_merge" -> """

@@ -741,6 +741,44 @@ class EtlSpec extends SparkSpec {
     assert(Sources.manifestRead(spark, root).count() == 5000)
   }
 
+  test("manifest schema evolution: union schema on merged reads, old snapshots keep their schema") {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_evo_spec").resolve("t").toUri)
+    val df = spark.range(3000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+      .withColumn("extra", (col("id") * 2).cast("long"))
+    val oldGen = df.filter(col("id") % 10 =!= 0).drop("extra")
+    val newGen = df.filter(col("id") % 10 === 0)
+    Sources.manifestAppend(spark, root, oldGen, 1)
+    Sources.manifestAppend(spark, root, newGen, 4)
+
+    // merged read = union schema; pre-evolution rows read NULL extra
+    val live = Sources.manifestRead(spark, root)
+    assert(live.columns.toSeq.sorted == Seq("extra", "id", "payload"))
+    assert(live.count() == 3000)
+    assert(live.filter(col("id") % 10 =!= 0 && col("extra").isNotNull).count() == 0,
+      "pre-evolution rows must read the new column as NULL")
+    assert(live.filter(col("id") % 10 === 0 && (col("extra").isNull ||
+      col("extra") =!= col("id") * 2)).count() == 0,
+      "post-evolution rows must carry their written values")
+
+    // an equality delete keyed on a column every generation has prunes
+    // rows across BOTH schemas in one commit
+    Sources.manifestDelete(spark, root,
+      df.filter(col("id") % 7 === 3).select(col("id")))
+    val afterDel = Sources.manifestRead(spark, root)
+    assert(afterDel.filter(col("id") % 7 === 3).count() == 0)
+    assert(afterDel.count() == df.filter(col("id") % 7 =!= 3).count())
+
+    // time travel to v1 reads the ORIGINAL schema — old snapshots do
+    // not grow columns retroactively
+    val snap1 = Sources.manifestReadAt(spark, root, 1L)
+    assert(snap1.columns.toSeq.sorted == Seq("id", "payload"),
+      "v1 snapshot must keep its as-committed schema")
+    assert(snap1.count() == oldGen.count())
+  }
+
   test("manifest OCC: the exclusive create is the commit claim; losers retry, nothing is lost") {
     import org.apache.spark.sql.functions._
     val root = new org.apache.hadoop.fs.Path(
