@@ -915,8 +915,10 @@ object Similarity {
     * fails the job loudly the day the invariant breaks. Returns a 1-row
     * frame whose `exact_ok` is NULL iff the bound holds. */
   private[ext] def exactnessGuard(all: DataFrame, centroids: DataFrame): DataFrame = {
-    val maxAbs: Column => Column = v =>
-      aggregate(transform(v, x => abs(x)), lit(0L), (a, x) => greatest(a, x))
+    // compiled per-row magnitude fold — the HOF spelling
+    // (aggregate(transform(v, abs), 0L, greatest)) ran interpreted,
+    // adding a full interpreted corpus walk to every guarded query
+    val maxAbs: Column => Column = graft.functions.VectorExpressions.maxAbsLong
     // coalesce: an EMPTY corpus aggregates to null maxima, and
     // assert_true(null < bound) raises — zero magnitudes are trivially
     // exact, so an empty index passes the guard instead of crashing

@@ -325,6 +325,50 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** max(|xᵢ|) over an array<long> — the per-row magnitude bound the
+    * IVF exactness guard folds over the whole corpus. Bit-identical to
+    * `aggregate(transform(v, abs), 0L, greatest)`, which evaluated its
+    * lambdas interpreted — a full extra interpreted corpus walk inside
+    * every guarded index query (x28/x114/x129/x133/x154). Empty array
+    * → 0 (the HOF's fold seed). */
+  case class MaxAbsLong(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      var m = 0L
+      var i = 0
+      while (i < n) {
+        val a = math.abs(x.getLong(i))
+        if (a > m) m = a
+        i += 1
+      }
+      m
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val m = ctx.freshName("m")
+        val i = ctx.freshName("i")
+        val a = ctx.freshName("a")
+        val n = ctx.freshName("n")
+        s"""
+           |long $m = 0L;
+           |int $n = $v.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $a = java.lang.Math.abs($v.getLong($i));
+           |  if ($a > $m) $m = $a;
+           |}
+           |${ev.value} = $m;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** x110's int8 quantization audit in ONE compiled pass per row,
     * bit-identical to the HOF chain it replaces (same IEEE op order, so
     * the DuckDB oracle keeps hash-matching):
@@ -467,4 +511,6 @@ object VectorExpressions {
   def quantAudit(v: Column): Column = column(QuantAudit(expression(v)))
 
   def int8Quantize(v: Column): Column = column(Int8Quantize(expression(v)))
+
+  def maxAbsLong(v: Column): Column = column(MaxAbsLong(expression(v)))
 }

@@ -143,6 +143,18 @@ class VectorExpressionsSpec extends SparkSpec {
     assertIdentical(edges, "double edges")
   }
 
+  test("MaxAbsLong matches the aggregate/greatest fold exactly") {
+    val df = ((1 to 40).map(i =>
+        (i.toLong, Seq.tabulate(16)(j => ((i * 31 + j) % 97 - 48).toLong))) ++
+      Seq((100L, Seq.empty[Long]), (101L, Seq(0L)), (102L, Seq(-9L, 9L))))
+      .toDF("id", "v")
+    val hof = aggregate(transform(col("v"), x => abs(x)), lit(0L),
+      (a, x) => greatest(a, x))
+    val bad = df.select(VectorExpressions.maxAbsLong(col("v")).as("c"), hof.as("h"))
+      .filter(col("c") =!= col("h")).count()
+    assert(bad == 0)
+  }
+
   test("MinHashSignature matches the transform/aggregate formulation") {
     val P = 2147483647L
     val k = 16
