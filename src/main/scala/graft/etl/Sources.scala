@@ -1649,7 +1649,14 @@ object Sources {
     * key column exists in every generation, so one delete commit
     * prunes rows across BOTH schemas. Time travel to v1 still reads
     * the ORIGINAL four-column schema (spec-asserted) — old snapshots
-    * never grow columns retroactively. */
+    * never grow columns retroactively.
+    *
+    * Delete-key contract under evolution: an equality delete applies
+    * per data-version group, so its key columns must exist in EVERY
+    * generation it covers — a delete keyed on a post-evolution column
+    * fails the read loudly at analysis (spec-asserted), never silently
+    * skips the old generation. Delete on an always-present key (here
+    * doc_id) or compact first. */
   def manifestSchemaEvolutionRead(s: SparkSession, dir: String): DataFrame = {
     val root = nonceRoot("manifest_evo", dir)
     val docs = graft.Tables.load(s, dir, "documents")

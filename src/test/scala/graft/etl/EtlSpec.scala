@@ -777,6 +777,15 @@ class EtlSpec extends SparkSpec {
     assert(snap1.columns.toSeq.sorted == Seq("id", "payload"),
       "v1 snapshot must keep its as-committed schema")
     assert(snap1.count() == oldGen.count())
+
+    // delete-key contract: a delete keyed on the post-evolution column
+    // cannot apply to the pre-evolution generation — the merged read
+    // fails LOUDLY at analysis instead of silently skipping old rows
+    Sources.manifestDelete(spark, root,
+      newGen.limit(1).select(col("extra")))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Sources.manifestRead(spark, root).count()
+    }
   }
 
   test("manifest OCC: the exclusive create is the commit claim; losers retry, nothing is lost") {
