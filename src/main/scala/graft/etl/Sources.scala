@@ -610,10 +610,33 @@ object Sources {
   private[graft] sealed trait ManifestEntry { def line: String }
   private[graft] final case class DataFileEntry(seq: Long, uri: String)
       extends ManifestEntry { def line = s"w\t$seq\t$uri" }
-  private[graft] final case class DeleteFileEntry(seq: Long, uri: String)
-      extends ManifestEntry { def line = s"d\t$seq\t$uri" }
+  /** `keys` = the delete's equality-key COLUMN NAMES, recorded at
+    * commit time. Readers group delete files by this key set and read
+    * each group separately — one `read.parquet(mixed-schema files)`
+    * across heterogeneous key schemas lets parquet schema inference
+    * pick whichever footer it samples first and silently null-fill
+    * the others, i.e. a delete that nondeterministically stops
+    * applying (observed as the EtlSpec:744 flake). Empty `keys` =
+    * legacy/hand-written entry; the reader falls back to the file's
+    * own footer (per FILE, so still deterministic). */
+  private[graft] final case class DeleteFileEntry(seq: Long, uri: String,
+      keys: Seq[String] = Nil) extends ManifestEntry {
+    def line =
+      if (keys.isEmpty) s"d\t$seq\t$uri"
+      else s"d\t$seq\t$uri\t${keys.mkString(",")}"
+  }
   private[graft] final case class ZoneStatEntry(uri: String, lo: Long, hi: Long)
       extends ManifestEntry { def line = s"z\t$lo\t$hi\t$uri" }
+  /** The schema a commit appended with, as StructType JSON (compact —
+    * never contains a tab). The fold of schema entries in sequence
+    * order is the table's UNION SCHEMA, which the additive-evolution
+    * gate ([[validateAdditiveSchema]]) checks new appends against —
+    * the Iceberg schema-in-metadata idea: evolution is decided from
+    * the manifest alone, no data-file footer is opened. Only commits
+    * that WIDEN the union (or the first commit) write one, so the
+    * manifest carries O(evolutions) schema lines, not O(commits). */
+  private[graft] final case class SchemaEntry(seq: Long, json: String)
+      extends ManifestEntry { def line = s"s\t$seq\t$json" }
 
   /** A plain unprefixed line parses as a seq-0 data file, so a manifest
     * hand-written with bare URIs still reads (and every delete applies
@@ -622,6 +645,8 @@ object Sources {
     l.split("\t", 4) match {
       case Array("w", v, u)      => DataFileEntry(v.toLong, u)
       case Array("d", v, u)      => DeleteFileEntry(v.toLong, u)
+      case Array("d", v, u, k)   => DeleteFileEntry(v.toLong, u, k.split(",").toSeq)
+      case Array("s", v, j)      => SchemaEntry(v.toLong, j)
       case Array("z", lo, hi, u) => ZoneStatEntry(u, lo.toLong, hi.toLong)
       case _                     => DataFileEntry(0L, l)
     }
@@ -631,6 +656,68 @@ object Sources {
     parseEntries(lines).collect { case e: DataFileEntry => e }
   private[graft] def deleteEntries(lines: Seq[String]): Seq[DeleteFileEntry] =
     parseEntries(lines).collect { case e: DeleteFileEntry => e }
+
+  /** Name-based additive fold: `a` plus every `b` field `a` lacks. */
+  private def unionAdd(a: org.apache.spark.sql.types.StructType,
+      b: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val have = a.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      a.fields ++ b.fields.filterNot(f => have(f.name)))
+  }
+
+  /** The table's union schema as recorded by [[SchemaEntry]] lines
+    * (sequence-order fold; None for a pre-schema-entry manifest). */
+  private[graft] def recordedUnionSchema(entries: Seq[ManifestEntry])
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val ss = entries.collect { case e: SchemaEntry => e }.sortBy(_.seq)
+    if (ss.isEmpty) None
+    else Some(ss.map(e => org.apache.spark.sql.types.DataType.fromJson(e.json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]).reduce(unionAdd))
+  }
+
+  /** Thrown at WRITE time when an append's schema drifts
+    * non-additively from the table's recorded union schema. */
+  private[graft] final class SchemaEvolutionViolation(msg: String)
+      extends IllegalArgumentException(msg)
+
+  /** The additive-evolution gate, run INSIDE the OCC commit closure so
+    * a retried commit re-validates against the winner's entry set: the
+    * appended schema must carry every column of the recorded union
+    * schema at an identical type; it may ADD columns (the Iceberg
+    * add-column contract). A rename or typo'd column surfaces here as
+    * a missing column and fails the WRITE — without this gate,
+    * name-based union reads would silently null-fill every other
+    * generation instead (a rename becoming a silent drop+add).
+    * Returns the schema lines this commit must add: the new (widened)
+    * schema when it adds columns, the first schema on a fresh table,
+    * nothing otherwise. */
+  private def validateAdditiveSchema(old: Seq[String], v: Long,
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    require(schema.fieldNames.forall(n => !n.contains("\t") && !n.contains("\n")),
+      "column names must not contain tab/newline (manifest line format)")
+    recordedUnionSchema(parseEntries(old)) match {
+      case None => Seq(SchemaEntry(v, schema.json).line)
+      case Some(u) =>
+        val newTypes = schema.fields.map(f => f.name -> f.dataType).toMap
+        val missing = u.fields.filterNot(f => newTypes.contains(f.name))
+        if (missing.nonEmpty) throw new SchemaEvolutionViolation(
+          s"non-additive append at v$v: column(s) " +
+            missing.map(_.name).mkString("`", "`, `", "`") +
+            " of the table's union schema are absent from the appended " +
+            "schema — renames/drops are not implicit evolution; rewrite " +
+            "the table explicitly or append with the full schema")
+        val retyped = u.fields.filter(f => newTypes(f.name) != f.dataType)
+        if (retyped.nonEmpty) throw new SchemaEvolutionViolation(
+          s"type drift at v$v: " + retyped.map(f =>
+            s"`${f.name}` ${f.dataType.simpleString} -> " +
+              newTypes(f.name).simpleString).mkString(", ") +
+            " — appended column types must match the recorded union schema")
+        if (schema.fields.exists(f => !u.fieldNames.contains(f.name)))
+          Seq(SchemaEntry(v, unionAdd(u, schema).json).line)
+        else Nil
+    }
+  }
 
   /** Completeness marker: the LAST line of every committed manifest.
     * The exclusive create claims the version before the body lands, so
@@ -963,6 +1050,26 @@ object Sources {
     if (!raw.exists(schemaPtr(root))) writeSmall(raw, schemaPtr(root), schema.json)
   }
 
+  /** Post-commit: widen `_schema.json` to include columns this append
+    * added, so the schema-ful empty path ([[emptyLike]]) reflects the
+    * evolved union, not the first append's schema. Best-effort and
+    * monotone (columns are only ever added); called AFTER the commit
+    * validated additively, so two racing widenings write compatible
+    * supersets and the next evolution re-widens — never data loss,
+    * the manifest's [[SchemaEntry]] lines stay the source of truth. */
+  private def widenPersistedSchema(s: SparkSession,
+      root: org.apache.hadoop.fs.Path,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val raw = rawOf(fsOf(s, root))
+    if (!raw.exists(schemaPtr(root))) { persistSchema(s, root, schema); return }
+    val cur = org.apache.spark.sql.types.DataType
+      .fromJson(readSmall(raw, schemaPtr(root)))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val widened = unionAdd(cur, schema)
+    if (widened.length != cur.length)
+      writeSmall(raw, schemaPtr(root), widened.json)
+  }
+
   /** An EMPTY frame with the TABLE schema — what every no-rows path
     * returns, so downstream column references (orderBy, select) stay
     * resolvable. "Pruning is an optimization, never a correctness
@@ -996,9 +1103,26 @@ object Sources {
     df.repartition(shards).write.mode(SaveMode.Overwrite).parquet(w.toString)
     persistSchema(s, root, df.schema)
     val files = writtenFiles(s, w)
-    commitWithRetry(s, root) { (old, v) =>
-      old ++ files.map(f => DataFileEntry(v, f).line)
+    // additive gate + schema line INSIDE the OCC closure: a retried
+    // commit re-validates against the winner's entries, so the union
+    // schema is race-free without any extra coordination
+    val committed = commitWithRetry(s, root) { (old, v) =>
+      old ++ validateAdditiveSchema(old, v, df.schema) ++
+        files.map(f => DataFileEntry(v, f).line)
     }
+    widenPersistedSchema(s, root, df.schema)
+    committed
+  }
+
+  /** Whether a manifest table has ever committed at `root` — the
+    * open-or-build check an index lifecycle uses to avoid retraining
+    * (x154): a committed table has a pointer or at least one complete
+    * manifest body. */
+  private[graft] def manifestExists(s: SparkSession,
+      root: org.apache.hadoop.fs.Path): Boolean = {
+    val fs = fsOf(s, root)
+    fs.exists(currentPtr(root)) ||
+      latestCompleteManifest(fs, root).isDefined
   }
 
   /** Read a manifest table: resolve the live file set once, scan it —
@@ -1050,8 +1174,16 @@ object Sources {
     // documented contract is appends-only (the Iceberg line); deletes
     // reach consumers through the merged snapshot reads
     val added = dataEntries(manifestFilesAt(s, root, vTo))
-      .filterNot(e => before(e.uri)).map(_.uri)
-    if (added.isEmpty) emptyLike(s, root) else s.read.parquet(added: _*)
+      .filterNot(e => before(e.uri))
+    if (added.isEmpty) emptyLike(s, root)
+    // the diff can span several commits, and commits can differ by
+    // added columns (x156): read ONE schema per commit group and
+    // union by name — never one read over heterogeneous footers
+    // (schema inference would null-fill whichever commit it didn't
+    // sample, the same defect mergedScan guards against)
+    else added.groupBy(_.seq).toSeq.sortBy(_._1)
+      .map { case (_, es) => s.read.parquet(es.map(_.uri): _*) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   // ----- Equality deletes / merge-on-read (x145) ----------------------
@@ -1083,21 +1215,49 @@ object Sources {
     * frames are broadcast (small by contract). A data-empty entry set
     * (fresh table, all rows deleted then compacted) returns the
     * schema-ful empty — downstream column references must keep
-    * resolving. */
+    * resolving.
+    *
+    * DELETE-KEY GROUPING: delete files are read ONE KEY SCHEMA PER
+    * READ, never mixed. A single `read.parquet(heterogeneous files)`
+    * lets schema inference pick whichever footer it samples first and
+    * null-fill the rest — an `extra`-keyed delete read under an
+    * `id`-only inferred schema silently stops applying (rows the
+    * table claims deleted come back). Key sets come from the manifest
+    * ([[DeleteFileEntry.keys]], recorded at commit); a legacy entry
+    * without recorded keys resolves from its own footer, per file.
+    * A key column absent from a generation's schema still fails
+    * LOUDLY at analysis (the USING-join cannot resolve it) — now
+    * deterministically, independent of footer sampling order. */
   private def mergedScan(s: SparkSession, root: org.apache.hadoop.fs.Path,
       entries: Seq[ManifestEntry]): DataFrame = {
     val data = entries.collect { case e: DataFileEntry => e }
     val dels = entries.collect { case e: DeleteFileEntry => e }
     if (data.isEmpty) return emptyLike(s, root)
+    // (key columns -> delete entries) in deterministic key order; the
+    // footer fallback reads ONE file's schema (control-plane, tiny)
+    val delByKey: Seq[(Seq[String], Seq[DeleteFileEntry])] =
+      dels.map { d =>
+        val k = if (d.keys.nonEmpty) d.keys
+                else s.read.parquet(d.uri).schema.fieldNames.toSeq
+        (k, d)
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+        .sortBy(_._1.mkString(","))
     val groups = data.groupBy(_.seq).toSeq.sortBy(_._1).map {
       case (v, es) =>
-        val applicable = dels.filter(_.seq > v).map(_.uri)
         val base = s.read.parquet(es.map(_.uri): _*)
-        if (applicable.isEmpty) base
-        else {
-          val keys = s.read.parquet(applicable: _*)
-          base.join(org.apache.spark.sql.functions.broadcast(keys),
-            keys.columns.toSeq, "left_anti")
+        delByKey.foldLeft(base) { case (acc, (key, kdels)) =>
+          val applicable = kdels.filter(_.seq > v).map(_.uri)
+          if (applicable.isEmpty) acc
+          else {
+            // files in one group share the key schema by construction;
+            // select in recorded key order. If `key` is missing from
+            // this generation the join raises the analysis error —
+            // the delete-key contract under evolution (EtlSpec:744).
+            val keys = s.read.parquet(applicable: _*)
+              .select(key.map(org.apache.spark.sql.functions.col): _*)
+            acc.join(org.apache.spark.sql.functions.broadcast(keys),
+              key, "left_anti")
+          }
         }
     }
     // allowMissingColumns = additive schema evolution (x156): a later
@@ -1105,6 +1265,8 @@ object Sources {
     // them as NULL, the Iceberg add-column contract. Reconciliation is
     // plan-time only (files within one commit share a schema; the union
     // aligns by name across commits) — no data file is ever rewritten.
+    // Non-additive drift cannot reach here: [[validateAdditiveSchema]]
+    // rejects it at append-commit time.
     groups.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -1123,8 +1285,13 @@ object Sources {
     val w = new org.apache.hadoop.fs.Path(root, s"data/del-$nonce")
     keys.coalesce(1).write.mode(SaveMode.Overwrite).parquet(w.toString)
     val files = writtenFiles(s, w)
+    // the key COLUMN SET rides the manifest line so readers can group
+    // heterogeneous delete files by key schema (see [[mergedScan]])
+    val keyCols = keys.columns.toSeq
+    require(keyCols.forall(c => !c.contains(",") && !c.contains("\t")),
+      "delete-key column names must not contain ','/tab (manifest format)")
     commitWithRetry(s, root) { (old, v) =>
-      old ++ files.map(f => DeleteFileEntry(v, f).line)
+      old ++ files.map(f => DeleteFileEntry(v, f, keyCols).line)
     }
   }
 
@@ -1170,9 +1337,10 @@ object Sources {
       }
       val keptUris = keptData.map(_.uri).toSet
       val keep = oldEntries.filter {
-        case e: DataFileEntry        => keptUris(e.uri)
-        case DeleteFileEntry(seq, _) => seq > v
-        case ZoneStatEntry(u, _, _)  => keptUris(u) // zones follow their file
+        case e: DataFileEntry       => keptUris(e.uri)
+        case e: DeleteFileEntry     => e.seq > v
+        case ZoneStatEntry(u, _, _) => keptUris(u) // zones follow their file
+        case _: SchemaEntry         => true // schema history survives folding
       }
       keep.map(_.line) ++ files.map(f => DataFileEntry(nv, f).line)
     }
@@ -1215,12 +1383,15 @@ object Sources {
         p -> (r.getLong(1), r.getLong(2))
       }.toMap
     val files = writtenFiles(s, w)
-    commitWithRetry(s, root) { (old, v) =>
-      old ++ files.map(f => DataFileEntry(v, f).line) ++
+    val committed = commitWithRetry(s, root) { (old, v) =>
+      old ++ validateAdditiveSchema(old, v, df.schema) ++
+        files.map(f => DataFileEntry(v, f).line) ++
         files.flatMap(f => zones.get(f).map {
           case (lo, hi) => ZoneStatEntry(f, lo, hi).line
         })
     }
+    widenPersistedSchema(s, root, df.schema)
+    committed
   }
 
   /** The live data files a `[lo, hi]` range predicate on the zoned
@@ -1250,9 +1421,21 @@ object Sources {
   private[graft] def manifestReadZoned(s: SparkSession,
       root: org.apache.hadoop.fs.Path, statCol: String,
       lo: Long, hi: Long): DataFrame = {
-    val (kept, _) = zonePrunedFiles(s, root, lo, hi)
+    val (_, lines) = currentManifest(s, root)
+    val entries = parseEntries(lines)
+    val zones: Map[String, (Long, Long)] = entries.collect {
+      case ZoneStatEntry(u, zl, zh) => u -> (zl, zh)
+    }.toMap
+    val kept = entries.collect { case e: DataFileEntry => e }
+      .filter(e => zones.get(e.uri).forall { case (zl, zh) => zh >= lo && zl <= hi })
     if (kept.isEmpty) return emptyLike(s, root)
-    s.read.parquet(kept: _*)
+    // per-commit reads + union by name: surviving files can span
+    // schema generations (x156); one read across heterogeneous
+    // footers would nondeterministically null-fill — same guard as
+    // mergedScan/manifestReadDiff
+    kept.groupBy(_.seq).toSeq.sortBy(_._1)
+      .map { case (_, es) => s.read.parquet(es.map(_.uri): _*) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
       .filter(col(statCol) >= lo && col(statCol) <= hi)
   }
 
@@ -1358,6 +1541,7 @@ object Sources {
     // job, and the two maintenance passes compose in either order
     val dels = entries.collect { case e: DeleteFileEntry => e }
     val zones = entries.collect { case z: ZoneStatEntry => z }
+    val schemas = entries.collect { case e: SchemaEntry => e }
     val sized = entries.collect { case e: DataFileEntry => e }.map(e => (e,
       fs.getFileStatus(new org.apache.hadoop.fs.Path(e.uri)).getLen))
     val (smalls, compliant) = sized.partition(_._2 < smallFloorBytes)
@@ -1384,7 +1568,8 @@ object Sources {
       compliant.map(_._1.line) ++
         writtenFiles(s, w).map(f => DataFileEntry(v + 1, f).line) ++
         dels.map(_.line) ++
-        zones.filter(z => compliantUris(z.uri)).map(_.line))
+        zones.filter(z => compliantUris(z.uri)).map(_.line) ++
+        schemas.map(_.line)) // schema history survives size compaction
     n
   }
 
@@ -1435,8 +1620,8 @@ object Sources {
           try parseEntries(readSmall(fs, st.getPath).linesIterator
             .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSeq)
             .collect {
-              case DataFileEntry(_, u)   => u
-              case DeleteFileEntry(_, u) => u
+              case e: DataFileEntry   => e.uri
+              case e: DeleteFileEntry => e.uri
             }
           catch { case _: java.io.IOException => Seq.empty[String] }
         }.toSet
@@ -1537,8 +1722,11 @@ object Sources {
     persistSchema(s, root, updates.schema)
     val delFiles = writtenFiles(s, wk)
     val dataFiles = writtenFiles(s, wd)
+    require(keyCols.forall(c => !c.contains(",") && !c.contains("\t")),
+      "merge-key column names must not contain ','/tab (manifest format)")
     commitWithRetry(s, root) { (old, v) =>
-      old ++ delFiles.map(f => DeleteFileEntry(v, f).line) ++
+      old ++ validateAdditiveSchema(old, v, updates.schema) ++
+        delFiles.map(f => DeleteFileEntry(v, f, keyCols).line) ++
         dataFiles.map(f => DataFileEntry(v, f).line)
     }
   }

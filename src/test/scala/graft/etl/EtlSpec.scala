@@ -788,6 +788,169 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("heterogeneous delete keys: every key group applies; none is silently null-filled") {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_hetkey_spec").resolve("t").toUri)
+    val df = spark.range(4000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+      .withColumn("extra", (col("id") * 2).cast("long"))
+    Sources.manifestAppend(spark, root, df, 2)
+    // two deletes with DIFFERENT key schemas against one generation —
+    // before key-grouped reads, one read.parquet over both delete
+    // files inferred a single schema and the other delete's keys read
+    // as NULL: that delete silently stopped applying (the EtlSpec:744
+    // flake, observed both ways in one session)
+    Sources.manifestDelete(spark, root,
+      df.filter(col("id") % 7 === 3).select(col("id")))
+    Sources.manifestDelete(spark, root,
+      df.filter(col("id") % 5 === 0).select(col("extra")))
+    // the key column sets ride the manifest — readers never re-infer
+    val delKeys = Sources.deleteEntries(
+      Sources.currentManifest(spark, root)._2).map(_.keys).sortBy(_.mkString)
+    assert(delKeys == Seq(Seq("extra"), Seq("id")),
+      s"delete key columns not recorded in the manifest: $delKeys")
+    val want = df.filter(col("id") % 7 =!= 3 && col("id") % 5 =!= 0)
+    // ten reads: the result must be the same every time — BOTH deletes
+    // applied, deterministically, independent of footer sampling order
+    (1 to 10).foreach { i =>
+      val got = Sources.manifestRead(spark, root)
+      assert(got.count() == want.count(), s"read $i lost a delete group")
+      assert(got.filter(col("id") % 7 === 3).count() == 0,
+        s"read $i: the id-keyed delete did not apply")
+      assert(got.filter(col("id") % 5 === 0).count() == 0,
+        s"read $i: the extra-keyed delete did not apply")
+    }
+    // and folding deletes into data files preserves the same answer
+    Sources.manifestApplyDeletes(spark, root, 2)
+    assert(Sources.manifestRead(spark, root)
+      .agg(sum("id"), count(lit(1))).head() ==
+      want.agg(sum("id"), count(lit(1))).head(),
+      "applyDeletes diverged from the merged read over mixed key groups")
+  }
+
+  test("additive schema gate: drops, renames, and type drift fail at WRITE; adds pass") {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_gate_spec").resolve("t").toUri)
+    val df = spark.range(1000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+    Sources.manifestAppend(spark, root, df, 1)
+    // a renamed column is a drop+add under name-based resolution — the
+    // gate rejects it at commit time instead of letting merged reads
+    // silently null-fill `payload` for every other generation
+    intercept[Sources.SchemaEvolutionViolation] {
+      Sources.manifestAppend(spark, root,
+        df.withColumnRenamed("payload", "paylaod"), 1)
+    }
+    // a dropped column fails the same way
+    intercept[Sources.SchemaEvolutionViolation] {
+      Sources.manifestAppend(spark, root, df.select("id"), 1)
+    }
+    // type drift on a shared column fails
+    intercept[Sources.SchemaEvolutionViolation] {
+      Sources.manifestAppend(spark, root,
+        df.withColumn("payload", lit(7)), 1)
+    }
+    // nothing above committed: the table is exactly the first append
+    assert(Sources.manifestRead(spark, root).count() == 1000)
+    assert(Sources.currentManifest(spark, root)._1 == 1L)
+    // ADDITIVE evolution passes and widens the recorded union schema
+    Sources.manifestAppend(spark, root,
+      df.withColumn("extra", (col("id") * 2).cast("long")), 1)
+    val union = Sources.recordedUnionSchema(
+      Sources.parseEntries(Sources.currentManifest(spark, root)._2))
+    assert(union.map(_.fieldNames.toSeq.sorted) ==
+      Some(Seq("extra", "id", "payload")))
+    // an append that regresses to the pre-evolution schema is
+    // non-additive too — the union only ever grows
+    intercept[Sources.SchemaEvolutionViolation] {
+      Sources.manifestAppend(spark, root, df, 1)
+    }
+  }
+
+  test("schema evolution composes with compaction, merge, restore, and zoned reads") {
+    import org.apache.spark.sql.functions._
+    def sig(d: org.apache.spark.sql.DataFrame) =
+      d.agg(sum("id"), sum("extra"), count(lit(1))).head()
+    // --- compaction over a two-generation table --------------------
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_evo2_spec").resolve("t").toUri)
+    val df = spark.range(3000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+      .withColumn("extra", (col("id") * 2).cast("long"))
+    val gen1 = df.filter(col("id") % 10 =!= 0).drop("extra")
+    val gen2 = df.filter(col("id") % 10 === 0)
+    Sources.manifestAppend(spark, root, gen1, 3)
+    Sources.manifestAppend(spark, root, gen2, 3)
+    val before = sig(Sources.manifestRead(spark, root))
+    assert(Sources.manifestCompactSmallFiles(spark, root,
+      targetFileBytes = 1L << 30, smallFloorBytes = 1L << 20) > 0)
+    val compacted = Sources.manifestRead(spark, root)
+    assert(compacted.columns.toSeq.sorted == Seq("extra", "id", "payload"),
+      "compaction dropped the union schema")
+    assert(sig(compacted) == before,
+      "compacting a mixed-schema table changed the data")
+    assert(compacted.filter(col("id") % 10 =!= 0 &&
+      col("extra").isNotNull).count() == 0,
+      "compaction invented values for pre-evolution rows")
+    // the recorded union schema survived the rewrite
+    assert(Sources.recordedUnionSchema(Sources.parseEntries(
+      Sources.currentManifest(spark, root)._2))
+      .map(_.fieldNames.toSeq.sorted) == Some(Seq("extra", "id", "payload")))
+
+    // --- MERGE with the union schema over both generations ---------
+    val updates = df.filter(col("id") % 9 === 1)
+      .withColumn("payload", lit("MERGED"))
+    Sources.manifestMerge(spark, root, updates, Seq("id"), 2)
+    val merged = Sources.manifestRead(spark, root)
+    assert(merged.count() == 3000)
+    assert(merged.filter(col("payload") === "MERGED").count() ==
+      updates.count(), "merge missed rows in one schema generation")
+    // a merge whose updates REGRESS the schema fails at write
+    intercept[Sources.SchemaEvolutionViolation] {
+      Sources.manifestMerge(spark, root,
+        updates.drop("extra"), Seq("id"), 2)
+    }
+
+    // --- restore to the pre-evolution version reads the old schema -
+    val root2 = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_evo3_spec").resolve("t").toUri)
+    Sources.manifestAppend(spark, root2, gen1, 1)
+    Sources.manifestAppend(spark, root2, gen2, 1)
+    Sources.manifestRestore(spark, root2, 1L)
+    val restored = Sources.manifestRead(spark, root2)
+    assert(restored.columns.toSeq.sorted == Seq("id", "payload"),
+      "restore to the pre-evolution version must read the original schema")
+    assert(restored.count() == gen1.count())
+    // ...and the restored union schema accepts the old shape again
+    Sources.manifestAppend(spark, root2, gen1.limit(1), 1)
+
+    // --- zoned reads across schema generations ----------------------
+    val root3 = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_evo4_spec").resolve("t").toUri)
+    Sources.manifestAppendZoned(spark, root3,
+      df.filter(col("id") < 1500).drop("extra"), 4, "id")
+    Sources.manifestAppendZoned(spark, root3,
+      df.filter(col("id") >= 1500), 4, "id")
+    // a window straddling the generation boundary unions by name:
+    // deterministic columns, old rows NULL-extra — ten reads agree
+    (1 to 10).foreach { i =>
+      val got = Sources.manifestReadZoned(spark, root3, "id", 1000L, 1999L)
+      assert(got.columns.toSeq.sorted == Seq("extra", "id", "payload"),
+        s"zoned read $i lost the union schema to footer sampling")
+      assert(got.count() == 1000)
+      assert(got.filter(col("id") < 1500 && col("extra").isNotNull).count() == 0)
+      assert(got.filter(col("id") >= 1500 &&
+        (col("extra").isNull || col("extra") =!= col("id") * 2)).count() == 0,
+        s"zoned read $i null-filled the post-evolution generation")
+    }
+    // the incremental diff read keeps per-commit schemas too
+    val diff = Sources.manifestReadDiff(spark, root3, 1L, 2L)
+    assert(diff.columns.toSeq.sorted == Seq("extra", "id", "payload"))
+    assert(diff.count() == 1500)
+  }
+
   test("manifest OCC: the exclusive create is the commit claim; losers retry, nothing is lost") {
     import org.apache.spark.sql.functions._
     val root = new org.apache.hadoop.fs.Path(
