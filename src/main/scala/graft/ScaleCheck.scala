@@ -44,8 +44,10 @@ object ScaleCheck {
   // staged files) rather than hitting a state cliff.
   private val Hot = Seq(
     // one-pass document scans reshaped in r16 (fused compiled
-    // expressions replacing per-signal regex/HOF walks) — in the Hot
-    // set so the reshapes re-measure under the scan-family adjudication
+    // expressions replacing per-signal regex/HOF walks); x10/x37/x38/
+    // x45 re-measure under the scan-family adjudication, while x42/x73
+    // are adjudicated under the GRAM-SHUFFLE family below (their cost
+    // axis is 8-gram mass through keyed aggregates, not scan bytes)
     "x10_text_token_stats",
     "x37_text_redaction",
     "x38_text_repetition",
@@ -375,7 +377,28 @@ object ScaleCheck {
       spark.catalog.clearCache()
       val present = gramFamily.filter(q => rows.exists(_._1 == q))
         .map("\"" + _ + "\"").mkString("[", ",", "]")
-      println(f"""{"metric":"scale_adjudication","family":"gram_shuffle","queries":$present,"grams_t1":$c1%d,"grams_t$mult%d":$cN%d,"gram_ratio":${cN.toDouble / c1}%.2f,"note":"one hash-pair row per 8-gram through the keyed aggregates and the join back (x50's overlap matrix shares this axis); runtime must track gram mass (~token volume), never outgrow it"}""")
+      println(f"""{"metric":"scale_adjudication","family":"gram_shuffle","queries":$present,"grams_t1":$c1%d,"grams_t$mult%d":$cN%d,"gram_ratio":${cN.toDouble / c1}%.2f,"note":"one hash-pair row per 8-gram through the keyed aggregates and the join back (x50's overlap matrix shares this axis); runtime must track gram mass (~token volume), never outgrow it. x115 shares the AXIS but not the key scheme (60-bit md5-prefix span keys, not salted xxhash64 pairs), so the gram-mass datum is an approximate axis for it"}""")
+    }
+    // stream-replay family adjudication (r17): the foreachBatch
+    // replays write to DISTRIBUTED sinks — x91 overwrites per-batch
+    // parquet dirs (and redelivers the WHOLE stream a second time:
+    // 2x sink mass by design), x105 folds versioned parquet state
+    // (1x), x147 commits delete+append pairs into the manifest table
+    // (1x, plus a per-trigger merged-snapshot join) — not through
+    // runToMemory's driver-memory harness (that cap guards the
+    // bounded window/session replays only). Their cost axis is
+    // rows-through-sink plus a FIXED trigger count (4 staged files →
+    // 4 micro-batches at any volume, so per-trigger scheduling,
+    // checkpoint fsync, and manifest-commit constants DILUTE as the
+    // slice grows; sub-mult ratios are the expected reading).
+    val replayFamily = Seq("x91_stream_idempotent_sink",
+      "x105_stream_incremental_agg", "x147_stream_upsert_mor")
+    if (rows.exists(r => replayFamily.contains(r._1))) {
+      val m1 = streaming.EventStreams.replaySinkMass(spark, dir1)
+      val mN = streaming.EventStreams.replaySinkMass(spark, dirN)
+      val present = replayFamily.filter(q => rows.exists(_._1 == q))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(f"""{"metric":"scale_adjudication","family":"stream_replay","queries":$present,"sink_rows_t1":$m1%d,"sink_rows_t$mult%d":$mN%d,"sink_mass_ratio":${mN.toDouble / m1}%.2f,"note":"distributed sinks (x91 per-batch parquet overwrite at 2x mass - full redelivery; x105 versioned parquet state; x147 manifest delete+append commits), NOT the driver-memory replay harness; trigger count is fixed at 4 staged files per delivery, so per-trigger scheduling/fsync/commit constants dilute with volume and runtime must track sink-row mass"}""")
     }
     // scan-family adjudication (r16): the pure one-pass per-row scans
     // post the suite's HIGHEST ratios precisely because their t1 is

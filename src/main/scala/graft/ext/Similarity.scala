@@ -380,14 +380,31 @@ object Similarity {
         transform(toDouble(col("embedding")),
           x => floor(x * lit(QuantScale)).cast("long")).as("vq"))
       .scopedCache()
-    val base = all.filter(pmod(col("vec_id"), lit(10L)) =!= 0)
-    val delta = all.filter(pmod(col("vec_id"), lit(10L)) === 0)
-    val centroids = lloydCentroids(base, IvfClusters, LloydIters)
-    graft.etl.Sources.manifestAppend(s, root,
-      exactAssign(base, centroids).select("vec_id", "cluster", "vq"), 2)
-    graft.etl.Sources.manifestAppend(s, root,
-      exactAssign(delta, centroids).select("vec_id", "cluster", "vq"), 1)
-    (all, centroids, graft.etl.Sources.manifestRead(s, root))
+    val cRoot = root.suffix("_centroids")
+    // BUILD runs once per index root: Lloyd trains on the base
+    // snapshot and the frozen quantizer is COMMITTED as its own
+    // manifest table (cluster, c) — the faiss train-then-add contract
+    // persisted, so the frozen state survives the session, not just
+    // this call. Assignments (base commit + ∝|delta| append) read the
+    // PERSISTED centroids back, proving the serving path needs no
+    // in-memory training residue.
+    if (!graft.etl.Sources.manifestExists(s, cRoot)) {
+      val base = all.filter(pmod(col("vec_id"), lit(10L)) =!= 0)
+      val delta = all.filter(pmod(col("vec_id"), lit(10L)) === 0)
+      graft.etl.Sources.manifestAppend(s, cRoot,
+        lloydCentroids(base, IvfClusters, LloydIters)
+          .select(col("cluster"), col("c")), 1)
+      val frozen = graft.etl.Sources.manifestRead(s, cRoot).scopedCache()
+      graft.etl.Sources.manifestAppend(s, root,
+        exactAssign(base, frozen).select("vec_id", "cluster", "vq"), 2)
+      graft.etl.Sources.manifestAppend(s, root,
+        exactAssign(delta, frozen).select("vec_id", "cluster", "vq"), 1)
+    }
+    // OPEN: quantizer and inverted lists both come off the persisted
+    // tables — a second open of the same root retrains nothing
+    // (spec-asserted: no new commits on either table).
+    (all, graft.etl.Sources.manifestRead(s, cRoot).scopedCache(),
+      graft.etl.Sources.manifestRead(s, root))
   }
 
   /** SemDeDup prune threshold. Data-dependent like RangeTau: this
@@ -1063,9 +1080,20 @@ object Similarity {
     val q = all.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("q8").as("qq8"))
+    // zero-norm guard: an all-zero vector (or an embedding whose int8
+    // image collapses to zero) makes cosine 0/0 — under ANSI that
+    // ABORTS the query (DIVIDE_BY_ZERO), and under non-ANSI the NaN
+    // would outrank every real cosine in a descending sort while
+    // DuckDB's NaN/NULL ordering diverges. try_divide + coalesce pins
+    // the invariant in the PLAN, not the data: zero-norm candidates
+    // rank strictly below every real similarity (cos ∈ [-1,1] ⊃
+    // sentinel -2). Identity on a zero-free corpus.
+    def guardedCos(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column) =
+      coalesce(try_divide(dot(a, b), l2norm(a) * l2norm(b)), lit(-2.0))
     val sc = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos_full", cosine(col("qv"), col("v")))
-      .withColumn("cos_q8", cosine(col("qq8"), col("q8")))
+      .withColumn("cos_full", guardedCos(col("qv"), col("v")))
+      .withColumn("cos_q8", guardedCos(col("qq8"), col("q8")))
       .withColumn("cos_ppm",
         floor(col("cos_full") * lit(1000000.0)).cast("long"))
       .select("query_id", "vec_id", "cos_full", "cos_q8", "cos_ppm")
@@ -1533,7 +1561,7 @@ object Similarity {
             FROM sc0),
       q AS (SELECT vec_id AS query_id, v AS qv, q8 AS qq8
             FROM a WHERE vec_id < $NQueries),
-      sc AS (SELECT q.query_id, a.vec_id,
+      sc1 AS (SELECT q.query_id, a.vec_id,
           list_sum(list_transform(list_zip(q.qv, a.v), p -> p[1] * p[2])) /
           (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
            sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos_full,
@@ -1541,6 +1569,15 @@ object Similarity {
           (sqrt(list_sum(list_transform(q.qq8, x -> x * x))) *
            sqrt(list_sum(list_transform(a.q8, x -> x * x)))) AS cos_q8
         FROM a, q WHERE a.vec_id <> q.query_id),
+      -- zero-norm guard, mirroring the Spark plan's nanvl sentinel:
+      -- a 0/0 cosine (NULL or NaN here) ranks strictly below every
+      -- real similarity instead of riding engine-specific NaN order
+      sc AS (SELECT query_id, vec_id,
+          CASE WHEN cos_full IS NULL OR isnan(cos_full)
+               THEN -2.0 ELSE cos_full END AS cos_full,
+          CASE WHEN cos_q8 IS NULL OR isnan(cos_q8)
+               THEN -2.0 ELSE cos_q8 END AS cos_q8
+        FROM sc1),
       sp AS (SELECT query_id, vec_id, cos_full, cos_q8,
                CAST(floor(cos_full * 1000000.0) AS BIGINT) AS cos_ppm FROM sc),
       exact AS (SELECT query_id, vec_id, cos_ppm FROM (

@@ -749,6 +749,12 @@ object EventStreams {
       .orderBy("user_id")
   }
 
+  /** The cost-axis datum for the ScaleCheck stream_replay family:
+    * events rows on the slice = rows through each replay's
+    * distributed sink per delivery (x91 delivers twice by design). */
+  private[graft] def replaySinkMass(s: SparkSession, dir: String): Long =
+    graft.Tables.load(s, dir, "events").count()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x147_stream_upsert_mor" -> streamingUpsertReplay,
     "x105_stream_incremental_agg" -> incrementalAggReplay,

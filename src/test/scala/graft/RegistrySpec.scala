@@ -43,20 +43,58 @@ class RegistrySpec extends SparkSpec {
     // group-key cardinality, not corpus rows). A window straight over a
     // scan/join/explode — the r15 budgetFill boundary bucket, the old
     // DataGen item_id — fails here by name.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // Two independent teeth, both must bite:
+    //  STRUCTURE — walking DOWN the window's direct child chain
+    //    through row-non-increasing unary nodes (project/filter/sort/
+    //    repartition/window), the frame must terminate in a Limit or
+    //    a grouped Aggregate rollup BEFORE any join/scan/generate. A
+    //    "contains an Aggregate somewhere in the subtree" test is too
+    //    loose: the r15 budgetFill boundary bucket was corpus rows
+    //    crossJoined with a 1-row aggregate — an aggregate in the
+    //    tree, corpus rows through the window (seeded back in r17 to
+    //    prove this guard fires on it; it does, by name).
+    //  SIZE — the child frame, EXECUTED, must hold at most
+    //    MaxControlFrameRows rows: pins every whitelisted rollup to
+    //    its documented cardinality (budgetFill's ≤1001-row quality
+    //    histogram, GlobalOrder's per-bucket offsets, x149's 200-row
+    //    top-k re-rank) so a rollup on an unbounded key (groupBy
+    //    doc_id) can't hide behind the structure tooth.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val MaxControlFrameRows = 4096L
+    def boundedByConstruction(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit | _: LocalLimit => true
+      case a: Aggregate => a.groupingExpressions.nonEmpty
+      case n @ (_: Project | _: Filter | _: Sort | _: SubqueryAlias |
+                _: Window | _: Deduplicate) =>
+        boundedByConstruction(n.children.head)
+      case r: RepartitionOperation => boundedByConstruction(r.child)
+      // a join of two control frames stays a control frame (x49 joins
+      // two day-keyed rollups); a corpus side on EITHER input taints
+      // it — the r15 boundary bucket was corpus × 1-row-aggregate
+      case j: Join =>
+        boundedByConstruction(j.left) && boundedByConstruction(j.right)
+      case _ => false
+    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => executesOnBuild(name) }
       .flatMap { case (name, fn) =>
-        val bad = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
-          case w: LWindow if w.partitionSpec.isEmpty &&
-              w.child.collectFirst {
-                case a: Aggregate if a.groupingExpressions.nonEmpty => a
-              }.isEmpty => w
+        val wins = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+          case w: Window if w.partitionSpec.isEmpty => w
         }
-        if (bad.nonEmpty) Some(name) else None
+        wins.flatMap { w =>
+          if (!boundedByConstruction(w.child))
+            Some(s"$name (unpartitioned window over a non-control frame)")
+          else {
+            val n = org.apache.spark.sql.GraftPlanExec
+              .ofRows(spark, w.child).count()
+            if (n > MaxControlFrameRows)
+              Some(s"$name (unpartitioned window over $n rows > $MaxControlFrameRows)")
+            else None
+          }
+        }
       }
     assert(offenders.isEmpty,
-      s"unpartitioned window over a non-rollup frame in: ${offenders.mkString(", ")}")
+      s"unpartitioned window over a non-control frame in: ${offenders.mkString(", ")}")
   }
 
   test("every query has an oracle except the documented rows-only set") {

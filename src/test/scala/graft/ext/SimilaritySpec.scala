@@ -323,6 +323,33 @@ class SimilaritySpec extends SparkSpec {
     assert(q2.getAs[Long]("regret_ppm") >= 0L)
   }
 
+  test("int8 serving audit: a zero-norm vector never enters a top-K (NaN cosine guarded)") {
+    // an all-zero embedding has cosine 0/0 = NaN against everything;
+    // unguarded, Spark's descending sort ranks NaN above every real
+    // cosine and the zero vector would be EVERY query's top hit. The
+    // nanvl sentinel (-2.0) pins it strictly below all real cosines.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q8z_").toString
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 40).map { i =>
+      val v = if (i == 25) Array.fill(64)(0.0f)
+              else Array.fill(64)((rnd.nextGaussian() * 0.3).toFloat)
+      (i.toLong, v, i % 4)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.quantizedRecall(spark, dir)
+    // the audit runs end-to-end (10 queries, none poisoned by NaN) —
+    // recall/regret are finite, and regret keeps exact-dominance
+    val a = out.collect()
+    assert(a.length == 10)
+    a.foreach { r =>
+      assert(!r.getAs[Double]("recall_at_k").isNaN)
+      assert(r.getAs[Long]("regret_ppm") >= 0L,
+        s"query ${r.getAs[Long]("query_id")}: zero vector broke dominance")
+    }
+  }
+
   test("persisted IVF index: incremental fold equals from-scratch rebuild, delta commit is delta-sized") {
     import org.apache.spark.sql.functions._
     val root = new org.apache.hadoop.fs.Path(java.nio.file.Files
@@ -349,6 +376,22 @@ class SimilaritySpec extends SparkSpec {
       "delta commit carried base vectors — the append re-assigned the snapshot")
     assert(deltaRows.length == all.filter(col("vec_id") % 10 === 0).count(),
       "delta commit dropped part of the delta batch")
+
+    // the frozen quantizer is a PERSISTED table: the centroids came
+    // back off a manifest commit, and a SECOND open of the same root
+    // retrains nothing — no new commit lands on either table
+    val cRoot = root.suffix("_centroids")
+    val cVer = graft.etl.Sources.currentManifest(spark, cRoot)._1
+    val lVer = graft.etl.Sources.currentManifest(spark, root)._1
+    assert(cVer == 1L, s"centroid table should hold exactly the build commit, at v$cVer")
+    val (all2, centroids2, index2) = Similarity.ivfLifecycleIndex(spark, sfDir, root)
+    assert(graft.etl.Sources.currentManifest(spark, cRoot)._1 == cVer &&
+      graft.etl.Sources.currentManifest(spark, root)._1 == lVer,
+      "re-opening the index committed again — the open path retrained")
+    assert(centroids2.select("cluster", "c").collect().toSet ==
+      centroids.select("cluster", "c").collect().toSet,
+      "re-opened centroids drifted from the frozen quantizer")
+    assert(index2.count() == all2.count())
 
     // the probe must read the PERSISTED table, not rebuild: ranks are
     // 1..K per query over the folded lists
