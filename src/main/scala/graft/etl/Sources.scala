@@ -657,13 +657,38 @@ object Sources {
   private[graft] def deleteEntries(lines: Seq[String]): Seq[DeleteFileEntry] =
     parseEntries(lines).collect { case e: DeleteFileEntry => e }
 
-  /** Name-based additive fold: `a` plus every `b` field `a` lacks. */
+  /** Lossless promotions the evolution gate accepts for a shared
+    * column — the Iceberg type-promotion set restricted to what both
+    * engines coerce identically (int→long, float→double; every Union
+    * in the read path widens the same way via WidenSetOperationTypes,
+    * so old narrow files read as the wide type with exact values). */
+  private def widensTo(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (FloatType, DoubleType)                        => true
+      case _                                              => false
+    }
+  }
+
+  /** Name-based additive fold: `a` plus every `b` field `a` lacks;
+    * a shared field takes `b`'s type when `b` widens it (so the union
+    * always carries the WIDEST committed type). */
   private def unionAdd(a: org.apache.spark.sql.types.StructType,
       b: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
+    val byName = b.fields.map(f => f.name -> f).toMap
     val have = a.fieldNames.toSet
     org.apache.spark.sql.types.StructType(
-      a.fields ++ b.fields.filterNot(f => have(f.name)))
+      a.fields.map { f =>
+        byName.get(f.name) match {
+          case Some(g) if widensTo(f.dataType, g.dataType) => g
+          case _                                           => f
+        }
+      } ++ b.fields.filterNot(f => have(f.name)))
   }
 
   /** The table's union schema as recorded by [[SchemaEntry]] lines
@@ -707,15 +732,19 @@ object Sources {
             " of the table's union schema are absent from the appended " +
             "schema — renames/drops are not implicit evolution; rewrite " +
             "the table explicitly or append with the full schema")
-        val retyped = u.fields.filter(f => newTypes(f.name) != f.dataType)
+        // shared columns: identical type, or a lossless WIDENING
+        // (int→long, float→double — the Iceberg promotion set); a
+        // NARROWING or unrelated retype is drift and fails the write
+        val retyped = u.fields.filter(f => newTypes(f.name) != f.dataType &&
+          !widensTo(f.dataType, newTypes(f.name)))
         if (retyped.nonEmpty) throw new SchemaEvolutionViolation(
           s"type drift at v$v: " + retyped.map(f =>
             s"`${f.name}` ${f.dataType.simpleString} -> " +
               newTypes(f.name).simpleString).mkString(", ") +
-            " — appended column types must match the recorded union schema")
-        if (schema.fields.exists(f => !u.fieldNames.contains(f.name)))
-          Seq(SchemaEntry(v, unionAdd(u, schema).json).line)
-        else Nil
+            " — appended column types must match or losslessly widen " +
+            "the recorded union schema")
+        val widened = unionAdd(u, schema)
+        if (widened != u) Seq(SchemaEntry(v, widened.json).line) else Nil
     }
   }
 
@@ -1066,7 +1095,7 @@ object Sources {
       .fromJson(readSmall(raw, schemaPtr(root)))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val widened = unionAdd(cur, schema)
-    if (widened.length != cur.length)
+    if (widened != cur)
       writeSmall(raw, schemaPtr(root), widened.json)
   }
 

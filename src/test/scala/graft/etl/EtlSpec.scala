@@ -869,6 +869,48 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: lossless type widening is accepted, reads wide, narrowing is drift") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_widen_spec").resolve("t").toUri)
+    val gen1 = spark.range(1000).toDF("id")
+      .withColumn("n", col("id").cast("int"))
+    val gen2 = spark.range(1000, 2000).toDF("id")
+      .withColumn("n", col("id") * 3) // long: widens int -> long
+    Sources.manifestAppend(spark, root, gen1, 1)
+    Sources.manifestAppend(spark, root, gen2, 1)
+    // the merged read carries the WIDE type with exact values on both
+    // sides of the widening boundary (Union's WidenSetOperationTypes
+    // coerces the old int files losslessly)
+    val live = Sources.manifestRead(spark, root)
+    assert(live.schema("n").dataType == LongType)
+    assert(live.count() == 2000)
+    assert(live.filter(col("id") < 1000 &&
+      col("n") =!= col("id").cast("long")).count() == 0)
+    assert(live.filter(col("id") >= 1000 &&
+      col("n") =!= col("id") * 3).count() == 0)
+    // the recorded union took the widest committed type
+    assert(Sources.recordedUnionSchema(Sources.parseEntries(
+      Sources.currentManifest(spark, root)._2)).get("n").dataType == LongType)
+    // NARROWING back and unrelated retypes are drift — write fails
+    intercept[Sources.SchemaEvolutionViolation] {
+      Sources.manifestAppend(spark, root, gen1, 1)
+    }
+    intercept[Sources.SchemaEvolutionViolation] {
+      Sources.manifestAppend(spark, root,
+        gen2.withColumn("n", col("n").cast("string")), 1)
+    }
+    // time travel to v1 keeps the as-committed NARROW type
+    assert(Sources.manifestReadAt(spark, root, 1L)
+      .schema("n").dataType == IntegerType)
+    // an equality delete keyed on the widened column prunes BOTH
+    // generations (the anti-join coerces the int generation)
+    Sources.manifestDelete(spark, root,
+      live.filter(col("id") % 10 === 0).select("n"))
+    assert(Sources.manifestRead(spark, root).count() == 1800)
+  }
+
   test("schema evolution composes with compaction, merge, restore, and zoned reads") {
     import org.apache.spark.sql.functions._
     def sig(d: org.apache.spark.sql.DataFrame) =
