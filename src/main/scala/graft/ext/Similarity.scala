@@ -381,30 +381,39 @@ object Similarity {
           x => floor(x * lit(QuantScale)).cast("long")).as("vq"))
       .scopedCache()
     val cRoot = root.suffix("_centroids")
-    // BUILD runs once per index root: Lloyd trains on the base
-    // snapshot and the frozen quantizer is COMMITTED as its own
-    // manifest table (cluster, c) — the faiss train-then-add contract
-    // persisted, so the frozen state survives the session, not just
-    // this call. Assignments (base commit + ∝|delta| append) read the
-    // PERSISTED centroids back, proving the serving path needs no
-    // in-memory training residue.
-    if (!graft.etl.Sources.manifestExists(s, cRoot)) {
-      val base = all.filter(pmod(col("vec_id"), lit(10L)) =!= 0)
-      val delta = all.filter(pmod(col("vec_id"), lit(10L)) === 0)
+    // OPEN-OR-REPAIR: the build spans two tables and three commits
+    // (centroids v1; lists base v1; lists delta v2) and cannot be
+    // atomic across tables, so instead of a "built" flag the open
+    // path repairs whatever a crashed build left — each step gates on
+    // PERSISTED state and is skipped once its commit landed:
+    //   centroids table missing   → train Lloyd on the base snapshot,
+    //                               commit the frozen quantizer;
+    //   lists table missing       → assign base against the PERSISTED
+    //                               centroids, commit (v1);
+    //   lists at v1 (no delta)    → assign delta, commit (v2).
+    // The quantizer NEVER retrains after its commit — repairs assign
+    // against the read-back centroids (the faiss train-then-add
+    // contract holds through every crash window), and a complete
+    // index (lists ≥ v2) makes reopen a pure read: no new commits on
+    // either table (both spec-asserted, including the two crash
+    // windows driven by table wipe / pointer regression).
+    val base = all.filter(pmod(col("vec_id"), lit(10L)) =!= 0)
+    val delta = all.filter(pmod(col("vec_id"), lit(10L)) === 0)
+    if (!graft.etl.Sources.manifestExists(s, cRoot))
       graft.etl.Sources.manifestAppend(s, cRoot,
         lloydCentroids(base, IvfClusters, LloydIters)
           .select(col("cluster"), col("c")), 1)
-      val frozen = graft.etl.Sources.manifestRead(s, cRoot).scopedCache()
+    val frozen = graft.etl.Sources.manifestRead(s, cRoot).scopedCache()
+    val listsVersion =
+      if (!graft.etl.Sources.manifestExists(s, root)) 0L
+      else graft.etl.Sources.currentManifest(s, root)._1
+    if (listsVersion < 1L)
       graft.etl.Sources.manifestAppend(s, root,
         exactAssign(base, frozen).select("vec_id", "cluster", "vq"), 2)
+    if (listsVersion < 2L)
       graft.etl.Sources.manifestAppend(s, root,
         exactAssign(delta, frozen).select("vec_id", "cluster", "vq"), 1)
-    }
-    // OPEN: quantizer and inverted lists both come off the persisted
-    // tables — a second open of the same root retrains nothing
-    // (spec-asserted: no new commits on either table).
-    (all, graft.etl.Sources.manifestRead(s, cRoot).scopedCache(),
-      graft.etl.Sources.manifestRead(s, root))
+    (all, frozen, graft.etl.Sources.manifestRead(s, root))
   }
 
   /** SemDeDup prune threshold. Data-dependent like RangeTau: this

@@ -393,6 +393,42 @@ class SimilaritySpec extends SparkSpec {
       "re-opened centroids drifted from the frozen quantizer")
     assert(index2.count() == all2.count())
 
+    // CRASH WINDOW A — build died between the centroid commit and the
+    // base lists commit: wipe the lists table, keep the quantizer. The
+    // reopen must REPAIR (rebuild both lists commits) against the
+    // PERSISTED centroids, never retrain — the centroids table stays
+    // at its build commit and the read-back quantizer is bit-identical
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val (_, centA, idxA) = Similarity.ivfLifecycleIndex(spark, sfDir, root)
+    assert(graft.etl.Sources.currentManifest(spark, cRoot)._1 == 1L,
+      "repair retrained/recommitted the frozen quantizer")
+    assert(centA.select("cluster", "c").collect().toSet ==
+      centroids.select("cluster", "c").collect().toSet,
+      "repair diverged from the frozen quantizer")
+    assert(idxA.select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == rebuilt,
+      "repaired lists diverged from the frozen-quantizer assignment")
+    assert(graft.etl.Sources.currentManifest(spark, root)._1 == 2L)
+
+    // CRASH WINDOW B — build died after the base commit, before the
+    // delta commit: regress the lists table to a v1-only state (drop
+    // the v2 manifest, point _current at m-1 — the on-disk shape a
+    // crash leaves). The reopen must append ONLY the missing delta
+    val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    fs.delete(new org.apache.hadoop.fs.Path(mdir, "m-2.txt"), false)
+    val ptr = java.nio.file.Paths.get(new java.net.URI(
+      new org.apache.hadoop.fs.Path(root, "_current").toString))
+    java.nio.file.Files.write(ptr, "m-1.txt\n".getBytes("UTF-8"))
+    assert(graft.etl.Sources.currentManifest(spark, root)._1 == 1L)
+    val (_, _, idxB) = Similarity.ivfLifecycleIndex(spark, sfDir, root)
+    assert(graft.etl.Sources.currentManifest(spark, root)._1 == 2L,
+      "delta repair did not land as the missing v2 commit")
+    assert(graft.etl.Sources.currentManifest(spark, cRoot)._1 == 1L)
+    assert(idxB.select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == rebuilt,
+      "delta-repaired lists diverged from the frozen-quantizer assignment")
+
     // the probe must read the PERSISTED table, not rebuild: ranks are
     // 1..K per query over the folded lists
     val out = Similarity.ivfIndexLifecycle(spark, sfDir).collect()
