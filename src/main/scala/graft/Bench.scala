@@ -137,8 +137,20 @@ object Bench {
       val sentinelJson =
         s"""{"before":$sentinelBefore,"after":$sentinelAfter}"""
       val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"partial":$partial,"skipped":$skippedJson,"sentinel":$sentinelJson,"queries":$qs,"spreads":$spreads,"reps_done":$repsDone,"sf":"$sfDir","meta":$meta}"""
-      scala.util.Try(java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(outPath), fileLine + "\n"))
+      // the canonical full-suite record replaces its file; adjudication
+      // records APPEND — isolated re-measures accumulate as history
+      // lines instead of clobbering earlier evidence (the round-10
+      // clobber, and the automatic-outlier lines land in the same file)
+      scala.util.Try {
+        if (outPath == "bench_out.json")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(outPath), fileLine + "\n")
+        else
+          java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+            (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+      }
       val minReps = if (results.isEmpty) 0 else results.map(_._4).min
       val stdoutLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"min_reps_done":$minReps,"n_queries":${results.length},"partial":$partial,"skipped":$skippedJson,"sentinel":$sentinelJson,"detail":"$outPath","sf":"$sfDir","meta":$meta}"""
       println(stdoutLine)
@@ -183,8 +195,104 @@ object Bench {
       runOne = name => runOnce(name, byName(name)),
       skip = name => { skipped.add(name); () })
     sentinelAfter = scala.util.Try(sentinelRun()).getOrElse(-1.0)
+
+    // SELF-SELECTING OUTLIER ADJUDICATION (r17 verdict task 1): after a
+    // FULL suite pass, any query whose in-suite min exceeds the
+    // COMMITTED stamp's min by the selection rule is automatically
+    // re-measured in isolation (5 back-to-back reps, nothing else
+    // running) and the result APPENDED to bench_adjudication.json — no
+    // more hand-picked adjudication lists that miss the round's largest
+    // regressor (x98/x99 in BENCH_r17). Bounded: at most
+    // [[AdjudicateCap]] queries (worst-first) and only while the run is
+    // under 1.5× its deadline; anything dropped is named in the record.
+    if (only.isEmpty) {
+      val committed = committedStampQueries()
+      val inSuite = acc.synchronized {
+        acc.toSeq.flatMap { case (k, ts) =>
+          val succ = ts.collect { case (true, dt) => dt }
+          if (succ.isEmpty) None else Some(k -> succ.min)
+        }.toMap
+      }
+      val targets = adjudicationTargets(committed, inSuite)
+      if (targets.nonEmpty) {
+        val isolated = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+        val dropped = scala.collection.mutable.ArrayBuffer[String]()
+        // worst regression first, so a deadline cut keeps the queries
+        // most in need of adjudication
+        val ordered = targets.sortBy(q => -(inSuite(q) / committed(q)))
+          .take(AdjudicateCap)
+        dropped ++= targets.filterNot(ordered.contains)
+        ordered.foreach { name =>
+          if (elapsed() > deadlineSec * 1.5) dropped += name
+          else {
+            val ts = (1 to 5).map { _ =>
+              val t0 = System.nanoTime()
+              scala.util.Try(byName(name)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save())
+              graft.CacheScope.release(); spark.catalog.clearCache()
+              graft.etl.Sources.sweepNonceRoots()
+              (System.nanoTime() - t0) / 1e9
+            }
+            isolated(name) = ts
+          }
+        }
+        val isoJson = isolated.map { case (q, ts) =>
+          "\"" + q + "\":{\"min\":" + ts.min + ",\"max\":" + ts.max +
+            ",\"committed_min\":" + committed(q) + ",\"suite_min\":" + inSuite(q) + "}"
+        }.mkString("{", ",", "}")
+        val droppedJson = dropped.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val line = s"""{"auto":true,"rule":"suite_min > ${AdjudicateRatio}x committed_min && delta > ${AdjudicateMinDelta}s","date":"${java.time.LocalDate.now()}","isolated":$isoJson,"dropped":$droppedJson}"""
+        scala.util.Try(java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_adjudication.json"),
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND))
+      }
+    }
     emit(partial = false)
     spark.stop()
+  }
+
+  /** Selection rule constants for the automatic outlier adjudication:
+    * a query joins the isolated re-measure when its in-suite min is
+    * more than [[AdjudicateRatio]]× its committed-stamp min AND the
+    * absolute delta exceeds [[AdjudicateMinDelta]] (so sub-second
+    * jitter on tiny queries doesn't spend the adjudication budget the
+    * real regressors need). */
+  private[graft] val AdjudicateRatio = 2.0
+  private[graft] val AdjudicateMinDelta = 0.3
+  private[graft] val AdjudicateCap = 10
+
+  /** The rule itself, pure so the spec can seed a fake slow stamp and
+    * assert it is picked up (r17 verdict: done = code + spec'd). */
+  private[graft] def adjudicationTargets(
+      committed: Map[String, Double], inSuite: Map[String, Double],
+      ratio: Double = AdjudicateRatio,
+      minDelta: Double = AdjudicateMinDelta): Seq[String] =
+    inSuite.collect { case (q, t) if committed.get(q).exists(c =>
+      c > 0 && t > ratio * c && t - c > minDelta) => q }.toSeq.sorted
+
+  /** Per-query min map of the COMMITTED bench_out.json (HEAD, via
+    * `git show` — the working-tree file is this run's own output slot,
+    * not the stamp of record). Empty on any failure: first round, no
+    * committed stamp, no git. */
+  private[graft] def committedStampQueries(): Map[String, Double] =
+    scala.util.Try {
+      val p = new ProcessBuilder("git", "show", "HEAD:bench_out.json")
+        .redirectErrorStream(false).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      p.waitFor()
+      parseStampQueries(out)
+    }.getOrElse(Map.empty)
+
+  /** Extract the `"queries"` map from a bench stamp line (jackson —
+    * already on the Spark classpath; the stamp is machine-written JSON). */
+  private[graft] def parseStampQueries(json: String): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    root.path("queries").fields().asScala
+      .map(e => e.getKey -> e.getValue.asDouble()).toMap
   }
 
   /** REP-MAJOR scheduling policy (round-9/10 verdict), factored out of

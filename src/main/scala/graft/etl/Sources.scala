@@ -610,20 +610,28 @@ object Sources {
   private[graft] sealed trait ManifestEntry { def line: String }
   private[graft] final case class DataFileEntry(seq: Long, uri: String)
       extends ManifestEntry { def line = s"w\t$seq\t$uri" }
-  /** `keys` = the delete's equality-key COLUMN NAMES, recorded at
-    * commit time. Readers group delete files by this key set and read
-    * each group separately — one `read.parquet(mixed-schema files)`
-    * across heterogeneous key schemas lets parquet schema inference
-    * pick whichever footer it samples first and silently null-fill
-    * the others, i.e. a delete that nondeterministically stops
-    * applying (observed as the EtlSpec:744 flake). Empty `keys` =
-    * legacy/hand-written entry; the reader falls back to the file's
-    * own footer (per FILE, so still deterministic). */
+  /** `keys` = the delete's equality-key COLUMN NAMES and
+    * `keySchemaJson` the key columns' StructType JSON, both recorded
+    * at commit time. Readers group delete files by the (names, TYPES)
+    * pair and read each group with the recorded schema — one
+    * `read.parquet(mixed-schema files)` across heterogeneous key
+    * schemas lets parquet schema inference pick whichever footer it
+    * samples first: across heterogeneous NAMES it silently null-fills
+    * the others (a delete that nondeterministically stops applying,
+    * the EtlSpec:744 flake), and across a lossless type WIDENING of
+    * the same name (int n, then long n) it nondeterministically fails
+    * or coerces depending on which footer it samples. Empty
+    * `keys`/`keySchemaJson` = legacy/hand-written entry; the reader
+    * falls back to the file's own footer (per FILE, so still
+    * deterministic). */
   private[graft] final case class DeleteFileEntry(seq: Long, uri: String,
-      keys: Seq[String] = Nil) extends ManifestEntry {
-    def line =
-      if (keys.isEmpty) s"d\t$seq\t$uri"
-      else s"d\t$seq\t$uri\t${keys.mkString(",")}"
+      keys: Seq[String] = Nil, keySchemaJson: Option[String] = None)
+      extends ManifestEntry {
+    def line = (keys, keySchemaJson) match {
+      case (Nil, _)          => s"d\t$seq\t$uri"
+      case (ks, None)        => s"d\t$seq\t$uri\t${ks.mkString(",")}"
+      case (ks, Some(j))     => s"d\t$seq\t$uri\t${ks.mkString(",")}\t$j"
+    }
   }
   private[graft] final case class ZoneStatEntry(uri: String, lo: Long, hi: Long)
       extends ManifestEntry { def line = s"z\t$lo\t$hi\t$uri" }
@@ -642,13 +650,15 @@ object Sources {
     * hand-written with bare URIs still reads (and every delete applies
     * to it, which is the conservative direction). */
   private[graft] def parseEntry(l: String): ManifestEntry =
-    l.split("\t", 4) match {
-      case Array("w", v, u)      => DataFileEntry(v.toLong, u)
-      case Array("d", v, u)      => DeleteFileEntry(v.toLong, u)
-      case Array("d", v, u, k)   => DeleteFileEntry(v.toLong, u, k.split(",").toSeq)
-      case Array("s", v, j)      => SchemaEntry(v.toLong, j)
-      case Array("z", lo, hi, u) => ZoneStatEntry(u, lo.toLong, hi.toLong)
-      case _                     => DataFileEntry(0L, l)
+    l.split("\t", 5) match {
+      case Array("w", v, u)       => DataFileEntry(v.toLong, u)
+      case Array("d", v, u)       => DeleteFileEntry(v.toLong, u)
+      case Array("d", v, u, k)    => DeleteFileEntry(v.toLong, u, k.split(",").toSeq)
+      case Array("d", v, u, k, j) =>
+        DeleteFileEntry(v.toLong, u, k.split(",").toSeq, Some(j))
+      case Array("s", v, j)       => SchemaEntry(v.toLong, j)
+      case Array("z", lo, hi, u)  => ZoneStatEntry(u, lo.toLong, hi.toLong)
+      case _                      => DataFileEntry(0L, l)
     }
   private[graft] def parseEntries(lines: Seq[String]): Seq[ManifestEntry] =
     lines.map(parseEntry)
@@ -718,10 +728,21 @@ object Sources {
     * schema when it adds columns, the first schema on a fresh table,
     * nothing otherwise. */
   private def validateAdditiveSchema(old: Seq[String], v: Long,
-      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+      schema: org.apache.spark.sql.types.StructType,
+      persisted: => Option[org.apache.spark.sql.types.StructType]): Seq[String] = {
     require(schema.fieldNames.forall(n => !n.contains("\t") && !n.contains("\n")),
       "column names must not contain tab/newline (manifest line format)")
-    recordedUnionSchema(parseEntries(old)) match {
+    val entries = parseEntries(old)
+    val recorded = recordedUnionSchema(entries)
+    // PRE-UPGRADE TABLE (data entries but no SchemaEntry lines, i.e.
+    // committed before schema lines existed): seed the union from the
+    // persisted _schema.json rather than trusting the incoming append —
+    // otherwise the FIRST post-upgrade append seeds the union from its
+    // own schema with no validation, and a rename/drop in that append
+    // passes silently and permanently narrows the recorded union.
+    val base = recorded.orElse(
+      if (entries.exists(_.isInstanceOf[DataFileEntry])) persisted else None)
+    base match {
       case None => Seq(SchemaEntry(v, schema.json).line)
       case Some(u) =>
         val newTypes = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -744,7 +765,12 @@ object Sources {
             " — appended column types must match or losslessly widen " +
             "the recorded union schema")
         val widened = unionAdd(u, schema)
-        if (widened != u) Seq(SchemaEntry(v, widened.json).line) else Nil
+        // a pre-upgrade table writes its first schema line even when
+        // nothing widened, so later commits validate from the manifest
+        // (the stated source of truth) instead of the persisted fallback
+        if (recorded.isEmpty || widened != u)
+          Seq(SchemaEntry(v, widened.json).line)
+        else Nil
     }
   }
 
@@ -1080,12 +1106,14 @@ object Sources {
   }
 
   /** Post-commit: widen `_schema.json` to include columns this append
-    * added, so the schema-ful empty path ([[emptyLike]]) reflects the
-    * evolved union, not the first append's schema. Best-effort and
-    * monotone (columns are only ever added); called AFTER the commit
-    * validated additively, so two racing widenings write compatible
-    * supersets and the next evolution re-widens — never data loss,
-    * the manifest's [[SchemaEntry]] lines stay the source of truth. */
+    * added. BEST-EFFORT ONLY — this is a read-modify-write outside the
+    * OCC loop, so two concurrent appends adding different columns can
+    * last-writer-win and one widening is lost until the next evolution
+    * re-widens. That is acceptable precisely because nothing decides
+    * correctness from this file when a manifest exists: [[emptyLike]]
+    * and the additive gate both fold the manifest's [[SchemaEntry]]
+    * lines (committed inside OCC, race-free) first and fall back here
+    * only for pre-upgrade manifests with no schema lines. */
   private def widenPersistedSchema(s: SparkSession,
       root: org.apache.hadoop.fs.Path,
       schema: org.apache.spark.sql.types.StructType): Unit = {
@@ -1099,22 +1127,36 @@ object Sources {
       writeSmall(raw, schemaPtr(root), widened.json)
   }
 
+  /** The persisted `_schema.json`, if any — the FALLBACK schema record
+    * ([[emptyLike]], pre-upgrade union seeding); the manifest's
+    * [[SchemaEntry]] fold stays the source of truth where one exists. */
+  private def readPersistedSchema(s: SparkSession,
+      root: org.apache.hadoop.fs.Path)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val raw = rawOf(fsOf(s, root))
+    if (!raw.exists(schemaPtr(root))) None
+    else scala.util.Try(org.apache.spark.sql.types.DataType
+      .fromJson(readSmall(raw, schemaPtr(root)))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
+  }
+
   /** An EMPTY frame with the TABLE schema — what every no-rows path
     * returns, so downstream column references (orderBy, select) stay
     * resolvable. "Pruning is an optimization, never a correctness
     * gate" requires exactly this: a fully-pruned scan must be
-    * indistinguishable from a scan that matched nothing. Falls back to
-    * a zero-column frame only for a table that never persisted a
-    * schema (nothing was ever appended). */
-  private def emptyLike(s: SparkSession,
-      root: org.apache.hadoop.fs.Path): DataFrame = {
-    val raw = rawOf(fsOf(s, root))
-    if (!raw.exists(schemaPtr(root))) return s.emptyDataFrame
-    val schema = org.apache.spark.sql.types.DataType
-      .fromJson(readSmall(raw, schemaPtr(root)))
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      schema)
+    * indistinguishable from a scan that matched nothing. The schema
+    * comes from the caller's manifest entry set ([[SchemaEntry]] fold
+    * — the source of truth, immune to the persisted file's
+    * best-effort read-modify-write widening), falling back to
+    * `_schema.json` for pre-upgrade manifests and to a zero-column
+    * frame only for a table that never committed anything. */
+  private def emptyLike(s: SparkSession, root: org.apache.hadoop.fs.Path,
+      entries: Seq[ManifestEntry] = Nil): DataFrame = {
+    recordedUnionSchema(entries).orElse(readPersistedSchema(s, root)) match {
+      case None => s.emptyDataFrame
+      case Some(schema) => s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    }
   }
 
   /** Append `df` to a manifest table: write into a FRESH nonce'd
@@ -1136,11 +1178,44 @@ object Sources {
     // commit re-validates against the winner's entries, so the union
     // schema is race-free without any extra coordination
     val committed = commitWithRetry(s, root) { (old, v) =>
-      old ++ validateAdditiveSchema(old, v, df.schema) ++
+      old ++ validateAdditiveSchema(old, v, df.schema, readPersistedSchema(s, root)) ++
         files.map(f => DataFileEntry(v, f).line)
     }
     widenPersistedSchema(s, root, df.schema)
     committed
+  }
+
+  /** CLAIM-BASED append at EXACTLY version `v` — the one-winner
+    * building block for multi-step builds (the x154 IVF lifecycle):
+    * stage `df`, then claim `m-v.txt` via the same O_EXCL create
+    * every commit uses, with NO retry loop. Two concurrent builders
+    * that both observed the same state race for the claim; exactly
+    * one wins, the loser's staged files are discarded and it returns
+    * false — it must RE-READ the winner's table instead of appending
+    * a duplicate copy (the check-then-commit window ADVICE r17
+    * flagged: two opens that both saw `manifestExists == false` and
+    * both trained would otherwise BOTH commit centroid sets). Also
+    * returns false without staging when the observed version is not
+    * `v - 1` (someone already committed past the target). */
+  private[graft] def manifestAppendExactly(s: SparkSession,
+      root: org.apache.hadoop.fs.Path, df: DataFrame, shards: Int,
+      v: Long): Boolean = {
+    val (cur, old) = currentManifest(s, root)
+    if (cur != v - 1) return false
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val w = new org.apache.hadoop.fs.Path(root, s"data/a-$nonce")
+    df.repartition(shards).write.mode(SaveMode.Overwrite).parquet(w.toString)
+    persistSchema(s, root, df.schema)
+    val files = writtenFiles(s, w)
+    val lines = old ++
+      validateAdditiveSchema(old, v, df.schema, readPersistedSchema(s, root)) ++
+      files.map(f => DataFileEntry(v, f).line)
+    try { manifestCommit(s, root, v, lines); true }
+    catch {
+      case _: ManifestCommitConflict =>
+        scala.util.Try(fsOf(s, root).delete(w, true))
+        false
+    }
   }
 
   /** Whether a manifest table has ever committed at `root` — the
@@ -1202,9 +1277,10 @@ object Sources {
     // delete entries (x145) are NOT part of the append diff — the
     // documented contract is appends-only (the Iceberg line); deletes
     // reach consumers through the merged snapshot reads
-    val added = dataEntries(manifestFilesAt(s, root, vTo))
+    val toEntries = parseEntries(manifestFilesAt(s, root, vTo))
+    val added = toEntries.collect { case e: DataFileEntry => e }
       .filterNot(e => before(e.uri))
-    if (added.isEmpty) emptyLike(s, root)
+    if (added.isEmpty) emptyLike(s, root, toEntries)
     // the diff can span several commits, and commits can differ by
     // added columns (x156): read ONE schema per commit group and
     // union by name — never one read over heterogeneous footers
@@ -1247,43 +1323,63 @@ object Sources {
     * resolving.
     *
     * DELETE-KEY GROUPING: delete files are read ONE KEY SCHEMA PER
-    * READ, never mixed. A single `read.parquet(heterogeneous files)`
-    * lets schema inference pick whichever footer it samples first and
-    * null-fill the rest — an `extra`-keyed delete read under an
-    * `id`-only inferred schema silently stops applying (rows the
-    * table claims deleted come back). Key sets come from the manifest
-    * ([[DeleteFileEntry.keys]], recorded at commit); a legacy entry
-    * without recorded keys resolves from its own footer, per file.
-    * A key column absent from a generation's schema still fails
-    * LOUDLY at analysis (the USING-join cannot resolve it) — now
-    * deterministically, independent of footer sampling order. */
+    * READ, never mixed — grouped by key column NAMES AND TYPES. A
+    * single `read.parquet(heterogeneous files)` lets schema inference
+    * pick whichever footer it samples first and null-fill the rest —
+    * an `extra`-keyed delete read under an `id`-only inferred schema
+    * silently stops applying (rows the table claims deleted come
+    * back) — and two deletes keyed on the SAME name across a lossless
+    * widening (int n, then long n) mix int32/int64 footers, whose
+    * inference nondeterministically fails or coerces. Key schemas
+    * come from the manifest ([[DeleteFileEntry.keySchemaJson]],
+    * recorded at commit) and are passed EXPLICITLY to the read, so
+    * inference never runs; a legacy entry without a recorded schema
+    * resolves from its own footer, per file. A key column absent from
+    * a generation's schema still fails LOUDLY at analysis (the
+    * USING-join cannot resolve it) — deterministically, independent
+    * of footer sampling order. */
   private def mergedScan(s: SparkSession, root: org.apache.hadoop.fs.Path,
       entries: Seq[ManifestEntry]): DataFrame = {
+    import org.apache.spark.sql.types.{DataType, StructType}
     val data = entries.collect { case e: DataFileEntry => e }
     val dels = entries.collect { case e: DeleteFileEntry => e }
-    if (data.isEmpty) return emptyLike(s, root)
-    // (key columns -> delete entries) in deterministic key order; the
-    // footer fallback reads ONE file's schema (control-plane, tiny)
-    val delByKey: Seq[(Seq[String], Seq[DeleteFileEntry])] =
-      dels.map { d =>
-        val k = if (d.keys.nonEmpty) d.keys
-                else s.read.parquet(d.uri).schema.fieldNames.toSeq
-        (k, d)
-      }.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
-        .sortBy(_._1.mkString(","))
+    if (data.isEmpty) return emptyLike(s, root, entries)
+    // (key schema -> delete entries) in deterministic key order; the
+    // footer fallback reads ONE file's schema (control-plane, tiny).
+    // Nullability is normalized out of the group key and the read
+    // schema (two commits of the same key may disagree on it; parquet
+    // reads are null-tolerant either way).
+    def keySchemaOf(d: DeleteFileEntry): StructType = {
+      val raw = d.keySchemaJson match {
+        case Some(j) => DataType.fromJson(j).asInstanceOf[StructType]
+        case None =>
+          val footer = s.read.parquet(d.uri).schema
+          val names = if (d.keys.nonEmpty) d.keys else footer.fieldNames.toSeq
+          StructType(names.map(n => footer(n)))
+      }
+      StructType(raw.fields.map(_.copy(nullable = true)))
+    }
+    val delByKey: Seq[(StructType, Seq[DeleteFileEntry])] =
+      dels.map(d => (keySchemaOf(d), d))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+        .sortBy(_._1.catalogString)
     val groups = data.groupBy(_.seq).toSeq.sortBy(_._1).map {
       case (v, es) =>
         val base = s.read.parquet(es.map(_.uri): _*)
-        delByKey.foldLeft(base) { case (acc, (key, kdels)) =>
+        delByKey.foldLeft(base) { case (acc, (keySchema, kdels)) =>
           val applicable = kdels.filter(_.seq > v).map(_.uri)
           if (applicable.isEmpty) acc
           else {
-            // files in one group share the key schema by construction;
-            // select in recorded key order. If `key` is missing from
+            // files in one group share the key schema by construction,
+            // and the read gets it EXPLICITLY — no inference, in
+            // recorded key order. If a key column is missing from
             // this generation the join raises the analysis error —
             // the delete-key contract under evolution (EtlSpec:744).
-            val keys = s.read.parquet(applicable: _*)
-              .select(key.map(org.apache.spark.sql.functions.col): _*)
+            val key = keySchema.fieldNames.toSeq
+            val keys = s.read.schema(keySchema).parquet(applicable: _*)
+            // int/long etc. across a widening: the USING-join equality
+            // coerces both sides to the wider type, exact for the
+            // lossless promotion set the evolution gate admits
             acc.join(org.apache.spark.sql.functions.broadcast(keys),
               key, "left_anti")
           }
@@ -1314,14 +1410,27 @@ object Sources {
     val w = new org.apache.hadoop.fs.Path(root, s"data/del-$nonce")
     keys.coalesce(1).write.mode(SaveMode.Overwrite).parquet(w.toString)
     val files = writtenFiles(s, w)
-    // the key COLUMN SET rides the manifest line so readers can group
-    // heterogeneous delete files by key schema (see [[mergedScan]])
+    // the key COLUMN SET and its SCHEMA ride the manifest line so
+    // readers can group heterogeneous delete files by (names, types)
+    // and read each group with an explicit schema (see [[mergedScan]])
     val keyCols = keys.columns.toSeq
     require(keyCols.forall(c => !c.contains(",") && !c.contains("\t")),
       "delete-key column names must not contain ','/tab (manifest format)")
+    val keyJson = deleteKeySchemaJson(keys)
     commitWithRetry(s, root) { (old, v) =>
-      old ++ files.map(f => DeleteFileEntry(v, f, keyCols).line)
+      old ++ files.map(f => DeleteFileEntry(v, f, keyCols, keyJson).line)
     }
+  }
+
+  /** Compact key-schema JSON for a delete/merge commit's manifest
+    * line. StructType.json escapes control characters inside strings,
+    * so the one-line tab-separated manifest format is safe as long as
+    * the names themselves are (already required). */
+  private def deleteKeySchemaJson(keys: DataFrame): Option[String] = {
+    val j = keys.schema.json
+    require(!j.contains("\t") && !j.contains("\n"),
+      "delete-key schema JSON must be tab/newline-free (manifest format)")
+    Some(j)
   }
 
   /** Merge-on-read: the sequence-aware [[mergedScan]] over the live
@@ -1413,7 +1522,7 @@ object Sources {
       }.toMap
     val files = writtenFiles(s, w)
     val committed = commitWithRetry(s, root) { (old, v) =>
-      old ++ validateAdditiveSchema(old, v, df.schema) ++
+      old ++ validateAdditiveSchema(old, v, df.schema, readPersistedSchema(s, root)) ++
         files.map(f => DataFileEntry(v, f).line) ++
         files.flatMap(f => zones.get(f).map {
           case (lo, hi) => ZoneStatEntry(f, lo, hi).line
@@ -1457,7 +1566,7 @@ object Sources {
     }.toMap
     val kept = entries.collect { case e: DataFileEntry => e }
       .filter(e => zones.get(e.uri).forall { case (zl, zh) => zh >= lo && zl <= hi })
-    if (kept.isEmpty) return emptyLike(s, root)
+    if (kept.isEmpty) return emptyLike(s, root, entries)
     // per-commit reads + union by name: surviving files can span
     // schema generations (x156); one read across heterogeneous
     // footers would nondeterministically null-fill — same guard as
@@ -1753,11 +1862,18 @@ object Sources {
     val dataFiles = writtenFiles(s, wd)
     require(keyCols.forall(c => !c.contains(",") && !c.contains("\t")),
       "merge-key column names must not contain ','/tab (manifest format)")
-    commitWithRetry(s, root) { (old, v) =>
-      old ++ validateAdditiveSchema(old, v, updates.schema) ++
-        delFiles.map(f => DeleteFileEntry(v, f, keyCols).line) ++
+    val keyJson = deleteKeySchemaJson(updates.select(keyCols.map(col): _*))
+    val committed = commitWithRetry(s, root) { (old, v) =>
+      old ++ validateAdditiveSchema(old, v, updates.schema, readPersistedSchema(s, root)) ++
+        delFiles.map(f => DeleteFileEntry(v, f, keyCols, keyJson).line) ++
         dataFiles.map(f => DataFileEntry(v, f).line)
     }
+    // a merge that adds columns must widen the persisted fallback
+    // schema like any append — without this, [[emptyLike]]'s
+    // _schema.json fallback (fresh-session reads of an all-pruned or
+    // all-deleted table) misses merge-added columns
+    widenPersistedSchema(s, root, updates.schema)
+    committed
   }
 
   /** x153 driver query: MERGE every doc_id divisible by 5 into the

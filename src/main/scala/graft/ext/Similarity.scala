@@ -399,20 +399,27 @@ object Similarity {
     // windows driven by table wipe / pointer regression).
     val base = all.filter(pmod(col("vec_id"), lit(10L)) =!= 0)
     val delta = all.filter(pmod(col("vec_id"), lit(10L)) === 0)
+    // every build step is a CLAIM-BASED commit at its exact target
+    // version (manifestAppendExactly): two concurrent opens that both
+    // observe a missing step race for the claim, exactly one commits,
+    // the loser discards its staged copy and reads the winner's —
+    // check-then-commit is no longer a duplicate-centroid window
+    // (ADVICE r17). Both racers compute identical content (the whole
+    // chain is deterministic), so either winner is THE table.
     if (!graft.etl.Sources.manifestExists(s, cRoot))
-      graft.etl.Sources.manifestAppend(s, cRoot,
+      graft.etl.Sources.manifestAppendExactly(s, cRoot,
         lloydCentroids(base, IvfClusters, LloydIters)
-          .select(col("cluster"), col("c")), 1)
+          .select(col("cluster"), col("c")), 1, 1L)
     val frozen = graft.etl.Sources.manifestRead(s, cRoot).scopedCache()
     val listsVersion =
       if (!graft.etl.Sources.manifestExists(s, root)) 0L
       else graft.etl.Sources.currentManifest(s, root)._1
     if (listsVersion < 1L)
-      graft.etl.Sources.manifestAppend(s, root,
-        exactAssign(base, frozen).select("vec_id", "cluster", "vq"), 2)
+      graft.etl.Sources.manifestAppendExactly(s, root,
+        exactAssign(base, frozen).select("vec_id", "cluster", "vq"), 2, 1L)
     if (listsVersion < 2L)
-      graft.etl.Sources.manifestAppend(s, root,
-        exactAssign(delta, frozen).select("vec_id", "cluster", "vq"), 1)
+      graft.etl.Sources.manifestAppendExactly(s, root,
+        exactAssign(delta, frozen).select("vec_id", "cluster", "vq"), 1, 2L)
     (all, frozen, graft.etl.Sources.manifestRead(s, root))
   }
 

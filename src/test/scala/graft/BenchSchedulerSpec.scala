@@ -80,4 +80,36 @@ class BenchSchedulerSpec extends AnyFunSuite {
     val (runs, _, _) = simulate(names.map(_ -> 0.0), reps = 3, deadlineSec = 10.0)
     assert(runs.values.toSet == Set(3))
   }
+
+  // -- self-selecting outlier adjudication (r17 verdict task 1) --------
+
+  test("adjudication selection: a seeded slow stamp IS picked up; jitter and improvements are not") {
+    // the committed stamp says x98 ran in 1.02s and x99 in 0.46s; the
+    // suite measured 5.19 / 1.14 — exactly the BENCH_r17 regression the
+    // hand-picked list missed. Both must self-select.
+    val committed = Map(
+      "x98_novelty" -> 1.02, "x99_vocab" -> 0.46,
+      "q01_monthly" -> 0.30, "x10_tiny" -> 0.05, "x11_faster" -> 2.0)
+    val inSuite = Map(
+      "x98_novelty" -> 5.19,  // 5.1x, delta 4.17 -> selected
+      "x99_vocab" -> 1.14,    // 2.5x, delta 0.68 -> selected
+      "q01_monthly" -> 0.45,  // 1.5x -> ratio gate holds it back
+      "x10_tiny" -> 0.20,     // 4x but delta 0.15 -> jitter, held back
+      "x11_faster" -> 1.0,    // improvement -> never selected
+      "x12_new" -> 9.0)       // not in the stamp -> nothing to compare
+    assert(Bench.adjudicationTargets(committed, inSuite) ==
+      Seq("x98_novelty", "x99_vocab"))
+  }
+
+  test("adjudication selection: empty stamp (first round / no git) selects nothing") {
+    assert(Bench.adjudicationTargets(Map.empty, Map("q" -> 100.0)).isEmpty)
+  }
+
+  test("stamp parsing: queries map extracted from a real bench line; garbage yields empty") {
+    val line = """{"metric":"total","value":9.9,"unit":"sec","queries":{"q01":0.5,"x98_novelty":1.02},"sf":"/x"}"""
+    assert(Bench.parseStampQueries(line) ==
+      Map("q01" -> 0.5, "x98_novelty" -> 1.02))
+    assert(scala.util.Try(Bench.parseStampQueries("not json"))
+      .toOption.forall(_.isEmpty), "garbage must not select targets")
+  }
 }

@@ -829,6 +829,103 @@ class EtlSpec extends SparkSpec {
       "applyDeletes diverged from the merged read over mixed key groups")
   }
 
+  test("delete keys across a type widening: grouped by (names, TYPES), both apply deterministically") {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_widekey_spec").resolve("t").toUri)
+    // generation 1: int key; generation 2: the SAME column widened to
+    // long (lossless promotion the evolution gate admits)
+    val gen1 = spark.range(2000).select(col("id").cast("int").as("n"),
+      md5(col("id").cast("string")).as("payload"))
+    Sources.manifestAppend(spark, root, gen1, 2)
+    Sources.manifestDelete(spark, root,
+      gen1.filter(col("n") % 7 === 3).select(col("n"))) // int-keyed delete
+    val gen2 = spark.range(2000, 4000).select(col("id").as("n"),
+      md5(col("id").cast("string")).as("payload"))
+    Sources.manifestAppend(spark, root, gen2, 2)
+    Sources.manifestDelete(spark, root,
+      gen2.filter(col("n") % 5 === 0).select(col("n"))) // long-keyed delete
+    // both deletes key on column NAME `n` but different TYPES — one
+    // read.parquet over both files would hit mixed int32/int64 footers
+    // and nondeterministically fail or coerce; the (names, types)
+    // grouping reads each with its recorded schema
+    val delEntries = Sources.deleteEntries(Sources.currentManifest(spark, root)._2)
+    assert(delEntries.forall(_.keySchemaJson.isDefined),
+      "delete commits must record their key schema in the manifest")
+    assert(delEntries.map(_.keySchemaJson.get).distinct.size == 2,
+      "int-keyed and long-keyed deletes must carry distinct key schemas")
+    val wantCount = 2000 - gen1.filter(col("n") % 7 === 3).count() +
+      2000 - gen2.filter(col("n") % 5 === 0).count()
+    (1 to 5).foreach { i =>
+      val got = Sources.manifestRead(spark, root)
+      assert(got.count() == wantCount, s"read $i lost a delete group across the widening")
+      assert(got.filter(col("n") < 2000 && col("n") % 7 === 3).count() == 0,
+        s"read $i: the int-keyed delete did not apply")
+      assert(got.filter(col("n") >= 2000 && col("n") % 5 === 0).count() == 0,
+        s"read $i: the long-keyed delete did not apply")
+    }
+    // compaction folds both groups identically
+    Sources.manifestApplyDeletes(spark, root, 2)
+    assert(Sources.manifestRead(spark, root).count() == wantCount)
+  }
+
+  test("manifestAppendExactly: exactly one of two same-version committers wins; loser leaves no rows") {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_claim_spec").resolve("t").toUri)
+    val a = spark.range(100).select(col("id"), lit("A").as("who"))
+    val b = spark.range(100).select(col("id"), lit("B").as("who"))
+    // the ADVICE-r17 window made explicit: both builders observed the
+    // empty table, both stage, both try to commit v1 — the claim-based
+    // create admits exactly one
+    val winA = Sources.manifestAppendExactly(spark, root, a, 1, 1L)
+    val winB = Sources.manifestAppendExactly(spark, root, b, 1, 1L)
+    assert(winA && !winB, "exactly the first v1 claim must win")
+    val rows = Sources.manifestRead(spark, root)
+    assert(rows.count() == 100, "the loser's staged rows must not be in the table")
+    assert(rows.filter(col("who") =!= "A").count() == 0)
+    // a stale-target append (current is already v1, target v1) refuses
+    assert(!Sources.manifestAppendExactly(spark, root, b, 1, 1L))
+    // the next step targets v2 and succeeds exactly once
+    assert(Sources.manifestAppendExactly(spark, root, b, 1, 2L))
+    assert(!Sources.manifestAppendExactly(spark, root, a, 1, 2L))
+    assert(Sources.manifestRead(spark, root).count() == 200)
+  }
+
+  test("pre-upgrade manifest (no schema lines): first post-upgrade append still validates against _schema.json") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_preup_spec")
+    val root = new org.apache.hadoop.fs.Path(dir.resolve("t").toUri)
+    val df = spark.range(500).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+    Sources.manifestAppend(spark, root, df, 1)
+    // simulate a table committed before SchemaEntry lines existed:
+    // strip the s-lines from the manifest body (data entries +
+    // _schema.json remain — the real pre-upgrade on-disk state)
+    val mPath = java.nio.file.Paths.get(
+      new java.net.URI(root.toString)).resolve("_manifests").resolve("m-1.txt")
+    val stripped = java.nio.file.Files.readAllLines(mPath).stream()
+      .filter(l => !l.startsWith("s\t")).toArray.mkString("\n") + "\n"
+    java.nio.file.Files.writeString(mPath, stripped)
+    assert(Sources.recordedUnionSchema(
+      Sources.parseEntries(Sources.currentManifest(spark, root)._2)).isEmpty,
+      "precondition: the manifest must carry no schema lines")
+    // a rename in the first post-upgrade append must FAIL — before the
+    // fix it seeded the union from its own schema with no validation
+    // and permanently narrowed the recorded union
+    intercept[Sources.SchemaEvolutionViolation] {
+      Sources.manifestAppend(spark, root,
+        df.withColumnRenamed("payload", "paylaod"), 1)
+    }
+    // a well-formed append passes and seeds the union from _schema.json
+    Sources.manifestAppend(spark, root,
+      df.withColumn("extra", col("id") * 2), 1)
+    val u = Sources.recordedUnionSchema(
+      Sources.parseEntries(Sources.currentManifest(spark, root)._2))
+    assert(u.map(_.fieldNames.toSeq.sorted) == Some(Seq("extra", "id", "payload")),
+      "the post-upgrade append must seed the union from the persisted schema plus its adds")
+  }
+
   test("additive schema gate: drops, renames, and type drift fail at WRITE; adds pass") {
     import org.apache.spark.sql.functions._
     val root = new org.apache.hadoop.fs.Path(

@@ -440,4 +440,33 @@ class SimilaritySpec extends SparkSpec {
     }
     graft.CacheScope.release()
   }
+
+  test("concurrent index opens: one centroid set, one base commit — no duplicate build survives") {
+    // the ADVICE-r17 window: two opens that both observe an unbuilt
+    // index must not BOTH commit (duplicate cluster ids corrupting
+    // every later assignment). Build steps claim their exact target
+    // version, so whichever racer loses the O_EXCL create discards its
+    // staged copy and reads the winner's.
+    val root = new org.apache.hadoop.fs.Path(java.nio.file.Files
+      .createTempDirectory("ivf_race_spec").resolve("t").toUri)
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val fa = pool.submit(() => Similarity.ivfLifecycleIndex(spark, sfDir, root))
+    val fb = pool.submit(() => Similarity.ivfLifecycleIndex(spark, sfDir, root))
+    val (_, _, idxA) = fa.get(300, TimeUnit.SECONDS)
+    val (_, _, idxB) = fb.get(300, TimeUnit.SECONDS)
+    pool.shutdown()
+    val cRoot = root.suffix("_centroids")
+    val cents = graft.etl.Sources.manifestRead(spark, cRoot)
+    assert(graft.etl.Sources.currentManifest(spark, cRoot)._1 == 1L,
+      "centroid table must hold exactly one build commit")
+    assert(cents.count() == cents.select("cluster").distinct().count(),
+      "duplicate cluster ids — both racers committed a centroid set")
+    val n = graft.Tables.load(spark, sfDir, "embeddings").count()
+    // both handles read the same winner's table: corpus covered exactly once
+    assert(idxA.count() == n && idxB.count() == n,
+      "inverted lists must cover the corpus exactly once per vec_id")
+    assert(idxA.select("vec_id").distinct().count() == n)
+    graft.CacheScope.release()
+  }
 }

@@ -1,5 +1,6 @@
 #!/bin/bash
 cd /root/repo
+mkdir -p tmp/fulltest
 for i in 6 7; do
   echo "=== RUN $i start $(date +%H:%M:%S) head $(git rev-parse --short HEAD) ===" >> tmp/fulltest/summary.txt
   sbt -batch test > tmp/fulltest/run_$i.log 2>&1
