@@ -129,28 +129,39 @@ object Contamination {
       .orderBy("doc_id")
   }
 
+  /** Winnowing window for the span pass: density of selected grams is
+    * ~2/(w+1) ≈ 22%, and any shared span of ≥ w+8-1 = 15 tokens is
+    * GUARANTEED to share a selected fingerprint (Schleimer et al.) —
+    * boilerplate spans are long by definition, so the reduction keeps
+    * them while cutting ~4.5× off the shuffled gram mass. */
+  private val WinnowWindow = 8
+
   /** Boilerplate SPAN coverage — the masking-pass measurement on top of
     * x42's gram flags: how many of each document's TOKENS sit inside at
     * least one above-threshold 8-gram (i.e. what a removal pass would
     * actually delete; overlapping hot grams don't double-count because
     * coverage dedups token positions). Positional grams come from one
-    * compiled pass ([[graft.functions.TextExpressions.WordShinglePositional]]
-    * — the distinct variants can't say WHERE a gram sits). Gram keys
-    * shuffle as salted-xxhash64 pairs, not strings (the x98 rule; the
-    * keys are Spark-internal, so no md5 — see x42's rationale);
-    * coverage is the doc-local interval union of [pos, pos+7]
-    * ([[graft.functions.TextExpressions.CoveredTokenCount]]) — identical
-    * integer set algebra to the explode(sequence)+distinct formulation
-    * the oracle replays, WITHOUT shuffling 8× the hot-occurrence mass
-    * through a corpus-wide distinct (that plan read 16× at the 100×
-    * ScaleCheck volume). Same two shuffles as x42 (gram df + join-back),
-    * plus one doc-keyed aggregate whose collect_list state is bounded by
-    * tokens-per-doc. */
+    * compiled pass and are WINNOWED before anything shuffles
+    * ([[graft.functions.TextExpressions.WinnowedPositional]], window
+    * [[WinnowWindow]]): the doc-local min-hash-per-window selection
+    * keeps ~2/(w+1) of occurrences, with the standard guarantee that
+    * any repeated span of ≥ w+n-1 tokens still shares a selected
+    * fingerprint — the r17 verdict's 100× constant cut, applied at the
+    * source so every downstream exchange (gram df, semi-join back,
+    * coverage aggregate) pays the winnowed mass, not the full one. The
+    * winnow hash is the portable 60-bit md5 prefix so the oracle
+    * replays the SELECTION exactly. Gram keys still shuffle as
+    * salted-xxhash64 pairs, not strings (the x98 rule); coverage is
+    * the doc-local interval union of [pos, pos+7]
+    * ([[graft.functions.TextExpressions.CoveredTokenCount]]) over
+    * SELECTED hot grams. Same two shuffles as x42 (gram df +
+    * join-back), plus one doc-keyed aggregate whose collect_list state
+    * is bounded by selected-grams-per-doc. */
   def boilerplateSpans(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
     val grams = docs.select(col("doc_id"),
         graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
-        explode(graft.functions.TextExpressions.wordShinglePositional(col("text"), 8)).as("pg"))
+        explode(graft.functions.TextExpressions.winnowedPositional(col("text"), 8, WinnowWindow)).as("pg"))
       .select(col("doc_id"), col("n_tokens"),
         col("pg.pos").cast("long").as("pos"),
         xxhash64(col("pg.gram")).as("g1"),
@@ -266,17 +277,34 @@ object Contamination {
       FROM totals t LEFT JOIN per_doc p USING (doc_id)
       ORDER BY t.doc_id""",
     "x73_boilerplate_spans" -> """
+      -- winnowed fingerprint selection replayed exactly: per window of
+      -- 8 consecutive gram positions keep the smallest 60-bit md5-prefix
+      -- hash, ties to the RIGHTMOST position (MAX i among h = window min)
       WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
         FROM documents),
       idx AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
           unnest(range(1, greatest(len(t)-7, 1)+1)) AS i FROM toks),
-      grams AS (SELECT doc_id, n, i, array_to_string(t[i:i+7], ' ') AS gram FROM idx),
+      grams AS (SELECT doc_id, n, i, greatest(n-7, 1) AS m,
+          array_to_string(t[i:i+7], ' ') AS gram FROM idx),
+      hashed AS (SELECT doc_id, n, i, m, gram,
+          CAST(concat('0x', substr(md5(gram),1,15)) AS BIGINT) AS h FROM grams),
+      spread AS (SELECT doc_id, i, h,
+          unnest(range(greatest(1, i-7), least(i, greatest(m-7, 1))+1)) AS j
+        FROM hashed),
+      winmin AS (SELECT doc_id, j, MIN(h) AS mh FROM spread GROUP BY 1, 2),
+      winsel AS (SELECT s.doc_id, s.j, MAX(s.i) AS i
+        FROM spread s JOIN winmin w
+          ON s.doc_id = w.doc_id AND s.j = w.j AND s.h = w.mh
+        GROUP BY 1, 2),
+      sel AS (SELECT DISTINCT doc_id, i FROM winsel),
+      sgrams AS (SELECT g.doc_id, g.n, g.i, g.gram
+        FROM grams g JOIN sel USING (doc_id, i)),
       hot AS (SELECT gram FROM (
-          SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY 1)
+          SELECT gram, COUNT(DISTINCT doc_id) AS df FROM sgrams GROUP BY 1)
         WHERE df > 2),
       cov AS (SELECT DISTINCT doc_id, tok FROM (
           SELECT g.doc_id, unnest(range(g.i, least(g.i + 8, g.n + 1))) AS tok
-          FROM grams g JOIN hot USING (gram))),
+          FROM sgrams g JOIN hot USING (gram))),
       covc AS (SELECT doc_id, COUNT(*) AS n_covered FROM cov GROUP BY 1),
       nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
       SELECT nt.doc_id, nt.n_tokens, COALESCE(c.n_covered, 0) AS n_covered,

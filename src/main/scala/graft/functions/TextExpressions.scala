@@ -822,6 +822,104 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** WINNOWED positional word n-grams — the standard winnowing
+    * reduction (Schleimer et al., SIGMOD 2003: the MOSS fingerprint
+    * selection) applied doc-locally in one compiled pass: build every
+    * positional n-gram like [[WordShinglePositional]], hash each gram
+    * with the engine-portable 60-bit md5 prefix (the
+    * [[WordShinglePortableHashes]] encoding, so a DuckDB oracle can
+    * replay the SELECTION bit-for-bit), then slide a window of `w`
+    * consecutive gram positions and keep, per window, the position
+    * with the smallest hash (ties to the RIGHTMOST — the paper's
+    * robust-winnowing tie-break). Output is the selected subset in
+    * ascending position, same struct as the unwinnowed variant.
+    *
+    * Why: span-cover operators shuffle every gram occurrence; at the
+    * 100x ScaleCheck volume that shuffle is the whole cost. Winnowing
+    * cuts the shuffled mass to ~2/(w+1) of the occurrences BEFORE the
+    * exchange, with the published guarantee that any shared span of at
+    * least w+n-1 tokens still shares a selected fingerprint — so
+    * boilerplate SPANS (which are long by definition) survive while
+    * incidental single-gram overlaps may not. Selection is per
+    * document and hash-deterministic: the same text selects the same
+    * positions in every engine. */
+  case class WinnowedPositional(child: Expression, n: Int, w: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("gram", StringType, nullable = false))), containsNull = false)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("winnowExpr", this, classOf[WinnowedPositional].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($v);")
+    }
+
+    @transient private lazy val md5 =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
+
+    /** First 60 bits of md5 as a non-negative long — identical to
+      * DuckDB's CAST(concat('0x', substr(md5(g),1,15)) AS BIGINT). */
+    private def h60(gram: String): Long = {
+      val d = md5.get(); d.reset()
+      val b = d.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = 7 full bytes + the high nibble of byte 8
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+      (v << 4) | ((b(7) >> 4) & 0xfL)
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      // UTF8String.trim/toLowerCase — Spark's trim/lower semantics
+      // (WordShingleHashes documents the Java String divergence)
+      val toks = v.asInstanceOf[UTF8String].trim.toLowerCase.toString
+        .split("\\s+", -1)
+      val m = math.max(toks.length - n, 0) + 1
+      val grams = new Array[String](m)
+      val hs = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val end = math.min(i + n, toks.length)
+        grams(i) = String.join(" ", java.util.Arrays.asList(toks.slice(i, end): _*))
+        hs(i) = h60(grams(i))
+        i += 1
+      }
+      // windows j..j+w-1 (clamped); ascending scan with <= keeps the
+      // rightmost minimum — selections accumulate in a sorted set
+      // because a later window can select an earlier position than a
+      // previous window's rightmost-tie pick
+      val numWin = math.max(m - w + 1, 1)
+      val sel = new java.util.TreeSet[Integer]()
+      var j = 0
+      while (j < numWin) {
+        var best = j
+        var k = j + 1
+        val end = math.min(j + w, m)
+        while (k < end) { if (hs(k) <= hs(best)) best = k; k += 1 }
+        sel.add(best)
+        j += 1
+      }
+      val out = new Array[Any](sel.size)
+      val it = sel.iterator()
+      var o = 0
+      while (it.hasNext) {
+        val p = it.next().intValue()
+        out(o) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](p, UTF8String.fromString(grams(p))))
+        o += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftshim.{toColumn => column, toExpression => expression}
 
   def wordShingleHashes(text: Column, n: Int): Column =
@@ -835,6 +933,9 @@ object TextExpressions {
 
   def wordShinglePositional(text: Column, n: Int): Column =
     column(WordShinglePositional(expression(text), n))
+
+  def winnowedPositional(text: Column, n: Int, w: Int): Column =
+    column(WinnowedPositional(expression(text), n, w))
 
   def simHashPortable(tokens: Column): Column =
     column(SimHashPortable(expression(tokens)))

@@ -63,24 +63,30 @@ class ContaminationSpec extends SparkSpec {
     val spans = Contamination.boilerplateSpans(spark, sfDir).cache()
     assert(spans.filter(col("n_covered") > col("n_tokens")).count() == 0)
     assert(spans.filter(col("covered_ratio") < 0.0 || col("covered_ratio") > 1.0).count() == 0)
-    // a doc has covered tokens iff x42 flagged at least one of its grams
+    // winnowed-hot implies x42-hot (selected occurrences are a subset of
+    // all occurrences, so winnowed df <= full df): every doc with span
+    // coverage must carry at least one x42 flag. The converse no longer
+    // holds by design — an x42-hot gram may not be SELECTED in a given
+    // doc (winnowing keeps ~2/(w+1) of positions; only spans >= w+n-1
+    // tokens are guaranteed a shared fingerprint).
     val flags = Contamination.boilerplateReport(spark, sfDir)
       .select(col("doc_id"), col("n_boiler"))
-    val disagree = spans.join(flags, "doc_id")
-      .filter((col("n_covered") > 0) =!= (col("n_boiler") > 0))
-    assert(disagree.count() == 0, "span coverage and gram flags disagree")
+    val covered = spans.join(flags, "doc_id")
+      .filter(col("n_covered") > 0 && col("n_boiler") === 0)
+    assert(covered.count() == 0, "span coverage without any x42 gram flag")
     spans.unpersist()
   }
 
   test("boilerplate spans: doc-local interval union equals explode+distinct coverage") {
-    // the pre-rewrite formulation (string gram keys, explode every hot
-    // occurrence into 8 position rows, corpus-wide distinct) — the
-    // integer set algebra the oracle replays; the shipped plan must
-    // count the exact same covered positions
+    // reference formulation over the SAME winnowed gram stream (string
+    // gram keys, explode every hot occurrence into 8 position rows,
+    // corpus-wide distinct) — the integer set algebra the oracle
+    // replays; the shipped plan must count the exact same covered
+    // positions
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val grams = docs.select(col("doc_id"),
         graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
-        explode(graft.functions.TextExpressions.wordShinglePositional(col("text"), 8)).as("pg"))
+        explode(graft.functions.TextExpressions.winnowedPositional(col("text"), 8, 8)).as("pg"))
       .select(col("doc_id"), col("n_tokens"),
         col("pg.pos").cast("long").as("pos"), col("pg.gram").as("gram"))
     val hot = grams.select("gram", "doc_id").distinct()

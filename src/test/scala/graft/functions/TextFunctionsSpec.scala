@@ -209,4 +209,49 @@ class TextFunctionsSpec extends SparkSpec {
       (col("top_token_ratio") > lit(1.0) / col("n_tokens"))).count() == 0)
     out.unpersist()
   }
+
+  test("winnowed positional grams: subset, window coverage, shared-span guarantee") {
+    import graft.functions.TextExpressions.{winnowedPositional, wordShinglePositional}
+    val docs = graft.Tables.load(spark, sfDir, "documents").limit(200)
+      .select(col("doc_id"), col("text")).cache()
+    val full = docs.select(col("doc_id"),
+      explode(wordShinglePositional(col("text"), 8)).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val win = docs.select(col("doc_id"),
+      explode(winnowedPositional(col("text"), 8, 8)).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    // SUBSET: every winnowed (pos, gram) exists in the full positional set
+    assert(win.join(full, Seq("doc_id", "pos", "gram"), "left_anti").count() == 0,
+      "winnow selected a gram/position not in the positional set")
+    // DENSITY: ~2/(w+1) expected; assert the reduction actually happened
+    // and nothing was emptied
+    val nFull = full.count(); val nWin = win.count()
+    assert(nWin > 0 && nWin < nFull / 2,
+      s"winnow density off: $nWin of $nFull selected")
+    assert(win.select("doc_id").distinct().count() ==
+      docs.filter(length(col("text")) > 0).count(),
+      "every non-empty doc keeps at least one fingerprint")
+    // WINDOW COVERAGE: consecutive selected positions are < w apart
+    // (every window of w grams contains a selection — the winnowing
+    // invariant the span guarantee rests on)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val gaps = win.withColumn("gap", col("pos") - lag("pos", 1).over(w))
+      .filter(col("gap") > 8)
+    assert(gaps.count() == 0, "a window of 8 gram positions has no selection")
+    // SHARED-SPAN GUARANTEE: two synthetic docs sharing a 20-token span
+    // (>= w+n-1 = 15) must share at least one selected gram
+    import spark.implicits._
+    val span = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val synth = Seq((1L, s"alpha beta $span gamma"),
+                    (2L, s"$span delta epsilon zeta")).toDF("doc_id", "text")
+    val sg = synth.select(col("doc_id"),
+      explode(winnowedPositional(col("text"), 8, 8)).as("pg"))
+      .select(col("doc_id"), col("pg.gram").as("gram"))
+    val shared = sg.filter(col("doc_id") === 1L).select("gram")
+      .intersect(sg.filter(col("doc_id") === 2L).select("gram"))
+    assert(shared.count() > 0,
+      "docs sharing a 20-token span must share a winnowed fingerprint")
+    docs.unpersist()
+  }
 }
