@@ -478,6 +478,122 @@ object Multimodal {
       .select(col("media_id"), col("n_copies"))
       .orderBy("media_id")
 
+  // ---- perceptual near-dup (x157) -------------------------------------
+
+  /** dHash raster shape: 9 wide × 8 high → 8 row-wise comparisons per
+    * row; we keep the first 60 of the 64 bits so the signature stays
+    * positive in a signed 64-bit int in every engine AND reuses the
+    * 60-bit/4×15-band machinery the portable SimHash established
+    * (Sketches.simhashPortableBandKeys / hamming64). */
+  private[multimodal] val DHashW = 9
+  private[multimodal] val DHashH = 8
+
+  /** Bucket cap for the banded pair join — same defense as the text
+    * SimHash pass: one degenerate signature (e.g. flat images hashing
+    * to 0) must not go quadratic. */
+  private val PerceptualBucketCap = 64
+
+  /** 60-bit difference hash of a 9×8 grayscale raster: bit k = y·8+x
+    * (k < 60) is set iff pixel (y,x) is brighter than its right
+    * neighbor (y,x+1). Gradient SIGNS survive brightness/contrast
+    * shifts and small noise — the property that makes dHash the
+    * standard first tool on image corpora; near-duplicate images land
+    * within a few Hamming bits. */
+  private[multimodal] def dHash60(px: Array[Byte]): Long = {
+    var v = 0L
+    var k = 0
+    var y = 0
+    while (y < DHashH && k < 60) {
+      var x = 0
+      while (x < DHashW - 1 && k < 60) {
+        if ((px(y * DHashW + x) & 0xff) > (px(y * DHashW + x + 1) & 0xff))
+          v |= (1L << k)
+        k += 1
+        x += 1
+      }
+      y += 1
+    }
+    v
+  }
+
+  /** x157: perceptual near-duplicate detection over the DECODED image
+    * surface — the dedup family (x01-x06) extended past exact payload
+    * bytes (x39) to visual similarity: decode each PGM, nearest-neighbor
+    * resize to 9×8, take the 60-bit [[dHash60]], then find images within
+    * Hamming ≤ 3 via the SAME pigeonhole machinery as the text SimHash
+    * pass (x04): 4×15-bit bands (Hamming ≤ 3 ⇒ at least one band
+    * identical), identical-signature groups counted arithmetically in
+    * O(n), the pair self-join restricted to band buckets ≤
+    * [[PerceptualBucketCap]] (one flat-image signature can't go
+    * quadratic; skipped mass is printed, the no-silent-caps rule).
+    *
+    * Scale shape: payloads never shuffle — decode/resize/hash are
+    * narrow per-partition passes and only (media_id, 8-byte signature)
+    * rows reach the exchanges. The oracle replays the WHOLE chain bit
+    * for bit: the raster construction (PayloadCtes), the resize index
+    * arithmetic (x21's), the bit layout, the banding, and the verify. */
+  def mediaPerceptualDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val imgs = mediaFromDocuments(s, dir).filter(col("kind") === "image").as[Media]
+    val hashes = resize(decode(imgs), DHashW, DHashH)
+      .map(d => (d.media_id, dHash60(d.pixels)))
+      .toDF("media_id", "dh")
+    perceptualNearDups(hashes)
+  }
+
+  /** The banded near-dup pass over (media_id, dh) rows — factored so
+    * the spec can drive it with hand-built images (two near-identical
+    * rasters must pair; a different one must not). */
+  private[multimodal] def perceptualNearDups(hashes0: DataFrame): DataFrame = {
+    import graft.CacheScope.ScopedCacheOps
+    val hashes = hashes0.scopedCache()
+
+    // degenerate identical-signature groups, counted without pairs
+    val sameSim = hashes.groupBy("dh").agg(count(lit(1)).as("g"))
+    val sameCounts = hashes.join(sameSim, "dh")
+      .select(col("media_id"), (col("g") - 1).cast("long").as("n_same"))
+
+    val banded = hashes.select(col("media_id"), col("dh"),
+        explode(graft.functions.Sketches.simhashPortableBandKeys(col("dh"))).as("bk"))
+      .select(col("media_id"), col("dh"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("bsz"))
+    val hot = sizes.filter(col("bsz") > PerceptualBucketCap)
+      .agg(count(lit(1)).as("n_buckets"), sum("bsz").as("n_rows")).collect()(0)
+    if (!hot.isNullAt(1) && hot.getLong(1) > 0)
+      println(s"[multimodal] perceptual-dedup: bucket cap $PerceptualBucketCap " +
+        s"skipped ${hot.getLong(0)} buckets holding ${hot.getLong(1)} rows")
+    val coldBuckets = sizes.filter(col("bsz") <= PerceptualBucketCap)
+    val cold = banded.join(broadcast(coldBuckets.select("band", "key")), Seq("band", "key"))
+
+    val a = cold.alias("a")
+    val b = cold.alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id") && col("a.dh") =!= col("b.dh"))
+      .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"),
+              col("a.dh").as("dh1"), col("b.dh").as("dh2"))
+      .distinct()
+    val verified = pairs
+      .filter(graft.functions.Sketches.hamming64(col("dh1"), col("dh2")) <= 3)
+
+    def sideCounts(p: DataFrame, name: String) =
+      p.select(col("id1").as("media_id"))
+        .union(p.select(col("id2").as("media_id")))
+        .groupBy("media_id").agg(count(lit(1)).as(name))
+    hashes.select("media_id")
+      .join(sideCounts(pairs.select("id1", "id2"), "n_candidates"),
+        Seq("media_id"), "left")
+      .join(sideCounts(verified.select("id1", "id2"), "n_near_dups"),
+        Seq("media_id"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_near_dups"))
+      .join(sameCounts, Seq("media_id"))
+      .select(col("media_id"),
+        (col("n_candidates") + col("n_same")).as("n_candidates"),
+        (col("n_near_dups") + col("n_same")).as("n_near_dups"))
+      .orderBy("media_id")
+  }
+
   /** Tile size for [[mediaTiles]] — not a divisor of ALL the synthetic
     * dimensions (multiples of 8: 16/40/56… are indivisible by 12, while
     * 24/48 divide evenly), so the fixture exercises both ragged and
@@ -543,7 +659,8 @@ object Multimodal {
     "x22_media_frame_sample" -> frameSampleStats,
     "x39_media_dedup" -> mediaDedup,
     "x81_media_tiles" -> mediaTiles,
-    "x84_audio_frames" -> audioFrames)
+    "x84_audio_frames" -> audioFrames,
+    "x157_media_perceptual_dedup" -> mediaPerceptualDedup)
 
   /** Shared oracle CTE rebuilding the payload construction of
     * [[mediaFromDocuments]] in SQL — the pix raster (text cycled +
@@ -669,6 +786,55 @@ object Multimodal {
              ELSE 0 END AS n_frames,
         CAST(n_samples AS DOUBLE) / CAST(sample_rate AS DOUBLE) AS duration_s
       FROM a ORDER BY media_id""",
+    // the dHash chain replayed bit-for-bit: raster (PayloadCtes, ASCII
+    // corpus so ord(char) IS the byte — same contract as x21), the 9x8
+    // nearest-neighbor resize index arithmetic, bit k = y*8+x (k < 60)
+    // set iff left pixel > right pixel, 4x15-bit pigeonhole bands,
+    // bucket cap 64, Hamming <= 3 verify, and the n_same convention
+    "x157_media_perceptual_dedup" -> s"""
+      WITH $PayloadCtes,
+      img AS (SELECT media_id, w, h, pix FROM pay WHERE kind = 'image'),
+      rp AS (SELECT media_id, CAST(i AS BIGINT) AS i,
+          CAST(ord(substr(pix,
+            CAST(((i // 9) * h // 8) * w + ((i % 9) * w // 9) AS INT) + 1, 1))
+            AS BIGINT) AS v
+        FROM img, (SELECT unnest(range(0, 72)) AS i)),
+      bits AS (SELECT a.media_id, (a.i // 9) * 8 + (a.i % 9) AS k,
+          CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+        FROM rp a JOIN rp b ON a.media_id = b.media_id AND b.i = a.i + 1
+        WHERE a.i % 9 < 8 AND (a.i // 9) * 8 + (a.i % 9) < 60),
+      dh AS (SELECT media_id,
+          CAST(SUM(CASE WHEN bit = 1
+            THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS dh
+        FROM bits GROUP BY 1),
+      same AS (SELECT media_id, dh,
+          COUNT(*) OVER (PARTITION BY dh) - 1 AS n_same FROM dh),
+      bandix(band) AS (SELECT unnest(range(0, 4))),
+      bands AS (SELECT media_id, dh, band, (dh >> (band*15)) & 32767 AS bkey
+        FROM dh CROSS JOIN bandix),
+      sized AS (SELECT media_id, dh, band, bkey,
+          COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
+      cold AS (SELECT media_id, dh, band, bkey FROM sized WHERE bsz <= 64),
+      pairs AS (SELECT DISTINCT a.media_id AS id1, b2.media_id AS id2,
+          a.dh AS dh1, b2.dh AS dh2
+        FROM cold a JOIN cold b2
+          ON a.band = b2.band AND a.bkey = b2.bkey
+          AND a.media_id < b2.media_id AND a.dh <> b2.dh),
+      verified AS (SELECT id1, id2 FROM pairs
+        WHERE bit_count(xor(dh1, dh2)) <= 3),
+      cand AS (SELECT media_id, COUNT(*) AS n FROM
+        (SELECT id1 AS media_id FROM pairs UNION ALL SELECT id2 FROM pairs)
+        GROUP BY 1),
+      near AS (SELECT media_id, COUNT(*) AS n FROM
+        (SELECT id1 AS media_id FROM verified UNION ALL SELECT id2 FROM verified)
+        GROUP BY 1)
+      SELECT s.media_id,
+        COALESCE(c.n, 0) + s.n_same AS n_candidates,
+        COALESCE(v.n, 0) + s.n_same AS n_near_dups
+      FROM same s
+      LEFT JOIN cand c USING (media_id)
+      LEFT JOIN near v USING (media_id)
+      ORDER BY s.media_id""",
     "x81_media_tiles" -> s"""
       WITH m AS (SELECT doc_id AS media_id,
           (doc_id % 7) * 8 + 16 AS width, (doc_id % 5) * 8 + 16 AS height

@@ -273,6 +273,46 @@ class MultimodalSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("perceptual dedup: near-identical images pair, a different image does not") {
+    import spark.implicits._
+    // two 32x24 rasters differing in ONE pixel (a speck of sensor
+    // noise) and one structurally different raster: the dHash pair must
+    // verify at Hamming <= 3, the different image must match neither
+    val w = 32; val h = 24
+    // textured base (scrambled gradient — horizontally NON-monotone, so
+    // the dHash carries real bits; a plain ramp hashes to 0 and
+    // everything would collide on the degenerate signature)
+    val base = Array.tabulate(w * h)(i => (((i * 131) ^ (i >> 3)) % 251).toByte)
+    // one sensor-noise pixel AT A RESIZE SAMPLE POINT (out (2,3) samples
+    // source (6,10)), so the perturbation survives the 9x8 downsample
+    // and flips at most 2 dHash bits
+    val noisy = base.clone(); noisy(w * 6 + 10) = (noisy(w * 6 + 10) + 90).toByte
+    val other = Array.tabulate(w * h)(i => (((i / w) * 11) % 256).toByte) // vertical ramp
+    def mk(id: Long, px: Array[Byte]) = Multimodal.Media(id, "image",
+      Multimodal.PgmCodec.encode(w, h, px), w, h, 16000, 1, "application/octet-stream")
+    val media = Seq(mk(1L, base), mk(2L, noisy), mk(3L, other)).toDS()
+    val hashes = Multimodal.resize(Multimodal.decode(media),
+        Multimodal.DHashW, Multimodal.DHashH)
+      .map(d => (d.media_id, Multimodal.dHash60(d.pixels)))
+      .toDF("media_id", "dh")
+    val out = Multimodal.perceptualNearDups(hashes)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._2 >= 1, s"near-identical pair not detected: $out")
+    assert(out(2L)._2 >= 1, s"near-identical pair not detected: $out")
+    assert(out(3L)._2 == 0, s"structurally different image matched: $out")
+    // and an exact copy rides the n_same convention
+    val withCopy = media.union(Seq(mk(4L, base)).toDS())
+    val hashes2 = Multimodal.resize(Multimodal.decode(withCopy),
+        Multimodal.DHashW, Multimodal.DHashH)
+      .map(d => (d.media_id, Multimodal.dHash60(d.pixels)))
+      .toDF("media_id", "dh")
+    val out2 = Multimodal.perceptualNearDups(hashes2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out2(4L) >= 1 && out2(1L) >= 1,
+      s"exact copy must count as a near-dup of its twin: $out2")
+    graft.CacheScope.release()
+  }
+
   test("x21 oracle precondition: corpus is ASCII (payload byte == codepoint)") {
     // the DuckDB oracles index decoded buffers via ord(char) per
     // character; that equals the UTF-8 payload byte only while the
