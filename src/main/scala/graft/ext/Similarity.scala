@@ -423,6 +423,46 @@ object Similarity {
     (all, frozen, graft.etl.Sources.manifestRead(s, root))
   }
 
+  /** x158: equality deletes COMPOSED with the persisted IVF index —
+    * the gap the r17 verdict named: x154's lifecycle survives crashes
+    * but a manifest equality delete (x145) on the vector corpus left
+    * the inverted lists serving tombstoned vec_ids. Here the delete is
+    * committed against the LISTS table itself (vec_id is the equality
+    * key; ONE commit, zero list files rewritten) and the probe reads
+    * the table through the same merge-aware path every consumer uses
+    * ([[graft.etl.Sources.manifestRead]]): each list generation
+    * anti-joins the tombstones committed after it, so a deleted vector
+    * can never be served — tombstone-aware probing falls out of the
+    * table format rather than index-special logic. Compaction
+    * ([[graft.etl.Sources.manifestApplyDeletes]]) later folds the
+    * tombstones into rewritten list files with an identical read
+    * (spec-asserted, including the crash window between the delete
+    * commit and the compaction); queries also exclude deleted ids — a
+    * deleted vector neither queries nor serves. The oracle replays
+    * train-on-base → assign-everything → probe with the deleted ids
+    * filtered from both sides. */
+  def ivfIndexDeleteProbe(s: SparkSession, dir: String): DataFrame =
+    ivfDeleteProbeAt(s, dir, graft.etl.Sources.nonceRoot("ivf_del", dir))
+
+  /** The x158 build+delete+probe at an explicit root, factored so the
+    * spec can drive the crash window (reopen between delete and
+    * compaction) and assert probe-after-compaction equality. */
+  private[graft] def ivfDeleteProbeAt(s: SparkSession, dir: String,
+      root: org.apache.hadoop.fs.Path): DataFrame = {
+    val (all, frozen, _) = ivfLifecycleIndex(s, dir, root)
+    val deletedPred = pmod(col("vec_id"), lit(10L)) === 5
+    // idempotent across reopens (the open-or-repair contract): commit
+    // the tombstones only while the live merged read still serves a
+    // victim — a reopen after the delete (or after compaction) commits
+    // nothing
+    if (!graft.etl.Sources.manifestRead(s, root)
+          .filter(deletedPred).isEmpty)
+      graft.etl.Sources.manifestDelete(s, root,
+        all.filter(deletedPred).select("vec_id"))
+    val kept = all.filter(!deletedPred)
+    probeLists(kept, frozen, graft.etl.Sources.manifestRead(s, root), IvfProbes)
+  }
+
   /** SemDeDup prune threshold. Data-dependent like RangeTau: this
     * synthetic corpus is near-orthogonal (pair cosines p99 ≈ 0.29), so
     * 0.3 prunes a measurable tail; a real embedding space sets τ at the
@@ -1155,6 +1195,7 @@ object Similarity {
     "x09_sim_label_centroids" -> labelCentroidSims,
     "x28_sim_topk_ivf" -> topKIvf,
     "x154_ivf_index_lifecycle" -> ivfIndexLifecycle,
+    "x158_ivf_delete_probe" -> ivfIndexDeleteProbe,
     "x58_sim_range_search" -> rangeSearch,
     "x65_sim_hard_negatives" -> hardNegatives)
 
@@ -1224,23 +1265,29 @@ object Similarity {
         FROM fs) WHERE rn = 1)"""
   }
 
-  /** The probe+re-rank tail shared by the x28 oracle and the x154
+  /** The probe+re-rank tail shared by the x28 oracle, the x154
     * lifecycle oracle (whose only difference is WHERE the quantizer
-    * trained — the `idx` both end at covers the full corpus). */
-  private lazy val ivfProbeSuffixSql: String = s"""
-      q AS (SELECT vec_id AS query_id, vq AS qv FROM e WHERE vec_id < $NQueries),
+    * trained — the `idx` both end at covers the full corpus), and the
+    * x158 delete-probe oracle (`alive` filters the tombstoned ids from
+    * both the query side and the candidate side). */
+  private def ivfProbeTailSql(alive: String = "TRUE"): String = s"""
+      q AS (SELECT vec_id AS query_id, vq AS qv FROM e
+        WHERE vec_id < $NQueries AND $alive),
       pr AS (SELECT query_id, qv, cluster FROM (
         SELECT q.query_id, q.qv, c.cluster,
           ROW_NUMBER() OVER (PARTITION BY q.query_id
             ORDER BY ${duckCos("q.qv", "c.c")} DESC, c.cluster) AS pn
         FROM q CROSS JOIN c$LloydIters c) WHERE pn <= $IvfProbes),
       cand AS (SELECT pr.query_id, i.vec_id, ${duckCos("pr.qv", "i.vq")} AS cos
-        FROM pr JOIN idx i USING (cluster) WHERE i.vec_id <> pr.query_id),
+        FROM pr JOIN idx i USING (cluster)
+        WHERE i.vec_id <> pr.query_id AND ${alive.replace("vec_id", "i.vec_id")}),
       ranked AS (SELECT query_id, vec_id, cos,
         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
         FROM cand)
       SELECT query_id, rank, vec_id AS neighbor_id, ROUND(cos, 6) AS cos_sim
       FROM ranked WHERE rank <= $K ORDER BY query_id, rank"""
+
+  private lazy val ivfProbeSuffixSql: String = ivfProbeTailSql()
 
   private lazy val ivfOracleSql: String =
     s"""${ivfIndexCtes(IvfClusters.toString)},
@@ -1254,6 +1301,14 @@ object Similarity {
     s"""${ivfIndexCtes(IvfClusters.toString,
          trainWhere = "WHERE vec_id % 10 <> 0")},
       $ivfProbeSuffixSql"""
+
+  /** x158 oracle: the x154 chain (train on base, assign everything)
+    * with the tombstoned ids (vec_id % 10 = 5) excluded from queries
+    * and candidates — exactly what the merge-aware probe serves. */
+  private lazy val ivfDeleteOracleSql: String =
+    s"""${ivfIndexCtes(IvfClusters.toString,
+         trainWhere = "WHERE vec_id % 10 <> 0")},
+      ${ivfProbeTailSql(alive = "vec_id % 10 <> 5")}"""
 
   /** Shared DuckDB CTE chain ending in `sem_keep(vec_id)` — the x109
     * semantic keep list, factored so compositions (x123) replay the
@@ -1325,6 +1380,7 @@ object Similarity {
   private val baseOracles: Map[String, String] = Map(
     "x28_sim_topk_ivf" -> ivfOracleSql,
     "x154_ivf_index_lifecycle" -> ivfLifecycleOracleSql,
+    "x158_ivf_delete_probe" -> ivfDeleteOracleSql,
     "x128_sem_assign_approx" -> s"""
       $semApproxCtes
       SELECT e.vec_id, ap.acluster AS cluster

@@ -441,6 +441,68 @@ class SimilaritySpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("IVF deletes: probe never serves a tombstoned id; compaction preserves the probe; recall holds") {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(java.nio.file.Files
+      .createTempDirectory("ivf_delete_spec").resolve("t").toUri)
+    val out1 = Similarity.ivfDeleteProbeAt(spark, sfDir, root).collect()
+    assert(out1.nonEmpty)
+    // no deleted id is served — neither as neighbor nor as query
+    assert(out1.forall(r => r.getAs[Long]("neighbor_id") % 10 != 5),
+      "probe served a tombstoned neighbor")
+    assert(out1.forall(r => r.getAs[Long]("query_id") % 10 != 5),
+      "a deleted vector still queries")
+    out1.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.sameElements(1L to ranks.length), s"query $q ranks not dense")
+    }
+    val vDel = graft.etl.Sources.currentManifest(spark, root)._1
+
+    // CRASH WINDOW between delete and compaction: a reopen must commit
+    // nothing (the delete is already live via merge-on-read) and serve
+    // the identical result
+    val out2 = Similarity.ivfDeleteProbeAt(spark, sfDir, root).collect()
+    assert(graft.etl.Sources.currentManifest(spark, root)._1 == vDel,
+      "reopen in the delete->compaction window committed again")
+    assert(out1.map(_.toString).sorted.sameElements(out2.map(_.toString).sorted),
+      "reopen changed the probe result")
+
+    // compaction physically drops the tombstoned rows; the read (and
+    // therefore the probe) is unchanged
+    graft.etl.Sources.manifestApplyDeletes(spark, root, 2)
+    val lists = graft.etl.Sources.manifestRead(spark, root)
+    assert(lists.filter(col("vec_id") % 10 === 5).count() == 0)
+    assert(graft.etl.Sources.deleteEntries(
+      graft.etl.Sources.currentManifest(spark, root)._2).isEmpty,
+      "compaction must fold the delete entries out of the live manifest")
+    val out3 = Similarity.ivfDeleteProbeAt(spark, sfDir, root).collect()
+    assert(out1.map(_.toString).sorted.sameElements(out3.map(_.toString).sorted),
+      "compaction changed the probe result")
+
+    // recall vs brute force over the SURVIVING corpus stays at the x28
+    // floor — deleting 10% must not degrade the index
+    import spark.implicits._
+    val all = graft.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 10 =!= 5)
+      .select(col("vec_id"), col("embedding"))
+    val vecs = all.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.max(math.sqrt(na) * math.sqrt(nb), 1e-300)
+    }
+    val exact = vecs.keys.filter(_ < 10).flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (q, id, cos(vecs(q), v)) }
+        .sortBy { case (_, id, c) => (-c, id) }.take(5).map(t => (t._1, t._2))
+    }.toSet
+    val approx = out1.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"post-delete IVF recall $recall below 0.8")
+    graft.CacheScope.release()
+  }
+
   test("concurrent index opens: one centroid set, one base commit — no duplicate build survives") {
     // the ADVICE-r17 window: two opens that both observe an unbuilt
     // index must not BOTH commit (duplicate cluster ids corrupting
