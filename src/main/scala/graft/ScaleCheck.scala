@@ -63,6 +63,9 @@ object ScaleCheck {
     "x28_sim_topk_ivf",
     "x29_events_asof_native",
     "x34_contamination",
+    // x159 shares x03's minhash candidate machinery verbatim; carried
+    // so the cross-boundary restriction is measured, not assumed
+    "x159_fuzzy_contamination",
     "x43_dup_clusters",
     "x50_source_overlap",
     "x66_tfidf_terms",

@@ -216,14 +216,77 @@ object Contamination {
     nTest.crossJoin(leakStats)
   }
 
+  /** x159: FUZZY benchmark contamination — the r17 verdict gap: x34's
+    * exact 8-gram overlap misses eval leakage that survives paraphrase
+    * (reworded sentences share almost no 8-grams but plenty of 3-gram
+    * mass). Runs the x03 MinHash-LSH band machinery ACROSS the
+    * train/eval boundary and reports, per eval doc, the maximum exact
+    * Jaccard against any training document among the banded candidates
+    * — `leaked` at the s-curve threshold τ = [[Dedup.MinhashTau]].
+    * Identical shingle SETS across the boundary (excluded from LSH
+    * candidates by design, the n_same convention) count as Jaccard 1.0
+    * via the set key. At 100 TB the eval side is tiny — its band table
+    * broadcasts and the training corpus streams past it; here both
+    * sides come off one scan through the SHARED x03 candidate
+    * machinery (and the shared minhashPairsSql oracle chain), so the
+    * fuzzy-contamination verdict can never drift from the dedup
+    * family's banding. */
+  def fuzzyContamination(s: SparkSession, dir: String): DataFrame = {
+    val (docs, withJaccard) = Dedup.minhashCandidates(s, dir)
+    val cross = withJaccard
+      .filter((col("id1") % 13 === 0) =!= (col("id2") % 13 === 0))
+      .withColumn("bench_id",
+        when(col("id1") % 13 === 0, col("id1")).otherwise(col("id2")))
+    val best = cross.groupBy(col("bench_id").as("doc_id"))
+      .agg(max(col("jaccard")).as("band_j"))
+    // an eval doc whose exact shingle SET also occurs in training data
+    // is a verbatim leak: Jaccard exactly 1.0, no pair materialized
+    val trainSets = docs.filter(col("doc_id") % 13 =!= 0)
+      .select("setkey").distinct()
+    val exactDup = docs.filter(col("doc_id") % 13 === 0)
+      .join(trainSets, Seq("setkey"), "left_semi")
+      .select(col("doc_id"), lit(1.0).as("dup_j"))
+    docs.filter(col("doc_id") % 13 === 0).select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .join(exactDup, Seq("doc_id"), "left")
+      .withColumn("max_jaccard",
+        greatest(coalesce(col("band_j"), lit(0.0)), coalesce(col("dup_j"), lit(0.0))))
+      .withColumn("leaked", (col("max_jaccard") >= Dedup.MinhashTau).cast("int"))
+      .select("doc_id", "max_jaccard", "leaked")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x34_contamination" -> benchmarkContamination,
     "x35_blocklist" -> blocklistFilter,
     "x42_boilerplate" -> boilerplateReport,
     "x73_boilerplate_spans" -> boilerplateSpans,
-    "x79_split_leakage" -> splitLeakage)
+    "x79_split_leakage" -> splitLeakage,
+    "x159_fuzzy_contamination" -> fuzzyContamination)
 
   val oracles: Map[String, String] = Map(
+    // the shared x03 LSH chain (signatures, banding, cap, exact
+    // jaccard), restricted to cross-boundary pairs; verbatim leaks ride
+    // the set key at 1.0 exactly like the Scala side
+    "x159_fuzzy_contamination" -> s"""
+      WITH ${Dedup.minhashPairsSql},
+      crossb AS (SELECT CASE WHEN id1 % 13 = 0 THEN id1 ELSE id2 END AS doc_id, j
+        FROM jac WHERE (id1 % 13 = 0) <> (id2 % 13 = 0)),
+      best AS (SELECT doc_id, MAX(j) AS band_j FROM crossb GROUP BY 1),
+      train_sets AS (SELECT DISTINCT setkey FROM sets WHERE doc_id % 13 <> 0),
+      exactdup AS (SELECT s.doc_id FROM sets s
+        JOIN train_sets USING (setkey) WHERE s.doc_id % 13 = 0)
+      SELECT s.doc_id,
+        greatest(COALESCE(b.band_j, 0.0),
+          CASE WHEN e.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS max_jaccard,
+        CAST(greatest(COALESCE(b.band_j, 0.0),
+          CASE WHEN e.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END)
+          >= ${Dedup.MinhashTau} AS INT) AS leaked
+      FROM sets s
+      LEFT JOIN best b ON b.doc_id = s.doc_id
+      LEFT JOIN exactdup e ON e.doc_id = s.doc_id
+      WHERE s.doc_id % 13 = 0
+      ORDER BY s.doc_id""",
     "x79_split_leakage" -> s"""
       WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
         FROM documents),

@@ -260,7 +260,7 @@ object Dedup {
   private val MinhashK = 64
   private val Bands = 16
   private val RowsPerBand = 4 // s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
-  private val MinhashTau = 0.5
+  private[ext] val MinhashTau = 0.5
   private val NgramTau = 0.6
   private val CosineTau = 0.95
 
@@ -290,7 +290,7 @@ object Dedup {
     * and the threshold sweep (x106) consume, factored so the two
     * queries (and their two oracles, via minhashPairsSql) cannot
     * drift. */
-  private def minhashCandidates(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[ext] def minhashCandidates(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // cache the sketched docs: the self-join + two verify joins below
     // would otherwise recompute the (expensive) shingle+minhash lineage
     // up to 4×. At cluster scale this is persist(MEMORY_AND_DISK) on a
@@ -812,7 +812,7 @@ object Dedup {
     * j)` with exact jaccard. The x03 summary and the x106 threshold
     * sweep both build on it, mirroring the shared Scala machinery
     * ([[minhashCandidates]]) — neither side can drift alone. */
-  private def minhashPairsSql: String = s"""
+  private[ext] def minhashPairsSql: String = s"""
       coef(j, a, b) AS (VALUES $coefValues),
       ${gramSetsSql(3)},
       same AS (SELECT doc_id,

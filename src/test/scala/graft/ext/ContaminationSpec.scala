@@ -104,6 +104,75 @@ class ContaminationSpec extends SparkSpec {
       "interval-union coverage must equal the explode+distinct formulation")
   }
 
+  test("fuzzy contamination: a seeded paraphrased leak is caught at jaccard >= 0.5; clean eval docs are not") {
+    import spark.implicits._
+    // synthetic corpus in the documents-table shape: train doc 1 and a
+    // PARAPHRASED eval twin at doc 13 — reworded enough that they share
+    // almost no 8-grams (x34's exact pass would miss it) but well over
+    // half their 3-gram shingle mass; eval doc 26 is unrelated; eval
+    // doc 39 is a VERBATIM copy of train doc 2 (the set-key 1.0 path)
+    // six 7-word clauses; the paraphrase REORDERS them (reversed), so
+    // no 8 consecutive tokens survive (every 8-gram spans a clause
+    // boundary and the boundaries all changed) while ~60% of the
+    // 3-gram shingle mass is shared — the paraphrase regime exactly
+    val clauses = Seq(
+      "the quick brown fox jumps over fences",
+      "while the old farmer watches from afar",
+      "near the quiet river bank at dusk",
+      "as evening light settles on golden fields",
+      "and distant church bells ring across valleys",
+      "before the cold night wind finally arrives")
+    val trainText = clauses.mkString(" ")
+    val paraphrased = clauses.reverse.mkString(" ")
+    val unrelated = "completely different subject matter entirely about " +
+      "submarine navigation sonar arrays and deep ocean pressure hulls " +
+      "with titanium alloy welding procedures for extreme depth ratings"
+    val verbatim = "benchmark question text that must never appear in the " +
+      "training corpus because models memorize answers from pretraining data"
+    val docs = Seq(
+      (1L, trainText), (2L, verbatim), (3L, "some other training page " +
+        "about cooking pasta with garlic and fresh basil leaves"),
+      (13L, paraphrased), (26L, unrelated), (39L, verbatim))
+      .map { case (id, t) => (id, t, "en", "spec", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("fuzzy_spec").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = Contamination.fuzzyContamination(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    assert(out.keySet == Set(13L, 26L, 39L), s"one row per eval doc: $out")
+    assert(out(13L)._1 >= 0.5 && out(13L)._2 == 1,
+      s"paraphrased leak not caught: ${out(13L)}")
+    assert(out(39L)._1 == 1.0 && out(39L)._2 == 1,
+      s"verbatim leak must score 1.0: ${out(39L)}")
+    assert(out(26L)._2 == 0, s"unrelated eval doc flagged: ${out(26L)}")
+    // and the x34 exact-8-gram pass indeed misses the paraphrase — the
+    // reason this operator exists
+    val exact = Contamination.benchmarkContamination(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(exact.getOrElse(1L, 0) == 0,
+      "precondition broken: the paraphrase shares an exact 8-gram with training")
+    graft.CacheScope.release()
+  }
+
+  test("fuzzy contamination on the corpus: bounded, consistent with verbatim text dups") {
+    import org.apache.spark.sql.functions._
+    val out = Contamination.fuzzyContamination(spark, sfDir).cache()
+    assert(out.filter(col("max_jaccard") < 0.0 || col("max_jaccard") > 1.0).count() == 0)
+    assert(out.filter((col("leaked") === 1) =!= (col("max_jaccard") >= 0.5)).count() == 0)
+    // one row per eval doc
+    assert(out.count() == graft.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 13 === 0).count())
+    // an eval doc whose exact TEXT also appears in training must leak at 1.0
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val trainTexts = docs.filter(col("doc_id") % 13 =!= 0).select("text").distinct()
+    val verbatims = docs.filter(col("doc_id") % 13 === 0)
+      .join(trainTexts, Seq("text"), "left_semi").select("doc_id")
+    val missed = verbatims.join(out.filter(col("max_jaccard") === 1.0), Seq("doc_id"), "left_anti")
+    assert(missed.count() == 0, "a verbatim eval copy did not score 1.0")
+    out.unpersist()
+    graft.CacheScope.release()
+  }
+
   test("split leakage: bounded by the test split, and exact dups always leak") {
     val r = Contamination.splitLeakage(spark, sfDir).collect()(0)
     val (nTest, nLeaked) =
