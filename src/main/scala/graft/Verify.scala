@@ -82,9 +82,14 @@ object Verify {
     // named .json so every checker's "*.json is not a query dump"
     // exclusion (tools/check.py:84) applies; content is JSON-per-line
     val manifest = Paths.get(s"$outDir/manifest.json")
-    def note(name: String, status: String, secs: Double): Unit =
+    // `rows` (r17 verdict task 8): the dumped result's row count rides
+    // the ledger, so comparing two SFs' manifests surfaces any query
+    // whose result collapses to a trivially-green 0-1 rows at the gate
+    // volume (footer-only count of the just-written parquet — no
+    // recompute)
+    def note(name: String, status: String, secs: Double, rows: Long = -1L): Unit =
       scala.util.Try(Files.writeString(manifest,
-        s"""{"query":${q(name)},"status":${q(status)},"secs":${math.round(secs * 1000) / 1000.0}}""" + "\n",
+        s"""{"query":${q(name)},"status":${q(status)},"secs":${math.round(secs * 1000) / 1000.0},"rows":$rows}""" + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND))
     SparkEntry.queries.toSeq.sortBy(_._1)
@@ -110,7 +115,9 @@ object Verify {
           // pull the deferred no-silent-caps report while the query's
           // cached lineage is still warm (see Dedup.drainCapLossReports)
           ext.Dedup.drainCapLossReports()
-          note(name, "ok", (System.nanoTime() - qT0) / 1e9)
+          val rows = scala.util.Try(
+            spark.read.parquet(s"$outDir/$name").count()).getOrElse(-1L)
+          note(name, "ok", (System.nanoTime() - qT0) / 1e9, rows)
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           note(name, "failed", (System.nanoTime() - qT0) / 1e9)

@@ -420,6 +420,16 @@ object Similarity {
     if (listsVersion < 2L)
       graft.etl.Sources.manifestAppendExactly(s, root,
         exactAssign(delta, frozen).select("vec_id", "cluster", "vq"), 1, 2L)
+    // a racer that LOST a claim must not hand back the winner's
+    // in-flight intermediate: wait (bounded) until the COMPLETE index
+    // (both commits) is visible, so every open serves base+delta. A
+    // crashed winner leaves the loop via the timeout with the highest
+    // COMMITTED version — a consistent (if partial) snapshot the next
+    // open repairs.
+    var spins = 0
+    while (graft.etl.Sources.currentManifest(s, root)._1 < 2L && spins < 600) {
+      Thread.sleep(50); spins += 1
+    }
     (all, frozen, graft.etl.Sources.manifestRead(s, root))
   }
 

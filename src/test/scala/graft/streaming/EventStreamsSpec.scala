@@ -318,6 +318,60 @@ class EventStreamsSpec extends SparkSpec {
       "redelivery changed the upsert table")
   }
 
+  test("idempotent sink crash window: die AFTER a batch's parquet write, BEFORE its checkpoint commit") {
+    // the harder window than x91's full redelivery: the batch's output
+    // files are already on disk but the commit log never recorded the
+    // batch — a restart MUST redeliver that batch id and the
+    // deterministic-path overwrite must absorb the rewrite, or the
+    // sink double-counts exactly the rows written in the crash window
+    val staged = java.nio.file.Files.createTempDirectory("sink_crash_src").toString
+    val out = java.nio.file.Files.createTempDirectory("sink_crash_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sink_crash_ckpt").toString
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .select("event_id", "event_type", "value")
+    events.repartition(4).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q1 = stream.writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch_id=$id")
+        if (id == 2L) {
+          crashed.set(true)
+          throw new RuntimeException("injected crash: write landed, commit did not")
+        }
+        ()
+      }.start()
+    scala.util.Try(q1.processAllAvailable())
+    scala.util.Try(q1.stop())
+    assert(crashed.get, "the injected crash never fired")
+    // the window is REAL: batch 2's parquet is on disk...
+    assert(new java.io.File(s"$out/batch_id=2").exists(),
+      "precondition: batch 2's write must have landed before the crash")
+    // ...but the checkpoint committed only batches 0 and 1
+    val committed = Option(new java.io.File(s"$ckpt/commits").listFiles())
+      .getOrElse(Array()).map(_.getName).filterNot(_.startsWith(".")).sorted
+    assert(committed.sameElements(Seq("0", "1")),
+      s"commit log should hold exactly batches 0,1 at the crash: ${committed.toSeq}")
+
+    // restart from the SAME checkpoint, no injection: batch 2 is
+    // redelivered under ITS OWN id, overwrites its own dir, and the
+    // remaining batch completes
+    EventStreams.idempotentParquetSink(stream, out, ckpt)
+    val got = spark.read.parquet(out)
+    assert(got.count() == events.count(),
+      "exactly-once violated: row count diverged after crash recovery")
+    val diff = got.select("event_id").exceptAll(events.select("event_id")).count() +
+      events.select("event_id").exceptAll(got.select("event_id")).count()
+    assert(diff == 0, "exactly-once violated: event multiset diverged")
+    val batchDirs = Option(new java.io.File(out).listFiles()).getOrElse(Array())
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted
+    assert(batchDirs.sameElements((0 to 3).map(i => s"batch_id=$i")),
+      s"unexpected batch dirs: ${batchDirs.toSeq}")
+  }
+
   test("CDC upsert crash-recovery: die after a batch's table commit, resume from the checkpoint") {
     import org.apache.spark.sql.expressions.Window
     // crash at the WORST window — batch 1's manifest commits landed,
