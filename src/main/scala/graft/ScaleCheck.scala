@@ -82,6 +82,7 @@ object ScaleCheck {
     "x110_quant_audit",
     "x111_curriculum",
     "x157_media_perceptual_dedup",
+    "x160_audio_perceptual_dedup",
     "x112_dedup_recall_audit",
     "x113_mix_plan",
     "x114_outlier_audit",
@@ -414,10 +415,10 @@ object ScaleCheck {
       "x21_media_features", "x37_text_redaction", "x38_text_repetition",
       "x45_tokenizer_fertility", "x84_audio_frames", "x110_quant_audit",
       "x149_incremental_index",
-      // x157: decode/resize/dHash are the same documents-derived
-      // per-row scan; the banded pair join shuffles only 8-byte
-      // signatures and is bucket-capped, so char mass stays the axis
-      "x157_media_perceptual_dedup")
+      // x157/x160: decode/resize/hash are the same documents-derived
+      // per-row scan; the banded pair joins shuffle only 8-byte
+      // signatures and are bucket-capped, so char mass stays the axis
+      "x157_media_perceptual_dedup", "x160_audio_perceptual_dedup")
     if (rows.exists(r => scanFamily.contains(r._1))) {
       import org.apache.spark.sql.functions.{col, length, sum}
       def chars(d: String): Long = graft.Tables.load(spark, d, "documents")

@@ -594,6 +594,89 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** x160 analysis geometry: a FINER frame walk than x84's 25ms/10ms
+    * telephony framing (window 80, hop 32, 4 quarter-windows of 20
+    * samples) — sized so typical corpus clips (a few hundred samples)
+    * yield 7-16 frames and a usable 24-60 bit signature; the x84
+    * geometry needs ≥560 samples and would exclude this entire corpus
+    * (VOLUME_AUDIT's zero-row trap). 4 energy bands per frame
+    * boundary, up to 15 boundaries → 60 bits, the same signature
+    * domain as [[dHash60]] so the banding machinery is shared
+    * verbatim. */
+  private[multimodal] val FpWindow = 80
+  private[multimodal] val FpHop = 32
+  private val FpQuarter = 20
+  private val FpMaxFrames = 16
+
+  /** 60-bit audio fingerprint: per frame, 4 quarter-window energies
+    * (exact integer Σ(s−128)² over u8 samples); bit k·4+q is set iff
+    * quarter q's energy RISES from frame k to frame k+1 — the
+    * energy-gradient-sign trick (the audio analog of dHash's pixel
+    * gradient, and the core of published audio fingerprints): sign
+    * patterns survive gain changes and small noise while distinct
+    * content diverges. Frames beyond [[FpMaxFrames]] are ignored (the
+    * signature saturates at 60 bits); clips shorter than 2 frames have
+    * no boundary to sign and are excluded upstream. */
+  private[multimodal] def audioFingerprint60(samples: Array[Byte]): Long = {
+    val nAll =
+      if (samples.length >= FpWindow)
+        (1 + (samples.length - FpWindow) / FpHop)
+      else 0
+    val nFrames = math.min(nAll, FpMaxFrames)
+    val quarters = Array.ofDim[Long](nFrames, 4)
+    var k = 0
+    while (k < nFrames) {
+      val start = k * FpHop
+      var q = 0
+      while (q < 4) {
+        var e = 0L
+        var i = start + q * FpQuarter
+        val end = i + FpQuarter
+        while (i < end) {
+          val d = (samples(i) & 0xff) - 128
+          e += d.toLong * d
+          i += 1
+        }
+        quarters(k)(q) = e
+        q += 1
+      }
+      k += 1
+    }
+    var v = 0L
+    var kk = 0
+    while (kk < nFrames - 1) {
+      var q = 0
+      while (q < 4) {
+        if (quarters(kk + 1)(q) > quarters(kk)(q)) v |= (1L << (kk * 4 + q))
+        q += 1
+      }
+      kk += 1
+    }
+    v
+  }
+
+  /** x160: perceptual near-dup over DECODED audio — [[audioFingerprint60]]
+    * per clip (one narrow decode pass; PCM bytes never shuffle), then
+    * the SAME banded Hamming pass as the image side
+    * ([[perceptualNearDups]]): 4×15-bit pigeonhole bands, O(n)
+    * identical-signature groups, capped buckets, Hamming ≤ 3 verify.
+    * Clips shorter than two analysis frames (< [[FpWindow]] +
+    * [[FpHop]] samples) carry no fingerprintable signal and are
+    * excluded — the oracle mirrors the same length predicate. */
+  def audioPerceptualDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = mediaFromDocuments(s, dir)
+      .filter((m: Media) => m.kind == "audio")
+      .map { m =>
+        val d = WavCodec.decode(m)
+        (m.media_id, d.pixels.length.toLong, audioFingerprint60(d.pixels))
+      }
+      .toDF("media_id", "n_samples", "dh")
+      .filter(col("n_samples") >= FpWindow + FpHop)
+      .select("media_id", "dh")
+    perceptualNearDups(hashes)
+  }
+
   /** Tile size for [[mediaTiles]] — not a divisor of ALL the synthetic
     * dimensions (multiples of 8: 16/40/56… are indivisible by 12, while
     * 24/48 divide evenly), so the fixture exercises both ragged and
@@ -660,7 +743,8 @@ object Multimodal {
     "x39_media_dedup" -> mediaDedup,
     "x81_media_tiles" -> mediaTiles,
     "x84_audio_frames" -> audioFrames,
-    "x157_media_perceptual_dedup" -> mediaPerceptualDedup)
+    "x157_media_perceptual_dedup" -> mediaPerceptualDedup,
+    "x160_audio_perceptual_dedup" -> audioPerceptualDedup)
 
   /** Shared oracle CTE rebuilding the payload construction of
     * [[mediaFromDocuments]] in SQL — the pix raster (text cycled +
@@ -693,6 +777,41 @@ object Multimodal {
               CAST(h AS VARCHAR) || chr(10) || '255' || chr(10) || pix, CAST(nf AS INT))
           END AS ps
         FROM pb)"""
+
+  /** Shared oracle tail for the perceptual-dedup family (x157 image,
+    * x160 audio): from a `dh(media_id, dh)` CTE, replay the n_same
+    * convention, the 4×15-bit bands, the 64-cap, the Hamming ≤ 3
+    * verify, and the per-media summary — one spelling, two queries,
+    * zero drift. */
+  private val PerceptualBandTailSql: String = """
+      same AS (SELECT media_id, dh,
+          COUNT(*) OVER (PARTITION BY dh) - 1 AS n_same FROM dh),
+      bandix(band) AS (SELECT unnest(range(0, 4))),
+      bands AS (SELECT media_id, dh, band, (dh >> (band*15)) & 32767 AS bkey
+        FROM dh CROSS JOIN bandix),
+      sized AS (SELECT media_id, dh, band, bkey,
+          COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
+      cold AS (SELECT media_id, dh, band, bkey FROM sized WHERE bsz <= 64),
+      pairs AS (SELECT DISTINCT a.media_id AS id1, b2.media_id AS id2,
+          a.dh AS dh1, b2.dh AS dh2
+        FROM cold a JOIN cold b2
+          ON a.band = b2.band AND a.bkey = b2.bkey
+          AND a.media_id < b2.media_id AND a.dh <> b2.dh),
+      verified AS (SELECT id1, id2 FROM pairs
+        WHERE bit_count(xor(dh1, dh2)) <= 3),
+      cand AS (SELECT media_id, COUNT(*) AS n FROM
+        (SELECT id1 AS media_id FROM pairs UNION ALL SELECT id2 FROM pairs)
+        GROUP BY 1),
+      near AS (SELECT media_id, COUNT(*) AS n FROM
+        (SELECT id1 AS media_id FROM verified UNION ALL SELECT id2 FROM verified)
+        GROUP BY 1)
+      SELECT s.media_id,
+        COALESCE(c.n, 0) + s.n_same AS n_candidates,
+        COALESCE(v.n, 0) + s.n_same AS n_near_dups
+      FROM same s
+      LEFT JOIN cand c USING (media_id)
+      LEFT JOIN near v USING (media_id)
+      ORDER BY s.media_id"""
 
   val oracles: Map[String, String] = Map(
     // Two branches, both over REAL decoded bytes: image/video index the
@@ -807,34 +926,36 @@ object Multimodal {
           CAST(SUM(CASE WHEN bit = 1
             THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS dh
         FROM bits GROUP BY 1),
-      same AS (SELECT media_id, dh,
-          COUNT(*) OVER (PARTITION BY dh) - 1 AS n_same FROM dh),
-      bandix(band) AS (SELECT unnest(range(0, 4))),
-      bands AS (SELECT media_id, dh, band, (dh >> (band*15)) & 32767 AS bkey
-        FROM dh CROSS JOIN bandix),
-      sized AS (SELECT media_id, dh, band, bkey,
-          COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
-      cold AS (SELECT media_id, dh, band, bkey FROM sized WHERE bsz <= 64),
-      pairs AS (SELECT DISTINCT a.media_id AS id1, b2.media_id AS id2,
-          a.dh AS dh1, b2.dh AS dh2
-        FROM cold a JOIN cold b2
-          ON a.band = b2.band AND a.bkey = b2.bkey
-          AND a.media_id < b2.media_id AND a.dh <> b2.dh),
-      verified AS (SELECT id1, id2 FROM pairs
-        WHERE bit_count(xor(dh1, dh2)) <= 3),
-      cand AS (SELECT media_id, COUNT(*) AS n FROM
-        (SELECT id1 AS media_id FROM pairs UNION ALL SELECT id2 FROM pairs)
-        GROUP BY 1),
-      near AS (SELECT media_id, COUNT(*) AS n FROM
-        (SELECT id1 AS media_id FROM verified UNION ALL SELECT id2 FROM verified)
-        GROUP BY 1)
-      SELECT s.media_id,
-        COALESCE(c.n, 0) + s.n_same AS n_candidates,
-        COALESCE(v.n, 0) + s.n_same AS n_near_dups
-      FROM same s
-      LEFT JOIN cand c USING (media_id)
-      LEFT JOIN near v USING (media_id)
-      ORDER BY s.media_id""",
+      $PerceptualBandTailSql""",
+    // the x160 chain: frame/quarter energies over the decoded PCM (the
+    // text bytes — ASCII corpus, same ord() contract as x21/x84),
+    // energy-gradient-sign bits, then the SHARED banding tail
+    "x160_audio_perceptual_dedup" -> s"""
+      WITH a AS (SELECT doc_id AS media_id, text FROM documents
+          WHERE doc_id % 3 = 1 AND text IS NOT NULL
+            AND octet_length(encode(text)) >= ${FpWindow + FpHop}),
+      fr AS (SELECT media_id, text,
+          least(CAST(1 + (octet_length(encode(text)) - $FpWindow) // $FpHop AS BIGINT),
+                16) AS nf FROM a),
+      pos AS (SELECT media_id, k, q,
+          CAST(k * $FpHop + q * $FpQuarter AS BIGINT) AS qstart, text
+        FROM fr, (SELECT unnest(range(0, 16)) AS k),
+             (SELECT unnest(range(0, 4)) AS q)
+        WHERE k < nf),
+      en AS (SELECT media_id, k, q,
+          SUM(CAST(ord(substr(text, CAST(qstart + i AS INT) + 1, 1)) - 128 AS BIGINT)
+              * CAST(ord(substr(text, CAST(qstart + i AS INT) + 1, 1)) - 128 AS BIGINT)) AS e
+        FROM pos, (SELECT unnest(range(0, $FpQuarter)) AS i)
+        GROUP BY 1, 2, 3),
+      bits AS (SELECT a2.media_id, a2.k * 4 + a2.q AS k,
+          CASE WHEN b2.e > a2.e THEN 1 ELSE 0 END AS bit
+        FROM en a2 JOIN en b2
+          ON a2.media_id = b2.media_id AND a2.q = b2.q AND b2.k = a2.k + 1),
+      dh AS (SELECT media_id,
+          CAST(SUM(CASE WHEN bit = 1
+            THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS dh
+        FROM bits GROUP BY 1),
+      $PerceptualBandTailSql""",
     "x81_media_tiles" -> s"""
       WITH m AS (SELECT doc_id AS media_id,
           (doc_id % 7) * 8 + 16 AS width, (doc_id % 5) * 8 + 16 AS height

@@ -313,6 +313,44 @@ class MultimodalSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("audio perceptual dedup: a noise-perturbed clip pairs with its source; different content does not") {
+    import spark.implicits._
+    // base clip: amplitude envelope varies per hop block so the
+    // energy-gradient signature carries real bits; noisy = one sample
+    // nudged (sensor/codec noise — energies barely move, signs hold);
+    // other = a different envelope sequence
+    val n = 480
+    def clip(seed: Int) = Array.tabulate(n) { i =>
+      val amp = ((i / 32 * 53 + seed * 31) % 90) + 10
+      (128 + (if (i % 2 == 0) amp else -amp)).toByte
+    }
+    val base = clip(0)
+    val noisy = base.clone(); noisy(100) = (noisy(100) + 3).toByte
+    val other = clip(7)
+    def mk(id: Long, px: Array[Byte]) = Multimodal.Media(id, "audio",
+      Multimodal.WavCodec.encode(16000, px), 0, 0, 16000, 0, "application/octet-stream")
+    val media = Seq(mk(1L, base), mk(2L, noisy), mk(3L, other)).toDS()
+    val hashes = media.map { m =>
+      val d = Multimodal.WavCodec.decode(m)
+      (m.media_id, Multimodal.audioFingerprint60(d.pixels))
+    }.toDF("media_id", "dh")
+    val out = Multimodal.perceptualNearDups(hashes)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) >= 1 && out(2L) >= 1,
+      s"perturbed clip must pair with its source: $out")
+    assert(out(3L) == 0, s"different content matched: $out")
+    // short clips are excluded by the query's length gate, not hashed to 0
+    val shortOut = Multimodal.audioPerceptualDedup(spark, sfDir)
+    val minLen = Multimodal.FpWindow + Multimodal.FpHop
+    val shortIds = Multimodal.mediaFromDocuments(spark, sfDir)
+      .filter((m: Multimodal.Media) => m.kind == "audio")
+      .map(m => (m.media_id, Multimodal.WavCodec.decode(m).pixels.length))
+      .filter(_._2 < minLen).map(_._1).collect().toSet
+    assert(shortOut.collect().map(_.getLong(0)).toSet.intersect(shortIds).isEmpty,
+      "clips below the analysis window must be excluded")
+    graft.CacheScope.release()
+  }
+
   test("x21 oracle precondition: corpus is ASCII (payload byte == codepoint)") {
     // the DuckDB oracles index decoded buffers via ord(char) per
     // character; that equals the UTF-8 payload byte only while the
