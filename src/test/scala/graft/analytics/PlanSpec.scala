@@ -575,6 +575,46 @@ class PlanSpec extends SparkSpec {
       s"a metric join degenerated to a cartesian:\n$p")
   }
 
+  test("perceptual dedup (image + audio): payloads never shuffle, pair joins never a product") {
+    for (q <- Seq(
+        graft.multimodal.Multimodal.mediaPerceptualDedup(spark, sfDir),
+        graft.multimodal.Multimodal.audioPerceptualDedup(spark, sfDir))) {
+      val p = q.queryExecution.executedPlan.toString
+      graft.CacheScope.release()
+      // decode/resize/hash are narrow; only (media_id, 8-byte dh) rows
+      // may reach an exchange — a payload-keyed exchange means the
+      // binary column leaked into the banding
+      val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+      assert(exchanges.nonEmpty && !exchanges.exists(e =>
+          e.contains("payload#") || e.contains("pixels#")),
+        s"perceptual dedup exchange carries a binary column:\n${exchanges.mkString("\n")}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "banded pair join degenerated to a product")
+    }
+  }
+
+  test("fuzzy contamination rides the capped x03 machinery: hash joins only, never a product") {
+    val p = graft.ext.Contamination.fuzzyContamination(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.CacheScope.release()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cross-boundary candidate generation degenerated to a product:\n$p")
+  }
+
+  test("winnowed span pass: selection is scan-local, exchanges carry hash pairs not gram strings") {
+    val p = graft.ext.Contamination.boilerplateSpans(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the winnow runs inside the scan-side projection (an expression,
+    // not an exchange), and every gram-keyed exchange partitions on the
+    // salted xxhash64 pair — a `gram#` key in an exchange means ~50-byte
+    // strings started shuffling again
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"no exchange found:\n$p")
+    assert(!exchanges.exists(_.contains("gram#")),
+      s"span-pass exchange keys on the gram string:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("projectionRecall: queries broadcast; one corpus scan feeds both spaces") {
     val p = graft.ext.Similarity.projectionRecall(spark, sfDir)
       .queryExecution.executedPlan.toString
