@@ -54,4 +54,43 @@ class OccStormSpec extends SparkSpec {
       }
     }
   }
+
+  test("claim storm: 8 racers per exact version, exactly one winner each, no duplicate rows") {
+    // manifestAppendExactly is the ONE-WINNER building block the IVF
+    // lifecycle builds on; a storm of racers all targeting the same
+    // version must admit exactly one (the O_EXCL claim), the losers
+    // must stage-and-discard cleanly, and the table must hold exactly
+    // the winners' rows — a duplicate here is the ADVICE-r17
+    // double-build corruption
+    val df = spark.range(800).toDF("id")
+      .withColumn("who", pmod(col("id"), lit(8L)))
+    (0 until 3).foreach { round =>
+      val root = new org.apache.hadoop.fs.Path(
+        java.nio.file.Files.createTempDirectory(s"claim_storm_$round").resolve("t").toUri)
+      (1L to 3L).foreach { v =>
+        val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+        val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+        val threads = (0 until 8).map { i =>
+          val t = new Thread(() => {
+            try {
+              if (Sources.manifestAppendExactly(spark, root,
+                  df.filter(col("who") === i), 1, v)) { wins.incrementAndGet(); () }
+            } catch { case e: Throwable => failures.add(e); () }
+          })
+          t.start(); t
+        }
+        threads.foreach(_.join())
+        assert(failures.isEmpty, s"round $round v$v: ${failures.peek()}")
+        assert(wins.get() == 1, s"round $round v$v: ${wins.get()} winners (want exactly 1)")
+        assert(Sources.currentManifest(spark, root)._1 == v,
+          s"round $round: table not at v$v after the storm")
+      }
+      // three versions committed → exactly three winners' row sets, one
+      // per version, each of exactly 100 rows and internally consistent
+      val rows = Sources.manifestRead(spark, root)
+      assert(rows.count() == 300, s"round $round: duplicate or lost winner rows")
+      assert(rows.groupBy("who").count().count() <= 3,
+        s"round $round: more distinct writers than versions — a loser's rows leaked")
+    }
+  }
 }
