@@ -142,7 +142,7 @@ object Bench {
       // lines instead of clobbering earlier evidence (the round-10
       // clobber, and the automatic-outlier lines land in the same file)
       scala.util.Try {
-        if (outPath == "bench_out.json")
+        if (isCanonicalStamp(outPath))
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(outPath), fileLine + "\n")
         else
@@ -272,19 +272,60 @@ object Bench {
     inSuite.collect { case (q, t) if committed.get(q).exists(c =>
       c > 0 && t > ratio * c && t - c > minDelta) => q }.toSeq.sorted
 
+  /** Canonical-stamp decision by FILENAME, not exact-string match:
+    * './bench_out.json' or an absolute path must still be treated as
+    * the canonical full-suite record (overwrite), never flipped to
+    * append mode by spelling (ADVICE r18). */
+  private[graft] def isCanonicalStamp(outPath: String): Boolean =
+    scala.util.Try(java.nio.file.Paths.get(outPath).getFileName.toString)
+      .getOrElse(outPath) == "bench_out.json"
+
+  /** The repo root, resolved from where THIS class was loaded (walk up
+    * from the compiled-classes dir to the dir holding `.git`), falling
+    * back to the JVM cwd. The bench may be launched from any directory
+    * (ADVICE r18: an inherited-cwd `git show` silently returned empty
+    * elsewhere, disarming the self-selecting adjudication), so the
+    * stamp read must not depend on the launcher's cwd. */
+  private[graft] def repoRoot(): Option[java.io.File] = {
+    def walkUp(start: java.io.File): Option[java.io.File] = {
+      var d = start
+      while (d != null) {
+        if (new java.io.File(d, ".git").exists()) return Some(d)
+        d = d.getParentFile
+      }
+      None
+    }
+    scala.util.Try(walkUp(new java.io.File(
+      Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)))
+      .toOption.flatten
+      .orElse(scala.util.Try(
+        walkUp(new java.io.File(".").getCanonicalFile)).toOption.flatten)
+  }
+
   /** Per-query min map of the COMMITTED bench_out.json (HEAD, via
-    * `git show` — the working-tree file is this run's own output slot,
-    * not the stamp of record). Empty on any failure: first round, no
-    * committed stamp, no git. */
-  private[graft] def committedStampQueries(): Map[String, Double] =
-    scala.util.Try {
-      val p = new ProcessBuilder("git", "show", "HEAD:bench_out.json")
-        .redirectErrorStream(false).start()
+    * `git show` run AT THE REPO ROOT — the working-tree file is this
+    * run's own output slot, not the stamp of record). Empty on any
+    * failure — first round, no committed stamp, no git — and LOGGED,
+    * so a disarmed adjudication pass is visible in the run output
+    * instead of silently never firing. */
+  private[graft] def committedStampQueries(): Map[String, Double] = {
+    val res = scala.util.Try {
+      val pb = new ProcessBuilder("git", "show", "HEAD:bench_out.json")
+        .redirectErrorStream(false)
+      repoRoot().foreach(pb.directory)
+      val p = pb.start()
       val out = new String(p.getInputStream.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
       p.waitFor()
       parseStampQueries(out)
     }.getOrElse(Map.empty)
+    if (res.isEmpty)
+      System.err.println(
+        "[bench] no committed bench_out.json stamp readable " +
+          s"(repoRoot=${repoRoot().map(_.toString).getOrElse("unresolved")}) " +
+          "— automatic adjudication disabled this run")
+    res
+  }
 
   /** Extract the `"queries"` map from a bench stamp line (jackson —
     * already on the Spark classpath; the stamp is machine-written JSON). */

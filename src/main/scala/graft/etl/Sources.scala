@@ -782,6 +782,36 @@ object Sources {
     * crashed one). */
   private val EofMark = "#eof"
 
+  /** Manifest FORMAT version this reader understands. Every commit
+    * stamps its body with `#graft-format N` as the first line; a
+    * reader that finds N above its own support level fails LOUDLY
+    * instead of misparsing entries it doesn't know (ADVICE r18: the
+    * 5-field delete line would have been silently folded into the
+    * keys field by a pre-change reader's split("\t", 4) — a delete
+    * that silently stops applying). A body with NO format line is
+    * format 1 (pre-marker manifests, all readable). The marker is a
+    * comment line, so pre-marker readers skip it — the guarantee is
+    * forward from this version: any future format bump is rejected
+    * loudly by every reader at this level or above. */
+  private[graft] val ManifestFormat = 1
+  private def formatLine(n: Int) = s"#graft-format $n"
+
+  private[graft] final class ManifestFormatUnsupported(n: Int, where: String)
+    extends RuntimeException(
+      s"manifest at $where declares format $n; this reader supports " +
+        s"<= $ManifestFormat — refusing to read (misparsing newer entry " +
+        "kinds silently drops deletes/schema lines)")
+
+  /** Loud forward-compat gate — called on every manifest body before
+    * its entries are parsed. */
+  private def checkManifestFormat(body: String, where: String): Unit =
+    body.linesIterator.map(_.trim)
+      .find(_.startsWith("#graft-format")).foreach { l =>
+        val n = l.stripPrefix("#graft-format").trim.toIntOption
+          .getOrElse(Int.MaxValue)
+        if (n > ManifestFormat) throw new ManifestFormatUnsupported(n, where)
+      }
+
   private def writeSmall(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, text: String): Unit = {
     val out = fs.create(p, true)
@@ -868,6 +898,7 @@ object Sources {
           latestCompleteManifest(fs, root, excluding = Set(v))
             .getOrElse(return (0L, Nil))
       }
+    checkManifestFormat(body, s"$root m-$rv.txt")
     (rv, body.linesIterator.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq)
   }
@@ -1001,7 +1032,8 @@ object Sources {
       else
         try fs.create(p, false)
         catch { case _: java.io.IOException => throw new ManifestCommitConflict(v) }
-    try out.write((entryLines :+ EofMark).mkString("", "\n", "\n")
+    try out.write((formatLine(ManifestFormat) +: entryLines :+ EofMark)
+      .mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     swapPointer(s, root, v, name)
@@ -1205,16 +1237,29 @@ object Sources {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val w = new org.apache.hadoop.fs.Path(root, s"data/a-$nonce")
     df.repartition(shards).write.mode(SaveMode.Overwrite).parquet(w.toString)
-    persistSchema(s, root, df.schema)
     val files = writtenFiles(s, w)
-    val lines = old ++
-      validateAdditiveSchema(old, v, df.schema, readPersistedSchema(s, root)) ++
-      files.map(f => DataFileEntry(v, f).line)
-    try { manifestCommit(s, root, v, lines); true }
-    catch {
+    // `_schema.json` lands ONLY after a successful commit (mirroring
+    // manifestAppend's post-commit widening) — a pre-claim write left
+    // the file on tables that never committed, and emptyLike then
+    // returned a TYPED empty frame for a never-committed table instead
+    // of failing loudly, masking build races (ADVICE r18: the silent
+    // empty-centroid window in the IVF lifecycle). Staged files are
+    // reclaimed on EVERY failure path, not just a lost claim — a
+    // SchemaEvolutionViolation used to strand the data/a-<nonce> dir.
+    try {
+      val lines = old ++
+        validateAdditiveSchema(old, v, df.schema, readPersistedSchema(s, root)) ++
+        files.map(f => DataFileEntry(v, f).line)
+      manifestCommit(s, root, v, lines)
+      widenPersistedSchema(s, root, df.schema)
+      true
+    } catch {
       case _: ManifestCommitConflict =>
         scala.util.Try(fsOf(s, root).delete(w, true))
         false
+      case e: Throwable =>
+        scala.util.Try(fsOf(s, root).delete(w, true))
+        throw e
     }
   }
 
@@ -1247,7 +1292,9 @@ object Sources {
     val p = new org.apache.hadoop.fs.Path(manifestRoot(root), s"m-$v.txt")
     require(fs.exists(p),
       s"manifest version $v not retained at $root (vacuumed or never committed)")
-    readSmall(fs, p).linesIterator.map(_.trim)
+    val body = readSmall(fs, p)
+    checkManifestFormat(body, s"$root m-$v.txt")
+    body.linesIterator.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
   }
 

@@ -410,7 +410,27 @@ object Similarity {
       graft.etl.Sources.manifestAppendExactly(s, cRoot,
         lloydCentroids(base, IvfClusters, LloydIters)
           .select(col("cluster"), col("c")), 1, 1L)
+    // ADVICE r18 (high): a racer that LOST the centroid claim can read
+    // cRoot in the window between the winner's O_EXCL create (which
+    // raised the loser's conflict) and the winner's EofMark + pointer
+    // swap — resolveLiveVersion still says 0 and the read comes back
+    // EMPTY, so the loser would assign base against zero centroids and
+    // could commit an EMPTY base list the index never repairs. Same
+    // bounded wait as the lists table below: spin until the centroid
+    // commit is VISIBLE before reading frozen.
+    var cSpins = 0
+    while (graft.etl.Sources.currentManifest(s, cRoot)._1 < 1L && cSpins < 600) {
+      Thread.sleep(50); cSpins += 1
+    }
     val frozen = graft.etl.Sources.manifestRead(s, cRoot).scopedCache()
+    // defense in depth: never let an empty quantizer reach the lists
+    // appends — a crashed winner (claim created, body never finished)
+    // exhausts the spin and must fail LOUDLY here, not serve a
+    // delta-only index forever
+    require(!frozen.isEmpty,
+      s"IVF open at $root read EMPTY frozen centroids ($cRoot) — " +
+        "centroid commit not visible after bounded wait; refusing to " +
+        "build inverted lists against an empty quantizer")
     val listsVersion =
       if (!graft.etl.Sources.manifestExists(s, root)) 0L
       else graft.etl.Sources.currentManifest(s, root)._1

@@ -112,4 +112,21 @@ class BenchSchedulerSpec extends AnyFunSuite {
     assert(scala.util.Try(Bench.parseStampQueries("not json"))
       .toOption.forall(_.isEmpty), "garbage must not select targets")
   }
+
+  test("canonical-stamp decision is by filename; repo root resolves from the class location") {
+    // ADVICE r18: './bench_out.json' or an absolute spelling must not
+    // silently flip the canonical stamp into append mode
+    assert(Bench.isCanonicalStamp("bench_out.json"))
+    assert(Bench.isCanonicalStamp("./bench_out.json"))
+    assert(Bench.isCanonicalStamp("/anywhere/at/all/bench_out.json"))
+    assert(!Bench.isCanonicalStamp("bench_adjudication.json"))
+    assert(!Bench.isCanonicalStamp("/tmp/bench_adjudication.json"))
+    // the committed-stamp git read anchors at the repo root found from
+    // the loaded class, not the launcher's cwd
+    val r = Bench.repoRoot()
+    assert(r.exists(f => new java.io.File(f, ".git").exists()),
+      s"repoRoot must find the dir holding .git (got $r)")
+    assert(Bench.committedStampQueries().nonEmpty,
+      "the committed bench_out.json stamp must be readable from the resolved root")
+  }
 }

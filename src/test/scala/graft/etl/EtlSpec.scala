@@ -1447,4 +1447,80 @@ class EtlSpec extends SparkSpec {
     Sources.manifestAppend(spark, root, df.filter(col("id") >= 600), 1)
     assert(Sources.manifestRead(spark, root).count() == 1000)
   }
+
+  test("a failed exact-version commit leaves no _schema.json and no staged files") {
+    import org.apache.spark.sql.functions._
+    // ADVICE r18 (medium): persistSchema used to land BEFORE the claim,
+    // so a claim loser left _schema.json on a table that never
+    // committed — emptyLike then returned a TYPED empty frame for a
+    // never-built table, masking build races (the silent empty-centroid
+    // window). Pre-claim v1 so the append's commit loses
+    // deterministically, then assert the loser left NOTHING behind.
+    val dir = java.nio.file.Files.createTempDirectory("schema_timing_spec")
+    val root = new org.apache.hadoop.fs.Path(dir.resolve("t").toUri)
+    val rootDir = java.nio.file.Paths.get(new java.net.URI(root.toString))
+    java.nio.file.Files.createDirectories(rootDir.resolve("_manifests"))
+    java.nio.file.Files.writeString(
+      rootDir.resolve("_manifests").resolve("m-1.txt"), "")
+    val df = spark.range(50).toDF("id")
+    assert(!Sources.manifestAppendExactly(spark, root, df, 1, 1L),
+      "the pre-planted claim must make this commit lose")
+    assert(!java.nio.file.Files.exists(rootDir.resolve("_schema.json")),
+      "a never-committed table must carry no schema file")
+    val dataDir = rootDir.resolve("data")
+    assert(!java.nio.file.Files.exists(dataDir) ||
+      !java.nio.file.Files.list(dataDir).findAny().isPresent,
+      "the loser's staged data/a-<nonce> dir must be reclaimed")
+    // and the read is the LOUD zero-column empty, not a typed mask
+    assert(Sources.manifestRead(spark, root).schema.isEmpty,
+      "a never-committed table must read as the zero-column frame")
+
+    // non-conflict failures (schema drift) also reclaim their staged
+    // copy instead of stranding it
+    val root2 = new org.apache.hadoop.fs.Path(dir.resolve("t2").toUri)
+    assert(Sources.manifestAppendExactly(spark, root2, df, 1, 1L))
+    intercept[Sources.SchemaEvolutionViolation] {
+      Sources.manifestAppendExactly(spark, root2,
+        df.withColumnRenamed("id", "di"), 1, 2L)
+    }
+    val staged = java.nio.file.Files.list(
+      java.nio.file.Paths.get(new java.net.URI(root2.toString)).resolve("data"))
+      .toArray.length
+    assert(staged == 1,
+      s"only the committed v1 dir may remain under data/ (found $staged)")
+    // the successful commit did persist the schema (post-commit widen)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths
+      .get(new java.net.URI(root2.toString)).resolve("_schema.json")))
+  }
+
+  test("a newer manifest format is rejected loudly, never misparsed") {
+    // ADVICE r18: entry kinds grow (the 5-field delete line); a reader
+    // older than the format must FAIL, not fold fields it doesn't know
+    // into the wrong column. Every commit stamps `#graft-format N`;
+    // reads reject N above their support level.
+    val dir = java.nio.file.Files.createTempDirectory("manifest_format_spec")
+    val root = new org.apache.hadoop.fs.Path(dir.resolve("t").toUri)
+    Sources.manifestAppend(spark, root, spark.range(10).toDF("id"), 1)
+    val mdir = java.nio.file.Paths.get(new java.net.URI(root.toString))
+      .resolve("_manifests")
+    val v1 = java.nio.file.Files.readString(mdir.resolve("m-1.txt"))
+    assert(v1.linesIterator.next() == "#graft-format 1",
+      "every commit must stamp its format as the first body line")
+    // hand-write a FUTURE-format v2 manifest (same file set) and point
+    // the table at it — the shape an upgraded writer would leave for a
+    // reader at this level
+    val futureBody = "#graft-format 2\n" + v1.linesIterator
+      .filterNot(_.startsWith("#")).mkString("\n") + "\n#eof\n"
+    java.nio.file.Files.writeString(mdir.resolve("m-2.txt"), futureBody)
+    java.nio.file.Files.writeString(java.nio.file.Paths
+      .get(new java.net.URI(root.toString)).resolve("_current"), "m-2.txt\n")
+    intercept[Sources.ManifestFormatUnsupported] {
+      Sources.currentManifest(spark, root)
+    }
+    intercept[Sources.ManifestFormatUnsupported] {
+      Sources.manifestReadAt(spark, root, 2L)
+    }
+    // in-format versions keep reading through the explicit-version path
+    assert(Sources.manifestReadAt(spark, root, 1L).count() == 10)
+  }
 }

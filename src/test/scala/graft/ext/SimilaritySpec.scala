@@ -531,4 +531,56 @@ class SimilaritySpec extends SparkSpec {
     assert(idxA.select("vec_id").distinct().count() == n)
     graft.CacheScope.release()
   }
+
+  test("a lost centroid claim waits out the winner's commit window — never an empty quantizer") {
+    // ADVICE r18 (high), driven deterministically: the winner's O_EXCL
+    // claim exists (so this open's own centroid commit loses) but its
+    // body/EofMark/pointer have not landed yet — a naive read resolves
+    // version 0 and hands back an EMPTY frame, and the loser would
+    // commit an EMPTY base list the index never repairs. The fixed open
+    // spins until the centroid commit is VISIBLE.
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("ivf_window_spec")
+    val root = new org.apache.hadoop.fs.Path(dir.resolve("t").toUri)
+    val cRoot = root.suffix("_centroids")
+    val cDir = java.nio.file.Paths.get(new java.net.URI(cRoot.toString))
+    java.nio.file.Files.createDirectories(cDir.resolve("_manifests"))
+    java.nio.file.Files.writeString(
+      cDir.resolve("_manifests").resolve("m-1.txt"), "")
+    // the stalled winner's centroid content, staged ahead of time:
+    // 8 quantized vectors in the exact (cluster, c) shape the frozen
+    // quantizer carries
+    val cents = graft.Tables.load(spark, sfDir, "embeddings")
+      .orderBy("vec_id").limit(8)
+      .select(
+        row_number().over(Window.orderBy("vec_id")).cast("long").as("cluster"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1048576.0)).cast("long")).as("c"))
+    val dataDir = cDir.resolve("data").resolve("a-specwinner")
+    cents.coalesce(1).write.parquet(dataDir.toUri.toString)
+    val parts = java.nio.file.Files.list(dataDir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    // 2s later the winner finishes its commit exactly as manifestCommit
+    // would have: format line + w-entries + #eof, then the pointer
+    val winner = new Thread(() => {
+      Thread.sleep(2000)
+      val body = ("#graft-format 1" +:
+        parts.map(p => s"w\t1\t${p.toUri}") :+ "#eof").mkString("\n") + "\n"
+      java.nio.file.Files.writeString(
+        cDir.resolve("_manifests").resolve("m-1.txt"), body)
+      java.nio.file.Files.writeString(cDir.resolve("_current"), "m-1.txt\n")
+    })
+    winner.start()
+    val (all, frozen, idx) = Similarity.ivfLifecycleIndex(spark, sfDir, root)
+    winner.join()
+    assert(frozen.count() == 8,
+      "the loser must read the winner's committed centroids, not an empty frame")
+    val n = all.count()
+    assert(idx.count() == n,
+      "inverted lists must cover base+delta — an empty-quantizer base commit would drop the base partition")
+    assert(idx.select("vec_id").distinct().count() == n)
+    graft.CacheScope.release()
+  }
 }
