@@ -426,8 +426,10 @@ object Similarity {
     // defense in depth: never let an empty quantizer reach the lists
     // appends — a crashed winner (claim created, body never finished)
     // exhausts the spin and must fail LOUDLY here, not serve a
-    // delta-only index forever
-    require(!frozen.isEmpty,
+    // delta-only index forever. An EMPTY CORPUS legitimately commits
+    // zero centroids (base empty ⇒ nothing to train on), so the guard
+    // fires only when there was training data the quantizer lost.
+    require(!frozen.isEmpty || base.isEmpty,
       s"IVF open at $root read EMPTY frozen centroids ($cRoot) — " +
         "centroid commit not visible after bounded wait; refusing to " +
         "build inverted lists against an empty quantizer")

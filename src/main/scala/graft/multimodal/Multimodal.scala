@@ -543,54 +543,98 @@ object Multimodal {
 
   /** The banded near-dup pass over (media_id, dh) rows — factored so
     * the spec can drive it with hand-built images (two near-identical
-    * rasters must pair; a different one must not). */
+    * rasters must pair; a different one must not).
+    *
+    * Recall-complete by construction (the r18 `weak` closed):
+    *  1. The band join runs over DISTINCT signature CLASSES, never
+    *     media rows — duplicate-signature mass (the flat-image
+    *     degeneracy that used to blow a bucket past the cap) collapses
+    *     to ONE class row and its pair counts expand arithmetically
+    *     from class sizes at the end. Candidate work is ∝ distinct
+    *     signatures, the scale axis that actually matters.
+    *  2. A band bucket still hot after the collapse (> cap DISTINCT
+    *     near-signatures) is ESCALATED, not skipped: its members
+    *     re-band on 6 sub-keys — the hi-8/lo-7-bit halves of the three
+    *     OTHER bands. A Hamming ≤ 3 pair sharing the hot band has its
+    *     ≤ 3 differing bits spread over those 6 sub-slots, so at least
+    *     3 sub-keys are clean (pigeonhole) — the pair meets in a
+    *     sub-bucket that is ~2^7..2^8 times finer.
+    *  3. Whatever is STILL over cap after escalation is carried
+    *     in-result as `n_unresolved` (per media: hot buckets where
+    *     every one of its 6 sub-buckets overflowed) — the no-silent-
+    *     caps rule as a column, not a println.
+    * Output: (media_id, n_candidates, n_near_dups, n_unresolved). */
   private[multimodal] def perceptualNearDups(hashes0: DataFrame): DataFrame = {
     import graft.CacheScope.ScopedCacheOps
+    import org.apache.spark.sql.expressions.Window
     val hashes = hashes0.scopedCache()
 
-    // degenerate identical-signature groups, counted without pairs
-    val sameSim = hashes.groupBy("dh").agg(count(lit(1)).as("g"))
-    val sameCounts = hashes.join(sameSim, "dh")
-      .select(col("media_id"), (col("g") - 1).cast("long").as("n_same"))
+    // signature classes: one row per distinct dh, with its media count
+    val classes = hashes.groupBy("dh").agg(count(lit(1)).as("g")).scopedCache()
+    val sameCounts = hashes.join(classes, "dh")
+      .select(col("media_id"), col("dh"), (col("g") - 1).cast("long").as("n_same"))
 
-    val banded = hashes.select(col("media_id"), col("dh"),
+    val banded = classes.select(col("dh"),
         explode(graft.functions.Sketches.simhashPortableBandKeys(col("dh"))).as("bk"))
-      .select(col("media_id"), col("dh"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("bsz"))
-    val hot = sizes.filter(col("bsz") > PerceptualBucketCap)
-      .agg(count(lit(1)).as("n_buckets"), sum("bsz").as("n_rows")).collect()(0)
-    if (!hot.isNullAt(1) && hot.getLong(1) > 0)
-      println(s"[multimodal] perceptual-dedup: bucket cap $PerceptualBucketCap " +
-        s"skipped ${hot.getLong(0)} buckets holding ${hot.getLong(1)} rows")
-    val coldBuckets = sizes.filter(col("bsz") <= PerceptualBucketCap)
-    val cold = banded.join(broadcast(coldBuckets.select("band", "key")), Seq("band", "key"))
+      .select(col("dh"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "key")))
+      .scopedCache()
+    val cold = banded.filter(col("bsz") <= PerceptualBucketCap)
+    val hotm = banded.filter(col("bsz") > PerceptualBucketCap)
 
-    val a = cold.alias("a")
-    val b = cold.alias("b")
-    val pairs = a.join(b,
+    // escalation sub-keys: for hot-bucket members, the 8-bit low and
+    // 7-bit high halves of each of the three OTHER bands
+    val slots = array((for { j <- 0 to 3; hh <- 0 to 1 } yield
+      struct(lit(j).as("j"), lit(hh).as("h"),
+        shiftright(col("dh"), j * 15 + hh * 8)
+          .bitwiseAND(lit(if (hh == 0) 255L else 127L)).as("sk"))): _*)
+    val sub = hotm.select(col("dh"), col("band"), col("key"),
+        explode(slots).as("ss"))
+      .filter(col("ss.j") =!= col("band"))
+      .select(col("dh"), col("band"), col("key"),
+        col("ss.j").as("j"), col("ss.h").as("h"), col("ss.sk").as("sk"))
+      .withColumn("ssz",
+        count(lit(1)).over(Window.partitionBy("band", "key", "j", "h", "sk")))
+      .scopedCache()
+    val subCold = sub.filter(col("ssz") <= PerceptualBucketCap)
+
+    // candidate CLASS pairs: cold buckets directly, hot via sub-buckets
+    val cp = cold.alias("a").join(cold.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.media_id") < col("b.media_id") && col("a.dh") =!= col("b.dh"))
-      .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"),
-              col("a.dh").as("dh1"), col("b.dh").as("dh2"))
-      .distinct()
-    val verified = pairs
+          col("a.dh") < col("b.dh"))
+      .select(col("a.dh").as("dh1"), col("b.dh").as("dh2"))
+    val ep = subCold.alias("a").join(subCold.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.j") === col("b.j") && col("a.h") === col("b.h") &&
+          col("a.sk") === col("b.sk") && col("a.dh") < col("b.dh"))
+      .select(col("a.dh").as("dh1"), col("b.dh").as("dh2"))
+    val cand = cp.union(ep).distinct().scopedCache()
+    val verified = cand
       .filter(graft.functions.Sketches.hamming64(col("dh1"), col("dh2")) <= 3)
 
-    def sideCounts(p: DataFrame, name: String) =
-      p.select(col("id1").as("media_id"))
-        .union(p.select(col("id2").as("media_id")))
-        .groupBy("media_id").agg(count(lit(1)).as(name))
-    hashes.select("media_id")
-      .join(sideCounts(pairs.select("id1", "id2"), "n_candidates"),
-        Seq("media_id"), "left")
-      .join(sideCounts(verified.select("id1", "id2"), "n_near_dups"),
-        Seq("media_id"), "left")
-      .na.fill(0L, Seq("n_candidates", "n_near_dups"))
-      .join(sameCounts, Seq("media_id"))
+    // residual mass: a hot-bucket member whose SIX sub-buckets all
+    // overflowed — per class, the count of such hot buckets
+    val unresolved = sub.groupBy("dh", "band", "key")
+      .agg(min("ssz").as("mssz"))
+      .filter(col("mssz") > PerceptualBucketCap)
+      .groupBy("dh").agg(count(lit(1)).as("n_unresolved"))
+
+    // expand class-pair counts back to media: a media in class X sees
+    // every media of every partner class Y (dh differs ⇒ media differ)
+    def partnerSums(p: DataFrame, name: String) =
+      p.join(classes.select(col("dh").as("dh2"), col("g").as("g2")), "dh2")
+        .select(col("dh1").as("dh"), col("g2"))
+        .union(p.join(classes.select(col("dh").as("dh1"), col("g").as("g1")), "dh1")
+          .select(col("dh2").as("dh"), col("g1").as("g2")))
+        .groupBy("dh").agg(sum("g2").as(name))
+    sameCounts
+      .join(partnerSums(cand, "cand_sum"), Seq("dh"), "left")
+      .join(partnerSums(verified, "near_sum"), Seq("dh"), "left")
+      .join(unresolved, Seq("dh"), "left")
       .select(col("media_id"),
-        (col("n_candidates") + col("n_same")).as("n_candidates"),
-        (col("n_near_dups") + col("n_same")).as("n_near_dups"))
+        (coalesce(col("cand_sum"), lit(0L)) + col("n_same")).as("n_candidates"),
+        (coalesce(col("near_sum"), lit(0L)) + col("n_same")).as("n_near_dups"),
+        coalesce(col("n_unresolved"), lit(0L)).as("n_unresolved"))
       .orderBy("media_id")
   }
 
@@ -677,6 +721,42 @@ object Multimodal {
     perceptualNearDups(hashes)
   }
 
+  /** The x161 seeded corpus, factored so query and spec share it.
+    * 300 md5-derived signatures with band 0 zeroed (ONE hot bucket far
+    * past the 64-cap), 30 planted near-dups at EXACTLY Hamming 3 from
+    * their source — one flipped bit in each of bands 1/2/3, so the hot
+    * band-0 bucket is the pair's ONLY shared band and the sub-band
+    * escalation is the only path that can find it — plus 20 flat-image
+    * exact copies (dh = 0) riding the n_same class collapse. */
+  private[multimodal] val RecallPlantXor: Long = (1L << 20) | (1L << 35) | (1L << 50)
+  private[multimodal] def recallAuditCorpus(s: SparkSession): DataFrame = {
+    def h60(c: org.apache.spark.sql.Column) =
+      shiftleft(shiftright(
+        conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long"),
+        15), 15)
+    val base = s.range(0, 300)
+      .select(col("id").as("media_id"), h60(col("id")).as("dh"))
+    val planted = s.range(300, 330)
+      .select(col("id").as("media_id"),
+        h60(col("id") - 300).bitwiseXOR(lit(RecallPlantXor)).as("dh"))
+    val flats = s.range(330, 350)
+      .select(col("id").as("media_id"), lit(0L).as("dh"))
+    base.union(planted).union(flats)
+  }
+
+  /** x161: recall audit for the escalated perceptual pass — the x112
+    * trust-gate pattern applied to the banding machinery itself. The
+    * pre-escalation pass dropped hot buckets wholesale (37% of band
+    * mass at sf0.1, the r18 `weak`); this corpus is built so every
+    * seeded pair lives ONLY inside a hot bucket, so the query is green
+    * iff the escalation actually recovers hot-bucket recall. The spec
+    * additionally asserts every planted pair verifies and unresolved
+    * mass is zero; the signatures are md5-derived (the house portable
+    * 60-bit hash) so the DuckDB oracle constructs the SAME corpus bit
+    * for bit and replays the full escalated pass over it. */
+  def perceptualRecallAudit(s: SparkSession, dir: String): DataFrame =
+    perceptualNearDups(recallAuditCorpus(s))
+
   /** Tile size for [[mediaTiles]] — not a divisor of ALL the synthetic
     * dimensions (multiples of 8: 16/40/56… are indivisible by 12, while
     * 24/48 divide evenly), so the fixture exercises both ragged and
@@ -744,7 +824,8 @@ object Multimodal {
     "x81_media_tiles" -> mediaTiles,
     "x84_audio_frames" -> audioFrames,
     "x157_media_perceptual_dedup" -> mediaPerceptualDedup,
-    "x160_audio_perceptual_dedup" -> audioPerceptualDedup)
+    "x160_audio_perceptual_dedup" -> audioPerceptualDedup,
+    "x161_perceptual_recall_audit" -> perceptualRecallAudit)
 
   /** Shared oracle CTE rebuilding the payload construction of
     * [[mediaFromDocuments]] in SQL — the pix raster (text cycled +
@@ -779,38 +860,64 @@ object Multimodal {
         FROM pb)"""
 
   /** Shared oracle tail for the perceptual-dedup family (x157 image,
-    * x160 audio): from a `dh(media_id, dh)` CTE, replay the n_same
-    * convention, the 4×15-bit bands, the 64-cap, the Hamming ≤ 3
-    * verify, and the per-media summary — one spelling, two queries,
+    * x160 audio, x161 recall audit): from a `dh(media_id, dh)` CTE,
+    * replay the whole escalated pass — the n_same convention, DISTINCT
+    * signature classes, 4×15-bit bands, the 64-cap on CLASSES, the
+    * hot-bucket sub-band escalation (hi-8/lo-7 halves of the other
+    * three bands), the unresolved-mass column, the Hamming ≤ 3 verify,
+    * and the class-size count expansion — one spelling, three queries,
     * zero drift. */
   private val PerceptualBandTailSql: String = """
       same AS (SELECT media_id, dh,
           COUNT(*) OVER (PARTITION BY dh) - 1 AS n_same FROM dh),
+      cls AS (SELECT dh, COUNT(*) AS g FROM dh GROUP BY 1),
       bandix(band) AS (SELECT unnest(range(0, 4))),
-      bands AS (SELECT media_id, dh, band, (dh >> (band*15)) & 32767 AS bkey
-        FROM dh CROSS JOIN bandix),
-      sized AS (SELECT media_id, dh, band, bkey,
+      bands AS (SELECT dh, band, (dh >> (band*15)) & 32767 AS bkey
+        FROM cls CROSS JOIN bandix),
+      sized AS (SELECT dh, band, bkey,
           COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
-      cold AS (SELECT media_id, dh, band, bkey FROM sized WHERE bsz <= 64),
-      pairs AS (SELECT DISTINCT a.media_id AS id1, b2.media_id AS id2,
-          a.dh AS dh1, b2.dh AS dh2
-        FROM cold a JOIN cold b2
-          ON a.band = b2.band AND a.bkey = b2.bkey
-          AND a.media_id < b2.media_id AND a.dh <> b2.dh),
-      verified AS (SELECT id1, id2 FROM pairs
+      cold AS (SELECT dh, band, bkey FROM sized WHERE bsz <= 64),
+      hot AS (SELECT dh, band, bkey FROM sized WHERE bsz > 64),
+      slotix AS (SELECT j, h FROM (SELECT unnest(range(0, 4)) AS j),
+        (SELECT unnest(range(0, 2)) AS h)),
+      sub0 AS (SELECT dh, band, bkey, j, h,
+          (dh >> CAST(j*15 + h*8 AS INT)) &
+            (CASE WHEN h = 0 THEN 255 ELSE 127 END) AS sk
+        FROM hot CROSS JOIN slotix WHERE j <> band),
+      sub AS (SELECT *, COUNT(*) OVER
+          (PARTITION BY band, bkey, j, h, sk) AS ssz FROM sub0),
+      cpairs AS (
+        SELECT a.dh AS dh1, b2.dh AS dh2 FROM cold a JOIN cold b2
+          ON a.band = b2.band AND a.bkey = b2.bkey AND a.dh < b2.dh
+        UNION
+        SELECT a.dh, b2.dh
+        FROM (SELECT * FROM sub WHERE ssz <= 64) a
+        JOIN (SELECT * FROM sub WHERE ssz <= 64) b2
+          ON a.band = b2.band AND a.bkey = b2.bkey AND a.j = b2.j
+          AND a.h = b2.h AND a.sk = b2.sk AND a.dh < b2.dh),
+      vpairs AS (SELECT dh1, dh2 FROM cpairs
         WHERE bit_count(xor(dh1, dh2)) <= 3),
-      cand AS (SELECT media_id, COUNT(*) AS n FROM
-        (SELECT id1 AS media_id FROM pairs UNION ALL SELECT id2 FROM pairs)
+      unres AS (SELECT dh, COUNT(*) AS n FROM
+          (SELECT dh, band, bkey, MIN(ssz) AS m FROM sub GROUP BY 1, 2, 3)
+        WHERE m > 64 GROUP BY 1),
+      csum AS (SELECT dh, CAST(SUM(g2) AS BIGINT) AS n FROM
+          (SELECT dh1 AS dh, c2.g AS g2 FROM cpairs JOIN cls c2 ON c2.dh = dh2
+           UNION ALL
+           SELECT dh2, c1.g FROM cpairs JOIN cls c1 ON c1.dh = dh1)
         GROUP BY 1),
-      near AS (SELECT media_id, COUNT(*) AS n FROM
-        (SELECT id1 AS media_id FROM verified UNION ALL SELECT id2 FROM verified)
+      vsum AS (SELECT dh, CAST(SUM(g2) AS BIGINT) AS n FROM
+          (SELECT dh1 AS dh, c2.g AS g2 FROM vpairs JOIN cls c2 ON c2.dh = dh2
+           UNION ALL
+           SELECT dh2, c1.g FROM vpairs JOIN cls c1 ON c1.dh = dh1)
         GROUP BY 1)
       SELECT s.media_id,
         COALESCE(c.n, 0) + s.n_same AS n_candidates,
-        COALESCE(v.n, 0) + s.n_same AS n_near_dups
+        COALESCE(v.n, 0) + s.n_same AS n_near_dups,
+        COALESCE(u.n, 0) AS n_unresolved
       FROM same s
-      LEFT JOIN cand c USING (media_id)
-      LEFT JOIN near v USING (media_id)
+      LEFT JOIN csum c ON c.dh = s.dh
+      LEFT JOIN vsum v ON v.dh = s.dh
+      LEFT JOIN unres u ON u.dh = s.dh
       ORDER BY s.media_id"""
 
   val oracles: Map[String, String] = Map(
@@ -967,5 +1074,23 @@ object Multimodal {
         tiles_x * tiles_y AS n_tiles,
         width - (tiles_x - 1) * $TileSize AS edge_w,
         height - (tiles_y - 1) * $TileSize AS edge_h
-      FROM t ORDER BY media_id""")
+      FROM t ORDER BY media_id""",
+    // the seeded corpus reconstructed bit for bit (md5-prefix 60-bit
+    // hash, band 0 zeroed via >>15<<15, the 3-band plant XOR, the flat
+    // class), then the SHARED escalated banding tail
+    "x161_perceptual_recall_audit" -> s"""
+      WITH seed AS (SELECT CAST(i AS BIGINT) AS media_id,
+          ((CAST(concat('0x', substr(md5(CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+            >> 15) << 15) AS dh
+        FROM (SELECT unnest(range(0, 300)) AS i)),
+      plant AS (SELECT CAST(i + 300 AS BIGINT) AS media_id,
+          xor(((CAST(concat('0x', substr(md5(CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+            >> 15) << 15), CAST($RecallPlantXor AS BIGINT)) AS dh
+        FROM (SELECT unnest(range(0, 30)) AS i)),
+      flats AS (SELECT CAST(i + 330 AS BIGINT) AS media_id, CAST(0 AS BIGINT) AS dh
+        FROM (SELECT unnest(range(0, 20)) AS i)),
+      dh AS (SELECT media_id, dh FROM seed
+        UNION ALL SELECT media_id, dh FROM plant
+        UNION ALL SELECT media_id, dh FROM flats),
+      $PerceptualBandTailSql""")
 }

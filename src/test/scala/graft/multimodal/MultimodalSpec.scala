@@ -351,6 +351,32 @@ class MultimodalSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("x161 recall audit: every planted hot-bucket pair verifies; unresolved mass is zero") {
+    // the r18 `weak` closed: seeded near-dups whose ONLY shared band
+    // is a far-over-cap bucket must still pair (via the sub-band
+    // escalation), and nothing may be silently dropped
+    val corpus = Multimodal.recallAuditCorpus(spark)
+    // precondition: the whole corpus really concentrates in ONE
+    // degenerate band-0 bucket (low 15 bits zero), far past the cap
+    assert(corpus.filter(col("dh").bitwiseAND(lit(32767L)) =!= 0L).count() == 0,
+      "every seeded signature must share band 0 = 0")
+    assert(corpus.select("dh").distinct().count() > 300,
+      "the hot bucket must hold > 300 DISTINCT classes (cap is 64)")
+    val out = Multimodal.perceptualRecallAudit(spark, sfDir).collect()
+    val m = out.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    (300L until 330L).foreach { id =>
+      assert(m(id)._2 >= 1, s"planted near-dup $id not recovered: ${m(id)}")
+      assert(m(id - 300)._2 >= 1, s"plant source ${id - 300} not recovered")
+    }
+    assert(out.forall(_.getLong(3) == 0),
+      "sub-band escalation must resolve the entire hot bucket (zero skipped mass)")
+    (330L until 350L).foreach { id =>
+      assert(m(id)._2 == 19, s"flat copy $id must ride the n_same class collapse")
+    }
+    graft.CacheScope.release()
+  }
+
   test("x21 oracle precondition: corpus is ASCII (payload byte == codepoint)") {
     // the DuckDB oracles index decoded buffers via ord(char) per
     // character; that equals the UTF-8 payload byte only while the
