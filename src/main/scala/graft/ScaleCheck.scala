@@ -192,6 +192,66 @@ object ScaleCheck {
   // lineitem), so the relational q-series and x77/x80 join the suite-
   // mode measured set via the probe run instead of being exclusions.
 
+  /** Machine-readable MASS-FAMILY membership (r18 verdict task 2):
+    * every query whose 10×/100× wall ratio can exceed the flat-cost
+    * band (> [[AdjudicationRatioFloor]]) must belong to exactly one
+    * family here, and each family's emitter prints its measured mass
+    * axis on BOTH slices into the stamp — so a high ratio is always
+    * readable against the work mass that explains it, in-artifact,
+    * never in prose. ScaleFamilySpec parses the committed stamps and
+    * asserts the coverage, so "no silent shapes" is checked by code. */
+  private[graft] val MassFamilies: Map[String, Seq[String]] = Map(
+    // one hash-pair row per 8-gram through keyed aggregates + join back
+    "gram_shuffle" -> Seq("x42_boilerplate", "x50_source_overlap",
+      "x73_boilerplate_spans", "x98_novelty", "x115_span_dedup"),
+    // distributed-sink replays: cost ∝ rows-through-sink, fixed triggers
+    "stream_replay" -> Seq("x91_stream_idempotent_sink",
+      "x105_stream_incremental_agg", "x147_stream_upsert_mor"),
+    // pure per-row codegen scans: cost axis is input mass (chars/rows)
+    "one_pass_scans" -> Seq("x10_text_token_stats", "x14_text_fingerprints",
+      "x20_media_stats", "x21_media_features", "x37_text_redaction",
+      "x38_text_repetition", "x45_tokenizer_fertility", "x84_audio_frames",
+      "x110_quant_audit", "x149_incremental_index",
+      "x157_media_perceptual_dedup", "x160_audio_perceptual_dedup"),
+    // capped-LSH candidate pairs through the shared x03 machinery
+    "minhash_candidates" -> Seq("x03_dedup_minhash",
+      "x106_minhash_threshold_sweep", "x124_dedup_incremental_near",
+      "x159_fuzzy_contamination"),
+    // exploded word-8-gram occurrences through overlap joins
+    "overlap_grams" -> Seq("x34_contamination", "x79_split_leakage"),
+    // distinct (doc, bigram) rows through the LM joins
+    "lm_join" -> Seq("x125_perplexity_filter", "x131_fluency_external"),
+    // table bytes written/read through the manifest layout
+    "manifest_layout" -> Seq("x127_compaction_roundtrip",
+      "x130_compaction_incremental", "x134_manifest_time_travel",
+      "x135_manifest_diff_read", "x145_equality_delete_read",
+      "x148_zone_pruned_read", "x151_manifest_restore",
+      "x152_manifest_history", "x153_manifest_merge",
+      "x156_manifest_schema_evolution"),
+    // fixed-|Q| LSH: candidate pairs grow ∝ N by design
+    "lsh_candidates" -> Seq("x08_sim_topk_lsh"),
+    // champion-list nomination saturates at the per-term cap
+    "bm25_candidates" -> Seq("x140_bm25_retrieval"),
+    // hierarchical probe: fine-cosine mass is N^1.25 by design
+    "sem_probe" -> Seq("x128_sem_assign_approx", "x129_sem_assign_audit",
+      "x133_sem_probe_sweep"))
+
+  /** Ratios above this need a family mass line (the r17/r18 verdict
+    * reading band: <5 is flat-cost dilution, >5 needs an axis). */
+  private[graft] val AdjudicationRatioFloor = 5.0
+
+  private[graft] lazy val familyOf: Map[String, String] =
+    MassFamilies.flatMap { case (f, qs) => qs.map(_ -> f) }
+
+  /** Queries whose stamp ratio exceeds the floor but belong to NO mass
+    * family — the silent-shape set that must be empty (spec-asserted
+    * against the committed SCALE stamps). */
+  private[graft] def unadjudicated(ratios: Map[String, Double],
+      threshold: Double = AdjudicationRatioFloor): Seq[String] =
+    ratios.collect {
+      case (q, r) if r > threshold && !familyOf.contains(q) => q
+    }.toSeq.sorted
+
   def main(args: Array[String]): Unit = {
     val workDir = args.headOption.getOrElse("/root/repo/tmp/scalecheck")
     val mult = if (args.length > 1) args(1).toInt else 10
@@ -354,12 +414,15 @@ object ScaleCheck {
     // nlist = √N), so its super-linear ratio is data mass, not plan
     // shape — the artifact carries the measured fine-cosine mass on
     // both slices so the runtime ratio can be read against it.
-    if (rows.exists(_._1 == "x128_sem_assign_approx")) {
+    val semFamily = MassFamilies("sem_probe")
+    if (rows.exists(r => semFamily.contains(r._1))) {
       val c1 = ext.Similarity.semProbeCandidateMass(spark, dir1)
       spark.catalog.clearCache()
       val cN = ext.Similarity.semProbeCandidateMass(spark, dirN)
       spark.catalog.clearCache()
-      println(f"""{"metric":"scale_adjudication","query":"x128_sem_assign_approx","fine_cos_t1":$c1%d,"fine_cos_t$mult%d":$cN%d,"mass_ratio":${cN.toDouble / c1}%.2f,"note":"hierarchical probe is N^1.25 by design (per-vector fine candidates ~ probes*sqrt(nlist), nlist = sqrt(N)); runtime must track the fine-cosine mass — the exact path it replaces is N^1.5"}""")
+      val present = semFamily.filter(q => rows.exists(_._1 == q))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(f"""{"metric":"scale_adjudication","family":"sem_probe","queries":$present,"fine_cos_t1":$c1%d,"fine_cos_t$mult%d":$cN%d,"mass_ratio":${cN.toDouble / c1}%.2f,"note":"hierarchical probe is N^1.25 by design (per-vector fine candidates ~ probes*sqrt(nlist), nlist = sqrt(N)); x129 carries the sample-bounded exact reference and x133 sweeps probe widths on the same sample — runtime must track the fine-cosine mass; the exact path it replaces is N^1.5"}""")
     }
     // gram-shuffle family adjudication (r16): these ops shuffle one
     // hash-pair row per 8-gram (x98 per OCCURRENCE through the
@@ -373,8 +436,7 @@ object ScaleCheck {
     // x115 rides the same axis with a 60-bit md5-prefix key — that md5
     // IS oracle-replayed (the x03/x04 portable-hash trade), so unlike
     // x42/x73/x98 it cannot swap to salted xxhash64
-    val gramFamily = Seq("x42_boilerplate", "x50_source_overlap",
-      "x73_boilerplate_spans", "x98_novelty", "x115_span_dedup")
+    val gramFamily = MassFamilies("gram_shuffle")
     if (rows.exists(r => gramFamily.contains(r._1))) {
       val c1 = ext.TextAnalysis.noveltyGramMass(spark, dir1)
       spark.catalog.clearCache()
@@ -396,8 +458,7 @@ object ScaleCheck {
     // 4 micro-batches at any volume, so per-trigger scheduling,
     // checkpoint fsync, and manifest-commit constants DILUTE as the
     // slice grows; sub-mult ratios are the expected reading).
-    val replayFamily = Seq("x91_stream_idempotent_sink",
-      "x105_stream_incremental_agg", "x147_stream_upsert_mor")
+    val replayFamily = MassFamilies("stream_replay")
     if (rows.exists(r => replayFamily.contains(r._1))) {
       val m1 = streaming.EventStreams.replaySinkMass(spark, dir1)
       val mN = streaming.EventStreams.replaySinkMass(spark, dirN)
@@ -411,14 +472,11 @@ object ScaleCheck {
     // mass, mult× by construction, so a >10× reading there is t1
     // dilution, not plan shape. Carried in-artifact with the measured
     // masses so the attribution is a datum, not prose.
-    val scanFamily = Seq("x10_text_token_stats", "x14_text_fingerprints",
-      "x21_media_features", "x37_text_redaction", "x38_text_repetition",
-      "x45_tokenizer_fertility", "x84_audio_frames", "x110_quant_audit",
-      "x149_incremental_index",
-      // x157/x160: decode/resize/hash are the same documents-derived
-      // per-row scan; the banded pair joins shuffle only 8-byte
-      // signatures and are bucket-capped, so char mass stays the axis
-      "x157_media_perceptual_dedup", "x160_audio_perceptual_dedup")
+    // x157/x160: decode/resize/hash are the same documents-derived
+    // per-row scan; the banded pair joins shuffle only 8-byte
+    // signatures and are bucket-capped (hot buckets escalate on finer
+    // sub-keys, still signature-only rows), so char mass stays the axis
+    val scanFamily = MassFamilies("one_pass_scans")
     if (rows.exists(r => scanFamily.contains(r._1))) {
       import org.apache.spark.sql.functions.{col, length, sum}
       def chars(d: String): Long = graft.Tables.load(spark, d, "documents")
@@ -430,6 +488,61 @@ object ScaleCheck {
       val present = scanFamily.filter(q => rows.exists(_._1 == q))
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       println(f"""{"metric":"scale_adjudication","family":"one_pass_scans","queries":$present,"doc_chars_t1":$c1%d,"doc_chars_t$mult%d":$cN%d,"char_ratio":${cN.toDouble / c1}%.2f,"emb_rows_t1":$v1%d,"emb_rows_t$mult%d":$vN%d,"note":"pure per-row codegen scans over documents/embeddings (media decode is documents-derived; x149's base rebuild is the same tokenize-scan mass plus a delta-sized fold): cost axis is input mass, mult-x by construction — a high ratio here reads t1 overhead dilution, with per-row cost flat or falling"}""")
+    }
+    // minhash-candidate family (r18 verdict task 2): x03/x106/x124/x159
+    // all ride the SHARED minhashCandidates machinery — their cost axis
+    // is the capped-LSH candidate-pair count (plus the corpus-linear
+    // shingle pass), so the measured pair mass on both slices is the
+    // family's reading key.
+    val minhashFamily = MassFamilies("minhash_candidates")
+    if (rows.exists(r => minhashFamily.contains(r._1))) {
+      val c1 = ext.Dedup.minhashCandidateMass(spark, dir1)
+      spark.catalog.clearCache()
+      val cN = ext.Dedup.minhashCandidateMass(spark, dirN)
+      spark.catalog.clearCache()
+      val present = minhashFamily.filter(q => rows.exists(_._1 == q))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(f"""{"metric":"scale_adjudication","family":"minhash_candidates","queries":$present,"cand_pairs_t1":$c1%d,"cand_pairs_t$mult%d":$cN%d,"cand_ratio":${cN.toDouble / c1}%.2f,"note":"all four queries consume the shared capped-LSH candidate machinery (x106 sweeps thresholds over the same pairs, x124/x159 restrict to cross-boundary pairs): runtime must track candidate-pair mass plus the corpus-linear shingle scan"}""")
+    }
+    // overlap-gram family (r18 verdict task 2): x34/x79 explode word
+    // 8-grams and join them across a boundary (benchmark / split) —
+    // cost axis is the exploded 8-gram occurrence mass.
+    val overlapFamily = MassFamilies("overlap_grams")
+    if (rows.exists(r => overlapFamily.contains(r._1))) {
+      val c1 = ext.Contamination.overlapGramMass(spark, dir1)
+      spark.catalog.clearCache()
+      val cN = ext.Contamination.overlapGramMass(spark, dirN)
+      spark.catalog.clearCache()
+      val present = overlapFamily.filter(q => rows.exists(_._1 == q))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(f"""{"metric":"scale_adjudication","family":"overlap_grams","queries":$present,"grams_t1":$c1%d,"grams_t$mult%d":$cN%d,"gram_ratio":${cN.toDouble / c1}%.2f,"note":"one exploded row per word 8-gram occurrence through the overlap joins (x34 vs the benchmark set, x79 test-vs-train semi-join): runtime must track gram mass (~token volume), never outgrow it"}""")
+    }
+    // LM-join family (r18 verdict task 2): x125/x131 shuffle one row
+    // per DISTINCT (doc, bigram) into the LM joins; the LM tables stay
+    // vocab-bounded — the distinct doc-bigram row count is the axis.
+    val lmFamily = MassFamilies("lm_join")
+    if (rows.exists(r => lmFamily.contains(r._1))) {
+      val c1 = ext.TextAnalysis.lmJoinRowMass(spark, dir1)
+      spark.catalog.clearCache()
+      val cN = ext.TextAnalysis.lmJoinRowMass(spark, dirN)
+      spark.catalog.clearCache()
+      val present = lmFamily.filter(q => rows.exists(_._1 == q))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(f"""{"metric":"scale_adjudication","family":"lm_join","queries":$present,"doc_bigrams_t1":$c1%d,"doc_bigrams_t$mult%d":$cN%d,"bigram_ratio":${cN.toDouble / c1}%.2f,"note":"per-(doc,bigram) pre-aggregation with map-side combine is the only token-mass shuffle; the LM-side tables are vocab-bounded (Heaps-sublinear), so runtime must track distinct doc-bigram mass"}""")
+    }
+    // manifest-layout family (r18 verdict task 2): the lifecycle ops
+    // (append/compact/restore/merge/history/zone/delete/evolve) all
+    // move the documents table through the layout — cost axis is the
+    // table's payload bytes.
+    val manifestFamily = MassFamilies("manifest_layout")
+    if (rows.exists(r => manifestFamily.contains(r._1))) {
+      import org.apache.spark.sql.functions.{col, octet_length, sum}
+      def tableBytes(d: String): Long = graft.Tables.load(spark, d, "documents")
+        .agg(sum(octet_length(col("text"))).cast("long")).head().getLong(0)
+      val (b1, bN) = (tableBytes(dir1), tableBytes(dirN))
+      val present = manifestFamily.filter(q => rows.exists(_._1 == q))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(f"""{"metric":"scale_adjudication","family":"manifest_layout","queries":$present,"table_bytes_t1":$b1%d,"table_bytes_t$mult%d":$bN%d,"byte_ratio":${bN.toDouble / b1}%.2f,"note":"every query appends and re-reads the documents table through the manifest layout (x151 restores a full entry set, x152 parses retained manifests — metadata-only, bounded above by this axis): runtime must track table payload bytes, with per-commit constants diluting as the slice grows"}""")
     }
     spark.stop()
   }

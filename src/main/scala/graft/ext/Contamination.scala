@@ -256,6 +256,15 @@ object Contamination {
       .orderBy("doc_id")
   }
 
+  /** ScaleCheck mass axis for the overlap_grams family (x34/x79): the
+    * exploded word-8-gram occurrence count — what both queries shuffle
+    * into their overlap joins. */
+  private[graft] def overlapGramMass(s: SparkSession, dir: String): Long =
+    load(s, dir, "documents")
+      .select(greatest(graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("long") - 7, lit(0L)).as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x34_contamination" -> benchmarkContamination,
     "x35_blocklist" -> blocklistFilter,

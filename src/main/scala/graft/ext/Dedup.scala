@@ -376,6 +376,13 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** ScaleCheck mass axis for the minhash_candidates family
+    * (x03/x106/x124/x159): the capped-LSH candidate-pair count out of
+    * the SHARED [[minhashCandidates]] machinery — the work mass every
+    * family member's runtime must track. */
+  def minhashCandidateMass(s: SparkSession, dir: String): Long =
+    minhashCandidates(s, dir)._2.count()
+
   def minhashNearDups(s: SparkSession, dir: String): DataFrame = {
     val (docs, withJaccard) = minhashCandidates(s, dir)
     val sameSet = docs.groupBy("setkey").agg(count(lit(1)).as("g"))

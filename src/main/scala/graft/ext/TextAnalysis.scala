@@ -665,6 +665,19 @@ object TextAnalysis {
         .wordShingleStrings(col("text"), 8)).cast("long").as("n"))
       .agg(sum(col("n"))).head().getLong(0)
 
+  /** ScaleCheck mass axis for the lm_join family (x125/x131): the
+    * DISTINCT (doc, bigram) row count — the only token-mass frame the
+    * fluency joins shuffle (the LM-side tables are vocab-bounded). */
+  private[graft] def lmJoinRowMass(s: SparkSession, dir: String): Long = {
+    val t = tokens(col("text"))
+    val n = greatest(size(t) - 1, lit(0))
+    load(s, dir, "documents")
+      .select(col("doc_id"), slice(t, lit(1), n).as("a"), slice(t, lit(2), n).as("b"))
+      .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("bi"))
+      .select(col("doc_id"), col("bi.a").as("w1"), col("bi.b").as("w2"))
+      .distinct().count()
+  }
+
   /** x99: vocabulary growth across ingest order — distinct terms seen
     * by the end of each doc_id decile (the Heaps'-law curve). A corpus
     * whose curve flattens early is saturating (more data, no new
