@@ -444,7 +444,7 @@ object ScaleCheck {
       spark.catalog.clearCache()
       val present = gramFamily.filter(q => rows.exists(_._1 == q))
         .map("\"" + _ + "\"").mkString("[", ",", "]")
-      println(f"""{"metric":"scale_adjudication","family":"gram_shuffle","queries":$present,"grams_t1":$c1%d,"grams_t$mult%d":$cN%d,"gram_ratio":${cN.toDouble / c1}%.2f,"note":"one hash-pair row per 8-gram through the keyed aggregates and the join back (x50's overlap matrix shares this axis); runtime must track gram mass (~token volume), never outgrow it. x73 winnows the positional stream doc-locally first (r18) and pays ~2/(w+1)=22 pct of this mass — its ratio should sit well UNDER the family line. x115 shares the AXIS but not the key scheme (60-bit md5-prefix span keys, not salted xxhash64 pairs), so the gram-mass datum is an approximate axis for it"}""")
+      println(f"""{"metric":"scale_adjudication","family":"gram_shuffle","queries":$present,"grams_t1":$c1%d,"grams_t$mult%d":$cN%d,"gram_ratio":${cN.toDouble / c1}%.2f,"note":"one hash-pair row per 8-gram through the keyed aggregates and the join back (x50's overlap matrix shares this axis); runtime must track gram mass (~token volume), never outgrow it. x73 (r18) and x98 (r19) winnow the positional stream doc-locally first and pay ~2/(w+1)=22 pct of this mass — their ratios should sit well UNDER the family line. x115 shares the AXIS but not the key scheme (60-bit md5-prefix span keys, not salted xxhash64 pairs), so the gram-mass datum is an approximate axis for it"}""")
     }
     // stream-replay family adjudication (r17): the foreachBatch
     // replays write to DISTRIBUTED sinks — x91 overwrites per-batch

@@ -265,6 +265,32 @@ object Contamination {
         .cast("long") - 7, lit(0L)).as("n"))
       .agg(sum(col("n"))).head().getLong(0)
 
+  /** Shared oracle CTE chain: the winnowed fingerprint selection
+    * replayed exactly — per window of [[WinnowWindow]] consecutive gram
+    * positions keep the smallest 60-bit md5-prefix hash, ties to the
+    * RIGHTMOST position (MAX i among h = window min). Ends at
+    * `grams(doc_id, n, i, m, gram)` + `sel(doc_id, i)`; consumers join
+    * the two. One spelling for x73's boilerplate coverage and x98's
+    * winnowed novelty, zero drift. */
+  private[graft] val WinnowSelCtes: String = """
+      toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      idx AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+          unnest(range(1, greatest(len(t)-7, 1)+1)) AS i FROM toks),
+      grams AS (SELECT doc_id, n, i, greatest(n-7, 1) AS m,
+          array_to_string(t[i:i+7], ' ') AS gram FROM idx),
+      hashed AS (SELECT doc_id, n, i, m, gram,
+          CAST(concat('0x', substr(md5(gram),1,15)) AS BIGINT) AS h FROM grams),
+      spread AS (SELECT doc_id, i, h,
+          unnest(range(greatest(1, i-7), least(i, greatest(m-7, 1))+1)) AS j
+        FROM hashed),
+      winmin AS (SELECT doc_id, j, MIN(h) AS mh FROM spread GROUP BY 1, 2),
+      winsel AS (SELECT s.doc_id, s.j, MAX(s.i) AS i
+        FROM spread s JOIN winmin w
+          ON s.doc_id = w.doc_id AND s.j = w.j AND s.h = w.mh
+        GROUP BY 1, 2),
+      sel AS (SELECT DISTINCT doc_id, i FROM winsel)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x34_contamination" -> benchmarkContamination,
     "x35_blocklist" -> blocklistFilter,
@@ -348,27 +374,8 @@ object Contamination {
         COALESCE(p.n_boiler, 0) / CAST(greatest(t.n_grams, 1) AS DOUBLE) AS boiler_ratio
       FROM totals t LEFT JOIN per_doc p USING (doc_id)
       ORDER BY t.doc_id""",
-    "x73_boilerplate_spans" -> """
-      -- winnowed fingerprint selection replayed exactly: per window of
-      -- 8 consecutive gram positions keep the smallest 60-bit md5-prefix
-      -- hash, ties to the RIGHTMOST position (MAX i among h = window min)
-      WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        FROM documents),
-      idx AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
-          unnest(range(1, greatest(len(t)-7, 1)+1)) AS i FROM toks),
-      grams AS (SELECT doc_id, n, i, greatest(n-7, 1) AS m,
-          array_to_string(t[i:i+7], ' ') AS gram FROM idx),
-      hashed AS (SELECT doc_id, n, i, m, gram,
-          CAST(concat('0x', substr(md5(gram),1,15)) AS BIGINT) AS h FROM grams),
-      spread AS (SELECT doc_id, i, h,
-          unnest(range(greatest(1, i-7), least(i, greatest(m-7, 1))+1)) AS j
-        FROM hashed),
-      winmin AS (SELECT doc_id, j, MIN(h) AS mh FROM spread GROUP BY 1, 2),
-      winsel AS (SELECT s.doc_id, s.j, MAX(s.i) AS i
-        FROM spread s JOIN winmin w
-          ON s.doc_id = w.doc_id AND s.j = w.j AND s.h = w.mh
-        GROUP BY 1, 2),
-      sel AS (SELECT DISTINCT doc_id, i FROM winsel),
+    "x73_boilerplate_spans" -> s"""
+      WITH $WinnowSelCtes,
       sgrams AS (SELECT g.doc_id, g.n, g.i, g.gram
         FROM grams g JOIN sel USING (doc_id, i)),
       hot AS (SELECT gram FROM (

@@ -638,11 +638,27 @@ object TextAnalysis {
     * x42/x73 lesson applied here. The two engines agree exactly
     * whenever the pair is injective on the observed grams, the same
     * bet every content-hash dedup in the tree makes. */
+  /** WINNOWED since r19 (the r18 verdict's worst-ratio task): novelty
+    * is defined over the doc-locally winnowed fingerprint stream
+    * (min-hash per window of 8, Schleimer et al. — the x73 selection,
+    * [[graft.functions.TextExpressions.winnowedPositional]]), not over
+    * every 8-gram. First-seen semantics transfer to fingerprints
+    * unchanged: an exact later copy selects the SAME fingerprints as
+    * its source (winnowing is doc-local and text-deterministic) and
+    * scores 0, the corpus opener owns all of its and scores 100, and a
+    * doc sharing a span ≥ w+g−1 tokens with an earlier doc is
+    * GUARANTEED to share a fingerprint from it (the winnowing
+    * guarantee) — while the shuffled mass drops to ~2/(w+1) ≈ 22% of
+    * gram mass, the same cut that took x73's t100 from 21.9 s to
+    * 9.1 s. The oracle replays the selection via the shared x73 CTE
+    * chain ([[Contamination.WinnowSelCtes]]). */
   def noveltyScores(s: SparkSession, dir: String): DataFrame = {
     val grams = load(s, dir, "documents").select(col("doc_id"),
-      explode(graft.functions.TextExpressions.wordShingleStrings(col("text"), 8)).as("gram"))
+      explode(graft.functions.TextExpressions
+        .winnowedPositional(col("text"), 8, 8)).as("pg"))
       .select(col("doc_id"),
-        xxhash64(col("gram")).as("g1"), xxhash64(col("gram"), lit(1L)).as("g2"))
+        xxhash64(col("pg.gram")).as("g1"), xxhash64(col("pg.gram"), lit(1L)).as("g2"))
+      .distinct()
     val firstOwner = grams.groupBy("g1", "g2").agg(min("doc_id").as("first_doc"))
     grams.join(firstOwner, Seq("g1", "g2"))
       .groupBy("doc_id")
@@ -1312,18 +1328,20 @@ object TextAnalysis {
         CAST(SUM(COALESCE(nt.new_terms, 0)) OVER (ORDER BY nd.decile
           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
       FROM nd LEFT JOIN nt USING (decile) ORDER BY nd.decile""",
-    "x98_novelty" -> """
-      WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        FROM documents),
-      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-7, 1)+1)) AS i FROM toks),
-      grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM idx),
-      fo AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY 1)
+    // the winnowed fingerprint selection replayed via the SHARED x73
+    // CTE chain, then first-owner novelty over the DISTINCT selected
+    // grams per doc
+    "x98_novelty" -> s"""
+      WITH ${Contamination.WinnowSelCtes},
+      sgrams AS (SELECT DISTINCT g.doc_id, g.gram
+        FROM grams g JOIN sel USING (doc_id, i)),
+      fo AS (SELECT gram, MIN(doc_id) AS first_doc FROM sgrams GROUP BY 1)
       SELECT g.doc_id, COUNT(*) AS n_grams,
         CAST(SUM(CASE WHEN g.doc_id = fo.first_doc THEN 1 ELSE 0 END) AS BIGINT)
           AS novel_grams,
         ROUND(SUM(CASE WHEN g.doc_id = fo.first_doc THEN 1 ELSE 0 END) * 100.0
           / COUNT(*), 2) AS novelty_pct
-      FROM grams g JOIN fo USING (gram)
+      FROM sgrams g JOIN fo USING (gram)
       GROUP BY 1 ORDER BY 1""",
     // x87's oracle is the SPEC (global-sort prefix), not the plan
     // (bucketed threshold refinement) — the hash match IS the proof
