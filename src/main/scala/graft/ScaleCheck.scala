@@ -83,6 +83,7 @@ object ScaleCheck {
     "x111_curriculum",
     "x157_media_perceptual_dedup",
     "x160_audio_perceptual_dedup",
+    "x162_color_perceptual_dedup",
     "x112_dedup_recall_audit",
     "x113_mix_plan",
     "x114_outlier_audit",
@@ -212,7 +213,8 @@ object ScaleCheck {
       "x20_media_stats", "x21_media_features", "x37_text_redaction",
       "x38_text_repetition", "x45_tokenizer_fertility", "x84_audio_frames",
       "x110_quant_audit", "x149_incremental_index",
-      "x157_media_perceptual_dedup", "x160_audio_perceptual_dedup"),
+      "x157_media_perceptual_dedup", "x160_audio_perceptual_dedup",
+      "x162_color_perceptual_dedup"),
     // capped-LSH candidate pairs through the shared x03 machinery
     "minhash_candidates" -> Seq("x03_dedup_minhash",
       "x106_minhash_threshold_sweep", "x124_dedup_incremental_near",

@@ -121,6 +121,66 @@ object Multimodal {
     }
   }
 
+  // ---- REAL CODEC: binary PPM (color) ----------------------------------
+
+  /** Binary PPM (P6) — the color sibling of [[PgmCodec]]: ASCII header
+    * `P6\n<width> <height>\n255\n` followed by width·height·3 raw RGB
+    * byte triples. Decode reduces straight to an 8-bit LUMA raster via
+    * integer BT.601 (full-range): Y = (77·R + 150·G + 29·B + 128) >> 8
+    * — the weights sum to 256, the arithmetic is exact integer both
+    * engines spell identically (`(77*r+150*g+29*b+128)//256` in the
+    * oracle), and the result feeds the EXISTING resize→dHash60 chain
+    * unchanged: color support extends the codec seam, not the
+    * perceptual machinery. Malformed headers throw, like PgmCodec. */
+  object PpmCodec {
+    def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == 3 * w * h,
+        s"RGB buffer ${rgb.length} != 3x${w}x$h")
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + rgb.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(rgb, 0, out, header.length, rgb.length)
+      out
+    }
+
+    /** Integer BT.601 full-range luma of one RGB triple. */
+    @inline private[multimodal] def luma(r: Int, g: Int, b: Int): Int =
+      (77 * r + 150 * g + 29 * b + 128) >> 8
+
+    def decode(m: Media): Decoded = {
+      val bytes = m.payload
+      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+        s"not a P6 PPM payload (media ${m.media_id})")
+      var i = 2
+      def readInt(): Int = {
+        while (i < bytes.length && bytes(i).toChar.isWhitespace) i += 1
+        val start = i
+        var v = 0
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+          v = v * 10 + (bytes(i) - '0'); i += 1
+        }
+        require(i > start, s"malformed PPM integer at offset $i")
+        v
+      }
+      val w = readInt(); val h = readInt(); val maxVal = readInt()
+      require(maxVal == 255, s"unsupported PPM maxval $maxVal")
+      i += 1 // single whitespace separating header from raster
+      require(w == m.width && h == m.height,
+        s"PPM header ${w}x$h disagrees with metadata ${m.width}x${m.height} (media ${m.media_id})")
+      require(bytes.length == i + 3 * w * h,
+        s"PPM payload ${bytes.length} B != expected ${i + 3 * w * h} B (media ${m.media_id})")
+      val out = new Array[Byte](w * h)
+      var p = 0
+      while (p < w * h) {
+        val o = i + 3 * p
+        out(p) = luma(bytes(o) & 0xff, bytes(o + 1) & 0xff,
+          bytes(o + 2) & 0xff).toByte
+        p += 1
+      }
+      Decoded(m.media_id, m.kind, w, h, out)
+    }
+  }
+
   // ---- REAL CODEC: RIFF/WAVE PCM --------------------------------------
 
   /** RIFF/WAVE, PCM mono, 8- or 16-bit — the two widths real speech
@@ -245,10 +305,15 @@ object Multimodal {
   // ---- operators ------------------------------------------------------
 
   /** The codec dispatch seam: image/video parse real PGM bytes (a
-    * video's plain decode is its poster frame — block 0); audio walks
-    * the real RIFF/WAVE container. */
+    * video's plain decode is its poster frame — block 0) or, on the P6
+    * magic, color PPM reduced to BT.601 luma; audio walks the real
+    * RIFF/WAVE container. Magic-byte dispatch within a kind is how a
+    * real ingest handles mixed codec directories. */
   private def decodeOne(m: Media): Decoded =
-    if (m.kind == "audio") WavCodec.decode(m) else PgmCodec.decode(m)
+    if (m.kind == "audio") WavCodec.decode(m)
+    else if (m.payload.length >= 2 && m.payload(0) == 'P' && m.payload(1) == '6')
+      PpmCodec.decode(m)
+    else PgmCodec.decode(m)
 
   /** Decode every media row, batch-at-a-time within each partition. */
   def decode(media: Dataset[Media]): Dataset[Decoded] = {
@@ -757,6 +822,64 @@ object Multimodal {
   def perceptualRecallAudit(s: SparkSession, dir: String): DataFrame =
     perceptualNearDups(recallAuditCorpus(s))
 
+  /** Byte-level cycle of `text` to exactly `n` bytes, space-padded when
+    * the text is empty — the JVM spelling of the oracle's
+    * `rpad(repeat(text, n//len+1), n, ' ')` (they coincide byte-for-
+    * byte on the ASCII corpus, the spec-asserted x21 precondition). */
+  private def cycleBytes(text: Array[Byte], n: Int): Array[Byte] = {
+    val out = Array.fill[Byte](n)(' '.toByte)
+    if (text.nonEmpty) {
+      var i = 0
+      while (i < n) { out(i) = text(i % text.length); i += 1 }
+    }
+    out
+  }
+
+  /** The color corpus: the image-subset documents re-shipped as binary
+    * P6 PPM — R cycles the text bytes (the P5 raster), G is that
+    * raster REVERSED (so the two channels genuinely differ and the
+    * BT.601 weights matter), B constant 64. Payload construction is
+    * JVM-side ([[PpmCodec.encode]]); the oracle never sees payload
+    * bytes — it reconstructs the same R/G/B planes in SQL (pix /
+    * reverse(pix) / 64) and replays the luma arithmetic, exactly the
+    * x157 contract. */
+  def colorMediaFromDocuments(spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    graft.Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull && pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"),
+        (pmod(col("doc_id"), lit(7)) * 8 + 16).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(5)) * 8 + 16).cast("int").as("height"),
+        col("text"))
+      .as[(Long, Int, Int, String)]
+      .map { case (id, w, h, text) =>
+        val r = cycleBytes(text.getBytes(java.nio.charset.StandardCharsets.UTF_8), w * h)
+        val rgb = new Array[Byte](3 * w * h)
+        var p = 0
+        while (p < w * h) {
+          rgb(3 * p) = r(p)
+          rgb(3 * p + 1) = r(w * h - 1 - p)
+          rgb(3 * p + 2) = 64
+          p += 1
+        }
+        Media(id, "image", PpmCodec.encode(w, h, rgb), w, h, 16000, 1,
+          "image/x-portable-pixmap")
+      }
+  }
+
+  /** x162: perceptual near-dup over COLOR media — the P6→BT.601-luma
+    * codec rung (r18 verdict task 4) feeding the UNCHANGED
+    * resize→dHash60→escalated-banding chain. Decode/luma/resize/hash
+    * stay narrow per-partition passes; only 8-byte signatures reach
+    * the exchanges, the x157 scale shape exactly. */
+  def colorPerceptualDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = resize(decode(colorMediaFromDocuments(s, dir)), DHashW, DHashH)
+      .map(d => (d.media_id, dHash60(d.pixels)))
+      .toDF("media_id", "dh")
+    perceptualNearDups(hashes)
+  }
+
   /** Tile size for [[mediaTiles]] — not a divisor of ALL the synthetic
     * dimensions (multiples of 8: 16/40/56… are indivisible by 12, while
     * 24/48 divide evenly), so the fixture exercises both ragged and
@@ -825,7 +948,8 @@ object Multimodal {
     "x84_audio_frames" -> audioFrames,
     "x157_media_perceptual_dedup" -> mediaPerceptualDedup,
     "x160_audio_perceptual_dedup" -> audioPerceptualDedup,
-    "x161_perceptual_recall_audit" -> perceptualRecallAudit)
+    "x161_perceptual_recall_audit" -> perceptualRecallAudit,
+    "x162_color_perceptual_dedup" -> colorPerceptualDedup)
 
   /** Shared oracle CTE rebuilding the payload construction of
     * [[mediaFromDocuments]] in SQL — the pix raster (text cycled +
@@ -1092,5 +1216,36 @@ object Multimodal {
       dh AS (SELECT media_id, dh FROM seed
         UNION ALL SELECT media_id, dh FROM plant
         UNION ALL SELECT media_id, dh FROM flats),
+      $PerceptualBandTailSql""",
+    // the COLOR chain replayed bit for bit: the R plane is the cycled
+    // text (pix), G is reverse(pix) — 0-based position p reads 1-based
+    // substr index wh-p — B is constant 64; integer BT.601 luma at the
+    // 9x8 resize sample positions (luma is pointwise, so sampling
+    // before or after reduction is identical), then dHash bits and the
+    // SHARED escalated banding tail
+    "x162_color_perceptual_dedup" -> s"""
+      WITH m AS (SELECT doc_id AS media_id,
+          CAST((doc_id % 7) * 8 + 16 AS BIGINT) AS w,
+          CAST((doc_id % 5) * 8 + 16 AS BIGINT) AS h,
+          text
+        FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0),
+      pb AS (SELECT *, rpad(repeat(text, CAST(w * h // greatest(length(text), 1) AS INT) + 1),
+          CAST(w * h AS INT), ' ') AS pix FROM m),
+      rp AS (SELECT media_id, CAST(i AS BIGINT) AS i, pix, w * h AS wh,
+          ((i // 9) * h // 8) * w + ((i % 9) * w // 9) AS p
+        FROM pb, (SELECT unnest(range(0, 72)) AS i)),
+      lv AS (SELECT media_id, i,
+          CAST((77 * ord(substr(pix, CAST(p AS INT) + 1, 1))
+            + 150 * ord(substr(pix, CAST(wh - p AS INT), 1))
+            + 29 * 64 + 128) // 256 AS BIGINT) AS v
+        FROM rp),
+      bits AS (SELECT a.media_id, (a.i // 9) * 8 + (a.i % 9) AS k,
+          CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+        FROM lv a JOIN lv b ON a.media_id = b.media_id AND b.i = a.i + 1
+        WHERE a.i % 9 < 8 AND (a.i // 9) * 8 + (a.i % 9) < 60),
+      dh AS (SELECT media_id,
+          CAST(SUM(CASE WHEN bit = 1
+            THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS dh
+        FROM bits GROUP BY 1),
       $PerceptualBandTailSql""")
 }

@@ -351,6 +351,83 @@ class MultimodalSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("PPM codec: hand-built color rasters reduce to exact BT.601 luma; malformed input throws") {
+    // pure-channel rasters pin the integer weights: (77R+150G+29B+128)>>8
+    val w = 3; val h = 2
+    def solid(r: Int, g: Int, b: Int): Array[Byte] =
+      Array.fill(w * h)(Seq(r, g, b)).flatten.map(_.toByte).toArray
+    def lumaOf(r: Int, g: Int, b: Int): Int = {
+      val m = Multimodal.Media(1L, "image",
+        Multimodal.PpmCodec.encode(w, h, solid(r, g, b)), w, h, 16000, 1, "x")
+      val d = Multimodal.PpmCodec.decode(m)
+      assert(d.width == w && d.height == h && d.pixels.length == w * h)
+      assert(d.pixels.distinct.length == 1, "solid raster must decode to solid luma")
+      d.pixels(0) & 0xff
+    }
+    // pure channels floor to (weight*255+128)>>8: 77, 149, 29
+    assert(lumaOf(255, 0, 0) == (77 * 255 + 128) / 256, "pure red luma")
+    assert(lumaOf(0, 255, 0) == (150 * 255 + 128) / 256, "pure green luma")
+    assert(lumaOf(0, 0, 255) == (29 * 255 + 128) / 256, "pure blue luma")
+    assert(lumaOf(255, 255, 255) == 255 && lumaOf(0, 0, 0) == 0)
+    assert(lumaOf(100, 200, 50) == (77 * 100 + 150 * 200 + 29 * 50 + 128) / 256)
+    // a NON-solid raster: per-pixel reduction, not an average
+    val rgb = Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0,
+      0, 0, 255.toByte, 0, 0, 0, 127, 127, 127, 255.toByte, 255.toByte, 255.toByte)
+    val d = Multimodal.PpmCodec.decode(Multimodal.Media(2L, "image",
+      Multimodal.PpmCodec.encode(3, 2, rgb), 3, 2, 16000, 1, "x"))
+    assert(d.pixels.map(_ & 0xff).toSeq ==
+      Seq((77 * 255 + 128) / 256, (150 * 255 + 128) / 256, (29 * 255 + 128) / 256,
+        0, (77 * 127 + 150 * 127 + 29 * 127 + 128) / 256, 255))
+    // malformed inputs fail loudly, like PgmCodec
+    intercept[IllegalArgumentException] {
+      Multimodal.PpmCodec.decode(Multimodal.Media(3L, "image",
+        "P5\n1 1\n255\nx".getBytes("US-ASCII"), 1, 1, 16000, 1, "x"))
+    }
+    intercept[IllegalArgumentException] { // truncated raster
+      Multimodal.PpmCodec.decode(Multimodal.Media(4L, "image",
+        "P6\n2 2\n255\nabc".getBytes("US-ASCII"), 2, 2, 16000, 1, "x"))
+    }
+    intercept[IllegalArgumentException] { // metadata/header disagreement
+      Multimodal.PpmCodec.decode(Multimodal.Media(5L, "image",
+        Multimodal.PpmCodec.encode(3, 2, rgb), 2, 3, 16000, 1, "x"))
+    }
+  }
+
+  test("color perceptual dedup: decode dispatches on the P6 magic; near-identical color images pair") {
+    import spark.implicits._
+    val w = 32; val h = 24
+    val baseR = Array.tabulate(w * h)(i => (((i * 131) ^ (i >> 3)) % 251).toByte)
+    def rgbOf(r: Array[Byte]): Array[Byte] = {
+      val rgb = new Array[Byte](3 * w * h)
+      var p = 0
+      while (p < w * h) {
+        rgb(3 * p) = r(p); rgb(3 * p + 1) = r(w * h - 1 - p); rgb(3 * p + 2) = 64
+        p += 1
+      }
+      rgb
+    }
+    // one strong sensor-noise pixel at a resize sample point (same
+    // geometry as the grayscale spec)
+    val noisyR = baseR.clone(); noisyR(w * 6 + 10) = (noisyR(w * 6 + 10) + 90).toByte
+    val otherR = Array.tabulate(w * h)(i => (((i / w) * 11) % 256).toByte)
+    def mk(id: Long, r: Array[Byte]) = Multimodal.Media(id, "image",
+      Multimodal.PpmCodec.encode(w, h, rgbOf(r)), w, h, 16000, 1, "image/x-portable-pixmap")
+    val media = Seq(mk(1L, baseR), mk(2L, noisyR), mk(3L, otherR)).toDS()
+    val hashes = Multimodal.resize(Multimodal.decode(media),
+        Multimodal.DHashW, Multimodal.DHashH)
+      .map(d => (d.media_id, Multimodal.dHash60(d.pixels)))
+      .toDF("media_id", "dh")
+    val out = Multimodal.perceptualNearDups(hashes)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) >= 1 && out(2L) >= 1,
+      s"near-identical color pair not detected: $out")
+    assert(out(3L) == 0, s"structurally different color image matched: $out")
+    // the x162 corpus decodes end-to-end (the P6 exact-length gate holds
+    // for every width/height/text combination in the real corpus)
+    assert(Multimodal.colorPerceptualDedup(spark, sfDir).count() > 0)
+    graft.CacheScope.release()
+  }
+
   test("x161 recall audit: every planted hot-bucket pair verifies; unresolved mass is zero") {
     // the r18 `weak` closed: seeded near-dups whose ONLY shared band
     // is a far-over-cap bucket must still pair (via the sub-band
