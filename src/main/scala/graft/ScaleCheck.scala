@@ -84,6 +84,7 @@ object ScaleCheck {
     "x157_media_perceptual_dedup",
     "x160_audio_perceptual_dedup",
     "x162_color_perceptual_dedup",
+    "x163_perceptual_incremental",
     "x112_dedup_recall_audit",
     "x113_mix_plan",
     "x114_outlier_audit",
@@ -230,6 +231,10 @@ object ScaleCheck {
       "x148_zone_pruned_read", "x151_manifest_restore",
       "x152_manifest_history", "x153_manifest_merge",
       "x156_manifest_schema_evolution"),
+    // delta-vs-published-snapshot: steady-state cost axis is the DELTA
+    // payload mass (the in-query snapshot rebuild is the same decode
+    // scan x157 pays — both masses stamped)
+    "incremental_delta" -> Seq("x163_perceptual_incremental"),
     // fixed-|Q| LSH: candidate pairs grow ∝ N by design
     "lsh_candidates" -> Seq("x08_sim_topk_lsh"),
     // champion-list nomination saturates at the per-term cap
@@ -531,6 +536,26 @@ object ScaleCheck {
       val present = lmFamily.filter(q => rows.exists(_._1 == q))
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       println(f"""{"metric":"scale_adjudication","family":"lm_join","queries":$present,"doc_bigrams_t1":$c1%d,"doc_bigrams_t$mult%d":$cN%d,"bigram_ratio":${cN.toDouble / c1}%.2f,"note":"per-(doc,bigram) pre-aggregation with map-side combine is the only token-mass shuffle; the LM-side tables are vocab-bounded (Heaps-sublinear), so runtime must track distinct doc-bigram mass"}""")
+    }
+    // incremental-delta family (r18 verdict task 5): x163's steady-
+    // state cost is the DELTA decode+hash plus a signature-table read;
+    // the in-query snapshot publish is the x157-shaped decode scan.
+    // Both masses stamped so the reading carries its own split.
+    val deltaFamily = MassFamilies("incremental_delta")
+    if (rows.exists(r => deltaFamily.contains(r._1))) {
+      import org.apache.spark.sql.functions.{coalesce, col, length, lit, sum}
+      def imgChars(d: String, deltaOnly: Boolean): Long = {
+        val base = graft.Tables.load(spark, d, "documents")
+          .filter(col("doc_id") % 3 === 0)
+        (if (deltaOnly) base.filter(col("doc_id") % 2 === 1) else base)
+          .agg(coalesce(sum(length(col("text"))).cast("long"), lit(0L)))
+          .head().getLong(0)
+      }
+      val (d1, dN) = (imgChars(dir1, deltaOnly = true), imgChars(dirN, deltaOnly = true))
+      val (a1, aN) = (imgChars(dir1, deltaOnly = false), imgChars(dirN, deltaOnly = false))
+      val present = deltaFamily.filter(q => rows.exists(_._1 == q))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(f"""{"metric":"scale_adjudication","family":"incremental_delta","queries":$present,"delta_chars_t1":$d1%d,"delta_chars_t$mult%d":$dN%d,"delta_ratio":${dN.toDouble / d1}%.2f,"img_chars_t1":$a1%d,"img_chars_t$mult%d":$aN%d,"note":"delta-vs-published-snapshot near-dup: steady-state cost is the delta decode+hash (delta char mass) plus an 8-byte-signature table read; the harness rebuilds the snapshot in-query (img char mass, the x157 decode scan) because nonce scratch is swept per rep"}""")
     }
     // manifest-layout family (r18 verdict task 2): the lifecycle ops
     // (append/compact/restore/merge/history/zone/delete/evolve) all

@@ -631,7 +631,6 @@ object Multimodal {
     * Output: (media_id, n_candidates, n_near_dups, n_unresolved). */
   private[multimodal] def perceptualNearDups(hashes0: DataFrame): DataFrame = {
     import graft.CacheScope.ScopedCacheOps
-    import org.apache.spark.sql.expressions.Window
     val hashes = hashes0.scopedCache()
 
     // signature classes: one row per distinct dh, with its media count
@@ -639,7 +638,38 @@ object Multimodal {
     val sameCounts = hashes.join(classes, "dh")
       .select(col("media_id"), col("dh"), (col("g") - 1).cast("long").as("n_same"))
 
-    val banded = classes.select(col("dh"),
+    val (cand, verified, unresolved) = bandedClassPairs(classes.select("dh"))
+
+    // expand class-pair counts back to media: a media in class X sees
+    // every media of every partner class Y (dh differs ⇒ media differ)
+    def partnerSums(p: DataFrame, name: String) =
+      p.join(classes.select(col("dh").as("dh2"), col("g").as("g2")), "dh2")
+        .select(col("dh1").as("dh"), col("g2"))
+        .union(p.join(classes.select(col("dh").as("dh1"), col("g").as("g1")), "dh1")
+          .select(col("dh2").as("dh"), col("g1").as("g2")))
+        .groupBy("dh").agg(sum("g2").as(name))
+    sameCounts
+      .join(partnerSums(cand, "cand_sum"), Seq("dh"), "left")
+      .join(partnerSums(verified, "near_sum"), Seq("dh"), "left")
+      .join(unresolved, Seq("dh"), "left")
+      .select(col("media_id"),
+        (coalesce(col("cand_sum"), lit(0L)) + col("n_same")).as("n_candidates"),
+        (coalesce(col("near_sum"), lit(0L)) + col("n_same")).as("n_near_dups"),
+        coalesce(col("n_unresolved"), lit(0L)).as("n_unresolved"))
+      .orderBy("media_id")
+  }
+
+  /** The banded candidate machinery over DISTINCT signature classes —
+    * factored so the whole-corpus pass ([[perceptualNearDups]]) and the
+    * delta-vs-snapshot pass (x163) share the banding, the hot-bucket
+    * escalation, and the unresolved accounting. Input: one row per
+    * distinct dh. Returns (candidate class pairs (dh1 < dh2), verified
+    * pairs (Hamming ≤ 3), unresolved (dh, n_unresolved)). */
+  private def bandedClassPairs(classes0: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.CacheScope.ScopedCacheOps
+    import org.apache.spark.sql.expressions.Window
+    val banded = classes0.select(col("dh"),
         explode(graft.functions.Sketches.simhashPortableBandKeys(col("dh"))).as("bk"))
       .select(col("dh"), col("bk.band").as("band"), col("bk.key").as("key"))
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "key")))
@@ -683,24 +713,7 @@ object Multimodal {
       .agg(min("ssz").as("mssz"))
       .filter(col("mssz") > PerceptualBucketCap)
       .groupBy("dh").agg(count(lit(1)).as("n_unresolved"))
-
-    // expand class-pair counts back to media: a media in class X sees
-    // every media of every partner class Y (dh differs ⇒ media differ)
-    def partnerSums(p: DataFrame, name: String) =
-      p.join(classes.select(col("dh").as("dh2"), col("g").as("g2")), "dh2")
-        .select(col("dh1").as("dh"), col("g2"))
-        .union(p.join(classes.select(col("dh").as("dh1"), col("g").as("g1")), "dh1")
-          .select(col("dh2").as("dh"), col("g1").as("g2")))
-        .groupBy("dh").agg(sum("g2").as(name))
-    sameCounts
-      .join(partnerSums(cand, "cand_sum"), Seq("dh"), "left")
-      .join(partnerSums(verified, "near_sum"), Seq("dh"), "left")
-      .join(unresolved, Seq("dh"), "left")
-      .select(col("media_id"),
-        (coalesce(col("cand_sum"), lit(0L)) + col("n_same")).as("n_candidates"),
-        (coalesce(col("near_sum"), lit(0L)) + col("n_same")).as("n_near_dups"),
-        coalesce(col("n_unresolved"), lit(0L)).as("n_unresolved"))
-      .orderBy("media_id")
+    (cand, verified, unresolved)
   }
 
   /** x160 analysis geometry: a FINER frame walk than x84's 25ms/10ms
@@ -867,6 +880,83 @@ object Multimodal {
       }
   }
 
+  /** Delta-vs-snapshot banded near-dup: per DELTA media, how many
+    * SNAPSHOT media sit within Hamming ≤ 3 (identical signatures count
+    * via the class's snapshot-copy count). Delta-internal near-dups
+    * never count — they are the next snapshot's problem (the x124
+    * incremental rule). Shares [[bandedClassPairs]] with the
+    * whole-corpus pass: same banding, same escalation, same
+    * unresolved accounting. */
+  private[multimodal] def perceptualNearDupsAgainst(delta0: DataFrame,
+      snap0: DataFrame): DataFrame = {
+    import graft.CacheScope.ScopedCacheOps
+    val delta = delta0.scopedCache()
+    val classes = delta.select(col("dh"), lit(1).as("side"))
+      .union(snap0.select(col("dh"), lit(0).as("side")))
+      .groupBy("dh")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("g_snap"))
+      .scopedCache()
+    val (cand, verified, unresolved) = bandedClassPairs(classes.select("dh"))
+    def partnerSnapSums(p: DataFrame, name: String) =
+      p.join(classes.select(col("dh").as("dh2"), col("g_snap").as("g2")), "dh2")
+        .select(col("dh1").as("dh"), col("g2"))
+        .union(p.join(classes.select(col("dh").as("dh1"), col("g_snap").as("g1")), "dh1")
+          .select(col("dh2").as("dh"), col("g1").as("g2")))
+        .groupBy("dh").agg(sum("g2").as(name))
+    delta.join(classes, Seq("dh"))
+      .join(partnerSnapSums(cand, "cand_sum"), Seq("dh"), "left")
+      .join(partnerSnapSums(verified, "near_sum"), Seq("dh"), "left")
+      .join(unresolved, Seq("dh"), "left")
+      .select(col("media_id"),
+        (coalesce(col("cand_sum"), lit(0L)) + col("g_snap")).as("n_candidates"),
+        (coalesce(col("near_sum"), lit(0L)) + col("g_snap")).as("n_near_dups"),
+        coalesce(col("n_unresolved"), lit(0L)).as("n_unresolved"))
+      .orderBy("media_id")
+  }
+
+  /** x163: INCREMENTAL perceptual dedup (r18 verdict task 5) — the
+    * x157 signatures COMPOSED with the incremental machinery. The
+    * snapshot half's (media_id, dh) rows are PUBLISHED once through
+    * the claim-based manifest commit (an open that finds the table
+    * committed skips the whole decode+hash rebuild — x149's
+    * incremental-maintenance contract); the appended media delta is
+    * decoded fresh (the only per-payload work this open pays, cost ∝
+    * delta) and near-dup-joined against the published signatures ONLY
+    * (x124's batch-vs-snapshot rule, via the shared escalated banding).
+    * The delta's signatures then FOLD into the table as v2 — the
+    * artifact ends at the full corpus, at delta cost; the snapshot
+    * join reads v1 by time travel so reopens after the fold stay
+    * exact. The oracle replays both sides' dHash chains from documents
+    * and the cross-side tail. */
+  def incrementalPerceptualDedup(s: SparkSession, dir: String): DataFrame =
+    incrementalPerceptualAt(s, dir,
+      graft.etl.Sources.nonceRoot("percept_sig", dir))
+
+  /** The x163 build+fold+join at an explicit root, factored so the
+    * spec can assert fold ≡ rebuild and reopen behavior. */
+  private[graft] def incrementalPerceptualAt(s: SparkSession, dir: String,
+      root: org.apache.hadoop.fs.Path): DataFrame = {
+    import s.implicits._
+    val imgs = mediaFromDocuments(s, dir).filter(col("kind") === "image").as[Media]
+    def hashesOf(side: Dataset[Media]): DataFrame =
+      resize(decode(side), DHashW, DHashH)
+        .map(d => (d.media_id, dHash60(d.pixels)))
+        .toDF("media_id", "dh")
+    if (!graft.etl.Sources.manifestExists(s, root))
+      graft.etl.Sources.manifestAppendExactly(s, root,
+        hashesOf(imgs.filter((m: Media) => m.media_id % 2 == 0)), 2, 1L)
+    // bounded wait for a lost claim's winner (the ADVICE-r18 window)
+    var spins = 0
+    while (graft.etl.Sources.currentManifest(s, root)._1 < 1L && spins < 600) {
+      Thread.sleep(50); spins += 1
+    }
+    val snap = graft.etl.Sources.manifestReadAt(s, root, 1L)
+    val delta = hashesOf(imgs.filter((m: Media) => m.media_id % 2 == 1))
+    if (graft.etl.Sources.currentManifest(s, root)._1 < 2L)
+      graft.etl.Sources.manifestAppendExactly(s, root, delta, 1, 2L)
+    perceptualNearDupsAgainst(delta, snap)
+  }
+
   /** x162: perceptual near-dup over COLOR media — the P6→BT.601-luma
     * codec rung (r18 verdict task 4) feeding the UNCHANGED
     * resize→dHash60→escalated-banding chain. Decode/luma/resize/hash
@@ -949,7 +1039,8 @@ object Multimodal {
     "x157_media_perceptual_dedup" -> mediaPerceptualDedup,
     "x160_audio_perceptual_dedup" -> audioPerceptualDedup,
     "x161_perceptual_recall_audit" -> perceptualRecallAudit,
-    "x162_color_perceptual_dedup" -> colorPerceptualDedup)
+    "x162_color_perceptual_dedup" -> colorPerceptualDedup,
+    "x163_perceptual_incremental" -> incrementalPerceptualDedup)
 
   /** Shared oracle CTE rebuilding the payload construction of
     * [[mediaFromDocuments]] in SQL — the pix raster (text cycled +
@@ -991,10 +1082,12 @@ object Multimodal {
     * three bands), the unresolved-mass column, the Hamming ≤ 3 verify,
     * and the class-size count expansion — one spelling, three queries,
     * zero drift. */
-  private val PerceptualBandTailSql: String = """
-      same AS (SELECT media_id, dh,
-          COUNT(*) OVER (PARTITION BY dh) - 1 AS n_same FROM dh),
-      cls AS (SELECT dh, COUNT(*) AS g FROM dh GROUP BY 1),
+  /** The shared banding MIDDLE: from any `cls` CTE carrying one row
+    * per distinct dh, the 4×15-bit bands, the 64-cap, the sub-band
+    * escalation, candidate/verified pairs and the unresolved counts —
+    * identical text in the whole-corpus tail and the cross-side (x163)
+    * tail. */
+  private val PerceptualPairCtes: String = """
       bandix(band) AS (SELECT unnest(range(0, 4))),
       bands AS (SELECT dh, band, (dh >> (band*15)) & 32767 AS bkey
         FROM cls CROSS JOIN bandix),
@@ -1023,7 +1116,13 @@ object Multimodal {
         WHERE bit_count(xor(dh1, dh2)) <= 3),
       unres AS (SELECT dh, COUNT(*) AS n FROM
           (SELECT dh, band, bkey, MIN(ssz) AS m FROM sub GROUP BY 1, 2, 3)
-        WHERE m > 64 GROUP BY 1),
+        WHERE m > 64 GROUP BY 1)"""
+
+  private val PerceptualBandTailSql: String = s"""
+      same AS (SELECT media_id, dh,
+          COUNT(*) OVER (PARTITION BY dh) - 1 AS n_same FROM dh),
+      cls AS (SELECT dh, COUNT(*) AS g FROM dh GROUP BY 1),
+      $PerceptualPairCtes,
       csum AS (SELECT dh, CAST(SUM(g2) AS BIGINT) AS n FROM
           (SELECT dh1 AS dh, c2.g AS g2 FROM cpairs JOIN cls c2 ON c2.dh = dh2
            UNION ALL
@@ -1043,6 +1142,58 @@ object Multimodal {
       LEFT JOIN vsum v ON v.dh = s.dh
       LEFT JOIN unres u ON u.dh = s.dh
       ORDER BY s.media_id"""
+
+  /** The image dHash chain shared by x157 and x163, replayed bit for
+    * bit from the `pay` CTE ([[PayloadCtes]]): raster (ASCII corpus so
+    * ord(char) IS the byte — same contract as x21), 9×8 nearest-
+    * neighbor resize index arithmetic, bit k = y·8+x (k < 60) set iff
+    * left pixel > right pixel. Ends at `dh(media_id, dh)`. */
+  private val ImageDHashCtes: String = """
+      img AS (SELECT media_id, w, h, pix FROM pay WHERE kind = 'image'),
+      rp AS (SELECT media_id, CAST(i AS BIGINT) AS i,
+          CAST(ord(substr(pix,
+            CAST(((i // 9) * h // 8) * w + ((i % 9) * w // 9) AS INT) + 1, 1))
+            AS BIGINT) AS v
+        FROM img, (SELECT unnest(range(0, 72)) AS i)),
+      bits AS (SELECT a.media_id, (a.i // 9) * 8 + (a.i % 9) AS k,
+          CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+        FROM rp a JOIN rp b ON a.media_id = b.media_id AND b.i = a.i + 1
+        WHERE a.i % 9 < 8 AND (a.i // 9) * 8 + (a.i % 9) < 60),
+      dh AS (SELECT media_id,
+          CAST(SUM(CASE WHEN bit = 1
+            THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS dh
+        FROM bits GROUP BY 1)"""
+
+  /** The CROSS-SIDE tail (x163): from `dh(media_id, dh)` where EVEN
+    * media ids are the published snapshot and ODD ids the delta, count
+    * per DELTA media its snapshot candidates / near-dups (identical
+    * snapshot copies via the class's g_snap) — delta-internal pairs
+    * never count (the x124 rule). */
+  private val PerceptualCrossTailSql: String = s"""
+      cls AS (SELECT dh, CAST(SUM(CASE WHEN media_id % 2 = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS g_snap FROM dh GROUP BY 1),
+      $PerceptualPairCtes,
+      csum AS (SELECT dh, CAST(SUM(g2) AS BIGINT) AS n FROM
+          (SELECT dh1 AS dh, c2.g_snap AS g2 FROM cpairs JOIN cls c2 ON c2.dh = dh2
+           UNION ALL
+           SELECT dh2, c1.g_snap FROM cpairs JOIN cls c1 ON c1.dh = dh1)
+        GROUP BY 1),
+      vsum AS (SELECT dh, CAST(SUM(g2) AS BIGINT) AS n FROM
+          (SELECT dh1 AS dh, c2.g_snap AS g2 FROM vpairs JOIN cls c2 ON c2.dh = dh2
+           UNION ALL
+           SELECT dh2, c1.g_snap FROM vpairs JOIN cls c1 ON c1.dh = dh1)
+        GROUP BY 1)
+      SELECT d.media_id,
+        COALESCE(c.n, 0) + cl.g_snap AS n_candidates,
+        COALESCE(v.n, 0) + cl.g_snap AS n_near_dups,
+        COALESCE(u.n, 0) AS n_unresolved
+      FROM dh d
+      JOIN cls cl ON cl.dh = d.dh
+      LEFT JOIN csum c ON c.dh = d.dh
+      LEFT JOIN vsum v ON v.dh = d.dh
+      LEFT JOIN unres u ON u.dh = d.dh
+      WHERE d.media_id % 2 = 1
+      ORDER BY d.media_id"""
 
   val oracles: Map[String, String] = Map(
     // Two branches, both over REAL decoded bytes: image/video index the
@@ -1143,21 +1294,16 @@ object Multimodal {
     // bucket cap 64, Hamming <= 3 verify, and the n_same convention
     "x157_media_perceptual_dedup" -> s"""
       WITH $PayloadCtes,
-      img AS (SELECT media_id, w, h, pix FROM pay WHERE kind = 'image'),
-      rp AS (SELECT media_id, CAST(i AS BIGINT) AS i,
-          CAST(ord(substr(pix,
-            CAST(((i // 9) * h // 8) * w + ((i % 9) * w // 9) AS INT) + 1, 1))
-            AS BIGINT) AS v
-        FROM img, (SELECT unnest(range(0, 72)) AS i)),
-      bits AS (SELECT a.media_id, (a.i // 9) * 8 + (a.i % 9) AS k,
-          CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
-        FROM rp a JOIN rp b ON a.media_id = b.media_id AND b.i = a.i + 1
-        WHERE a.i % 9 < 8 AND (a.i // 9) * 8 + (a.i % 9) < 60),
-      dh AS (SELECT media_id,
-          CAST(SUM(CASE WHEN bit = 1
-            THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS dh
-        FROM bits GROUP BY 1),
+      $ImageDHashCtes,
       $PerceptualBandTailSql""",
+    // the SAME image dHash chain, split even (published snapshot) /
+    // odd (delta) and fed through the cross-side tail — the fold
+    // commit is content-invisible to the join (it reads v1 by time
+    // travel), so the oracle replays only the semantics
+    "x163_perceptual_incremental" -> s"""
+      WITH $PayloadCtes,
+      $ImageDHashCtes,
+      $PerceptualCrossTailSql""",
     // the x160 chain: frame/quarter energies over the decoded PCM (the
     // text bytes — ASCII corpus, same ord() contract as x21/x84),
     // energy-gradient-sign bits, then the SHARED banding tail

@@ -454,6 +454,45 @@ class MultimodalSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("x163 incremental perceptual dedup: snapshot publishes once, fold ends at the full corpus, delta-internal pairs never count") {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(java.nio.file.Files
+      .createTempDirectory("percept_inc_spec").resolve("t").toUri)
+    val out1 = Multimodal.incrementalPerceptualAt(spark, sfDir, root).collect()
+    val imgs = Multimodal.mediaFromDocuments(spark, sfDir)
+      .filter((m: Multimodal.Media) => m.kind == "image")
+    val nImgs = imgs.count()
+    // the fold: v1 = snapshot (even ids only), v2 = full corpus
+    assert(graft.etl.Sources.currentManifest(spark, root)._1 == 2L)
+    val snap = graft.etl.Sources.manifestReadAt(spark, root, 1L)
+    assert(snap.filter(col("media_id") % 2 =!= 0).count() == 0,
+      "v1 must hold the even-id snapshot only")
+    assert(graft.etl.Sources.manifestRead(spark, root).count() == nImgs,
+      "after the fold the table must cover the full image corpus")
+    // output rows are the delta only
+    assert(out1.nonEmpty && out1.forall(_.getLong(0) % 2 == 1))
+    // REOPEN: a pure read — no new commits, identical result
+    val out2 = Multimodal.incrementalPerceptualAt(spark, sfDir, root).collect()
+    assert(graft.etl.Sources.currentManifest(spark, root)._1 == 2L,
+      "a reopen must not commit")
+    assert(out1.map(_.toString).sorted.toSeq == out2.map(_.toString).sorted.toSeq)
+    // the x124 rule on a hand-built case: two identical DELTA images
+    // with no snapshot twin are mutual dups but must count ZERO
+    val deltaDf = Seq((1L, 42L), (3L, 42L)).toDF("media_id", "dh")
+    val farSnap = Seq((2L, 999999999L)).toDF("media_id", "dh")
+    val res = Multimodal.perceptualNearDupsAgainst(deltaDf, farSnap)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(res(1L) == 0 && res(3L) == 0,
+      s"delta-internal near-dups must not count: $res")
+    // identical snapshot twins DO count, once per snapshot copy
+    val twinSnap = Seq((2L, 42L), (4L, 42L)).toDF("media_id", "dh")
+    val res2 = Multimodal.perceptualNearDupsAgainst(deltaDf, twinSnap)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(res2(1L) == 2 && res2(3L) == 2,
+      s"each delta row must count both identical snapshot copies: $res2")
+    graft.CacheScope.release()
+  }
+
   test("x21 oracle precondition: corpus is ASCII (payload byte == codepoint)") {
     // the DuckDB oracles index decoded buffers via ord(char) per
     // character; that equals the UTF-8 payload byte only while the
