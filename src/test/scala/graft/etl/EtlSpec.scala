@@ -1320,6 +1320,63 @@ class EtlSpec extends SparkSpec {
     assert(Sources.manifestRead(spark, root).count() == 500)
   }
 
+  test("vacuum vs pinned time-travel reader: an in-retention version never loses files mid-scan") {
+    import org.apache.spark.sql.functions._
+    // the adversarial window: a reader RESOLVES version v's file list,
+    // then the live layout churns (compaction + append) and vacuum
+    // sweeps with zero grace. While v is inside the retention window
+    // the resolved scan must keep completing against the original
+    // files — survival is the keep-set contract (every file any
+    // retained manifest references is kept), never reader luck.
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest_pin_spec").resolve("t").toUri)
+    val df = spark.range(12000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+    Sources.manifestAppend(spark, root, df.filter(col("id") % 10 =!= 0), 1)  // v1
+    Sources.manifestAppend(spark, root, df.filter(col("id") % 10 === 0), 24) // v2
+    // pin BEFORE the churn: the plan resolves v2's exact file set once
+    val pinned = Sources.manifestReadAt(spark, root, 2L)
+    val want = df.agg(sum("id"), count(lit(1))).head()
+    assert(pinned.agg(sum("id"), count(lit(1))).head() == want)
+    // live layout churns: compaction rewrites the 24 smalls (v3), an
+    // append lands (v4) — v2's small files are now referenced only by
+    // the v1/v2 manifests, exactly what a careless vacuum would eat
+    assert(Sources.manifestCompactSmallFiles(spark, root,
+      targetFileBytes = 1L << 30, smallFloorBytes = 8192L) == 1)             // v3
+    Sources.manifestAppend(spark, root,
+      spark.range(12000, 12100).toDF("id")
+        .withColumn("payload", md5(col("id").cast("string"))), 1)            // v4
+    // interleaved reader/vacuum storm at a window covering v2: every
+    // mid-vacuum re-scan of the pinned frame must see exact v2 content
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val reader = new Thread(() => {
+      try (0 until 6).foreach { _ =>
+        assert(pinned.agg(sum("id"), count(lit(1))).head() == want,
+          "pinned v2 scan drifted while vacuum ran")
+      } catch { case e: Throwable => failures.add(e); () }
+    })
+    reader.start()
+    (0 until 6).foreach { _ =>
+      Sources.manifestVacuum(spark, root, retainVersions = 3, graceMs = 0L)
+    }
+    reader.join()
+    assert(failures.isEmpty, s"pinned reader lost files mid-scan: ${failures.peek()}")
+    // a fresh resolve at v2 still works too — the manifest survived
+    assert(Sources.manifestReadAt(spark, root, 2L)
+      .agg(sum("id"), count(lit(1))).head() == want)
+    // the boundary is the RETENTION WINDOW, not vacuum timing: once v2
+    // falls outside it, its manifest and small files are reclaimed, a
+    // new resolve fails loudly, and the stale plan errors rather than
+    // silently shrinking its result
+    assert(Sources.manifestVacuum(spark, root, retainVersions = 1, graceMs = 0L) > 0)
+    intercept[IllegalArgumentException] { Sources.manifestFilesAt(spark, root, 2L) }
+    val stale = scala.util.Try(pinned.agg(sum("id"), count(lit(1))).head())
+    assert(stale.isFailure || stale.get == want,
+      "out-of-retention scan silently returned wrong content")
+    // live read is untouched throughout
+    assert(Sources.manifestRead(spark, root).count() == 12100)
+  }
+
   test("nonce sweep reclaims per-invocation scratch but spares published artifacts") {
     // the sweep must not touch scratchPath publishes — their in-JVM
     // registries (semdedup keep-list, CC clusters) would dangle
