@@ -87,6 +87,7 @@ object ScaleCheck {
     "x163_perceptual_incremental",
     "x112_dedup_recall_audit",
     "x113_mix_plan",
+    "x164_training_shards",
     "x114_outlier_audit",
     "x115_span_dedup",
     "x116_stream_enrich",
@@ -215,7 +216,11 @@ object ScaleCheck {
       "x38_text_repetition", "x45_tokenizer_fertility", "x84_audio_frames",
       "x110_quant_audit", "x149_incremental_index",
       "x157_media_perceptual_dedup", "x160_audio_perceptual_dedup",
-      "x162_color_perceptual_dedup"),
+      "x162_color_perceptual_dedup",
+      // x164: one token-count scan; everything past the quota cut
+      // (selection, packing, sharding, publish) is budget-bounded and
+      // does NOT grow with the corpus
+      "x164_training_shards"),
     // capped-LSH candidate pairs through the shared x03 machinery
     "minhash_candidates" -> Seq("x03_dedup_minhash",
       "x106_minhash_threshold_sweep", "x124_dedup_incremental_near",

@@ -400,7 +400,125 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** x164 constants: the token budget the published shard set fills
+    * (sized so the mix quota BINDS at every test SF — the selection is
+    * a real subset, never the whole corpus) and the shard fan-out. */
+  val TrainShardBudgetTokens = 12000L
+  val TrainShardCount = 16L
+
+  /** The x164 selection→pack→shard chain as a per-document assignment
+    * frame `(doc_id, source, pack_id, shard, n_tokens)` — the thing
+    * that gets PUBLISHED. Deterministic end to end:
+    *
+    *   1. mix quotas (x113's arithmetic, one-epoch cap): granted_s =
+    *      min(budget·weight, supply_s), uniform integer ppm weights;
+    *   2. selection: each source contributes its lowest-u32-hash docs
+    *      until the quota fills — a PREFIX of the per-source hash
+    *      order, so the inclusive running total computed once serves
+    *      both the cut (`cum ≤ granted`) and the pack offsets;
+    *   3. packing (x33's concatenate-then-chunk rule): a doc belongs
+    *      to the pack where its first token lands, offsets from the
+    *      same running total;
+    *   4. sharding: shard = portable-md5 hash of (source, pack_id)
+    *      mod [[TrainShardCount]] — stateless, no global rank, and
+    *      whole packs never straddle shards (training reads a pack's
+    *      docs contiguously).
+    *
+    * Scale shape: quotas are a broadcast sources-sized frame; the
+    * running total rides the per-source window — the x33 strata trade
+    * (a 100 TB run packs per input shard; strata here are sources);
+    * shard assignment is a per-row hash. The only corpus-sized work is
+    * the one token-count scan; the published artifact is budget-
+    * bounded, so it does NOT grow with the corpus. */
+  private[graft] def shardAssignment(s: SparkSession, dir: String): DataFrame = {
+    val tok = load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("h", u32(col("doc_id")))
+    val perSource = tok.groupBy("source").agg(sum("n_tokens").as("supply"))
+    val quotas = perSource
+      .crossJoin(broadcast(perSource.agg(count(lit(1)).as("n_sources"))))
+      .withColumn("granted", least(
+        expr(s"($TrainShardBudgetTokens * (1000000 div n_sources)) div 1000000"),
+        col("supply")))
+      .select("source", "granted")
+    val running = Window.partitionBy("source").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tok
+      .withColumn("cum", sum("n_tokens").over(running))
+      .join(broadcast(quotas), "source")
+      .filter(col("cum") <= col("granted"))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $PackBudget"))
+      .withColumn("shard",
+        expr(s"""CAST(conv(substr(md5(concat_ws('|', source, pack_id)),
+          1, 15), 16, 10) AS BIGINT) % $TrainShardCount"""))
+      .select(col("doc_id"), col("source"), col("pack_id"), col("shard"),
+        col("n_tokens"))
+  }
+
+  /** x164: training-shard PUBLISH composition (r18 verdict task 7) —
+    * the proof that the sampling surface's parts compose into the
+    * artifact a real user ships. [[shardAssignment]]'s per-doc frame
+    * is committed ONCE through the claim-based OCC manifest (one
+    * winner under concurrent opens; a reopen finds v1 and never
+    * re-commits), then the audit record is recomputed FROM THE
+    * PUBLISHED TABLE — x121's write-audit-publish rule: what the query
+    * returns is what a training job would actually read, compared
+    * row-for-row against the deterministic chain (the content_xor
+    * folds every (doc, source, pack) binding, so a lost or duplicated
+    * row flips the hash). The WAP gate also runs in-process: a
+    * published table whose audit disagrees with the freshly-computed
+    * assignment throws rather than serving a corrupt shard set.
+    * Provenance rides in-result: budget, source count, total selected
+    * mass — the columns a lineage system would stamp on the artifact. */
+  def trainingShardPublish(s: SparkSession, dir: String): DataFrame =
+    trainingShardPublishAt(s, dir,
+      graft.etl.Sources.nonceRoot("train_shards", dir))
+
+  /** The x164 publish at an explicit root, factored so the spec can
+    * drive crash windows on the publish boundary. */
+  private[graft] def trainingShardPublishAt(s: SparkSession, dir: String,
+      root: org.apache.hadoop.fs.Path): DataFrame = {
+    import graft.etl.Sources
+    val asg = shardAssignment(s, dir)
+    if (!Sources.manifestExists(s, root))
+      Sources.manifestAppendExactly(s, root, asg, 2, 1L)
+    // bounded wait for a lost claim's winner (the ADVICE-r18 window)
+    var spins = 0
+    while (Sources.currentManifest(s, root)._1 < 1L && spins < 600) {
+      Thread.sleep(50); spins += 1
+    }
+    val pub = Sources.manifestReadAt(s, root, 1L)
+    def auditOf(df: DataFrame) =
+      df.agg(count(lit(1)).as("n"),
+        expr("""bit_xor(CAST(conv(substr(md5(concat_ws('|',
+            doc_id, source, pack_id, shard)), 1, 15), 16, 10) AS BIGINT))""")
+          .as("x")).head()
+    if (auditOf(pub) != auditOf(asg))
+      throw new IllegalStateException(
+        "x164 publish audit failed — published shard set diverged from " +
+          "the deterministic assignment; refusing to serve it")
+    val prov = pub.agg(
+      countDistinct(col("source")).as("n_sources"),
+      sum("n_tokens").cast("long").as("total_tokens"))
+    pub.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(concat_ws("|", col("source"), col("pack_id")))
+          .as("n_packs"),
+        sum("n_tokens").cast("long").as("shard_tokens"),
+        expr("""bit_xor(CAST(conv(substr(md5(concat_ws('|',
+            doc_id, source, pack_id)), 1, 15), 16, 10) AS BIGINT))""")
+          .as("content_xor"))
+      .crossJoin(broadcast(prov))
+      .withColumn("budget_tokens", lit(TrainShardBudgetTokens))
+      .select(col("shard"), col("n_docs"), col("n_packs"),
+        col("shard_tokens"), col("content_xor"), col("n_sources"),
+        col("total_tokens"), col("budget_tokens"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x164_training_shards" -> trainingShardPublish,
     "x113_mix_plan" -> mixturePlan,
     "x108_importance" -> importanceScores,
     "x102_kfold" -> kfoldAssignment,
@@ -415,6 +533,46 @@ object Sampling {
     "x71_chunk_manifest" -> chunkManifest)
 
   val oracles: Map[String, String] = Map(
+    // the full x164 chain replayed: quotas, hash-prefix selection,
+    // concatenate-then-chunk packing, hashed sharding, per-shard audit
+    // — the publish commit is content-invisible (the query reads the
+    // published v1, which must equal this deterministic chain exactly)
+    "x164_training_shards" -> s"""
+      WITH tok AS (SELECT doc_id, source,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+            AS n_tokens,
+          ${u32Sql("doc_id")} AS h
+        FROM documents),
+      ps AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS supply
+        FROM tok GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_sources FROM ps),
+      q AS (SELECT source,
+          least(($TrainShardBudgetTokens * (1000000 // n_sources)) // 1000000,
+            supply) AS granted
+        FROM ps CROSS JOIN n),
+      cm AS (SELECT tok.*, SUM(n_tokens) OVER (PARTITION BY source
+          ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM tok),
+      sel AS (SELECT c.doc_id, c.source, c.n_tokens,
+          (c.cum - c.n_tokens) // $PackBudget AS pack_id
+        FROM cm c JOIN q USING (source) WHERE c.cum <= q.granted),
+      sh AS (SELECT *,
+          CAST(concat('0x', substr(md5(concat_ws('|', source, pack_id)),
+            1, 15)) AS BIGINT) % $TrainShardCount AS shard
+        FROM sel),
+      prov AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM sh)
+      SELECT shard, COUNT(*) AS n_docs,
+        CAST(COUNT(DISTINCT concat_ws('|', source, pack_id)) AS BIGINT)
+          AS n_packs,
+        CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+        CAST(bit_xor(CAST(concat('0x', substr(md5(concat_ws('|',
+            doc_id, source, pack_id)), 1, 15)) AS BIGINT)) AS BIGINT)
+          AS content_xor,
+        prov.n_sources, prov.total_tokens,
+        CAST($TrainShardBudgetTokens AS BIGINT) AS budget_tokens
+      FROM sh CROSS JOIN prov
+      GROUP BY shard, prov.n_sources, prov.total_tokens
+      ORDER BY shard""",
     "x113_mix_plan" -> s"""
       WITH ps AS (SELECT source,
           CAST(COALESCE(SUM(len(string_split_regex(trim(text), '\\s+'))), 0)

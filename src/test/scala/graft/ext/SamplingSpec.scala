@@ -223,4 +223,75 @@ class SamplingSpec extends SparkSpec {
     // total grant never exceeds the budget
     assert(rows.map(_.getAs[Long]("granted_tokens")).sum <= budget)
   }
+
+  test("x164 shard publish: budget binds, packs never straddle shards, reopen is exactly-once") {
+    import graft.etl.Sources
+    val root = new org.apache.hadoop.fs.Path(java.nio.file.Files
+      .createTempDirectory("train_shards_spec").resolve("t").toUri)
+    val out1 = Sampling.trainingShardPublishAt(spark, sfDir, root).collect()
+    assert(out1.nonEmpty)
+    assert(Sources.currentManifest(spark, root)._1 == 1L)
+    // provenance self-consistency + the quota actually BINDING: the
+    // selection is a strict subset of the corpus, bounded by budget
+    val total = out1.head.getAs[Long]("total_tokens")
+    assert(out1.forall(_.getAs[Long]("total_tokens") == total))
+    assert(total <= Sampling.TrainShardBudgetTokens, "budget exceeded")
+    assert(out1.map(_.getAs[Long]("shard_tokens")).sum == total)
+    val corpusDocs = graft.Tables.load(spark, sfDir, "documents").count()
+    assert(out1.map(_.getAs[Long]("n_docs")).sum < corpusDocs,
+      "quota did not bind — the whole corpus was selected")
+    // packs are atomic: every (source, pack_id) lives in exactly one
+    // shard (training reads a pack's docs contiguously)
+    val pub = Sources.manifestReadAt(spark, root, 1L)
+    assert(pub.groupBy("source", "pack_id")
+      .agg(countDistinct(col("shard")).as("s")).filter(col("s") =!= 1)
+      .count() == 0, "a pack straddles shards")
+    // REOPEN: pure read, no second commit, identical artifact
+    val out2 = Sampling.trainingShardPublishAt(spark, sfDir, root).collect()
+    assert(Sources.currentManifest(spark, root)._1 == 1L, "reopen committed")
+    assert(out1.map(_.toString).sorted.toSeq == out2.map(_.toString).sorted.toSeq)
+  }
+
+  test("x164 crash windows on the publish boundary: lost pointer swap and orphaned stage both recover") {
+    import graft.etl.Sources
+    // window A — crash AFTER the manifest body committed but BEFORE
+    // (or during) the pointer swap: the pointer is missing, the
+    // complete m-1.txt is the table. A reopen must resolve it via the
+    // complete-manifest fallback, NOT re-publish at v1/v2.
+    val rootA = new org.apache.hadoop.fs.Path(java.nio.file.Files
+      .createTempDirectory("train_shards_crashA").resolve("t").toUri)
+    val clean = Sampling.trainingShardPublishAt(spark, sfDir, rootA).collect()
+    val fs = rootA.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(rootA, "_current")
+    assert(fs.exists(ptr)); fs.delete(ptr, false)
+    val reopened = Sampling.trainingShardPublishAt(spark, sfDir, rootA).collect()
+    assert(Sources.currentManifest(spark, root = rootA)._1 == 1L,
+      "pointer-loss reopen must not commit a new version")
+    assert(clean.map(_.toString).sorted.toSeq ==
+      reopened.map(_.toString).sorted.toSeq)
+    // window B — crash BEFORE the claim: a stranded staged dir under
+    // data/ must be invisible to the publish (the manifest references
+    // only its own files) and reclaimable by vacuum afterwards.
+    val rootB = new org.apache.hadoop.fs.Path(java.nio.file.Files
+      .createTempDirectory("train_shards_crashB").resolve("t").toUri)
+    val orphanDir = new org.apache.hadoop.fs.Path(rootB, "data/a-orphan")
+    spark.range(5).toDF("doc_id").write.parquet(orphanDir.toString)
+    val orphanFiles = {
+      val it = fs.listFiles(orphanDir, true)
+      val b = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+      while (it.hasNext) { val p = it.next().getPath
+        if (!p.getName.startsWith("_") && !p.getName.startsWith(".")) b += p }
+      b.toSeq
+    }
+    assert(orphanFiles.nonEmpty)
+    val outB = Sampling.trainingShardPublishAt(spark, sfDir, rootB).collect()
+    assert(outB.map(_.toString).sorted.toSeq ==
+      clean.map(_.toString).sorted.toSeq,
+      "an orphaned staged dir leaked into the published shard set")
+    Sources.manifestVacuum(spark, rootB, graceMs = 0L)
+    assert(orphanFiles.forall(p => !fs.exists(p)),
+      "vacuum left the crashed publisher's staged files behind")
+    assert(Sampling.trainingShardPublishAt(spark, sfDir, rootB).collect()
+      .map(_.toString).sorted.toSeq == clean.map(_.toString).sorted.toSeq)
+  }
 }
