@@ -575,10 +575,14 @@ class PlanSpec extends SparkSpec {
       s"a metric join degenerated to a cartesian:\n$p")
   }
 
-  test("perceptual dedup (image + audio): payloads never shuffle, pair joins never a product") {
+  test("perceptual dedup (image + audio + color + incremental): payloads never shuffle, pair joins never a product") {
     for (q <- Seq(
         graft.multimodal.Multimodal.mediaPerceptualDedup(spark, sfDir),
-        graft.multimodal.Multimodal.audioPerceptualDedup(spark, sfDir))) {
+        graft.multimodal.Multimodal.audioPerceptualDedup(spark, sfDir),
+        graft.multimodal.Multimodal.colorPerceptualDedup(spark, sfDir),
+        // x163: the publish happens on construction; the asserted plan
+        // is the delta-vs-snapshot join — same exchange contract
+        graft.multimodal.Multimodal.incrementalPerceptualDedup(spark, sfDir))) {
       val p = q.queryExecution.executedPlan.toString
       graft.CacheScope.release()
       // decode/resize/hash are narrow; only (media_id, 8-byte dh) rows
@@ -591,6 +595,27 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         "banded pair join degenerated to a product")
     }
+  }
+
+  test("shard assignment: windows stratum-partitioned, quotas broadcast, text never shuffles") {
+    val p = graft.ext.Sampling.shardAssignment(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the running token total partitions by source (the x33 strata
+    // trade) — an unpartitioned window here would sort the corpus
+    // through one task at 100 TB
+    val sumWindows = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("sum(")).toSeq
+    assert(sumWindows.nonEmpty && sumWindows.forall(_.contains("source")),
+      s"running total lost its source partitioning:\n${sumWindows.mkString("\n")}")
+    // the sources-sized quota frame broadcasts; the corpus never
+    // shuffles for it
+    assert(p.contains("BroadcastHashJoin"), "quota frame not broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // text is consumed at the scan projection (tokenCount); an
+    // exchange carrying text#. means document payloads started moving
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(!exchanges.exists(_.contains("text#")),
+      s"shard assignment shuffles document text:\n${exchanges.mkString("\n")}")
   }
 
   test("fuzzy contamination rides the capped x03 machinery: hash joins only, never a product") {
