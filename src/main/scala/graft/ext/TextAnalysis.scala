@@ -434,30 +434,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("n_oov"), col("fluency_permille"))
   }
 
-  /** Term document frequency for [[invertedIndex]] postings: a token
-    * this common is a stopword (not discriminative), this rare is
-    * noise. The band is what bounds the index size at corpus scale. */
-  private val PostingsDfMin = 5
-  private val PostingsDfMax = 50
+  /** Absolute rare floor for [[invertedIndex]] postings: a token in
+    * fewer docs than this is noise regardless of corpus size. The
+    * REST of the df band is relative — see below. */
+  private val PostingsDfMinAbs = 5L
 
   /** Inverted-index postings for discriminative terms: one row per
     * (token, doc_id) with the within-doc term frequency, for tokens
-    * appearing in [[PostingsDfMin]]..[[PostingsDfMax]] distinct
-    * documents. The search-index build pass: tf by (token, doc) with
-    * map-side combine, df as a token-keyed aggregate of the tf table
-    * (already tiny), semi-joined back. Both shuffles ride compact keys;
-    * the df band keeps output proportional to the discriminative
-    * vocabulary, not the corpus. */
+    * whose document frequency sits inside the band
+    * `max(PostingsDfMinAbs, N/1000) ≤ df ≤ 8N/10` (N = corpus docs).
+    * The band is RELATIVE to corpus size by necessity: an absolute
+    * band (this query shipped with df ∈ [5, 50]) empties as the
+    * corpus grows — at 10× every token's df exceeded the ceiling and
+    * the index silently indexed NOTHING (the VOLUME_AUDIT zero-row
+    * trap, caught by the r19 hard-fail). The relative form is the
+    * standard IR rule: drop stopwords above a df share (80%), drop
+    * noise below a per-mille share with an absolute floor — both
+    * cuts pure integer arithmetic, so every engine draws the same
+    * band. The search-index build pass itself: tf by (token, doc)
+    * with map-side combine, df as a token-keyed aggregate of the tf
+    * table (already tiny), the 1-row corpus count broadcast,
+    * semi-joined back. Both shuffles ride compact keys. */
   def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
     // cached: the df band derives from this frame and joins back to it —
     // the corpus-wide tokenize+agg would otherwise run twice
-    val tf = load(s, dir, "documents")
+    val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
       .scopedCache()
     val banded = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= PostingsDfMin && col("df") <= PostingsDfMax)
+      .crossJoin(broadcast(n))
+      .filter(col("df") >= greatest(lit(PostingsDfMinAbs),
+          expr("n_docs div 1000")) &&
+        col("df") <= expr("(n_docs * 8) div 10"))
+      .select("token", "df")
     tf.join(banded, Seq("token"))
       .select(col("token"), col("df"), col("doc_id"), col("tf"))
       .orderBy("token", "doc_id")
@@ -1476,15 +1489,18 @@ object TextAnalysis {
       SELECT doc_id, n_bigrams, n_oov, mass // n_bigrams AS fluency_permille
       FROM scored ORDER BY doc_id""",
     "x48_inverted_index" -> """
-      WITH tf AS (
+      WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      tf AS (
         SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
           FROM documents)
         WHERE length(token) > 0 GROUP BY 1, 2),
       banded AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
-        GROUP BY 1 HAVING COUNT(*) BETWEEN 5 AND 50)
-      SELECT t.token, b.df, t.doc_id, t.tf
-      FROM tf t JOIN banded b USING (token)
+        GROUP BY 1),
+      sel AS (SELECT token, df FROM banded CROSS JOIN n
+        WHERE df >= greatest(5, n_docs // 1000) AND df <= (n_docs * 8) // 10)
+      SELECT t.token, s.df, t.doc_id, t.tf
+      FROM tf t JOIN sel s USING (token)
       ORDER BY t.token, t.doc_id""",
     "x37_text_redaction" -> """
       WITH aug AS (SELECT doc_id,

@@ -116,9 +116,17 @@ class CorpusAuditSpec extends SparkSpec {
       s"seen-rare floor mismatch: $got")
   }
 
-  test("inverted index: df band respected, tf positive, postings unique") {
+  test("inverted index: relative df band respected, tf positive, postings unique, never empty under growth") {
     val out = TextAnalysis.invertedIndex(spark, sfDir).cache()
-    assert(out.filter(col("df") < 5 || col("df") > 50).count() == 0)
+    val nDocs = graft.Tables.load(spark, sfDir, "documents").count()
+    val lo = math.max(5L, nDocs / 1000)
+    val hi = nDocs * 8 / 10
+    assert(out.filter(col("df") < lo || col("df") > hi).count() == 0,
+      s"df outside the relative band [$lo, $hi]")
+    // the band is relative, so a corpus where EVERY token is common
+    // still yields an index — the absolute [5, 50] band this query
+    // shipped with indexed nothing at 10× (every df > 50)
+    assert(out.count() > 0, "relative band emptied the index")
     assert(out.filter(col("tf") < 1).count() == 0)
     assert(out.groupBy("token", "doc_id").count().filter(col("count") > 1).count() == 0,
       "duplicate posting")
@@ -126,7 +134,19 @@ class CorpusAuditSpec extends SparkSpec {
     val badDf = out.groupBy("token").agg(count(lit(1)).as("n"), first("df").as("df"))
       .filter(col("n") =!= col("df"))
     assert(badDf.count() == 0, "df disagrees with posting count")
+    // the stopword ceiling has teeth: a token in >80% of docs is cut
+    val allDocsToken = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > hi)
+    val cut = allDocsToken.collect().map(_.getString(0)).toSet
+    if (cut.nonEmpty)
+      assert(out.filter(col("token").isin(cut.toSeq: _*)).count() == 0,
+        s"stopword-band tokens leaked into the index: $cut")
     out.unpersist()
+    graft.CacheScope.release()
   }
 
   test("normalized dedup partitions the corpus (variant counts sum to doc count)") {
