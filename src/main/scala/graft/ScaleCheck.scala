@@ -212,8 +212,14 @@ object ScaleCheck {
       "x105_stream_incremental_agg", "x147_stream_upsert_mor"),
     // pure per-row codegen scans: cost axis is input mass (chars/rows)
     "one_pass_scans" -> Seq("x10_text_token_stats", "x14_text_fingerprints",
-      "x20_media_stats", "x21_media_features", "x37_text_redaction",
-      "x38_text_repetition", "x45_tokenizer_fertility", "x84_audio_frames",
+      "x20_media_stats", "x21_media_features",
+      // x22: decode + fixed-stride frame sample per media — payload
+      // (char) mass is the only corpus-scale work
+      "x22_media_frame_sample", "x37_text_redaction",
+      "x38_text_repetition", "x45_tokenizer_fertility",
+      // x60: stateless scan-level Bernoulli filter on quality signals
+      // computed per char — no shuffle before selection (PlanSpec)
+      "x60_sample_quality_weighted", "x84_audio_frames",
       "x110_quant_audit", "x149_incremental_index",
       "x157_media_perceptual_dedup", "x160_audio_perceptual_dedup",
       "x162_color_perceptual_dedup",

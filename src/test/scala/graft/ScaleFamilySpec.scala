@@ -40,8 +40,10 @@ class ScaleFamilySpec extends AnyFunSuite {
 
   test("no stamp ratio above the floor escapes family adjudication (committed stamps)") {
     // the r18 artifacts are the fixture: 21 queries read over 5.0 at
-    // 100x and every one must be claimed by a family with an emitter
-    val paths = Seq("SCALE_r18_10x.json", "SCALE_r18_100x.json").map(repoRootFile)
+    // 100x and every one must be claimed by a family with an emitter;
+    // later rounds' stamps join the check as they are committed
+    val paths = Seq("SCALE_r18_10x.json", "SCALE_r18_100x.json",
+      "SCALE_r19_10x.json", "SCALE_r19_100x.json").map(repoRootFile)
     val checked = paths.filter(p => new java.io.File(p).exists())
     assert(checked.nonEmpty, s"no committed SCALE stamps found at $paths")
     checked.foreach { p =>
