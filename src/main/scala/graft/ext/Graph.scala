@@ -60,6 +60,7 @@ object Graph {
         .select(col("dst").as("node_id"),
           (lit(TeleportPpm) +
             expr(s"(mass * $DampNum) div $DampDen")).as("r"))
+        .scopedCache()
     }
     r.select(col("node_id"), col("r").as("rank_ppm"))
   }

@@ -82,7 +82,15 @@ object Spectral {
     val (ce0, mu) = centered(s, dir)
     val ce = ce0.scopedCache()
     var v = mu.select(col("i"), lit(VScale).as("v"))
-    for (_ <- 1 to Iterations) v = step(ce, v)
+    // r19-opt: each step's 64-row direction vector gets its OWN cache
+    // boundary. Without it v_{k+1}'s lineage embeds v_k TWICE (sd and
+    // w both reference v), so the logical plan grew 2^k copies of the
+    // centered-corpus subtree — a 14k-line physical plan whose Catalyst
+    // planning/codegen time rivaled its execution (guide §3.3 "very
+    // large plans: planning time itself becomes the bottleneck"). A
+    // 64-row cache per step bounds the tree linearly; measured ~0.8 s
+    // off the isolated bench read.
+    for (_ <- 1 to Iterations) v = step(ce, v).scopedCache()
     val vb = broadcast(v.withColumnRenamed("v", "vf")).scopedCache()
     val sd = ce.join(vb, Seq("i"))
       .groupBy("vec_id").agg(sum(expr("ci * vf")).cast("long").as("sd"))

@@ -358,9 +358,16 @@ object TextAnalysis {
       .scopedCache()
     val bigrams = docBigrams.groupBy("w1", "w2").agg(sum("m").as("c12"))
     val contexts = bigrams.groupBy("w1").agg(sum("c12").as("c1"))
+    // r19-opt (guide §2.3/§2.4): pre-join the two VOCAB-BOUNDED LM
+    // tables on w1 first, then hit the doc-bigram mass with ONE keyed
+    // join on (w1,w2). The former shape joined docBigrams twice, so the
+    // per-(doc,bigram) mass crossed an exchange once per LM table (by
+    // (w1,w2), then AGAIN by w1); now it crosses once and the extra
+    // exchange moves to the vocab-bounded side. Same inner-join algebra
+    // — c1 aggregates the same bigram table — so results are identical.
+    val lm = bigrams.join(contexts, Seq("w1"))
     docBigrams
-      .join(bigrams, Seq("w1", "w2"))
-      .join(contexts, Seq("w1"))
+      .join(lm, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(sum("m").cast("long").as("n_bigrams"),
            sum(expr("m * (c12 * 1000 div c1)")).cast("long").as("mass"))
@@ -415,9 +422,15 @@ object TextAnalysis {
     val lmBigrams = docBigramsOf(lmDocs)
       .groupBy("w1", "w2").agg(sum("m").as("c12"))
     val lmContexts = lmBigrams.groupBy("w1").agg(sum("c12").as("c1"))
+    // r19-opt: pre-join the vocab-bounded LM tables (see
+    // fluencyScoresFor) — the scored side's doc-bigram mass crosses ONE
+    // exchange instead of two. LEFT-join equivalence: c1 is only read
+    // when c12 is non-null, and an inner lm pre-join keeps exactly the
+    // (w1,w2) rows with c12 non-null, so a context-only miss (w1 seen,
+    // pair unseen) lands in the same OOV branch either way.
+    val lm = lmBigrams.join(lmContexts, Seq("w1"))
     docBigramsOf(docs)
-      .join(lmBigrams, Seq("w1", "w2"), "left")
-      .join(lmContexts, Seq("w1"), "left")
+      .join(lm, Seq("w1", "w2"), "left")
       // c12 non-null implies c1 non-null (c1 aggregates the same table).
       // Seen branch floored at the OOV floor: integer div scores a
       // seen-but-rarer-than-1-in-1000 transition 0 ‰, which would rank
