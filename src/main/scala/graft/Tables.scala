@@ -55,6 +55,26 @@ object Tables {
       d.withColumn(n, d.col(n).cast(TimestampType)))
   }
 
+  /** Scale-adaptive scan parallelization for HEAVY per-row kernels
+    * (media payload construction/decode, tokenize+explode passes).
+    *
+    * The driver's testdata parquet is one row group per file, so every
+    * scan is ONE task and a narrow pipeline above it runs on one core
+    * of `local[N]` until its first exchange — the "one huge
+    * unsplittable file" case of guide §2.5, whose prescribed fix is
+    * repartition-immediately-after-read. At production scale a table
+    * arrives as many splits, so the repartition must be CONDITIONAL:
+    * only when the scan's actual partition count is below the session's
+    * default parallelism (at 100 TB it never is — this is a no-op
+    * there, never a second full-corpus shuffle). Round-robin, not
+    * keyed: no hash key means no skew and no payload-KEYED exchange
+    * (the PlanSpec payload invariants key on hashpartitioning). */
+  def parallelScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val cur = df.queryExecution.toRdd.getNumPartitions
+    if (cur < target) df.repartition(target) else df
+  }
+
   /** Register every testdata table as a temp view so `spark.sql` works
     * (reference keeps tables in SQLite and queries by name; main.py:648). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -368,7 +368,12 @@ object Multimodal {
     * partition-local flatMap (narrow; no shuffle, no driver loop). */
   def frameSample(media: Dataset[Media], stride: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
-    media.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
+    // r19-opt: COLUMN predicate, not a typed closure — a closure filter
+    // needs the whole Media object, so every row (all three kinds) paid
+    // payload construction + deserialization before the kind test; the
+    // column form pushes below the payload projection and only video
+    // rows ever build payloads (guide §4: opaque ops defeat pruning).
+    media.filter(col("kind") === "video").mapPartitions(_.flatMap { m =>
       (0 until m.n_frames by stride).iterator.map(i => PgmCodec.decodeFrame(m, i))
     })
   }
@@ -406,7 +411,8 @@ object Multimodal {
     * DuckDB rebuild the payload (and therefore the decoded buffer) in
     * the oracles, and lets Catalyst prune `payload` entirely out of the
     * metadata-only queries (x81/x84 never build a container). */
-  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[Media] = {
+  def mediaFromDocuments(spark: SparkSession, dir: String,
+                         parallel: Boolean = false): Dataset[Media] = {
     import spark.implicits._
     // canonical empty-payload headers: bytes 0-3 "RIFF", 4-7 riff size
     // (36+data, variable), 8-39 "WAVE"+fmt chunk+"data", 40-43 data size
@@ -424,8 +430,16 @@ object Multimodal {
     val s16data = graft.functions.VectorExpressions.u8ToS16Le(textBytes)
     val wav16 = concat(lit(hdr16.slice(0, 4)), le4(nBytes * 2 + 36),
       lit(hdr16.slice(8, 40)), le4(nBytes * 2), s16data)
-    graft.Tables.load(spark, dir, "documents")
+    // r19-opt: single-row-group input (guide §2.5) — repartition BEFORE
+    // payload construction so the per-row build/decode kernels span the
+    // session's cores. Opt-IN per consumer: measured wins only where
+    // decode/feature mass dominates (x20/x21/x22/x39/x84); the banding
+    // queries (x157/x160/x162/x163) are AQE-orchestration-bound and the
+    // extra stage costs more than the parallel decode saves; metadata
+    // consumers (x81) prune the payload and would shuffle for nothing.
+    val base = graft.Tables.load(spark, dir, "documents")
       .filter(col("text").isNotNull)
+    (if (parallel) graft.Tables.parallelScan(base) else base)
       .select(
         col("doc_id").as("media_id"),
         element_at(typedLit(Seq("image", "audio", "video")),
@@ -484,7 +498,7 @@ object Multimodal {
   /** Ingest-level stats: payload byte sizes per kind — pure metadata
     * SQL both engines can run (oracle-checked). */
   def mediaStats(s: SparkSession, dir: String): DataFrame =
-    mediaFromDocuments(s, dir).toDF()
+    mediaFromDocuments(s, dir, parallel = true).toDF()
       .groupBy("kind")
       .agg(count(lit(1)).as("n_media"),
            sum(length(col("payload"))).cast("long").as("total_bytes"),
@@ -503,7 +517,7 @@ object Multimodal {
     * correctly-rounded sqrt), so the IEEE values agree bit-for-bit. */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val feats = extractFeatures(resize(decode(mediaFromDocuments(s, dir)), 16, 16))
+    val feats = extractFeatures(resize(decode(mediaFromDocuments(s, dir, parallel = true)), 16, 16))
     feats.toDF()
       .select(col("media_id"), col("kind"), col("mean").as("mean_px"),
               col("std").as("std_px"),
@@ -517,7 +531,7 @@ object Multimodal {
     * the sampler both counts and reads frames correctly. */
   def frameSampleStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    frameSample(mediaFromDocuments(s, dir), 2)
+    frameSample(mediaFromDocuments(s, dir, parallel = true), 2)
       .map(f => (f.media_id, (f.pixels(0) & 0xff).toLong))
       .toDF("media_id", "first_px")
       .groupBy("media_id")
@@ -535,7 +549,7 @@ object Multimodal {
     * (p ≈ 2^-192 per pair) are the accepted exactness bound — same
     * contract as the text exact-dedup (x01). */
   def mediaDedup(s: SparkSession, dir: String): DataFrame =
-    mediaFromDocuments(s, dir).toDF()
+    mediaFromDocuments(s, dir, parallel = true).toDF()
       .select(xxhash64(col("payload")).as("h1"), md5(col("payload")).as("h2"),
               col("media_id"))
       .groupBy("h1", "h2")
@@ -787,8 +801,10 @@ object Multimodal {
     * excluded — the oracle mirrors the same length predicate. */
   def audioPerceptualDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // r19-opt: column predicate (see frameSample) — the old typed
+    // closure built image AND video payloads just to drop them here
     val hashes = mediaFromDocuments(s, dir)
-      .filter((m: Media) => m.kind == "audio")
+      .filter(col("kind") === "audio")
       .map { m =>
         val d = WavCodec.decode(m)
         (m.media_id, d.pixels.length.toLong, audioFingerprint60(d.pixels))
@@ -942,16 +958,18 @@ object Multimodal {
       resize(decode(side), DHashW, DHashH)
         .map(d => (d.media_id, dHash60(d.pixels)))
         .toDF("media_id", "dh")
+    // r19-opt: column parity predicates — the typed closures forced
+    // BOTH halves to construct every image payload before splitting
     if (!graft.etl.Sources.manifestExists(s, root))
       graft.etl.Sources.manifestAppendExactly(s, root,
-        hashesOf(imgs.filter((m: Media) => m.media_id % 2 == 0)), 2, 1L)
+        hashesOf(imgs.filter(col("media_id") % 2 === 0)), 2, 1L)
     // bounded wait for a lost claim's winner (the ADVICE-r18 window)
     var spins = 0
     while (graft.etl.Sources.currentManifest(s, root)._1 < 1L && spins < 600) {
       Thread.sleep(50); spins += 1
     }
     val snap = graft.etl.Sources.manifestReadAt(s, root, 1L)
-    val delta = hashesOf(imgs.filter((m: Media) => m.media_id % 2 == 1))
+    val delta = hashesOf(imgs.filter(col("media_id") % 2 === 1))
     if (graft.etl.Sources.currentManifest(s, root)._1 < 2L)
       graft.etl.Sources.manifestAppendExactly(s, root, delta, 1, 2L)
     perceptualNearDupsAgainst(delta, snap)
@@ -1013,8 +1031,8 @@ object Multimodal {
     * integer-exact, reproducible for resume. */
   def audioFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    mediaFromDocuments(s, dir)
-      .filter((m: Media) => m.kind == "audio")
+    mediaFromDocuments(s, dir, parallel = true)
+      .filter(col("kind") === "audio") // r19-opt: column predicate (see frameSample)
       .map { m =>
         val d = WavCodec.decode(m)
         (m.media_id, d.pixels.length.toLong, m.sample_rate.toLong)
