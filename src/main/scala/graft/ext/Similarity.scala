@@ -212,7 +212,8 @@ object Similarity {
   /** Quantization scale: 2^20 (see [[topKIvf]]). */
   private val QuantScale = 1048576.0
 
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+  // (the old asDouble transform-cast helper is gone: cosine() now widens
+  // long/float elements in-register inside the fused CosineSim codegen)
 
   /** Shared IVF index build — quantized vectors, Lloyd centroids, final
     * cluster assignment. Factored out of [[topKIvfTuned]] so the x109
@@ -291,7 +292,7 @@ object Similarity {
     * alternative when nlist itself scales with the corpus. */
   private[graft] def exactAssign(base: DataFrame, cents: DataFrame): DataFrame =
     base.join(broadcast(cents))
-      .withColumn("cos", cosine(asDouble(col("vq")), asDouble(col("c"))))
+      .withColumn("cos", cosine(col("vq"), col("c")))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cluster"), struct(col("cos"), col("cluster"))).as("cluster"),
            first(col("vq"), ignoreNulls = true).as("vq"))
@@ -325,14 +326,14 @@ object Similarity {
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(desc("qcos"), col("cluster"))
     val probed = queries.join(broadcast(centroids))
-      .withColumn("qcos", cosine(asDouble(col("qv")), asDouble(col("c"))))
+      .withColumn("qcos", cosine(col("qv"), col("c")))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("cluster"))
 
     val candidates = probed.join(index, "cluster")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(asDouble(col("qv")), asDouble(col("vq"))))
+      .withColumn("cos", cosine(col("qv"), col("vq")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(desc("cos"), col("vec_id"))
     candidates.withColumn("rank", row_number().over(w).cast("long"))
@@ -650,7 +651,7 @@ object Similarity {
     val right = cold.select(col("cluster"), col("vec_id").as("b_id"), col("vq").as("b_vq"))
     val dropped = left.join(right, "cluster")
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", cosine(asDouble(col("a_vq")), asDouble(col("b_vq"))))
+      .withColumn("cos", cosine(col("a_vq"), col("b_vq")))
       .filter(col("cos") >= SemTau)
       .select(col("b_id").as("vec_id")).distinct()
       .withColumn("kept", lit(0))
@@ -759,7 +760,7 @@ object Similarity {
       .select(col("cluster").as("ccl"), col("c").as("cc"))
     // fine centroid → coarse bucket: argmax cos, ties to the larger ccl
     val f2c = centroids.join(broadcast(seeds))
-      .withColumn("fcos", cosine(asDouble(col("c")), asDouble(col("cc"))))
+      .withColumn("fcos", cosine(col("c"), col("cc")))
       .groupBy(col("cluster"))
       .agg(max_by(col("ccl"), struct(col("fcos"), col("ccl"))).as("ccl"),
            first(col("c"), ignoreNulls = true).as("c"))
@@ -789,7 +790,7 @@ object Similarity {
     // fine cosines this vector paid — the cost axis of the x133 sweep
     topc.join(broadcast(f2c), Seq("ccl"))
       .select(col("vec_id"), col("fcl"),
-        cosine(asDouble(col("vq")), asDouble(col("c"))).as("acos"))
+        cosine(col("vq"), col("c")).as("acos"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("fcl"), struct(col("acos"), col("fcl"))).as("acluster"),
            max(col("acos")).as("acos"),
@@ -848,7 +849,7 @@ object Similarity {
     val sample = auditSample(all, nCorpus)
     val approx = semAssignApproxFrame(sample, centroids, semNcoarse(nlist))
     val exact = sample.join(broadcast(centroids))
-      .withColumn("cos", cosine(asDouble(col("vq")), asDouble(col("c"))))
+      .withColumn("cos", cosine(col("vq"), col("c")))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cluster"), struct(col("cos"), col("cluster"))).as("ecluster"),
            max(col("cos")).as("ecos"))
@@ -896,7 +897,7 @@ object Similarity {
     val nCorpus = load(s, dir, "embeddings").count()
     val sample = auditSample(all, nCorpus)
     val exact = sample.join(broadcast(centroids))
-      .withColumn("cos", cosine(asDouble(col("vq")), asDouble(col("c"))))
+      .withColumn("cos", cosine(col("vq"), col("c")))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cluster"), struct(col("cos"), col("cluster"))).as("ecluster"),
            max(col("cos")).as("ecos"))
@@ -990,7 +991,7 @@ object Similarity {
       .select(col("label"),
         transform(col("csum"), x => call_function("div", x, col("n"))).as("c"))
     val scored = e.join(broadcast(cents), "label")
-      .withColumn("cs", cosine(asDouble(col("vq")), asDouble(col("c"))))
+      .withColumn("cs", cosine(col("vq"), col("c")))
       .crossJoin(broadcast(exactnessGuard(
         e.select(col("vec_id"), col("vq")), cents.select(col("label").as("cluster"), col("c")))))
       .filter(col("exact_ok").isNull)

@@ -77,9 +77,14 @@ object Sketches {
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two double arrays. */
+  /** Cosine similarity of two numeric arrays — the FUSED codegen
+    * expression ([[VectorExpressions.CosineSim]]): one compiled pass,
+    * bit-identical to the dot/l2norm composition it replaces (same
+    * accumulation order, same sqrt/mul/div), but long/float elements
+    * widen in-register instead of through a per-evaluation interpreted
+    * `transform` cast (which the 3-dot form re-evaluated 6× per row). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+    VectorExpressions.cosineSim(a, b)
 
   /** Cast a float array column to double for stable arithmetic. */
   def toDouble(a: Column): Column = transform(a, x => x.cast("double"))

@@ -54,6 +54,91 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Fused cosine similarity over two numeric arrays — ONE compiled
+    * pass replacing `dot(a,b) / (sqrt(dot(a,a)) · sqrt(dot(b,b)))`
+    * built from three [[DotProduct]]s: the three accumulators run in
+    * the same element order the separate dots used, then the identical
+    * sqrt/mul/div sequence — bit-identical IEEE result, a third of the
+    * element reads, and (the real win) NO per-evaluation `transform`
+    * casts: long/float elements widen in-register ((double) getLong —
+    * exactly Catalyst's Cast semantics), where the HOF form allocated
+    * and boxed a fresh cast array per child per dot (6 interpreted
+    * array walks per cosine — dominant cost of every pair join in the
+    * similarity family, found by the r19 x109 profile).
+    *
+    * Like [[DotProduct]], aa/bb fold over their OWN lengths and ab over
+    * min(na, nb) — the exact bounds the three-dot form used. */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+
+    private def elemType(e: Expression): DataType =
+      e.dataType.asInstanceOf[ArrayType].elementType
+
+    private def getD(x: ArrayData, t: DataType, i: Int): Double = t match {
+      case LongType => x.getLong(i).toDouble
+      case FloatType => x.getFloat(i).toDouble
+      case IntegerType => x.getInt(i).toDouble
+      case _ => x.getDouble(i)
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val (tx, ty) = (elemType(left), elemType(right))
+      val na = x.numElements()
+      val nb = y.numElements()
+      val nab = math.min(na, nb)
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      var i = 0
+      while (i < nab) { ab += getD(x, tx, i) * getD(y, ty, i); i += 1 }
+      i = 0
+      while (i < na) { val v = getD(x, tx, i); aa += v * v; i += 1 }
+      i = 0
+      while (i < nb) { val v = getD(y, ty, i); bb += v * v; i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+
+    private def genGet(v: String, t: DataType, i: String): String = t match {
+      case LongType => s"(double) $v.getLong($i)"
+      case FloatType => s"(double) $v.getFloat($i)"
+      case IntegerType => s"(double) $v.getInt($i)"
+      case _ => s"$v.getDouble($i)"
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (tx, ty) = (elemType(left), elemType(right))
+        val ab = ctx.freshName("ab"); val aa = ctx.freshName("aa")
+        val bb = ctx.freshName("bb"); val i = ctx.freshName("i")
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val nab = ctx.freshName("nab"); val v = ctx.freshName("v")
+        s"""
+           |double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
+           |int $na = $a.numElements();
+           |int $nb = $b.numElements();
+           |int $nab = java.lang.Math.min($na, $nb);
+           |for (int $i = 0; $i < $nab; $i++) {
+           |  $ab += ${genGet(a, tx, i)} * ${genGet(b, ty, i)};
+           |}
+           |for (int $i = 0; $i < $na; $i++) {
+           |  double $v = ${genGet(a, tx, i)};
+           |  $aa += $v * $v;
+           |}
+           |for (int $i = 0; $i < $nb; $i++) {
+           |  double $v = ${genGet(b, ty, i)};
+           |  $bb += $v * $v;
+           |}
+           |${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Sign bits of <v, plane_b> for `nBits` constant hyperplanes
     * (flattened row-major into `planes`). Output: array<int> of 0/1. */
   case class HyperplaneSignBits(child: Expression, planes: Array[Double],
@@ -493,6 +578,9 @@ object VectorExpressions {
 
   def dotProduct(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
 
   def hyperplaneSignBits(v: Column, planes: Seq[Seq[Double]]): Column = {
     val dim = planes.head.size

@@ -24,6 +24,49 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(diff == 0.0)
   }
 
+  test("CosineSim is bit-identical to the 3-dot composition it replaced, " +
+      "for double, long (quantized) and mixed-length arrays") {
+    // double arrays — the pre-r19 cosine shape
+    val dd = (1 to 50).map { i =>
+      (Seq.tabulate(64)(j => (i * 31 + j) * 0.137 - 4.0),
+       Seq.tabulate(64)(j => (i * 17 + j) * 0.211 - 7.0))
+    }.toDF("a", "b")
+    def threeDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      VectorExpressions.dotProduct(a, b) /
+        (sqrt(VectorExpressions.dotProduct(a, a)) *
+         sqrt(VectorExpressions.dotProduct(b, b)))
+    val badD = dd.filter(
+      VectorExpressions.cosineSim(col("a"), col("b")) =!=
+        threeDot(col("a"), col("b"))).count()
+    assert(badD == 0)
+
+    // long arrays — the quantized-vq shape that used to go through
+    // cosine(transform(cast double)) — must equal the cast composition
+    val ll = (1 to 50).map { i =>
+      (Seq.tabulate(64)(j => (i * 31L + j) * 1048576L - 4096L),
+       Seq.tabulate(64)(j => (i * 17L + j) * 1048576L - 8192L))
+    }.toDF("a", "b")
+    def asD(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
+    val badL = ll.filter(
+      VectorExpressions.cosineSim(col("a"), col("b")) =!=
+        threeDot(asD(col("a")), asD(col("b")))).count()
+    assert(badL == 0)
+
+    // mixed lengths: ab folds over min(na, nb), aa/bb over their own —
+    // the exact DotProduct bounds
+    val ml = Seq((Seq(1.0, 2.0, 3.0), Seq(2.0, 5.0))).toDF("a", "b")
+    val got = ml.select(VectorExpressions.cosineSim(col("a"), col("b")))
+      .collect()(0).getDouble(0)
+    val want = ml.select(threeDot(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(got == want)
+
+    // interpreted eval path matches codegen (filter above ran codegen)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = VectorExpressions.CosineSim(
+      Literal.create(Seq(3L, 4L)), Literal.create(Seq(4L, 3L)))
+    assert(e.eval(null) == 24.0 / 25.0)
+  }
+
   test("HyperplaneSignBits matches per-plane sign computation") {
     val planes = Sketches.hyperplanes(nBits = 32, dim = 8, seed = 5L)
     val df = (1 to 30).map(i => Seq.tabulate(8)(j => (i * 13 + j) * 0.7 - 20.0)).toDF("v")
