@@ -332,7 +332,7 @@ object Dedup {
     val withJaccard = pairs
       .join(docs.select(col("doc_id").as("id1"), col("shingles").as("sh1")), "id1")
       .join(docs.select(col("doc_id").as("id2"), col("shingles").as("sh2")), "id2")
-      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .withColumn("jaccard", jaccardLong(col("sh1"), col("sh2")))
     (docs, withJaccard)
   }
 
@@ -458,7 +458,7 @@ object Dedup {
     val tb = samp.select(col("doc_id").as("id2"),
       col("shingles").as("sh2"), col("setkey").as("sk2"))
     val truth = tb.join(broadcast(ta), col("id1") < col("id2"))
-      .withColumn("j", jaccard(col("sh1"), col("sh2")))
+      .withColumn("j", jaccardLong(col("sh1"), col("sh2")))
       .filter(col("j") >= MinhashTau)
     val found = withJaccard.filter(col("jaccard") >= MinhashTau)
       .select(col("id1"), col("id2"), lit(1).as("lsh_hit"))
@@ -621,7 +621,7 @@ object Dedup {
         col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id") &&
           col("a.setkey") =!= col("b.setkey"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-              jaccard(col("a.grams"), col("b.grams")).as("jaccard"))
+              jaccardLong(col("a.grams"), col("b.grams")).as("jaccard"))
 
     val verified = pairs.filter(col("jaccard") >= NgramTau)
     val base = perDocSummary(load(s, dir, "documents"),

@@ -118,8 +118,12 @@ object Retrieval {
       .crossJoin(broadcast(
         load(s, dir, "documents").agg(count(lit(1)).cast("long").as("n_docs"))))
     val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+    // no distinct: tf is the output of groupBy(doc_id, token), so
+    // (query_id, token) is unique by construction — the r19 plan audit
+    // found the distinct adding a full exchange+aggregate for a no-op
+    // (guide §2.4's "distinct on data that is already unique")
     val qt = tf.filter(col("doc_id") < NQueries)
-      .select(col("doc_id").as("query_id"), col("token")).distinct()
+      .select(col("doc_id").as("query_id"), col("token"))
     // champion lists: per-term top-M postings, salted two-phase window
     // ([[ChampSalt]]) so a stop-word term's postings never collapse
     // into one partition

@@ -228,8 +228,8 @@ object Similarity {
                            trainLimit: Option[Int] = None): (DataFrame, DataFrame) = {
     val all = load(s, dir, "embeddings")
       .select(col("vec_id"),
-        transform(toDouble(col("embedding")),
-          x => floor(x * lit(QuantScale)).cast("long")).as("vq"))
+        graft.functions.VectorExpressions
+          .quantizeLong(col("embedding"), QuantScale).as("vq"))
       .scopedCache()
 
     // Optional sample-trained quantizer (the faiss-standard shortcut):
@@ -378,8 +378,8 @@ object Similarity {
       root: org.apache.hadoop.fs.Path): (DataFrame, DataFrame, DataFrame) = {
     val all = load(s, dir, "embeddings")
       .select(col("vec_id"),
-        transform(toDouble(col("embedding")),
-          x => floor(x * lit(QuantScale)).cast("long")).as("vq"))
+        graft.functions.VectorExpressions
+          .quantizeLong(col("embedding"), QuantScale).as("vq"))
       .scopedCache()
     val cRoot = root.suffix("_centroids")
     // OPEN-OR-REPAIR: the build spans two tables and three commits
@@ -983,8 +983,8 @@ object Similarity {
   def outlierAudit(s: SparkSession, dir: String): DataFrame = {
     val e = load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
-        transform(toDouble(col("embedding")),
-          x => floor(x * lit(QuantScale)).cast("long")).as("vq"))
+        graft.functions.VectorExpressions
+          .quantizeLong(col("embedding"), QuantScale).as("vq"))
     val cents = e.groupBy("label")
       .agg(graft.functions.VectorAgg.vectorSumLong(col("vq")).as("csum"),
            count(lit(1)).as("n"))

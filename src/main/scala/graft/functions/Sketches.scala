@@ -67,6 +67,14 @@ object Sketches {
     size(array_intersect(a, b)).cast("double") /
       greatest(size(array_union(a, b)), lit(1)).cast("double")
 
+  /** [[jaccard]] specialized to array<long> (shingle/gram hashes) — the
+    * fused [[VectorExpressions.JaccardLongSize]]: value-identical, one
+    * pass with primitive sets, no materialized intersect/union arrays.
+    * Use on the hash-array verify joins; keep [[jaccard]] for string
+    * arrays. */
+  def jaccardLong(a: Column, b: Column): Column =
+    VectorExpressions.jaccardLongSize(a, b)
+
   // ---- cosine / hyperplane LSH ---------------------------------------
 
   /** Dot product of two double arrays (custom codegen expression —

@@ -139,6 +139,129 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Integer quantization of a float/double vector at a constant scale:
+    * elementwise `(long) Math.floor(((double) x) * scale)` — exactly
+    * `floor(cast(x as double) * scale).cast("long")` (Spark's Floor on
+    * DoubleType is Math.floor then toLong; float→double widening is the
+    * Cast). Replaces the nested `transform(transform(cast), floor)`
+    * HOF pair that ran interpreted (two boxed array allocations per
+    * row) on the corpus scan of every IVF/SemDeDup query. */
+  case class QuantizeLong(child: Expression, scale: Double)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    private lazy val elemIsFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val d = if (elemIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        out(i) = math.floor(d * scale).toLong
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val get = if (elemIsFloat) s"(double) $v.getFloat" else s"$v.getDouble"
+        val out = ctx.freshName("out")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = $v.numElements();
+           |long[] $out = new long[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = (long) java.lang.Math.floor($get($i) * $scale);
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Exact Jaccard similarity of two array<long> columns in ONE pass —
+    * value-identical to
+    * `size(array_intersect(a,b)).cast(double) /
+    *  greatest(size(array_union(a,b)), 1).cast(double)`
+    * (distinct-set semantics, so duplicate elements count once), but
+    * with open-addressing primitive long sets instead of two boxed
+    * set builds PLUS materializing the intersection/union arrays that
+    * only ever feed `size` — the per-pair cost of every jaccard verify
+    * join in the near-dup family (r19 x03 profile). Long-array inputs
+    * only (the shingle-hash frames); arrays must not contain null
+    * elements, which holds for every hash-derived array in the tree. */
+  case class JaccardLongSize(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val na = x.numElements()
+      val nb = y.numElements()
+      // open-addressing set of a's elements
+      var cap = 8
+      while (cap < (na + 1) * 2) cap <<= 1
+      val maskA = cap - 1
+      val tblA = new Array[Long](cap)
+      val usedA = new Array[Boolean](cap)
+      var da = 0
+      var i = 0
+      while (i < na) {
+        val v = x.getLong(i)
+        var p = (java.lang.Long.hashCode(v) & Int.MaxValue) & maskA
+        while (usedA(p) && tblA(p) != v) p = (p + 1) & maskA
+        if (!usedA(p)) { usedA(p) = true; tblA(p) = v; da += 1 }
+        i += 1
+      }
+      // walk b's distinct elements, counting hits in a
+      var capB = 8
+      while (capB < (nb + 1) * 2) capB <<= 1
+      val maskB = capB - 1
+      val tblB = new Array[Long](capB)
+      val usedB = new Array[Boolean](capB)
+      var db = 0
+      var inter = 0
+      i = 0
+      while (i < nb) {
+        val v = y.getLong(i)
+        var p = (java.lang.Long.hashCode(v) & Int.MaxValue) & maskB
+        while (usedB(p) && tblB(p) != v) p = (p + 1) & maskB
+        if (!usedB(p)) {
+          usedB(p) = true; tblB(p) = v; db += 1
+          var q = (java.lang.Long.hashCode(v) & Int.MaxValue) & maskA
+          while (usedA(q) && tblA(q) != v) q = (q + 1) & maskA
+          if (usedA(q)) inter += 1
+        }
+        i += 1
+      }
+      val union = da + db - inter
+      inter.toDouble / math.max(union, 1).toDouble
+    }
+
+    // single interpreted call per evaluation (the QuantAudit pattern) —
+    // the loops above are JIT-compiled Scala; codegen only avoids the
+    // fallback's row-boxing
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("jaccardExpr", this, classOf[JaccardLongSize].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = ((Double) $ref.nullSafeEval($a, $b)).doubleValue();")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Sign bits of <v, plane_b> for `nBits` constant hyperplanes
     * (flattened row-major into `planes`). Output: array<int> of 0/1. */
   case class HyperplaneSignBits(child: Expression, planes: Array[Double],
@@ -581,6 +704,12 @@ object VectorExpressions {
 
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+
+  def quantizeLong(v: Column, scale: Double): Column =
+    column(QuantizeLong(expression(v), scale))
+
+  def jaccardLongSize(a: Column, b: Column): Column =
+    column(JaccardLongSize(expression(a), expression(b)))
 
   def hyperplaneSignBits(v: Column, planes: Seq[Seq[Double]]): Column = {
     val dim = planes.head.size

@@ -67,6 +67,45 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e.eval(null) == 24.0 / 25.0)
   }
 
+  test("QuantizeLong matches the transform(floor(cast·scale)) chain exactly") {
+    val scale = 1048576.0
+    // float corpus (the driver parquet element type) + double edges
+    // including negatives, zero, and values straddling floor boundaries
+    val fdf = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val ddf = Seq(
+      (1L, Seq(0.0, -0.0, 1.0, -1.0)),
+      (2L, Seq(0.4999999, -0.4999999, 1e-7, -1e-7)),
+      (3L, Seq.empty[Double])).toDF("id", "v")
+    def hof(c: org.apache.spark.sql.Column) =
+      transform(transform(c, _.cast("double")),
+        x => floor(x * lit(scale)).cast("long"))
+    Seq(fdf, ddf).foreach { df =>
+      val bad = df.filter(
+        VectorExpressions.quantizeLong(col("v"), scale) =!= hof(col("v"))).count()
+      assert(bad == 0)
+    }
+  }
+
+  test("JaccardLongSize matches size(intersect)/greatest(size(union),1) exactly, " +
+      "duplicates and empties included") {
+    val rnd = new scala.util.Random(29L)
+    val rows = (1 to 200).map { i =>
+      val na = rnd.nextInt(40)
+      val nb = rnd.nextInt(40)
+      // small value domain → real overlaps; duplicates deliberately kept
+      (i.toLong, Seq.fill(na)(rnd.nextInt(30).toLong), Seq.fill(nb)(rnd.nextInt(30).toLong))
+    } ++ Seq((900L, Seq.empty[Long], Seq.empty[Long]),
+             (901L, Seq(5L), Seq.empty[Long]),
+             (902L, Seq(1L, 1L, 1L), Seq(1L)))
+    val df = rows.toDF("id", "a", "b")
+    val ref = size(array_intersect(col("a"), col("b"))).cast("double") /
+      greatest(size(array_union(col("a"), col("b"))), lit(1)).cast("double")
+    val bad = df.filter(
+      VectorExpressions.jaccardLongSize(col("a"), col("b")) =!= ref).count()
+    assert(bad == 0)
+  }
+
   test("HyperplaneSignBits matches per-plane sign computation") {
     val planes = Sketches.hyperplanes(nBits = 32, dim = 8, seed = 5L)
     val df = (1 to 30).map(i => Seq.tabulate(8)(j => (i * 13 + j) * 0.7 - 20.0)).toDF("v")
