@@ -113,7 +113,7 @@ object Dedup {
   def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
     val h = load(s, dir, "documents")
       .select(col("source"),
-        expr("conv(substr(md5(text), 1, 15), 16, 10)").cast("long").as("hv"))
+        graft.functions.VectorExpressions.md5Prefix60(col("text")).as("hv"))
       .distinct()
     graft.functions.TopKAgg.topKPerKey(
         h.withColumn("hx", format_string("%015x", col("hv"))),
@@ -746,7 +746,7 @@ object Dedup {
       .select(col("doc_id"), col("source"),
         explode(wordShinglePositional(col("text"), 8)).as("sh"))
       .select(col("doc_id"), col("source"),
-        expr("conv(substr(md5(sh.gram), 1, 15), 16, 10)").cast("long").as("g"))
+        graft.functions.VectorExpressions.md5Prefix60(col("sh.gram")).as("g"))
       .groupBy("doc_id", "source", "g").agg(count(lit(1)).as("c"))
     val docFreq = perDocGram.groupBy("g").agg(count(lit(1)).as("ndocs"))
     val perDoc = perDocGram.join(docFreq, Seq("g"))

@@ -193,9 +193,11 @@ object Retrieval {
   /** Dense ranks for the fusion: the x07 brute-force cosine shape over
     * embeddings (doc_id = vec_id, the x49 linkage), depth per query. */
   private def denseRanked(s: SparkSession, dir: String, depth: Int): DataFrame = {
+    // raw float arrays: the fused CosineSim widens elements in-register
+    // (bit-identical to the cast), and the broadcast/shuffled payload is
+    // half the bytes of the old transform-cast double copy
     val all = load(s, dir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
     val q = all.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val w = Window.partitionBy("query_id")
@@ -246,9 +248,11 @@ object Retrieval {
     * sims are computed only within the ≤ |Q|·depth pool, never against
     * the corpus. */
   private[graft] def mmrCandidates(s: SparkSession, dir: String): DataFrame = {
+    // raw float arrays: the fused CosineSim widens elements in-register
+    // (bit-identical to the cast), and the broadcast/shuffled payload is
+    // half the bytes of the old transform-cast double copy
     val all = load(s, dir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
     val q = all.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val w = Window.partitionBy("query_id")

@@ -49,8 +49,7 @@ object Spectral {
   private def centered(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ex = load(s, dir, "embeddings")
       .select(col("vec_id"), posexplode(
-        transform(col("embedding"),
-          x => floor(x.cast("double") * lit(QScale)).cast("long"))))
+        graft.functions.VectorExpressions.quantizeLong(col("embedding"), QScale)))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "qi")
     val mu = ex.groupBy("i")
       .agg(expr("sum(qi) div count(1)").as("mu"))

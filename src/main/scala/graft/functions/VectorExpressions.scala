@@ -262,6 +262,46 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Portable 60-bit MD5-prefix hash of a string — value-identical to
+    * `CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)` (the first
+    * 15 hex chars of the digest parsed base-16 ≡ the first 8 digest
+    * bytes big-endian, unsigned-shifted right 4), but computed straight
+    * from the digest bytes: the SQL chain hex-encodes a 32-char string,
+    * substrings it, and re-parses it through conv's string arithmetic
+    * PER EVALUATION — measurable on the per-gram hash paths (x115 spans,
+    * x76 KMV). The DuckDB oracles keep the spelled-out SQL chain, which
+    * is exactly why the value equivalence is spec-asserted. */
+  case class Md5Prefix60(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+
+    @transient private lazy val md5 =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
+
+    override def nullSafeEval(v: Any): Any = {
+      val digest = md5.get()
+      digest.reset()
+      val d = digest.digest(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+      var l = 0L
+      var i = 0
+      while (i < 8) { l = (l << 8) | (d(i) & 0xffL); i += 1 }
+      l >>> 4
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("md5PrefixExpr", this, classOf[Md5Prefix60].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = ((Long) $ref.nullSafeEval($v)).longValue();")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Sign bits of <v, plane_b> for `nBits` constant hyperplanes
     * (flattened row-major into `planes`). Output: array<int> of 0/1. */
   case class HyperplaneSignBits(child: Expression, planes: Array[Double],
@@ -710,6 +750,8 @@ object VectorExpressions {
 
   def jaccardLongSize(a: Column, b: Column): Column =
     column(JaccardLongSize(expression(a), expression(b)))
+
+  def md5Prefix60(x: Column): Column = column(Md5Prefix60(expression(x)))
 
   def hyperplaneSignBits(v: Column, planes: Seq[Seq[Double]]): Column = {
     val dim = planes.head.size

@@ -106,6 +106,15 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("Md5Prefix60 equals CAST(conv(substr(md5(x),1,15),16,10) AS BIGINT)") {
+    val df = ((1 to 200).map(i => s"gram $i token ${i * 7}") ++
+      Seq("", " ", "déjà vu ünïcode 中文", "a|b|c", "x" * 500)).toDF("x")
+    val ref = expr("CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)")
+    val bad = df.filter(
+      VectorExpressions.md5Prefix60(col("x")) =!= ref).count()
+    assert(bad == 0)
+  }
+
   test("HyperplaneSignBits matches per-plane sign computation") {
     val planes = Sketches.hyperplanes(nBits = 32, dim = 8, seed = 5L)
     val df = (1 to 30).map(i => Seq.tabulate(8)(j => (i * 13 + j) * 0.7 - 20.0)).toDF("v")
