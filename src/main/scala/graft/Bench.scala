@@ -152,7 +152,22 @@ object Bench {
             java.nio.file.StandardOpenOption.APPEND)
       }
       val minReps = if (results.isEmpty) 0 else results.map(_._4).min
-      val stdoutLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"min_reps_done":$minReps,"n_queries":${results.length},"partial":$partial,"skipped":$skippedJson,"sentinel":$sentinelJson,"detail":"$outPath","sf":"$sfDir","meta":$meta}"""
+      // Driver contract (restated round 20): the bench prints ONE JSON
+      // line carrying the per-query map — `"queries": {"name": sec,...}`.
+      // Rounds 17-19 moved that map to the detail FILE out of caution
+      // about stdout-tail truncation, and PERF_r19.json shows the cost:
+      // per_query empty, n_common 0, bench_ok false — the driver could
+      // compute neither per-query speedups nor the 8-vs-32-core scaling.
+      // The driver's own contract line is ~5 KB for 183 queries, so its
+      // parser must read the full stdout (the 2000-char `tail` field in
+      // BENCH_r*.json is archival); restoring the map inline is a
+      // measurement-bug fix, documented in OPTIMIZATION_r20.md. Values
+      // print at millisecond precision to keep the line compact; the
+      // detail file keeps full precision and the [min,max] spreads.
+      val qsRounded = results.map { case (k, mn, _, _) =>
+        "\"" + k + "\":" + BigDecimal(mn).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      }.mkString("{", ",", "}")
+      val stdoutLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"min_reps_done":$minReps,"n_queries":${results.length},"partial":$partial,"skipped":$skippedJson,"sentinel":$sentinelJson,"queries":$qsRounded,"detail":"$outPath","sf":"$sfDir","meta":$meta}"""
       println(stdoutLine)
       System.out.flush()
     }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -17,6 +18,33 @@ import org.apache.spark.sql.types._
   * completeness/fallback), turning sketching back into a scan-speed map.
   */
 object VectorExpressions {
+
+  /** Bulk null-element test: on [[org.apache.spark.sql.catalyst.expressions.UnsafeArrayData]]
+    * (every codegen-produced array) the null bitmap is a zeroed word
+    * region directly after the 8-byte numElements header — OR-testing
+    * whole words costs ONE load per 64 elements, where per-element
+    * `isNullAt` in the cosine pair-join hot loop measured +25% on x109.
+    * Trailing bits past numElements are guaranteed zero (the writer only
+    * sets bits for nulls). Non-unsafe representations fall back to the
+    * per-element walk. */
+  def hasNullElement(x: ArrayData): Boolean = x match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      val words = (u.numElements() + 63) >>> 6
+      val base = u.getBaseObject
+      val off = u.getBaseOffset
+      var w = 0
+      while (w < words) {
+        if (org.apache.spark.unsafe.Platform.getLong(base, off + 8L + 8L * w) != 0L)
+          return true
+        w += 1
+      }
+      false
+    case other =>
+      val n = other.numElements()
+      var i = 0
+      while (i < n) { if (other.isNullAt(i)) return true; i += 1 }
+      false
+  }
 
   /** dot(a, b) over array<double> — codegen'd multiply-add loop. */
   case class DotProduct(left: Expression, right: Expression)
@@ -73,15 +101,43 @@ object VectorExpressions {
 
     override def dataType: DataType = DoubleType
 
+    // ADVICE r19: fail analysis (not runtime garbage reads) on wrong-typed
+    // input — each side must be an array of a supported numeric element.
+    // containsNull=true is ACCEPTED: the driver parquet declares nullable
+    // elements on every embedding column even though no element is ever
+    // null, so rejecting the flag would fail analysis on valid data; a
+    // null element instead reads as 0.0 (below), the value the unsafe
+    // array representation already yields for a null slot.
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def ok(dt: DataType): Boolean = dt match {
+        case ArrayType(LongType | FloatType | IntegerType | DoubleType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"CosineSim requires array<long|float|int|double> inputs, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
     private def elemType(e: Expression): DataType =
       e.dataType.asInstanceOf[ArrayType].elementType
 
+    // null element ≡ 0.0 contribution (documented, deterministic — the
+    // interpreted GenericArrayData path used to NPE where the unsafe
+    // path read the zeroed slot; both now agree). Null handling is an
+    // UPFRONT bitmap scan, not a per-read branch: the three accumulator
+    // loops — the hottest code in every pair join — stay branch-free,
+    // and the null-aware path only runs when a null element exists
+    // (which the loader contract excludes).
     private def getD(x: ArrayData, t: DataType, i: Int): Double = t match {
       case LongType => x.getLong(i).toDouble
       case FloatType => x.getFloat(i).toDouble
       case IntegerType => x.getInt(i).toDouble
       case _ => x.getDouble(i)
     }
+
+    private def getDN(x: ArrayData, t: DataType, i: Int): Double =
+      if (x.isNullAt(i)) 0.0 else getD(x, t, i)
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -92,11 +148,19 @@ object VectorExpressions {
       val nab = math.min(na, nb)
       var ab = 0.0; var aa = 0.0; var bb = 0.0
       var i = 0
-      while (i < nab) { ab += getD(x, tx, i) * getD(y, ty, i); i += 1 }
-      i = 0
-      while (i < na) { val v = getD(x, tx, i); aa += v * v; i += 1 }
-      i = 0
-      while (i < nb) { val v = getD(y, ty, i); bb += v * v; i += 1 }
+      if (hasNullElement(x) || hasNullElement(y)) {
+        while (i < nab) { ab += getDN(x, tx, i) * getDN(y, ty, i); i += 1 }
+        i = 0
+        while (i < na) { val v = getDN(x, tx, i); aa += v * v; i += 1 }
+        i = 0
+        while (i < nb) { val v = getDN(y, ty, i); bb += v * v; i += 1 }
+      } else {
+        while (i < nab) { ab += getD(x, tx, i) * getD(y, ty, i); i += 1 }
+        i = 0
+        while (i < na) { val v = getD(x, tx, i); aa += v * v; i += 1 }
+        i = 0
+        while (i < nb) { val v = getD(y, ty, i); bb += v * v; i += 1 }
+      }
       ab / (math.sqrt(aa) * math.sqrt(bb))
     }
 
@@ -107,32 +171,44 @@ object VectorExpressions {
       case _ => s"$v.getDouble($i)"
     }
 
-    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // null-aware slow path: one interpreted call, only when a null
+      // element exists (same ref-obj pattern as JaccardLongSize)
+      val ref = ctx.addReferenceObj("cosineExpr", this, classOf[CosineSim].getName)
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val (tx, ty) = (elemType(left), elemType(right))
         val ab = ctx.freshName("ab"); val aa = ctx.freshName("aa")
         val bb = ctx.freshName("bb"); val i = ctx.freshName("i")
         val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
         val nab = ctx.freshName("nab"); val v = ctx.freshName("v")
+        val hasNull = ctx.freshName("hasNull")
         s"""
-           |double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
            |int $na = $a.numElements();
            |int $nb = $b.numElements();
-           |int $nab = java.lang.Math.min($na, $nb);
-           |for (int $i = 0; $i < $nab; $i++) {
-           |  $ab += ${genGet(a, tx, i)} * ${genGet(b, ty, i)};
+           |boolean $hasNull =
+           |  graft.functions.VectorExpressions.hasNullElement($a) ||
+           |  graft.functions.VectorExpressions.hasNullElement($b);
+           |if ($hasNull) {
+           |  ${ev.value} = ((Double) $ref.nullSafeEval($a, $b)).doubleValue();
+           |} else {
+           |  double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
+           |  int $nab = java.lang.Math.min($na, $nb);
+           |  for (int $i = 0; $i < $nab; $i++) {
+           |    $ab += ${genGet(a, tx, i)} * ${genGet(b, ty, i)};
+           |  }
+           |  for (int $i = 0; $i < $na; $i++) {
+           |    double $v = ${genGet(a, tx, i)};
+           |    $aa += $v * $v;
+           |  }
+           |  for (int $i = 0; $i < $nb; $i++) {
+           |    double $v = ${genGet(b, ty, i)};
+           |    $bb += $v * $v;
+           |  }
+           |  ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
            |}
-           |for (int $i = 0; $i < $na; $i++) {
-           |  double $v = ${genGet(a, tx, i)};
-           |  $aa += $v * $v;
-           |}
-           |for (int $i = 0; $i < $nb; $i++) {
-           |  double $v = ${genGet(b, ty, i)};
-           |  $bb += $v * $v;
-           |}
-           |${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
          """.stripMargin
       })
+    }
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
@@ -149,7 +225,24 @@ object VectorExpressions {
   case class QuantizeLong(child: Expression, scale: Double)
       extends UnaryExpression {
 
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    // containsNull mirrors the input (ADVICE r19): a null element
+    // PROPAGATES like the transform(cast)+floor HOF chain this replaces —
+    // never silently quantized to 0. The driver parquet declares nullable
+    // elements (though none are null in the data), so output metadata
+    // follows the child rather than rejecting the flag at analysis.
+    override def dataType: DataType = ArrayType(LongType,
+      containsNull = child.dataType match {
+        case ArrayType(_, cn) => cn
+        case _ => true
+      })
+
+    // ADVICE r19: wrong-typed input (e.g. array<long>) must fail analysis,
+    // not read garbage via getDouble at runtime.
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"QuantizeLong requires array<float|double> input, got ${other.catalogString}")
+    }
 
     private lazy val elemIsFloat =
       child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -157,31 +250,62 @@ object VectorExpressions {
     override def nullSafeEval(v: Any): Any = {
       val x = v.asInstanceOf[ArrayData]
       val n = x.numElements()
-      val out = new Array[Long](n)
+      val anyNull = hasNullElement(x)
       var i = 0
-      while (i < n) {
-        val d = if (elemIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
-        out(i) = math.floor(d * scale).toLong
-        i += 1
+      if (!anyNull) {
+        val out = new Array[Long](n)
+        i = 0
+        while (i < n) {
+          val d = if (elemIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+          out(i) = math.floor(d * scale).toLong
+          i += 1
+        }
+        new GenericArrayData(out)
+      } else {
+        // null-propagating (boxed) path — only taken when a null element
+        // actually exists, which the loader contract excludes
+        val out = new Array[Any](n)
+        i = 0
+        while (i < n) {
+          if (!x.isNullAt(i)) {
+            val d = if (elemIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+            out(i) = math.floor(d * scale).toLong
+          }
+          i += 1
+        }
+        new GenericArrayData(out)
       }
-      new GenericArrayData(out)
     }
 
-    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // ADVICE r19: splice the scale constant via a bit-exact
+      // longBitsToDouble round-trip — `$scale` interpolation would emit
+      // uncompilable Java for NaN/Infinity scales
+      val scaleJ =
+        s"java.lang.Double.longBitsToDouble(${java.lang.Double.doubleToRawLongBits(scale)}L)"
+      val ref = ctx.addReferenceObj("quantizeExpr", this, classOf[QuantizeLong].getName)
       nullSafeCodeGen(ctx, ev, v => {
         val get = if (elemIsFloat) s"(double) $v.getFloat" else s"$v.getDouble"
         val out = ctx.freshName("out")
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
+        val anyNull = ctx.freshName("anyNull")
         s"""
            |int $n = $v.numElements();
-           |long[] $out = new long[$n];
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $out[$i] = (long) java.lang.Math.floor($get($i) * $scale);
+           |boolean $anyNull = graft.functions.VectorExpressions.hasNullElement($v);
+           |if (!$anyNull) {
+           |  long[] $out = new long[$n];
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $out[$i] = (long) java.lang.Math.floor($get($i) * $scaleJ);
+           |  }
+           |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |} else {
+           |  ${ev.value} =
+           |    (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($v);
            |}
-           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          """.stripMargin
       })
+    }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -203,9 +327,26 @@ object VectorExpressions {
 
     override def dataType: DataType = DoubleType
 
+    // ADVICE r19: long-array inputs only — anything else (e.g. the public
+    // Sketches.jaccardLong reached with array<string>) fails analysis
+    // instead of reading garbage through getLong. containsNull=true is
+    // accepted (parquet metadata declares it even on never-null data); a
+    // null element reads as 0L — the unsafe representation's slot value —
+    // via the explicit isNullAt below, so interpreted and codegen paths
+    // agree deterministically.
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"JaccardLongSize requires array<long> inputs, got " +
+            s"${l.catalogString} and ${r.catalogString}")
+      }
+
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
+      def get(z: ArrayData, i: Int): Long = if (z.isNullAt(i)) 0L else z.getLong(i)
       val na = x.numElements()
       val nb = y.numElements()
       // open-addressing set of a's elements
@@ -217,7 +358,7 @@ object VectorExpressions {
       var da = 0
       var i = 0
       while (i < na) {
-        val v = x.getLong(i)
+        val v = get(x, i)
         var p = (java.lang.Long.hashCode(v) & Int.MaxValue) & maskA
         while (usedA(p) && tblA(p) != v) p = (p + 1) & maskA
         if (!usedA(p)) { usedA(p) = true; tblA(p) = v; da += 1 }
@@ -233,7 +374,7 @@ object VectorExpressions {
       var inter = 0
       i = 0
       while (i < nb) {
-        val v = y.getLong(i)
+        val v = get(y, i)
         var p = (java.lang.Long.hashCode(v) & Int.MaxValue) & maskB
         while (usedB(p) && tblB(p) != v) p = (p + 1) & maskB
         if (!usedB(p)) {
@@ -274,6 +415,14 @@ object VectorExpressions {
   case class Md5Prefix60(child: Expression) extends UnaryExpression {
 
     override def dataType: DataType = LongType
+
+    // ADVICE r19: string input only — a non-string child would
+    // ClassCastException opaquely at runtime; fail analysis instead.
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"Md5Prefix60 requires a string input, got ${other.catalogString}")
+    }
 
     @transient private lazy val md5 =
       new ThreadLocal[java.security.MessageDigest] {

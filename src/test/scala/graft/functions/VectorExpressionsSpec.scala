@@ -314,4 +314,53 @@ class VectorExpressionsSpec extends SparkSpec {
       .filter(col("x") =!= col("y")).count()
     assert(rows == 0)
   }
+
+  test("wrong-typed inputs fail ANALYSIS, not runtime (ADVICE r19): " +
+      "CosineSim/QuantizeLong/JaccardLongSize/Md5Prefix60 checkInputDataTypes") {
+    val df = Seq((Seq("a", "b"), Seq(1L, 2L), 3L)).toDF("strs", "longs", "n")
+    def failsAnalysis(c: => org.apache.spark.sql.Column): Unit = {
+      val e = intercept[Throwable](df.select(c).collect())
+      val msg = e.toString + Option(e.getCause).map(_.toString).getOrElse("")
+      assert(msg.toLowerCase.contains("requires") ||
+             msg.contains("DATATYPE_MISMATCH") || msg.contains("data type mismatch"),
+        s"expected an analysis-time type error, got: $msg")
+    }
+    failsAnalysis(VectorExpressions.cosineSim(col("strs"), col("strs")))
+    failsAnalysis(VectorExpressions.quantizeLong(col("longs"), 4.0)) // long array rejected
+    failsAnalysis(VectorExpressions.jaccardLongSize(col("strs"), col("strs")))
+    failsAnalysis(VectorExpressions.md5Prefix60(col("n")))
+    // and the valid shapes still analyze
+    df.select(VectorExpressions.jaccardLongSize(col("longs"), col("longs"))).collect()
+    df.select(VectorExpressions.md5Prefix60(lit("x"))).collect()
+  }
+
+  test("null elements have defined semantics (ADVICE r19): QuantizeLong " +
+      "propagates null like the HOF chain; CosineSim/JaccardLongSize read 0") {
+    val df = Seq(
+      (Seq[java.lang.Double](1.5, null, -2.5), Seq[java.lang.Double](1.5, 0.0, -2.5)),
+      (Seq[java.lang.Double](0.25, 4.0, 8.0), Seq[java.lang.Double](0.25, 4.0, 8.0))
+    ).toDF("withNull", "zeroed")
+    // QuantizeLong: null in → null out, exactly the transform(cast)+floor chain
+    def hofQuant(c: org.apache.spark.sql.Column) =
+      transform(transform(c, _.cast("double")),
+        e => floor(e * lit(16.0)).cast("long"))
+    val qBad = df.select(
+        VectorExpressions.quantizeLong(col("withNull"), 16.0).as("x"),
+        hofQuant(col("withNull")).as("y"))
+      .filter(not(col("x") <=> col("y"))).count()
+    assert(qBad == 0, "QuantizeLong must propagate null elements like the HOF chain")
+    // CosineSim: a null element contributes 0.0 — identical to the zeroed twin
+    val cBad = df.select(
+        (VectorExpressions.cosineSim(col("withNull"), col("withNull")) -
+         VectorExpressions.cosineSim(col("zeroed"), col("zeroed"))).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(cBad == 0, "CosineSim must treat null elements as 0.0")
+    // JaccardLongSize: a null element counts as 0L
+    val jdf = Seq((Seq[java.lang.Long](5L, null), Seq[java.lang.Long](5L, 0L)))
+      .toDF("withNull", "zeroed")
+    val j = jdf.select(
+      VectorExpressions.jaccardLongSize(col("withNull"), col("zeroed")).as("v"))
+      .collect()(0).getDouble(0)
+    assert(j == 1.0, s"null must read as 0L (got jaccard $j)")
+  }
 }
