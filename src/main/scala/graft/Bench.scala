@@ -11,6 +11,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // NOTE (r20, measured): coalescePartitions.parallelismFirst=false
+      // (byte-targeted AQE coalescing, the documented production
+      // recommendation) was A/B'd over the full suite back-to-back and
+      // REJECTED — geomean 1.036 vs default (191.8 s vs 185.6 s), because
+      // the default's 1 MB minPartitionSize already collapses the suite's
+      // tiny shuffles, and byte-targeting further only strips parallelism
+      // from compute-heavy small-byte stages (x112 +27%, x50 +29%,
+      // q10 +32%). See OPTIMIZATION_r20.md.
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.ui.enabled", "false")
       // Host-overload tolerance: round 5's run died to executor-heartbeat

@@ -235,10 +235,14 @@ object Sampling {
   def ppsSample(s: SparkSession, dir: String): DataFrame = {
     val k = 50L
     val qs = graft.functions.TextFunctions.qualitySignals(col("text"))
+    // r20 (guide §5): prefixSum evaluates docs twice and the total agg a
+    // third time — each re-ran the qualitySignals kernel; the cached
+    // frame is three longs per doc.
     val docs = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         floor(qs.getField("quality") * 1000).cast("long").as("w"),
         u32(col("doc_id")).as("h"))
+      .scopedCache()
     val cum = graft.ops.GlobalOrder.prefixSum(docs,
       expr("h div 4194304"),
       Seq(col("h").asc, col("doc_id").asc), col("w"), "cum")

@@ -329,7 +329,14 @@ object TextAnalysis {
     * floor. Docs under 2 tokens have no bigrams and are not scored
     * (mirrored by the oracle). */
   def perplexityFilter(s: SparkSession, dir: String): DataFrame = {
-    val scored = fluencyScoresFor(load(s, dir, "documents"))
+    // r20 (guide §5, profiled): `scored` is consumed THREE times — the
+    // total count, GlobalOrder's bucket histogram, and its rank join —
+    // and each evaluation re-ran the doc-bigram ⋈ LM join (the query's
+    // dominant compute; only docBigrams below was cached). Caching the
+    // NARROW per-doc score frame (3 longs/doc — cache-sane at any
+    // corpus size, unlike the bigram mass) runs the join once: 4.4 →
+    // 2.7 s isolated, identical rows.
+    val scored = fluencyScoresFor(load(s, dir, "documents")).scopedCache()
     val total = scored.agg(count(lit(1)).as("__n"))
     graft.ops.GlobalOrder.globalRowNumber(scored,
         col("fluency_permille"),
@@ -501,8 +508,12 @@ object TextAnalysis {
     * broken by doc_id so both engines rank identically) and the decile
     * is integer arithmetic on (rank, broadcast 1-row total). */
   def qualityDeciles(s: SparkSession, dir: String): DataFrame = {
+    // r20 (guide §5): consumed three times — GlobalOrder's histogram,
+    // its rank join, and the total count — and every evaluation re-ran
+    // the qualityScore text kernel over the corpus. The cached frame is
+    // two columns per doc (cache-sane at any corpus size).
     val docs = load(s, dir, "documents")
-      .select(col("doc_id"), qualityScore(col("text")).as("q"))
+      .select(col("doc_id"), qualityScore(col("text")).as("q")).scopedCache()
     val ranked = graft.ops.GlobalOrder.globalRowNumber(
       docs, floor(col("q") * lit(10)).cast("long"),
       Seq(col("q").asc, col("doc_id").asc), out = "rn")
