@@ -18,7 +18,11 @@ object Bench {
       // the default's 1 MB minPartitionSize already collapses the suite's
       // tiny shuffles, and byte-targeting further only strips parallelism
       // from compute-heavy small-byte stages (x112 +27%, x50 +29%,
-      // q10 +32%). See OPTIMIZATION_r20.md.
+      // q10 +32%). A second knob — coalescePartitions.minPartitionSize
+      // 1m→64k, aimed at the serial single-task window/agg chains — was
+      // also A/B'd (six hot queries, matched sentinels) and measured
+      // flat: those stages are key-cardinality-bound, not
+      // coalescing-bound. Both knobs stay at Spark defaults.
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.ui.enabled", "false")
       // Host-overload tolerance: round 5's run died to executor-heartbeat

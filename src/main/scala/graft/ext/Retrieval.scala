@@ -88,11 +88,17 @@ object Retrieval {
   /** Postings (doc_id, token, tf) over non-empty whitespace tokens —
     * the inverted-index frame both x140 stages share. */
   private def postings(s: SparkSession, dir: String): DataFrame =
+    // r20 (guide §2.3, profiled): one compiled per-doc counting pass
+    // (TokenCounts) replaces explode(tokens)+groupBy(doc,token) — the
+    // exploded rows are already unique per doc, so the hash aggregate
+    // over the raw token mass (the heaviest stages of every retrieval
+    // query's profile) disappears. Value-identical: same tokenization,
+    // same counts, same length>0 filter applied after.
     load(s, dir, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.tokenCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.token").as("token"), col("tc.tf").as("tf"))
       .filter(length(col("token")) > 0)
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).cast("long").as("tf"))
 
   /** Per-(query, candidate) BM25 score in exact integer ppm, ranked per
     * query — depth rows per query. Query-side tf is dropped (each

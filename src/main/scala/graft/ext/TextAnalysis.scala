@@ -86,9 +86,13 @@ object TextAnalysis {
     * window on the doc-keyed shuffle. */
   def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
+    // r20: compiled per-doc counting pass — the exploded rows are
+    // already unique per (doc, token), so the corpus-mass hash
+    // aggregate disappears (see Retrieval.postings; value-identical)
     val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.tokenCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.token").as("token"), col("tc.tf").as("tf"))
       .scopedCache()
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -480,10 +484,13 @@ object TextAnalysis {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // cached: the df band derives from this frame and joins back to it —
     // the corpus-wide tokenize+agg would otherwise run twice
+    // r20: compiled per-doc counting pass (see Retrieval.postings) —
+    // same tokenization, same counts, same length>0 filter
     val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.tokenCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.token").as("token"), col("tc.tf").as("tf"))
       .filter(length(col("token")) > 0)
-      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
       .scopedCache()
     val banded = tf.groupBy("token").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))

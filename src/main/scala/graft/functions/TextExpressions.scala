@@ -920,7 +920,62 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Per-document token frequencies in ONE compiled pass:
+    * array<struct<token, tf>> with one entry per DISTINCT token of
+    * `split(lower(trim(text)), "\\s+")` (first-seen order) and tf its
+    * occurrence count — value-identical, after explode, to the
+    * `explode(tokens(text)) → groupBy(doc, token) → count` chain every
+    * postings build spelled (guide §2.3 "aggregate before you
+    * shuffle", taken to its limit: the per-doc aggregation happens
+    * inside the scan task, so the explode emits ALREADY-UNIQUE
+    * (doc, token, tf) rows and the downstream groupBy vanishes — no
+    * 1M-row explode feeding a hash aggregate, no exchange of raw token
+    * mass). Same UTF8String trim/lower semantics as the shingle
+    * kernels (ASCII-space trim, locale-independent lower — Java
+    * String.trim/toLowerCase would silently diverge). Empty text
+    * yields the [""] token exactly like the split chain; callers keep
+    * their length>0 filters. */
+  case class TokenCounts(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("token", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))), containsNull = false)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("tokenCountsExpr", this, classOf[TokenCounts].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($v);")
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[UTF8String].trim.toLowerCase.toString
+        .split("\\s+", -1)
+      val counts = new java.util.LinkedHashMap[String, Long](toks.length * 2)
+      var i = 0
+      while (i < toks.length) {
+        counts.merge(toks(i), 1L, (a, b) => a + b)
+        i += 1
+      }
+      val out = new Array[Any](counts.size)
+      val it = counts.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(e.getKey), e.getValue))
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftshim.{toColumn => column, toExpression => expression}
+
+  def tokenCounts(text: Column): Column =
+    column(TokenCounts(expression(text)))
 
   def wordShingleHashes(text: Column, n: Int): Column =
     column(WordShingleHashes(expression(text), n))

@@ -315,6 +315,25 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(rows == 0)
   }
 
+  test("TokenCounts explode equals the explode(tokens)+groupBy(doc,token) chain exactly") {
+    val texts = Seq(
+      (1L, "the cat the cat sat"),
+      (2L, "  Leading  And   MIXED case  "),
+      (3L, ""),                       // empty text → the [""] token, tf 1
+      (4L, "Ünïcode tökens ünïcode"),
+      (5L, "a b c a b a"))
+    val df = texts.toDF("doc_id", "text")
+    val hof = df
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).cast("long").as("tf"))
+    val compiled = df
+      .select(col("doc_id"),
+        explode(TextExpressions.tokenCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.token").as("token"), col("tc.tf").as("tf"))
+    assert(compiled.count() == hof.count())
+    assert(compiled.exceptAll(hof).count() == 0 && hof.exceptAll(compiled).count() == 0)
+  }
+
   test("wrong-typed inputs fail ANALYSIS, not runtime (ADVICE r19): " +
       "CosineSim/QuantizeLong/JaccardLongSize/Md5Prefix60 checkInputDataTypes") {
     val df = Seq((Seq("a", "b"), Seq(1L, 2L), 3L)).toDF("strs", "longs", "n")

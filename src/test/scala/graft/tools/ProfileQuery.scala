@@ -27,7 +27,10 @@ object ProfileQuery {
 
     case class Job(id: Int, desc: String, start: Long,
                    var end: Long = -1L, var taskMs: Long = 0L, var nTasks: Int = 0)
+    case class Stage(id: Int, name: String, details: String,
+                     var taskMs: Long = 0L, var nTasks: Int = 0)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, Stage]()
     val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
@@ -38,15 +41,28 @@ object ProfileQuery {
           .getOrElse(e.stageInfos.map(_.name).mkString(" | ").take(160))
         jobs.put(e.jobId, Job(e.jobId, desc, e.time))
         e.stageIds.foreach(s => stageToJob.put(s, e.jobId))
+        // first non-Spark frame of the stage callsite — names the
+        // OPERATOR (query-source line) the stage computes for
+        e.stageInfos.foreach { si =>
+          val graftLine = si.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("tools.Profile"))
+            .getOrElse("").trim.take(90)
+          stages.put(si.stageId, Stage(si.stageId, si.name.take(60), graftLine))
+        }
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         Option(jobs.get(e.jobId)).foreach(_.end = e.time)
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         Option(stageToJob.get(e.stageId)).flatMap(j => Option(jobs.get(j)))
           .foreach { j =>
             j.taskMs += e.taskMetrics.executorRunTime
             j.nTasks += 1
           }
+        Option(stages.get(e.stageId)).foreach { s =>
+          s.taskMs += e.taskMetrics.executorRunTime
+          s.nTasks += 1
+        }
+      }
     })
 
     // stack sampler over the query-runner thread: attributes driver-side
@@ -80,7 +96,7 @@ object ProfileQuery {
     val reps = 2
     var t0 = 0L
     (1 to reps).foreach { r =>
-      jobs.clear(); stageToJob.clear(); samples.clear()
+      jobs.clear(); stages.clear(); stageToJob.clear(); samples.clear()
       sampling = r == reps
       t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
@@ -112,6 +128,10 @@ object ProfileQuery {
     }.toSeq
     println("gaps >50ms between jobs (driver-side work): " +
       gaps.map { case (a, b, g) => s"$a->$b:${g}ms" }.mkString(", "))
+    println("top stages by task time (stageId, taskMs, ntask, operator line):")
+    stages.values.asScala.toSeq.sortBy(-_.taskMs).take(20).foreach { s =>
+      println(f"  ${s.id}%6d ${s.taskMs}%8d ${s.nTasks}%5d  ${s.details}")
+    }
     spark.stop()
   }
 }
