@@ -284,16 +284,17 @@ object TextAnalysis {
     * the only shuffles are the two count aggregates. The shape of every
     * "n-gram statistics over the corpus" pass. */
   def bigramLm(s: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
-    val n = greatest(size(t) - 1, lit(0))
     // cached: both the context rollup and the join back read this
     // corpus-wide aggregate — without persistence the scan+explode+agg
-    // (the dominant cost) executes twice
+    // (the dominant cost) executes twice. r20: the explode rides the
+    // compiled per-doc BigramCounts pass, so the aggregate sums
+    // per-doc partials (sum(m) ≡ the occurrence count) instead of
+    // hashing the raw pair mass.
     val bigrams = load(s, dir, "documents")
-      .select(slice(t, lit(1), n).as("a"), slice(t, lit(2), n).as("b"))
-      .select(explode(arrays_zip(col("a"), col("b"))).as("bi"))
-      .select(col("bi.a").as("w1"), col("bi.b").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .select(explode(
+        graft.functions.TextExpressions.bigramCounts(col("text"))).as("bi"))
+      .select(col("bi.w1").as("w1"), col("bi.w2").as("w2"), col("bi.m").as("m"))
+      .groupBy("w1", "w2").agg(sum("m").as("c12"))
       .scopedCache()
     val contexts = bigrams.groupBy("w1").agg(sum("c12").as("c1"))
     val topContexts = contexts
@@ -359,13 +360,14 @@ object TextAnalysis {
     * ≥ 1 bigram; all arithmetic integer-exact (see
     * [[perplexityFilter]]). */
   def fluencyScoresFor(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
-    val n = greatest(size(t) - 1, lit(0))
+    // r20: compiled per-doc bigram counting (see TextExpressions
+    // .BigramCounts) — the exploded rows are already unique per
+    // (doc, w1, w2), so the corpus-mass hash aggregate disappears
     val docBigrams = docs
-      .select(col("doc_id"), slice(t, lit(1), n).as("a"), slice(t, lit(2), n).as("b"))
-      .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("bi"))
-      .select(col("doc_id"), col("bi.a").as("w1"), col("bi.b").as("w2"))
-      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.bigramCounts(col("text"))).as("bi"))
+      .select(col("doc_id"), col("bi.w1").as("w1"), col("bi.w2").as("w2"),
+        col("bi.m").as("m"))
       .scopedCache()
     val bigrams = docBigrams.groupBy("w1", "w2").agg(sum("m").as("c12"))
     val contexts = bigrams.groupBy("w1").agg(sum("c12").as("c1"))
@@ -423,13 +425,12 @@ object TextAnalysis {
     * LM corpus lacks — a context-only miss (w1 known, pair unseen)
     * is OOV too, exactly like an unseen-word transition. */
   def externalFluencyScoresFor(docs: DataFrame, lmDocs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
-    val n = greatest(size(t) - 1, lit(0))
+    // r20: compiled per-doc bigram counting (see fluencyScoresFor)
     def docBigramsOf(d: DataFrame) = d
-      .select(col("doc_id"), slice(t, lit(1), n).as("a"), slice(t, lit(2), n).as("b"))
-      .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("bi"))
-      .select(col("doc_id"), col("bi.a").as("w1"), col("bi.b").as("w2"))
-      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.bigramCounts(col("text"))).as("bi"))
+      .select(col("doc_id"), col("bi.w1").as("w1"), col("bi.w2").as("w2"),
+        col("bi.m").as("m"))
     val lmBigrams = docBigramsOf(lmDocs)
       .groupBy("w1", "w2").agg(sum("m").as("c12"))
     val lmContexts = lmBigrams.groupBy("w1").agg(sum("c12").as("c1"))
@@ -1036,13 +1037,14 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).cast("long").as("cu"))
       .scopedCache()
     val nTok = uni.agg(sum("cu").cast("long").as("n_tok"))
-    val n = greatest(size(t) - 1, lit(0))
+    // r20: compiled per-doc bigram counting (sum(m) ≡ the occurrence
+    // count; same pairs, same length>0 filters)
     val bi = docs
-      .select(slice(t, lit(1), n).as("a"), slice(t, lit(2), n).as("b"))
-      .select(explode(arrays_zip(col("a"), col("b"))).as("p"))
-      .select(col("p.a").as("w1"), col("p.b").as("w2"))
+      .select(explode(
+        graft.functions.TextExpressions.bigramCounts(col("text"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.m").as("m"))
       .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
-      .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c12"))
+      .groupBy("w1", "w2").agg(sum("m").cast("long").as("c12"))
       .scopedCache()
     val nBi = bi.agg(sum("c12").cast("long").as("n_bi"))
     bi.filter(col("c12") >= 5)

@@ -972,10 +972,66 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Per-document ADJACENT-BIGRAM frequencies in one compiled pass:
+    * array<struct<w1, w2, m>> with one entry per distinct ordered token
+    * pair (t[i], t[i+1]) of `split(lower(trim(text)), "\\s+")` and m
+    * its occurrence count — value-identical, after explode, to the
+    * `slice/arrays_zip/explode → groupBy(doc, w1, w2) → count` chain
+    * the bigram-LM family spelled (same rationale as [[TokenCounts]]:
+    * the per-doc aggregation happens inside the scan task, so the
+    * corpus-mass hash aggregate and the two slice copies + zip-struct
+    * allocation per token vanish). Texts with < 2 tokens yield an
+    * empty array, exactly like slice(t, 1, max(size-1, 0)). */
+  case class BigramCounts(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("w1", StringType, nullable = false),
+      StructField("w2", StringType, nullable = false),
+      StructField("m", LongType, nullable = false))), containsNull = false)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bigramCountsExpr", this, classOf[BigramCounts].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($v);")
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[UTF8String].trim.toLowerCase.toString
+        .split("\\s+", -1)
+      if (toks.length < 2) return new GenericArrayData(new Array[Any](0))
+      // tokens contain no whitespace (they are split on it), so the
+      // space-joined pair is a collision-free map key
+      val counts = new java.util.LinkedHashMap[String, Long](toks.length * 2)
+      var i = 0
+      while (i < toks.length - 1) {
+        counts.merge(toks(i) + " " + toks(i + 1), 1L, (a, b) => a + b)
+        i += 1
+      }
+      val out = new Array[Any](counts.size)
+      val it = counts.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        val sep = e.getKey.indexOf(' ')
+        out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(e.getKey.substring(0, sep)),
+            UTF8String.fromString(e.getKey.substring(sep + 1)), e.getValue))
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftshim.{toColumn => column, toExpression => expression}
 
   def tokenCounts(text: Column): Column =
     column(TokenCounts(expression(text)))
+
+  def bigramCounts(text: Column): Column =
+    column(BigramCounts(expression(text)))
 
   def wordShingleHashes(text: Column, n: Int): Column =
     column(WordShingleHashes(expression(text), n))

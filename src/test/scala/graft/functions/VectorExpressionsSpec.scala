@@ -334,6 +334,30 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(compiled.exceptAll(hof).count() == 0 && hof.exceptAll(compiled).count() == 0)
   }
 
+  test("BigramCounts explode equals the slice/arrays_zip/explode+groupBy chain exactly") {
+    val texts = Seq(
+      (1L, "the cat the cat sat"),
+      (2L, "one"),                    // < 2 tokens → no bigrams
+      (3L, ""),
+      (4L, "  A  b   a b A  "),
+      (5L, "x y x y x"))
+    val df = texts.toDF("doc_id", "text")
+    val t = TextFunctions.tokens(col("text"))
+    val n = greatest(size(t) - lit(1), lit(0))
+    val hof = df
+      .select(col("doc_id"), slice(t, lit(1), n).as("a"), slice(t, lit(2), n).as("b"))
+      .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("bi"))
+      .select(col("doc_id"), col("bi.a").as("w1"), col("bi.b").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+    val compiled = df
+      .select(col("doc_id"),
+        explode(TextExpressions.bigramCounts(col("text"))).as("bi"))
+      .select(col("doc_id"), col("bi.w1").as("w1"), col("bi.w2").as("w2"),
+        col("bi.m").as("m"))
+    assert(compiled.count() == hof.count())
+    assert(compiled.exceptAll(hof).count() == 0 && hof.exceptAll(compiled).count() == 0)
+  }
+
   test("wrong-typed inputs fail ANALYSIS, not runtime (ADVICE r19): " +
       "CosineSim/QuantizeLong/JaccardLongSize/Md5Prefix60 checkInputDataTypes") {
     val df = Seq((Seq("a", "b"), Seq(1L, 2L), 3L)).toDF("strs", "longs", "n")
